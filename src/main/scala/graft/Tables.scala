@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's parquet test tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Each table is one parquet file under the scale-factor directory. Reads are
+  * plain `spark.read.parquet`, so Catalyst pushes filters and prunes columns
+  * into the scan — at 100 TB the same code reads a partitioned table and
+  * partition pruning applies unchanged.
+  */
+final case class Tables(spark: SparkSession, sfDir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
+    * reader rejects; read nanos as long and truncate to microsecond
+    * timestamps (what the DuckDB oracle sees after CAST(ts AS TIMESTAMP)). */
+  private def eventsRaw: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events")
+  }
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

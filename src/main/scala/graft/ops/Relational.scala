@@ -1,0 +1,476 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational core over the TPC-H-ish test tables (SURVEY.md §2.1-§2.8).
+  *
+  * Every query here is declarative DataFrame API: Catalyst pushes filters and
+  * projections into the parquet scan, picks broadcast vs shuffle joins from
+  * statistics, and runs whole-stage codegen over the operators. Scale notes
+  * per query describe why the plan survives 1000 executors / 100 TB.
+  *
+  * Oracle-exactness convention: double SUMs are order-dependent in IEEE
+  * arithmetic, so a Spark partial-aggregate tree and DuckDB's sequential sum
+  * can differ in the low bits and fail a hash compare. Any summed 2-decimal
+  * money column is cast to DECIMAL first (exact, associative), summed, then
+  * cast back to double — bit-identical on both engines. Integer-valued
+  * doubles (l_quantity) sum exactly in any order and need no cast.
+  */
+object Relational {
+
+  /** Exact cross-engine sum of a 2-decimal money column. */
+  private def dsum2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact cross-engine sum of a per-row double product (4 decimals kept). */
+  private def dsum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Q1: pricing summary — scan-filter-agg, the canonical map-side-combine
+    * shape (SURVEY A6). Partial aggregation means each executor emits ≤
+    * |flag×status| rows regardless of input size; shuffle is O(groups). */
+  def q01PricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        (dsum2(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  AVG(l_quantity) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q2: selective filter + narrow projection — exists to prove pushdown:
+    * `.explain` must show PushedFilters on l_shipdate/l_quantity and a
+    * 4-column ReadSchema. At 100 TB this is the difference between reading
+    * the table and reading 4 column chunks of a pruned date range. */
+  def q02FilterPushdown(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  AND l_quantity < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Q3: star-schema revenue rollup (SURVEY J3) — lineitem⋈orders is the one
+    * genuine shuffle join (both large, co-keyed); customer/nation/region are
+    * dimensions and must broadcast. Catalyst picks that from sizes; nation and
+    * region are hinted because at 100 TB their file stats may be missing. */
+  def q03StarJoinRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  val q03Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Q4: fact⋈dimension with an explicit broadcast hint (SURVEY J3) — part is
+    * small relative to lineitem at every SF; broadcasting removes the shuffle
+    * of the 100 TB side entirely. */
+  def q04BroadcastJoin(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  val q04Sql: String =
+    """SELECT p_brand,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Q5: left-semi join = EXISTS (SURVEY J3/E1) — semi joins ship only the
+    * join key of the probe side and stop at first match; never materialize
+    * the pairing. */
+  def q05SemiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q6: left-anti join = NOT EXISTS (SURVEY E1 — the dedup "seen set"
+    * negative-membership shape from pipeline.py:27-35, relationalized). */
+  def q06AntiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Q7: left outer join preserving unmatched rows, with null-safe counting
+    * (count(o_orderkey) skips nulls exactly like the oracle). */
+  def q07LeftJoinAgg(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum2(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  val q07Sql: String =
+    """SELECT c_custkey, c_name,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** Q8: ROLLUP (SURVEY A8) — hierarchical subtotals region→nation→grand.
+    * Null group markers are coalesced to a sentinel so row ordering is
+    * null-free and identical across engines. */
+  def q08Rollup(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum2(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("sum_bal"), col("n_cust"))
+      .orderBy(col("region"), col("nation"))
+
+  val q08Sql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      |  COUNT(*) AS n_cust
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** Q9: CUBE (SURVEY A8) — all 2^k grouping combinations in one pass
+    * (Expand operator: k× row multiplication map-side, then one shuffle). */
+  def q09Cube(t: Tables): DataFrame =
+    t.lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_items"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q09Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n_items
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Q10: ranking window (SURVEY W1/W5) — top-3 orders per customer.
+    * row_number with a total tie-break (price desc, orderkey) is
+    * deterministic; one shuffle on the partition key, sort within. */
+  def q10WindowRank(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Q11: running-frame window (SURVEY W5) — cumulative value per user in
+    * event-time order. The frame order (ts, event_id) is a total order
+    * (event_id unique), so the sequential IEEE additions happen in the same
+    * order on both engines and the running double is bit-identical.
+    * (lineitem is unusable here: (l_orderkey, l_linenumber) has ~11.8k
+    * duplicate pairs in the synthetic data, so no deterministic frame order
+    * exists over it.) */
+  def q11WindowRunning(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn("n_so_far", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("running_value"), col("n_so_far"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q11Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_so_far
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Q12: lag/lead analytics (SURVEY W5) over the event stream — per-user
+    * previous value and next event type in time order. */
+  def q12WindowLagLead(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("prev_value"), col("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q12Sql: String =
+    """SELECT user_id, event_id, event_type, value,
+      |  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Q13: global top-k (SURVEY W3/O1-O3) — orderBy+limit plans as
+    * TakeOrderedAndProject: each partition keeps a k-heap, driver merges k×p
+    * rows; no global sort ever materializes. The reference pushes this into
+    * its sources (realtimeapi.py:35-39 pageSize/sortBy). */
+  def q13GlobalTopK(t: Tables): DataFrame =
+    t.orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Q14: distinct aggregates (SURVEY A7) — exact distinct counts expand to
+    * a two-phase plan; the approximate HLL++ variant for 100 TB is
+    * q_approx_distinct (rows-only, not hash-comparable by design). */
+  def q14DistinctAgg(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+
+  val q14Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_items
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q15: UNION ALL of heterogeneous feeds (SURVEY E3) — the multi-source
+    * article-feed union (S2+S3) relationalized: customers and suppliers as
+    * one "party" stream with a provenance tag. */
+  def q15Union(t: Tables): DataFrame =
+    t.customer.select(lit("customer").as("kind"), col("c_custkey").as("key"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+      .unionByName(
+        t.supplier.select(lit("supplier").as("kind"), col("s_suppkey").as("key"),
+          col("s_name").as("name"), col("s_acctbal").as("acctbal")))
+      .orderBy(col("kind"), col("key"))
+
+  val q15Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS kind, c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier' AS kind, s_suppkey AS key, s_name AS name, s_acctbal AS acctbal FROM supplier)
+      |ORDER BY kind, key""".stripMargin
+
+  /** Q16: INTERSECT / EXCEPT distinct-set semantics (SURVEY E3) over the
+    * nation keys reachable from customers vs suppliers. */
+  def q16SetOps(t: Tables): DataFrame = {
+    val custNations = t.customer.select(col("c_nationkey").as("nationkey"))
+    val suppNations = t.supplier.select(col("s_nationkey").as("nationkey"))
+    custNations.intersect(suppNations).select(lit("both").as("kind"), col("nationkey"))
+      .unionByName(
+        custNations.except(suppNations).select(lit("cust_only").as("kind"), col("nationkey")))
+      .orderBy(col("kind"), col("nationkey"))
+  }
+
+  val q16Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'both' AS kind, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'cust_only' AS kind, nationkey FROM
+      |    (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier))
+      |ORDER BY kind, nationkey""".stripMargin
+
+  /** Q17: JSON field extraction (SURVEY F14/F15) — events.props is a JSON
+    * string; get_json_object is codegen'd path extraction, no UDF. The
+    * oracle uses a regexp to avoid DuckDB's JSON extension (offline). */
+  def q17JsonExtract(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), avg(col("k")).as("avg_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q17Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  AVG(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS avg_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q18: date bucketing (SURVEY F10/T3) — orders per month. date_trunc is
+    * a pure column expression; at scale this is the partition-pruning key. */
+  def q18DateTrunc(t: Tables): DataFrame =
+    t.orders
+      .withColumn("month", date_trunc("month", col("o_orderdate")))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+
+  val q18Sql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
+  /** Q19: conditional aggregation (SURVEY P7 shape — scoring via CASE WHEN,
+    * constant-folded by Catalyst). */
+  def q19CaseWhen(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0))).as("qty_discounted"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+
+  val q19Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |  SUM(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END) AS qty_discounted,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q20: string functions (SURVEY F1/F2/F8/F9) — trim/lower/upper/substr/
+    * length/concat and split+element_at (the reddit.py:50-53 domain-parse
+    * shape: last token of a dot/space-separated name). */
+  def q20StringFuncs(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_type")).as("type_lower"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        element_at(split(col("p_type"), " "), -1).as("type_last_word"))
+      .orderBy(col("p_partkey"))
+
+  val q20Sql: String =
+    """SELECT p_partkey,
+      |  UPPER(p_brand) AS brand_upper,
+      |  LOWER(p_type) AS type_lower,
+      |  SUBSTRING(p_name, 1, 8) AS name_prefix,
+      |  LENGTH(p_name) AS name_len,
+      |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_type, '(\S+)$', 1) AS type_last_word
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Q21: HAVING (post-aggregation filter, SURVEY P10 shape — the
+    * "cluster kept only if ≥3 qualifying members" gate from cluster.py:83). */
+  def q21Having(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_items") >= 40)
+      .orderBy(col("l_partkey"))
+
+  val q21Sql: String =
+    """SELECT l_partkey, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40
+      |ORDER BY l_partkey""".stripMargin
+
+  /** Q22: correlated-style scalar-aggregate comparison — orders above their
+    * customer's average order value. Expressed as join-with-agg (how Catalyst
+    * decorrelates it anyway); the agg side is tiny relative to orders so it
+    * broadcasts. */
+  def q22AboveCustomerAvg(t: Tables): DataFrame = {
+    val custAvg = t.orders
+      .groupBy(col("o_custkey").as("ca_custkey"))
+      .agg((dsum2(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    t.orders
+      .join(broadcast(custAvg), col("o_custkey") === col("ca_custkey"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders JOIN (
+      |  SELECT o_custkey AS ca_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |  FROM orders GROUP BY o_custkey) ON o_custkey = ca_custkey
+      |WHERE o_totalprice > avg_price * 1.5
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
+    * distinct would shuffle every key. No SQL oracle (estimator-specific);
+    * driver rows-only check + DistinctSpec asserts the error envelope. */
+  def qApproxDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+}
