@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Relational
+import graft.ops.{Clustering, Dedup, Relational, Similarity, Summarize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,32 @@ object SparkEntry {
       "q21_having"           -> t(Relational.q21Having),
       "q22_above_cust_avg"   -> t(Relational.q22AboveCustomerAvg),
       "q23_approx_distinct"  -> t(Relational.qApproxDistinct),
+      // text analysis (SURVEY §2.8 + north-star text block)
+      "q24_token_count"      -> t(TextAnalysis.qTokenCount),
+      "q25_word_freq"        -> t(TextAnalysis.qWordFreq),
+      "q26_quality_counts"   -> t(TextAnalysis.qQualityCounts),
+      "q27_quality_score"    -> t(TextAnalysis.qQualityScore),
+      "q28_lang_id"          -> t(TextAnalysis.qLangId),
+      "q29_fingerprint"      -> t(TextAnalysis.qFingerprint),
+      "q30_ngrams"           -> t(TextAnalysis.qNgrams),
+      // dedup family (SURVEY J2/M7 + north-star dedup block)
+      "q31_dedup_exact"      -> t(Dedup.qDedupExact),
+      "q32_fuzzy_pairs"      -> t(Dedup.qFuzzyPairs),
+      "q33_jaccard_pairs"    -> t(Dedup.qJaccardPairs),
+      "q34_dedup_minhash"    -> t(Dedup.qDedupMinhashLsh),
+      "q35_dedup_simhash"    -> t(Dedup.qDedupSimhash),
+      "q36_dedup_greedy"     -> t(Dedup.qDedupGreedy),
+      "q37_dedup_components" -> t(Dedup.qDedupComponents),
+      // similarity search (SURVEY J4 + north-star similarity block)
+      "q38_knn_brute"        -> t(Similarity.qKnnBruteForce),
+      "q39_cosine_pairs"     -> t(Similarity.qCosinePairs),
+      "q40_knn_lsh"          -> t(Similarity.qKnnLsh),
+      // clustering + summarization (SURVEY M1/M2/M5/M6)
+      "q41_tfidf"            -> t(Clustering.qTfidf),
+      "q42_kmeans_ref"       -> t(Clustering.qKmeansDocsRef),
+      "q43_kmeans_embed"     -> t(Clustering.qKmeansEmbeddings),
+      "q44_lda_topics"       -> t(Clustering.qLdaTopics),
+      "q45_lexrank"          -> t(Summarize.qLexrankBySource),
     )
   }
 
@@ -72,5 +98,14 @@ object SparkEntry {
     "q20_string_funcs"     -> Relational.q20Sql,
     "q21_having"           -> Relational.q21Sql,
     "q22_above_cust_avg"   -> Relational.q22Sql,
+    "q24_token_count"      -> TextAnalysis.qTokenCountSql,
+    "q25_word_freq"        -> TextAnalysis.qWordFreqSql,
+    "q26_quality_counts"   -> TextAnalysis.qQualityCountsSql,
+    "q30_ngrams"           -> TextAnalysis.qNgramsSql,
+    "q31_dedup_exact"      -> Dedup.qDedupExactSql,
+    "q32_fuzzy_pairs"      -> Dedup.qFuzzyPairsSql,
+    "q33_jaccard_pairs"    -> Dedup.qJaccardPairsSql,
+    "q38_knn_brute"        -> Similarity.qKnnBruteForceSql,
+    "q39_cosine_pairs"     -> Similarity.qCosinePairsSql,
   )
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.udf
+
+/** Tight-loop hashing/vector kernels for the hot paths of dedup and
+  * similarity search.
+  *
+  * Rationale (measured, see BENCH notes in git history): Spark's
+  * higher-order array functions (transform/aggregate/zip_with) are
+  * interpreted, not codegen'd — a minhash signature as an expression tree
+  * costs ~100 ms/row at 64 perms × 300 shingles, versus ~0.1 ms/row as a
+  * plain JVM loop. These UDFs hold the per-ROW inner loop only; everything
+  * distributed (explode, bucket join, groupBy) stays declarative so the
+  * 100 TB plan shape is unchanged.
+  */
+object fasthash {
+
+  /** splitmix64 — public-domain finalizer (Steele et al.), the standard
+    * cheap 64-bit mixer. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit string hash built from splitmix64 rounds (deterministic,
+    * seed-able; engine-internal — no cross-engine parity required). */
+  def hashString(s: String, seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) { h = splitmix64(h ^ s.charAt(i)); i += 1 }
+    h
+  }
+
+  /** MinHash signature of a text's character shingles: one base hash per
+    * shingle position, numHashes universal perms via seeded splitmix64. */
+  def minhashSignature(text: String, numHashes: Int, shingleLen: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (text == null) return sig
+    val s = text.toLowerCase
+    val n = math.max(s.length - shingleLen + 1, 1)
+    var p = 0
+    while (p < n) {
+      val base = hashString(s.substring(p, math.min(p + shingleLen, s.length)), 0x9E3779B9L)
+      var i = 0
+      while (i < numHashes) {
+        val h = splitmix64(base ^ (i * 0xC2B2AE3D27D4EB4FL))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH band keys from a minhash signature: bands of r rows hashed to one
+    * 64-bit key that embeds the band index (keys never collide across
+    * bands). */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0x51_7C_C1_B7_27_22_0A95L ^ b.toLong
+      var i = b * r
+      while (i < (b + 1) * r) { h = splitmix64(h ^ sig(i)); i += 1 }
+      (b.toLong << 56) | (h >>> 8)
+    }
+  }
+
+  /** Distinct character shingles (lowercased) — the exact-verify set for
+    * candidate pairs. */
+  def shingleSet(text: String, shingleLen: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val s = text.toLowerCase
+    if (s.length < shingleLen) return Array(s)
+    val set = new scala.collection.mutable.LinkedHashSet[String]
+    var p = 0
+    while (p <= s.length - shingleLen) { set += s.substring(p, p + shingleLen); p += 1 }
+    set.toArray
+  }
+
+  /** Word tokens, identical semantics to functions.text.tokenize (lower,
+    * split on non-letter/digit/apostrophe runs, drop empties). */
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^\\p{L}\\p{N}']+").filter(_.nonEmpty)
+
+  /** 64-bit SimHash (Charikar 2002) over word tokens. */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var nTok = 0
+    tokens(text).foreach { t =>
+      val h = hashString(t, 0x2545F491L)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+      nTok += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 >= nTok) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Cosine similarity in double with sequential accumulation — the same
+    * arithmetic order as DuckDB's list_cosine_similarity over DOUBLE[], so
+    * rounded results hash-match the oracle. */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  // Column-facing UDFs
+  def minhashBandKeysUdf(numHashes: Int, bands: Int, shingleLen: Int) =
+    udf((text: String) => bandKeys(minhashSignature(text, numHashes, shingleLen), bands))
+
+  def shingleSetUdf(shingleLen: Int) = udf((text: String) => shingleSet(text, shingleLen))
+
+  val simhashUdf = udf((text: String) => simhash64(text))
+
+  val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.text
+import org.apache.spark.ml.clustering.{KMeans, LDA}
+import org.apache.spark.ml.feature.{CountVectorizer, IDF, Normalizer}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.{SparseVector, Vector}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering stack (SURVEY.md §2.9 M1/M2/M5, §2.4 A2/A3/A4).
+  *
+  * The reference's intent (its clustering code is syntactically broken, see
+  * SURVEY §0): TF-IDF over titles with a lower→tokenize→stopword→Porter
+  * pipeline (cluster.py:12-18,25-30), k-means with k=⌈n/4⌉, k-means++,
+  * max_iter=100 (cluster.py:51-53), and gensim LDA with ⌈n/5⌉ topics
+  * (lda.py:43-51). Here: the same dataflow on spark.ml primitives —
+  * CountVectorizer/IDF/Normalizer for M1 (distributed two-phase DF
+  * aggregate), ml.KMeans (k-means|| init — the distributed k-means++) for
+  * M2, ml.LDA (online EM) for M5. Iteration lives inside spark.ml; our
+  * plans stay declarative (SURVEY §4 custom-concern 2).
+  */
+object Clustering {
+
+  /** M1: l2-normalized smooth-IDF TF-IDF with the reference's tokenizer
+    * chain. Adds column `tfidf` (ml Vector) + `tokens`. */
+  def tfidf(df: DataFrame, textCol: String, vocabSize: Int = 1 << 16): DataFrame = {
+    val toks = df.withColumn("tokens",
+      text.stemTokens(text.removeStopwords(text.tokenize(col(textCol)))))
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+      .setVocabSize(vocabSize).fit(toks)
+    val tf = cv.transform(toks)
+    // Spark IDF = log((m+1)/(df+1)) — the reference's smooth_idf=True form.
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf_raw").fit(tf)
+    new Normalizer().setInputCol("tfidf_raw").setOutputCol("tfidf").setP(2.0)
+      .transform(idf.transform(tf))
+      .drop("tfidf_raw")
+  }
+
+  /** TF-IDF surface query (rows-only; spec asserts l2-norm ≈ 1 and
+    * vocab coverage): per-doc term count, norm, and dominant term weight. */
+  def qTfidf(t: Tables): DataFrame = {
+    val vec = tfidf(t.documents, "text")
+    val stats = udf((v: Vector) => {
+      val sv = v.asInstanceOf[SparseVector]
+      val norm = math.sqrt(sv.values.map(x => x * x).sum)
+      val top = if (sv.values.isEmpty) 0.0 else sv.values.max
+      (sv.indices.length, norm, top)
+    })
+    vec.select(col("doc_id"), stats(col("tfidf")).as("s"))
+      .select(col("doc_id"), col("s._1").as("n_terms"),
+        round(col("s._2"), 6).as("l2_norm"), round(col("s._3"), 6).as("top_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** M2 on the reference's geometry: k-means over TF-IDF text vectors,
+    * k=⌈n/4⌉, maxIter 100 (cluster.py:51-53 intent), on a reference-scale
+    * slice (the reference clustered ≤ ~100 articles; k=n/4 at corpus scale
+    * is degenerate by construction — documented deviation, the corpus-scale
+    * path is qKmeansEmbeddings). Emits (doc_id, cluster). */
+  def qKmeansDocsRef(t: Tables): DataFrame = {
+    val docs = t.documents.filter(col("doc_id") < 200)
+    val n = docs.count().toInt
+    val k = math.max((n + 3) / 4, 2)
+    val feats = tfidf(docs, "text")
+    val km = new KMeans().setK(k).setMaxIter(100).setSeed(42L)
+      .setFeaturesCol("tfidf").setPredictionCol("cluster")
+    km.fit(feats).transform(feats)
+      .select(col("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-scale k-means over the embedding table (k = label cardinality;
+    * KMeansSpec asserts cluster/label purity). k-means|| init, fixed seed.
+    * Scale shape: each iteration is one map (assign) + one treeAggregate
+    * (centroid update) over the corpus — the canonical distributed k-means;
+    * broadcast centroids, no shuffle of the data itself. */
+  def qKmeansEmbeddings(t: Tables): DataFrame = {
+    val feats = t.embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val km = new KMeans().setK(10).setMaxIter(30).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+    km.fit(feats).transform(feats)
+      .select(col("vec_id"), col("cluster"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** M5: LDA topic assignment — ⌈n/5⌉ topics is the reference's constant
+    * (lda.py:43); at corpus scale we pin k=10 (≈ the generator's latent
+    * label count) and take argmax of the topic distribution (lda.py:61-62
+    * → max_by). Online optimizer: one corpus pass per iteration,
+    * mini-batched — the distributed form of gensim's update_every/chunksize
+    * streaming. */
+  def qLdaTopics(t: Tables): DataFrame = {
+    val toks = t.documents.withColumn("tokens",
+      text.removeStopwords(text.tokenize(col("text"))))
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
+    val counted = cv.transform(toks)
+    val lda = new LDA().setK(10).setMaxIter(20).setSeed(42L)
+      .setFeaturesCol("tf").setOptimizer("online")
+    val model = lda.fit(counted)
+    model.transform(counted)
+      .withColumn("dist", vector_to_array(col("topicDistribution")))
+      .withColumn("topic", expr("array_position(dist, array_max(dist)) - 1").cast("int"))
+      .select(col("doc_id"), col("topic"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LDA topic keywords: top-10 terms per topic (lda.py:54-56 intent,
+    * gensim show_topics ≈ ml describeTopics). */
+  def ldaTopicKeywords(t: Tables, k: Int = 10): DataFrame = {
+    val spark = t.spark
+    val toks = t.documents.withColumn("tokens",
+      text.removeStopwords(text.tokenize(col("text"))))
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
+    val counted = cv.transform(toks)
+    val lda = new LDA().setK(k).setMaxIter(20).setSeed(42L)
+      .setFeaturesCol("tf").setOptimizer("online")
+    val vocab = cv.vocabulary
+    val lookup = udf((idx: Seq[Int]) => idx.map(vocab(_)))
+    lda.fit(counted).describeTopics(10)
+      .withColumn("keywords", lookup(col("termIndices")))
+      .select(col("topic"), col("keywords"))
+      .orderBy(col("topic"))
+  }
+}

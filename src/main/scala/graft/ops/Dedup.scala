@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.{fasthash, text}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection (SURVEY.md §2.2 P4, §2.3 J2, §2.9 M7, and the
+  * north-star dedup block: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Strategy ladder, by scale (SURVEY J2):
+  *  - exact:        hash-groupBy on md5 — one shuffle of (hash, id), O(n).
+  *  - blocked:      cheap deterministic blocking key (text prefix) bounds the
+  *                  quadratic verify to within-block pairs. Standard entity-
+  *                  resolution shape; the block key is the shuffle key, so
+  *                  skew = largest block, not n².
+  *  - MinHash+LSH:  signature → banded bucket join → verify. The 100 TB
+  *                  path: candidate generation is O(n·bands) shuffle, never
+  *                  O(n²); collision probability ≈ 1-(1-j^r)^b by design.
+  *  - SimHash:      64-bit sketch, hamming≤k via chunk-blocking (pigeonhole:
+  *                  any pair within k=3 shares one of 4 exact 16-bit chunks).
+  *  - greedy:       the reference's arrival-order keep-first loop
+  *                  (pipeline.py:27-35) — inherently sequential; offered for
+  *                  parity on small inputs, driver-side by contract.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup: representative (min id) + multiplicity per distinct text.
+    * md5 is content-defined so the shuffle key is 16 bytes, not the text. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def qDedupExact(t: Tables): DataFrame =
+    exactGroups(t.documents, "text", "doc_id").orderBy(col("keep_id"))
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ----------------------------------------------- blocked fuzzy (oracle)
+
+  /** Edit-distance near-dup pairs on a 40-char prefix, within prefix-10
+    * blocks. Oracle-checked: levenshtein is built-in on both engines. */
+  def qFuzzyPairs(t: Tables): DataFrame = {
+    val a = t.documents.select(col("doc_id").as("id_a"),
+      substring(col("text"), 1, 40).as("p_a"), substring(col("text"), 1, 10).as("blk"))
+    val b = t.documents.select(col("doc_id").as("id_b"),
+      substring(col("text"), 1, 40).as("p_b"), substring(col("text"), 1, 10).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(text.levenshteinSim(col("p_a"), col("p_b")), 6))
+      .filter(col("sim") > 0.8)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qFuzzyPairsSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE
+      |        / greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))), 6) AS sim
+      |FROM documents a JOIN documents b
+      |  ON substr(a.text,1,10) = substr(b.text,1,10) AND a.doc_id < b.doc_id
+      |WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE
+      |      / greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) > 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Word-3-gram Jaccard near-dup pairs, same blocking. Set arithmetic is
+    * integer-exact so the similarity is hash-safe as a rounded double. */
+  def qJaccardPairs(t: Tables): DataFrame = {
+    def grams(c: Column) = array_distinct(text.ngrams(split(lower(c), " "), 3))
+    val a = t.documents.select(col("doc_id").as("id_a"), grams(col("text")).as("g_a"),
+      substring(col("text"), 1, 10).as("blk"))
+    val b = t.documents.select(col("doc_id").as("id_b"), grams(col("text")).as("g_b"),
+      substring(col("text"), 1, 10).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / greatest(col("uni"), lit(1)).cast("double"), 6))
+      .filter(col("jaccard") > 0.3)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qJaccardPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, substr(text,1,10) AS blk,
+      |    list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ') FOR i IN range(1, len(toks)-1)]) AS gr
+      |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents))
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    round(len(list_intersect(a.gr, b.gr))::DOUBLE
+      |          / greatest(len(list_distinct(a.gr || b.gr)), 1), 6) AS jaccard
+      |  FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      |WHERE jaccard > 0.3 ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------- MinHash+LSH
+
+  /** LSH candidate pairs: minhash signature (64 perms over character
+    * shingles, computed by the fasthash kernel — see functions/fasthash
+    * scaladoc for why the inner loop is a UDF) banded into 16 keys per doc;
+    * docs sharing any band key are candidates.
+    *
+    * Scale shape: explode(bands) is n·b rows, the join shuffles by band
+    * key — never a cross join. At 100 TB, tune bands×rows so bucket sizes
+    * stay bounded; the within-bucket self-join is bounded by the skew of
+    * true duplicates. */
+  def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 8): DataFrame = {
+    val keysUdf = fasthash.minhashBandKeysUdf(numHashes, bands, shingleLen)
+    val banded = df.select(col(idCol).as("id"),
+      explode(keysUdf(col(textCol))).as("bk"))
+    val l = banded.select(col("bk"), col("id").as("id_a"))
+    val r = banded.select(col("bk"), col("id").as("id_b"))
+    l.join(r, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** MinHash-LSH near-dup detection with exact verify — the 100 TB dedup.
+    * Emits verified pairs with exact character-shingle Jaccard. */
+  def qDedupMinhashLsh(t: Tables): DataFrame = {
+    val cands = lshCandidatePairs(t.documents, "text", "doc_id")
+    val sh = t.documents.select(col("doc_id"),
+      fasthash.shingleSetUdf(8)(col("text")).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)).cast("double"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** SimHash near-dup pairs (sketch from the fasthash kernel): pigeonhole
+    * blocking — split the 64-bit sketch into 4 16-bit chunks; any pair at
+    * hamming distance ≤ 3 agrees on at least one chunk, so the join is equi
+    * on (chunk index, chunk value), then exact hamming verify via
+    * bit_count(xor). No cross join. */
+  def qDedupSimhash(t: Tables): DataFrame = {
+    val sh = t.documents.select(col("doc_id"), fasthash.simhashUdf(col("text")).as("sh"))
+    val chunks = (0 until 4).map(i => struct(lit(i).as("chunk"),
+      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+        explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("sh"), col("c.chunk"), col("c.cv"))
+    val l = chunked.select(col("chunk"), col("cv"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("chunk"), col("cv"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------- greedy (ref parity)
+
+  /** The reference's greedy keep-first fuzzy dedup (pipeline.py:27-35):
+    * scan in id order, keep a row iff no previously KEPT row has
+    * fuzz.ratio > threshold. Order-dependent ⇒ inherently sequential ⇒
+    * driver-side by contract; bound n before calling (the reference ran
+    * on ≤ ~100 articles). Returns the kept ids. */
+  def greedyFuzzyKeepIds(rows: Seq[(Long, String)], threshold: Int = 80): Seq[Long] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    rows.sortBy(_._1).foreach { case (id, key) =>
+      if (!kept.exists { case (_, k) => text.fuzzRatio(key, k) > threshold })
+        kept += ((id, key))
+    }
+    kept.map(_._1).toSeq
+  }
+
+  /** Greedy dedup as an operator: exact reference semantics on the 40-char
+    * prefix key, restricted to a deterministic driver-safe sample. The
+    * scalable equivalent (same clusters when similarity is transitive) is
+    * connected components over qFuzzyPairs — see qDedupComponents. */
+  def qDedupGreedy(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val sample = t.documents
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
+      .as[(Long, String)].collect().toSeq
+    val kept = greedyFuzzyKeepIds(sample)
+    kept.toDF("doc_id").orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------- components (scalable greedy)
+
+  /** Min-id-per-component dedup: union the near-dup pair graph into
+    * connected components by iterated label propagation (small diameter:
+    * dup clusters are cliques-ish, few iterations), keep the min id per
+    * component. Deterministic; equals greedy output when similarity is
+    * transitive (SURVEY §7 hard-part 2). */
+  def componentsMinId(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    // pairs: (id_a, id_b); ids: (id)
+    var labels = ids.select(col("id"), col("id").as("label"))
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 10) {
+      val neighborMin = edges.join(labels.select(col("id").as("nb"), col("label")),
+          col("id_b") === col("nb"))
+        .groupBy(col("id_a")).agg(min(col("label")).as("nbmin"))
+      val next = labels.join(neighborMin, col("id") === col("id_a"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id").as("id2"), col("label").as("old")),
+        col("id") === col("id2"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("label")).agg(min(col("id")).as("keep_id"),
+      collect_list(col("id")).as("member_ids"))
+  }
+
+  /** Dedup via fuzzy-pair graph → components → min-id representative:
+    * emits component representative and size. */
+  def qDedupComponents(t: Tables): DataFrame = {
+    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val ids = t.documents.select(col("doc_id").as("id"))
+    componentsMinId(pairs, ids)
+      .select(col("keep_id"), size(col("member_ids")).as("component_size"))
+      .orderBy(col("keep_id"))
+  }
+}

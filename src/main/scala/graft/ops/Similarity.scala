@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.fasthash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (SURVEY.md §2.3 J4,
+  * north-star "similarity search": brute-force cosine top-k baseline + an
+  * LSH-bucketed scale path).
+  *
+  * Embeddings are ArrayType(FloatType); all math is done in double with
+  * sequential accumulation (fasthash.cosine), so results are deterministic
+  * and (after rounding) hash-comparable with the DuckDB oracle's
+  * list_cosine_similarity over DOUBLE[].
+  */
+object Similarity {
+
+  /** Sequential-order double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Composable column form (higher-order functions — interpreted, fine for
+    * narrow use). The quadratic operators below use fasthash.cosineUdf: the
+    * identical arithmetic as a tight JVM loop (~50× faster per pair; see
+    * functions/fasthash scaladoc). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: probes × corpus, ranked per probe with a
+    * vec_id tie-break. The corpus side streams; the probe side broadcasts
+    * (probes ≪ corpus — the right asymmetry at 100 TB, where this is one
+    * map-side pass over the corpus followed by a per-probe top-k heap, i.e.
+    * Window row_number ≤ k after a shuffle of only the surviving rows.
+    * An exhaustive all-pairs top-k at scale uses the LSH path below). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"))
+      .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"))))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", fasthash.cosineUdf(col("emb_p"), col("emb_n")))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Oracle-checked ANN baseline: top-10 cosine neighbors for probes
+    * vec_id < 10. */
+  def qKnnBruteForce(t: Tables): DataFrame =
+    bruteForceTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
+      .orderBy(col("probe_id"), col("rank"))
+
+  val qKnnBruteForceSql: String =
+    """WITH sims AS (
+      |  SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])) AS s
+      |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) p
+      |  JOIN embeddings n ON p.vec_id != n.vec_id),
+      |ranked AS (
+      |  SELECT probe_id, neighbor_id, s,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, round(s, 6) AS sim
+      |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  /** High-cosine pair mining across the whole corpus (near-dup by
+    * embedding, north-star block). Threshold chosen for the synthetic
+    * corpus (max pair sim ≈ 0.51); ids + rounded sim are hash-safe. */
+  def qCosinePairs(t: Tables): DataFrame = {
+    val a = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = t.embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", fasthash.cosineUdf(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > 0.4)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qCosinePairsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------ LSH scale path
+
+  /** Deterministic random hyperplanes: nBits planes × dim coefficients from
+    * a seeded xorshift — reproducible across sessions, no RNG state. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var s = seed
+    def next(): Double = {
+      // xorshift64* — public-domain PRNG; uniform in (-1, 1)
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      (s * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+    Array.fill(nBits, dim)(next())
+  }
+
+  /** Sign-random-projection bucket ids, one per hash table (Charikar 2002),
+    * encoded as tbl<<32 | bucket. Computed in one compact UDF per row: a
+    * per-hyperplane Catalyst expression tree (tables × bits × dim multiply
+    * nodes) blows the optimizer up; a single scalar function over the float
+    * array is the right altitude here. Deterministic (seeded hyperplanes
+    * baked into the closure, broadcast with the task). */
+  def srpBucketsUdf(nBits: Int, tables: Int, dim: Int = 64,
+      multiprobe: Boolean = false) = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables)(l => hyperplanes(nBits, dim, 42L + 1000L * l))
+    udf((emb: Seq[Float]) => {
+      val out = Seq.newBuilder[Long]
+      var l = 0
+      while (l < tables) {
+        var bucket = 0
+        var i = 0
+        while (i < nBits) {
+          var proj = 0.0
+          var j = 0
+          val p = planes(l)(i)
+          while (j < dim && j < emb.length) { proj += emb(j) * p(j); j += 1 }
+          if (proj >= 0) bucket |= (1 << i)
+          i += 1
+        }
+        val tag = l.toLong << 32
+        out += (tag | bucket.toLong)
+        if (multiprobe) {
+          var b = 0
+          while (b < nBits) { out += (tag | (bucket ^ (1 << b)).toLong); b += 1 }
+        }
+        l += 1
+      }
+      out.result()
+    })
+  }
+
+  /** Multi-table SRP-LSH approximate top-k: L independent hash tables of
+    * nBits hyperplanes each; a probe collides with a neighbor if they share
+    * a bucket in ANY table (the probe side also multi-probes all hamming-1
+    * buckets per table). Candidates are deduped, then exactly reranked by
+    * cosine.
+    *
+    * Shape at scale: corpus is bucketed once per table (map-only, L·n
+    * rows), the candidate join is equi on the encoded (table, bucket) —
+    * never a cross join; recall/cost is tuned by (L, nBits, multiprobe
+    * radius) exactly as in published LSH practice. Recall vs the exact
+    * baseline is asserted in SimilaritySpec. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nBits: Int = 6, tables: Int = 4): DataFrame = {
+    val corpusB = srpBucketsUdf(nBits, tables)
+    val probeB = srpBucketsUdf(nBits, tables, multiprobe = true)
+    val corpusBuckets = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_n"),
+      explode(corpusB(col("embedding"))).as("tb"))
+    val probeBuckets = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("emb_p"),
+      explode(probeB(col("embedding"))).as("tb"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    corpusBuckets.join(broadcast(probeBuckets), Seq("tb"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("sim", fasthash.cosineUdf(col("emb_p"), col("emb_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** ANN via LSH for the same probes as the brute-force baseline
+    * (rows-only; recall asserted in SimilaritySpec). */
+  def qKnnLsh(t: Tables): DataFrame =
+    lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
+      .orderBy(col("probe_id"), col("rank"))
+}

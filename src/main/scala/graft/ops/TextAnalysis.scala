@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (SURVEY.md §2.8,
+  * north-star "text analysis" block: language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Everything here is per-row column expressions plus one narrow aggregate —
+  * embarrassingly parallel, no shuffle except the final group/top-k, so the
+  * plans scale linearly with input and survive 100 TB unchanged. Tokenization
+  * happens once per query via a shared expression; Catalyst's common
+  * subexpression elimination keeps it single-evaluation inside codegen.
+  */
+object TextAnalysis {
+
+  /** Token count per document (whitespace tokens + a regex word-token count,
+    * the "BPE-ish" proxy) — SURVEY north-star token counting. */
+  def qTokenCount(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(text.tokenize(col("text"))).cast("long").as("n_word_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS BIGINT) AS n_word_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus word frequency: explode tokens, count, global top-k with a
+    * total tie-break. The canonical map-side-combine + TakeOrdered shape:
+    * at 100 TB the shuffle carries |vocab| rows, not |corpus|. */
+  def qWordFreq(t: Tables): DataFrame =
+    t.documents
+      .select(explode(text.tokenize(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+
+  val qWordFreqSql: String =
+    """SELECT token, COUNT(*) AS freq FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+
+  /** Quality features per document (SURVEY north-star quality scoring) —
+    * integer-exact counts only in the oracle-checked columns; the float
+    * ratios live in qQualityScore (rows-only) to stay hash-safe. */
+  def qQualityCounts(t: Tables): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    t.documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+          .cast("long").as("n_stopwords"),
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).cast("long").as("n_alpha"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityCountsSql: String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stopwords,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+       |FROM (SELECT doc_id, text,
+       |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full quality score with float ratios + a composite 0-1 score
+    * (rows-only: float ratios are not hash-stable cross-engine). */
+  def qQualityScore(t: Tables): DataFrame = {
+    val feats = text.qualityFeatures(col("text"))
+    val base = t.documents.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    base.withColumn("quality_score",
+      round(
+        when(col("n_tokens") < 5, 0.0)
+          .otherwise(
+            least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+              (lit(1.0) - least(col("stopword_ratio") * 2.0, lit(1.0))) * 0.2 +
+              col("alpha_ratio") * 0.3 +
+              least(col("mean_token_len") / 8.0, lit(1.0)) * 0.2), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID vs the table's labeled lang column — emits doc_id, the
+    * predicted language and the label; spec asserts accuracy on 'zh' rows
+    * and sanity elsewhere (word-salad text defeats stopword heuristics by
+    * construction, so the label column is the ground truth, not the text). */
+  def qLangId(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), text.langId(col("text")).as("lang_pred"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Document fingerprint: 64-bit minhash over 8-char shingles plus exact
+    * md5 — the dedup keys for the Dedup operators (rows-only: xxhash64 is
+    * Spark-specific). md5 column is itself oracle-checked in Dedup. */
+  def qFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5"),
+        text.fingerprint(col("text")).as("minhash_fp"),
+        xxhash64(col("text")).as("xxh64"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram surface (reference utils.py:1-30): distinct word 2-grams per
+    * doc count + the reference's n→distinct-ngram map cardinalities. */
+  def qNgrams(t: Tables): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    t.documents
+      .select(
+        col("doc_id"),
+        size(array_distinct(text.ngrams(toks, 2))).cast("long").as("n_distinct_2grams"),
+        size(array_distinct(text.ngrams(toks, 3))).cast("long").as("n_distinct_3grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNgramsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_distinct([list_aggregate(toks[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(toks))])) AS BIGINT) AS n_distinct_2grams,
+      |  CAST(len(list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ') FOR i IN range(1, len(toks)-1)])) AS BIGINT) AS n_distinct_3grams
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH finds every planted near-dup the exact pass finds") {
+    // Exact (blocked) jaccard pairs are the ground truth; LSH candidates
+    // must cover them (jaccard ≥ 0.5 ⇒ collision prob ≈ 1 at 16 bands × 4).
+    val exact = Dedup.qJaccardPairs(sf0001)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qDedupMinhashLsh(sf0001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed planted pairs: $missed")
+  }
+
+  test("simhash pairs at hamming<=3 are near-identical texts") {
+    val pairs = Dedup.qDedupSimhash(sf0001).collect()
+    assert(pairs.nonEmpty)
+    // verify a sampled pair really is textually similar (jaccard ≥ 0.3)
+    val exact = Dedup.qJaccardPairs(sf0001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = simPairs.intersect(exact)
+    assert(overlap.nonEmpty, "no simhash pair confirmed by exact jaccard")
+  }
+
+  test("greedy dedup: kept set is pairwise dissimilar and idempotent") {
+    import graft.functions.text
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = sf0001.documents.filter(col("doc_id") < 200)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+      .as[(Long, String)].collect().toSeq
+    val kept = Dedup.greedyFuzzyKeepIds(rows)
+    val keyOf = rows.toMap
+    // pairwise: no kept pair with ratio > 80
+    for (i <- kept.indices; j <- (i + 1) until kept.size)
+      assert(text.fuzzRatio(keyOf(kept(i)), keyOf(kept(j))) <= 80,
+        s"kept pair ${kept(i)},${kept(j)} too similar")
+    // idempotent
+    val again = Dedup.greedyFuzzyKeepIds(rows.filter(r => kept.contains(r._1)))
+    assert(again == kept)
+  }
+
+  test("greedy keep-first semantics match the reference loop shape") {
+    // arrival order matters: first of a dup pair is kept, later dropped
+    val rows = Seq(
+      (1L, "spark query engine benchmark results"),
+      (2L, "spark query engine benchmark result!"), // dup of 1 → dropped
+      (3L, "completely unrelated text about cats"),
+      (4L, "spark query engine benchmark resultz")) // dup of 1 → dropped
+    val kept = Dedup.greedyFuzzyKeepIds(rows)
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("components min-id representative equals greedy on transitive clusters") {
+    val greedy = Dedup.qDedupGreedy(sf0001).collect().map(_.getLong(0)).toSet
+    val comps = Dedup.qDedupComponents(sf0001)
+      .filter(col("keep_id") < 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(comps == greedy,
+      s"only-in-components=${(comps -- greedy).take(5)} only-in-greedy=${(greedy -- comps).take(5)}")
+  }
+
+  test("exact dedup groups: every distinct text keeps exactly one id") {
+    val n = sf0001.documents.count()
+    val g = Dedup.qDedupExact(sf0001)
+    assert(g.agg(sum("n_copies")).head().getLong(0) == n)
+    assert(g.select("keep_id").distinct().count() == g.count())
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.text
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  test("porter stemmer matches published algorithm goldens") {
+    // Golden pairs from Porter's published example vocabularies.
+    val goldens = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "failing" -> "fail", "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relat", "conditional" -> "condit", "rational" -> "ration",
+      "digitizer" -> "digit", "operator" -> "oper",
+      "feudalism" -> "feudal", "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+      "electrical" -> "electr", "hopeful" -> "hope", "goodness" -> "good",
+      "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "replacement" -> "replac", "adjustment" -> "adjust", "dependent" -> "depend",
+      "adoption" -> "adopt", "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "rate" -> "rate", "cease" -> "ceas",
+      "controlling" -> "control", "rolling" -> "roll")
+    val bad = goldens.filter { case (w, want) => text.porterStem(w) != want }
+      .map { case (w, want) => s"$w: got ${text.porterStem(w)}, want $want" }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("fuzz ratio definition cases and 80-threshold boundary") {
+    assert(text.fuzzRatio("hello", "hello") == 100)
+    assert(text.fuzzRatio("", "") == 100)
+    assert(text.fuzzRatio("a", "") == 0)
+    assert(text.fuzzRatio("ab", "cd") == 0)
+    // LCS(abcd,bcde)=3 → 2·3/8 = 75
+    assert(text.fuzzRatio("abcd", "bcde") == 75)
+    // LCS(kitten,sitting)=4 → 2·4/13 = 61.5 → 62
+    assert(text.fuzzRatio("kitten", "sitting") == 62)
+    // exactly 80: 10-char strings, LCS 8 → 2·8/20 = 80 — NOT >80
+    assert(text.fuzzRatio("abcdefghij", "abcdefghXY") == 80)
+    assert(text.fuzzRatio("abcdefghij", "abcdefghiX") == 90)
+    // symmetry
+    assert(text.fuzzRatio("abcdef", "abcf") == text.fuzzRatio("abcf", "abcdef"))
+  }
+
+  test("ngram map reproduces the reference's inline example (utils.py:32)") {
+    import spark.implicits._
+    val df = Seq("Donald Trump and Robert Mueller").toDF("s")
+    val got = df.select(text.ngramMap(split(col("s"), "\\s+"), 3).as("m"))
+      .head().getMap[Int, Seq[String]](0)
+    assert(got(1).toSet == Set("Donald", "Trump", "and", "Robert", "Mueller"))
+    assert(got(2).toSet == Set("Donald Trump", "Trump and", "and Robert", "Robert Mueller"))
+    assert(got(3).toSet == Set("Donald Trump and", "Trump and Robert", "and Robert Mueller"))
+  }
+
+  test("sentence split + tokenize behave on punctuation") {
+    import spark.implicits._
+    val df = Seq("First one. Second two! Third three? No").toDF("s")
+    val sents = df.select(text.sentences(col("s")).as("x")).head().getSeq[String](0)
+    assert(sents == Seq("First one.", "Second two!", "Third three?", "No"))
+    val toks = df.select(text.tokenize(col("s")).as("x")).head().getSeq[String](0)
+    assert(toks == Seq("first", "one", "second", "two", "third", "three", "no"))
+  }
+
+  test("language id flags CJK and common English") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat sat on the mat and it was happy", "en"),
+      ("der Hund ist nicht mit der Katze", "de"),
+      ("新闻分析系统", "zh")).toDF("s", "want")
+    val got = df.select(text.langId(col("s")).as("got"), col("want"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("fingerprint is stable and collides for identical text") {
+    import spark.implicits._
+    val df = Seq("some document text here", "some document text here",
+      "totally different content").toDF("s")
+    val fps = df.select(text.fingerprint(col("s"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
