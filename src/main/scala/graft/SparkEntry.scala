@@ -70,6 +70,11 @@ object SparkEntry {
       "q43_kmeans_embed"     -> t(Clustering.qKmeansEmbeddings),
       "q44_lda_topics"       -> t(Clustering.qLdaTopics),
       "q45_lexrank"          -> t(Summarize.qLexrankBySource),
+      // event-stream surface (SURVEY T3/T4), batch-first
+      "q46_tumbling_window"  -> t(streaming.Events.qTumbling),
+      "q47_sliding_window"   -> t(streaming.Events.qSliding),
+      "q48_session_window"   -> t(streaming.Events.qSessions),
+      "q49_recent_window"    -> t(streaming.Events.qRecentWindow),
     )
   }
 
@@ -107,5 +112,9 @@ object SparkEntry {
     "q33_jaccard_pairs"    -> Dedup.qJaccardPairsSql,
     "q38_knn_brute"        -> Similarity.qKnnBruteForceSql,
     "q39_cosine_pairs"     -> Similarity.qCosinePairsSql,
+    "q46_tumbling_window"  -> streaming.Events.qTumblingSql,
+    "q47_sliding_window"   -> streaming.Events.qSlidingSql,
+    "q48_session_window"   -> streaming.Events.qSessionsSql,
+    "q49_recent_window"    -> streaming.Events.qRecentWindowSql,
   )
 }

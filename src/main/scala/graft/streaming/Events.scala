@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream surface (SURVEY.md §2.10 T3/T4): tumbling / sliding /
+  * session windows + event-time watermark dedup, written batch-first with
+  * the SAME column expressions a `readStream` plan uses — StreamingSpec
+  * runs the tumbling aggregation under Structured Streaming (memory sink)
+  * and asserts batch ≡ streaming output.
+  *
+  * Scale shape: windowed group-bys shuffle on (window, key) — at 100 TB the
+  * watermark bounds state, and pre-aggregation (partial agg before the
+  * shuffle) keeps the exchange proportional to |windows × keys|, not
+  * |events|.
+  */
+object Events {
+
+  private def dsum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Tumbling 10-minute windows per event type. */
+  def tumbling(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def qTumbling(t: Tables): DataFrame =
+    tumbling(t.events).orderBy(col("window_start"), col("event_type"))
+
+  val qTumblingSql: String =
+    """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: width 10 min, slide 5 min — every event lands in
+    * exactly two windows (Spark's Expand does the ×2 fan-out map-side). */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+
+  def qSliding(t: Tables): DataFrame =
+    sliding(t.events).orderBy(col("window_start"))
+
+  val qSlidingSql: String =
+    """SELECT window_start, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT value,
+      |        unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+      |                time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '5 minutes'])
+      |          AS window_start
+      |      FROM events)
+      |GROUP BY window_start ORDER BY window_start""".stripMargin
+
+  /** Session windows per user: 30-minute inactivity gap. Batch
+    * session_window ≡ the gaps-and-islands SQL in the oracle; under
+    * readStream the same expression is stateful with watermark eviction. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  def qSessions(t: Tables): DataFrame =
+    sessions(t.events).orderBy(col("user_id"), col("session_start"))
+
+  val qSessionsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |numbered AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Event-time range filter (SURVEY T3 — the reference's "last two weeks"
+    * source window, realtimeapi.py:30-37): relative to the corpus max
+    * timestamp so it is deterministic. */
+  def qRecentWindow(t: Tables): DataFrame = {
+    val ev = t.events
+    val maxTs = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("mx") - expr("INTERVAL 14 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qRecentWindowSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) >=
+      |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL '14 days'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Watermarked streaming transform used by StreamingSpec: identical
+    * aggregation to `tumbling`, with an event-time watermark bounding
+    * state. Works on both batch and streaming DataFrames. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    tumbling(events.withWatermark("ts", "1 hour"))
+
+  /** Streaming dedup by key within the watermark horizon — the streaming
+    * form of exact dedup (north-star dedup at ingest time). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+
+  /** events.parquet under readStream: nanos-as-long schema + the same
+    * ts conversion Tables.events applies. readStream needs a directory, so
+    * the single parquet file is symlinked into a temp dir. */
+  private def streamEvents(sfDir: String) = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("events-stream")
+    Files.createSymbolicLink(dir.resolve("events.parquet"),
+      Paths.get(s"$sfDir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming tumbling agg equals the batch plan (same expressions)") {
+    val batch = Events.tumbling(sf0001.events)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val q = Events.tumblingWithWatermark(streamEvents("/root/testdata/sf0.001"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark emits each event once") {
+    val q = Events.dedupStream(streamEvents("/root/testdata/sf0.001"))
+      .select("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0))
+      assert(ids.length == sf0001.events.count())
+      assert(ids.distinct.length == ids.length)
+    } finally q.stop()
+  }
+
+  test("batch session windows match hand-computed islands on a tiny input") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 2.0), (1L, ts(60), 3.0), // user 1: 2 sessions
+      (2L, ts(5), 4.0)) // user 2: 1 session
+      .toDF("user_id", "ts", "value")
+    val got = Events.sessions(df).select("user_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
