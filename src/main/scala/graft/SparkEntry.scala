@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Clustering, Dedup, Relational, Similarity, Summarize, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,9 +13,11 @@ import graft.ops.{Clustering, Dedup, Relational, Similarity, Summarize, TextAnal
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole batch pipeline (SURVEY §3.1): dedup → TF-IDF →
+    * k-means → LexRank summaries, over documents-as-articles. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q03StarJoinRevenue(Tables(spark, "/root/testdata/sf0.001"))
+    Pipeline.qNewsPipeline(Tables(spark, "/root/testdata/sf0.001"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     def t(fn: Tables => DataFrame): (SparkSession, String) => DataFrame =
@@ -75,6 +77,8 @@ object SparkEntry {
       "q47_sliding_window"   -> t(streaming.Events.qSliding),
       "q48_session_window"   -> t(streaming.Events.qSessions),
       "q49_recent_window"    -> t(streaming.Events.qRecentWindow),
+      // the reference's full batch pipeline (SURVEY §3.1)
+      "q50_news_pipeline"    -> t(Pipeline.qNewsPipeline),
     )
   }
 

@@ -260,6 +260,34 @@ object text {
           .otherwise(array_max(array(scores: _*)).getField("lang")))
   }
 
+  // ---------------------------------------------------------- POS filter
+
+  /** Heuristic POS-filtered tokens (SURVEY F6/P6; reference lda.py:13-29
+    * keeps tokens tagged NNP or NNS, len > 2, not in the query). No JVM
+    * NLTK exists, so the tagger is a documented approximation of the
+    * averaged-perceptron on the two tags the reference uses:
+    * NNP ≈ capitalized token; NNS ≈ lowercase plural (-s, not -ss/-us/-is).
+    * Tokens are stemmed after filtering, as the reference does. */
+  def posFilterTokens(textStr: String, queryTokens: Set[String]): Seq[String] = {
+    if (textStr == null) return Nil
+    textStr.split("[^\\p{L}\\p{N}']+").toSeq
+      .filter(_.length > 2)
+      .filter { w =>
+        val lw = w.toLowerCase
+        // function words are DT/IN/... even when capitalized
+        val isNNP = w.head.isUpper && !stopwords.contains(lw)
+        val isNNS = !w.head.isUpper && lw.endsWith("s") && !lw.endsWith("ss") &&
+          !lw.endsWith("us") && !lw.endsWith("is")
+        isNNP || isNNS
+      }
+      .map(_.toLowerCase)
+      .filterNot(queryTokens.contains)
+      .map(porterStem)
+  }
+
+  def posFilterTokensUdf(queryTokens: Set[String]) =
+    udf((s: String) => posFilterTokens(s, queryTokens))
+
   // ------------------------------------------------------------- quality
 
   /** Quality features for training-data filtering (SURVEY north-star):

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media features: deterministic decode stubs, schema intact") {
+    val a = Multimodal.qMediaFeatures(sf0001).collect()
+    assert(a.length == 500)
+    val b = Multimodal.qMediaFeatures(sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      assert(r.getLong(2) > 0)                  // n_bytes
+      assert(r.getInt(5) >= 64 && r.getInt(6) >= 64) // decoded dims
+      assert(r.getInt(7) <= 128 && r.getInt(8) <= 128) // thumb fits
+    }
+  }
+
+  test("video rows get sampled frames, others none") {
+    val rows = Multimodal.qMediaFeatures(sf0001)
+      .select("kind", "sampled_frames").collect()
+    rows.foreach { r =>
+      val frames = r.getSeq[Int](1)
+      if (r.getString(0) == "video") assert(frames.nonEmpty && frames.length <= 8)
+      else assert(frames.isEmpty)
+    }
+  }
+
+  test("metadata-only query prunes the payload column from the scan") {
+    val plan = Multimodal.qMediaMetadata(sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), "payload column not pruned:\n" + plan)
+  }
+
+  test("thumbnail resize preserves aspect ratio within rounding") {
+    val (tw, th) = Multimodal.StubCodec.thumbDims(1024, 512)
+    assert(tw == 128 && th == 64)
+    assert(Multimodal.StubCodec.thumbDims(100, 100) == ((100, 100)))
+    assert(Multimodal.StubCodec.sampleFrames(240).length == 8)
+    assert(Multimodal.StubCodec.sampleFrames(0).isEmpty)
+  }
+}
