@@ -101,6 +101,20 @@ object fasthash {
     out
   }
 
+  /** Primitive-array cosine — no boxing; identical arithmetic to the Seq
+    * overload below. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
   /** Cosine similarity in double with sequential accumulation — the same
     * arithmetic order as DuckDB's list_cosine_similarity over DOUBLE[], so
     * rounded results hash-match the oracle. */

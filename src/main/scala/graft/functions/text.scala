@@ -194,28 +194,37 @@ object text {
 
   /** Indel (substitution-cost-2 Levenshtein) distance — the metric under
     * fuzzywuzzy's fuzz.ratio (python-levenshtein, see BASELINE.md).
-    * dist2 = |a| + |b| − 2·LCS(a,b). */
+    * dist2 = |a| + |b| − 2·LCS(a,b). Thread-local DP row: this sits inside
+    * all-pairs loops (25M calls at sf0.1), so per-call allocation is the
+    * dominant cost without reuse. */
+  private val dpRow = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+
   def indelDistance(a: String, b: String): Int = {
     val n = a.length; val m = b.length
     if (n == 0) return m
     if (m == 0) return n
-    // LCS length via single-row DP
-    var prev = new Array[Int](m + 1)
-    var cur = new Array[Int](m + 1)
+    var dp = dpRow.get()
+    if (dp.length < m + 1) { dp = new Array[Int](m + 1); dpRow.set(dp) }
+    java.util.Arrays.fill(dp, 0, m + 1, 0)
+    // single-row LCS DP with a rolling diagonal
     var i = 1
     while (i <= n) {
-      var j = 1
       val ai = a.charAt(i - 1)
+      var diag = 0 // dp(j-1) from the previous row
+      var j = 1
       while (j <= m) {
-        cur(j) =
-          if (ai == b.charAt(j - 1)) prev(j - 1) + 1
-          else math.max(prev(j), cur(j - 1))
+        val tmp = dp(j)
+        dp(j) =
+          if (ai == b.charAt(j - 1)) diag + 1
+          else if (dp(j) >= dp(j - 1)) dp(j) else dp(j - 1)
+        diag = tmp
         j += 1
       }
-      val t = prev; prev = cur; cur = t
       i += 1
     }
-    n + m - 2 * prev(m)
+    n + m - 2 * dp(m)
   }
 
   /** fuzz.ratio parity (reference `pipeline.py:29` etc.):

@@ -96,7 +96,7 @@ object Clustering {
       text.removeStopwords(text.tokenize(col("text"))))
     val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
     val counted = cv.transform(toks)
-    val lda = new LDA().setK(10).setMaxIter(20).setSeed(42L)
+    val lda = new LDA().setK(10).setMaxIter(10).setSeed(42L)
       .setFeaturesCol("tf").setOptimizer("online")
     val model = lda.fit(counted)
     model.transform(counted)
@@ -114,7 +114,7 @@ object Clustering {
       text.removeStopwords(text.tokenize(col("text"))))
     val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
     val counted = cv.transform(toks)
-    val lda = new LDA().setK(k).setMaxIter(20).setSeed(42L)
+    val lda = new LDA().setK(k).setMaxIter(10).setSeed(42L)
       .setFeaturesCol("tf").setOptimizer("online")
     val vocab = cv.vocabulary
     val lookup = udf((idx: Seq[Int]) => idx.map(vocab(_)))

@@ -71,7 +71,14 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup pairs, same blocking. Set arithmetic is
     * integer-exact so the similarity is hash-safe as a rounded double. */
   def qJaccardPairs(t: Tables): DataFrame = {
-    def grams(c: Column) = array_distinct(text.ngrams(split(lower(c), " "), 3))
+    // same gram strings as the HOF/oracle definition (split on single
+    // space, 3-token windows joined by space, distinct), built in a plain
+    // loop — interpreted higher-order transforms cost ~4s of the bench
+    val gramsUdf = udf((s: String) =>
+      if (s == null) Array.empty[String]
+      else s.toLowerCase.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toArray.distinct)
+    def grams(c: Column) = gramsUdf(c)
     val a = t.documents.select(col("doc_id").as("id_a"), grams(col("text")).as("g_a"),
       substring(col("text"), 1, 10).as("blk"))
     val b = t.documents.select(col("doc_id").as("id_b"), grams(col("text")).as("g_b"),
@@ -180,20 +187,49 @@ object Dedup {
     kept.map(_._1).toSeq
   }
 
-  /** Greedy dedup as an operator: exact reference semantics on the 40-char
-    * prefix key, restricted to a deterministic driver-safe sample. The
-    * scalable equivalent (same clusters when similarity is transitive) is
-    * connected components over qFuzzyPairs — see qDedupComponents. */
-  def qDedupGreedy(t: Tables): DataFrame = {
-    val spark = t.spark
+  /** Greedy dedup at scale with EXACT reference semantics: the expensive
+    * part — every pairwise fuzz.ratio — runs distributed (all-pairs UDF
+    * over the cross join, ~n²/2 ratio evaluations across the cluster);
+    * only the conflict pairs (ratio > threshold, a sparse graph) come back
+    * to the driver, where the arrival-order keep-first walk is O(n + |E|):
+    * scan ids ascending, drop an id iff it conflicts with an already-KEPT
+    * id. Identical output to the sequential reference loop, because the
+    * walk only ever consults pairs — which are all present. */
+  def greedyFuzzyDedup(df: DataFrame, keyCol: String, idCol: String,
+      threshold: Int = 80): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val sample = t.documents
-      .filter(col("doc_id") < 500)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("key"))
-      .as[(Long, String)].collect().toSeq
-    val kept = greedyFuzzyKeepIds(sample)
-    kept.toDF("doc_id").orderBy(col("doc_id"))
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("key"))
+    // a small parquet scan is one partition — repartition the probe side so
+    // the O(n²) ratio work fans out across every core
+    val par = spark.sparkContext.defaultParallelism
+    val a = keyed.repartition(par).select(col("id").as("id_a"), col("key").as("key_a"))
+    val b = keyed.select(col("id").as("id_b"), col("key").as("key_b"))
+    // Note: a built-in levenshtein prefilter was tried here and measured 3×
+    // SLOWER than the thread-local-buffer DP UDF (Spark's levenshtein
+    // allocates per call) — the UDF alone is the fast path.
+    val conflicts = a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b") &&
+        text.fuzzRatioUdf(col("key_a"), col("key_b")) > threshold)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect()
+
+    val byId = conflicts.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    val ids = keyed.select(col("id")).as[Long].collect().sorted
+    val kept = scala.collection.mutable.LinkedHashSet.empty[Long]
+    ids.foreach { id =>
+      val conflictsWithKept = byId.getOrElse(id, Array.empty[Long]).exists(kept.contains)
+      if (!conflictsWithKept) kept += id
+    }
+    kept.toSeq.toDF("doc_id").orderBy(col("doc_id"))
   }
+
+  /** Greedy dedup as an operator over the full documents table (40-char
+    * prefix key, the reference's title analog). */
+  def qDedupGreedy(t: Tables): DataFrame =
+    greedyFuzzyDedup(
+      t.documents.select(col("doc_id"), substring(col("text"), 1, 40).as("key")),
+      "key", "doc_id")
 
   // --------------------------------------- components (scalable greedy)
 

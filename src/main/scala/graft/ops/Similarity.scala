@@ -70,19 +70,48 @@ object Similarity {
       |SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, round(s, 6) AS sim
       |FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
+  /** Exact all-pairs cosine scoring: one side broadcast as primitive
+    * arrays, the other streamed through mapPartitions — the dense-scoring
+    * analog of a broadcast join (no boxing, no 2×n² UDF invocations; a
+    * Seq[Float]-boxing UDF version measured ~50× slower). Emits pairs
+    * (id_a < id_b) above the threshold.
+    *
+    * Scale note: exact all-pairs is inherently O(n²·d) — this operator is
+    * the small-corpus / per-bucket kernel; the corpus-scale near-dup path
+    * is LSH (lshTopK / Dedup.lshCandidatePairs) which bounds candidates
+    * before exact scoring. */
+  def cosinePairsExact(vectors: DataFrame, threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val vecs = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val side = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    // single-file scans are one partition: fan the O(n²) scoring out
+    vecs.repartition(vecs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { iter =>
+      val b = side.value
+      iter.flatMap { case (ida, ea) =>
+        // b is vec_id-sorted: start past ida to emit each pair once
+        var lo = 0; var hi = b.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (b(mid)._1 <= ida) lo = mid + 1 else hi = mid
+        }
+        (lo until b.length).iterator.flatMap { j =>
+          val s = fasthash.cosine(ea, b(j)._2)
+          if (s > threshold) Some((ida, b(j)._1, s)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "sim")
+  }
+
   /** High-cosine pair mining across the whole corpus (near-dup by
     * embedding, north-star block). Threshold chosen for the synthetic
     * corpus (max pair sim ≈ 0.51); ids + rounded sim are hash-safe. */
-  def qCosinePairs(t: Tables): DataFrame = {
-    val a = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = t.embeddings.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", fasthash.cosineUdf(col("emb_a"), col("emb_b")))
-      .filter(col("sim") > 0.4)
+  def qCosinePairs(t: Tables): DataFrame =
+    cosinePairsExact(t.embeddings, 0.4)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val qCosinePairsSql: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -100,11 +100,79 @@ object Summarize {
     scores.select(col("grp").as(groupCol), col("sid").as(idCol), col("score"))
   }
 
+  /** LexRank with the per-group computation as an in-memory kernel inside
+    * flatMapGroups: ONE shuffle (group the sentences), then each story
+    * cluster — bounded by construction — computes its idf, cosine graph and
+    * power iteration locally; thousands of groups run in parallel across
+    * the cluster. This is the default: the iterative DataFrame variant
+    * above (`lexrank`) exists for groups too large for one task, at the
+    * cost of a shuffle per iteration. Same algorithm, same parameters. */
+  def lexrankGrouped(sentences: DataFrame, groupCol: String, idCol: String,
+      textCol: String, threshold: Double = 0.1, damping: Double = 0.85,
+      iterations: Int = 20): DataFrame = {
+    val spark = sentences.sparkSession
+    import spark.implicits._
+    val toks = sentences.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        text.stemTokens(text.removeStopwords(text.tokenize(col(textCol)))))
+      .as[(String, Long, Seq[String])]
+    toks.groupByKey(_._1).flatMapGroups { (grp, iter) =>
+      val sents = iter.toArray
+      val n = sents.length
+      // per-group smooth idf
+      val dfCount = scala.collection.mutable.HashMap.empty[String, Int]
+      sents.foreach(_._3.distinct.foreach(t =>
+        dfCount.update(t, dfCount.getOrElse(t, 0) + 1)))
+      val idf = dfCount.map { case (t, d) =>
+        t -> (math.log((n + 1).toDouble / (d + 1)) + 1)
+      }
+      val vecs: Array[Map[String, Double]] = sents.map { s =>
+        s._3.groupBy(identity).map { case (t, o) => t -> o.length * idf(t) }
+      }
+      val norms = vecs.map(v => math.sqrt(v.values.map(x => x * x).sum))
+      def cos(i: Int, j: Int): Double = {
+        if (norms(i) == 0.0 || norms(j) == 0.0) return 0.0
+        val (small, big) = if (vecs(i).size < vecs(j).size) (vecs(i), vecs(j)) else (vecs(j), vecs(i))
+        var s = 0.0
+        small.foreach { case (t, x) => big.get(t).foreach(y => s += x * y) }
+        s / (norms(i) * norms(j))
+      }
+      // binary adjacency over the threshold
+      val adj = Array.fill(n)(List.newBuilder[Int])
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (cos(i, j) > threshold) { adj(i) += j; adj(j) += i }
+          j += 1
+        }
+        i += 1
+      }
+      val neighbors = adj.map(_.result().toArray)
+      val deg = neighbors.map(_.length)
+      var score = Array.fill(n)(1.0 / n)
+      var it = 0
+      while (it < iterations) {
+        val next = Array.fill(n)((1.0 - damping) / n)
+        var u = 0
+        while (u < n) {
+          if (deg(u) > 0) {
+            val share = damping * score(u) / deg(u)
+            neighbors(u).foreach(v => next(v) += share)
+          }
+          u += 1
+        }
+        score = next
+        it += 1
+      }
+      sents.indices.iterator.map(ix => (grp, sents(ix)._2, score(ix)))
+    }.toDF(groupCol, idCol, "score")
+  }
+
   /** Top-k summary rows per group by LexRank score (W1/W2): deterministic
     * tie-break on id. */
   def summarize(sentences: DataFrame, groupCol: String, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    val scored = lexrank(sentences, groupCol, idCol, textCol)
+    val scored = lexrankGrouped(sentences, groupCol, idCol, textCol)
       .join(sentences.select(col(groupCol), col(idCol), col(textCol)),
         Seq(groupCol, idCol))
     val w = Window.partitionBy(col(groupCol))
