@@ -79,6 +79,8 @@ object SparkEntry {
       "q49_recent_window"    -> t(streaming.Events.qRecentWindow),
       // the reference's full batch pipeline (SURVEY §3.1)
       "q50_news_pipeline"    -> t(Pipeline.qNewsPipeline),
+      "q51_percentiles"      -> t(Relational.q51Percentiles),
+      "q52_grouping_sets"    -> t(Relational.q52GroupingSets),
     )
   }
 
@@ -120,5 +122,7 @@ object SparkEntry {
     "q47_sliding_window"   -> streaming.Events.qSlidingSql,
     "q48_session_window"   -> streaming.Events.qSessionsSql,
     "q49_recent_window"    -> streaming.Events.qRecentWindowSql,
+    "q51_percentiles"      -> Relational.q51Sql,
+    "q52_grouping_sets"    -> Relational.q52Sql,
   )
 }

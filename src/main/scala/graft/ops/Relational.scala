@@ -463,6 +463,47 @@ object Relational {
       |WHERE o_totalprice > avg_price * 1.5
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Q51: exact percentiles with linear interpolation (OLAP surface; same
+    * definition as DuckDB's quantile_cont, so rounded values hash-match).
+    * The 100 TB variant is approx_percentile (t-digest) — rows-only by
+    * nature, exercised in the spec. */
+  def q51Percentiles(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q51Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q52: GROUPING SETS (SURVEY A8) — arbitrary group combinations in one
+    * pass via the SQL surface (Expand operator underneath). */
+  def q52GroupingSets(t: Tables): DataFrame = {
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.spark.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  val q52Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
     * distinct would shuffle every key. No SQL oracle (estimator-specific);
     * driver rows-only check + DistinctSpec asserts the error envelope. */

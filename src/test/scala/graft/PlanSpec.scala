@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.{Relational, Similarity}
+import graft.plans.IndelRatio
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions (SURVEY.md §4): the optimizations the
+  * engine relies on at 100 TB must be visible in the plan, not assumed. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filters and projection push into the parquet scan") {
+    val p = plan(Relational.q02FilterPushdown(sf0001))
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // column pruning: the scan must not read the unused money columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_discount"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q03: dimension joins broadcast; fact join shuffles") {
+    val p = plan(Relational.q03StarJoinRevenue(sf0001))
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join in star query")
+  }
+
+  test("q13: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q13GlobalTopK(sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val p = plan(Relational.q01PricingSummary(sf0001))
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    assert(p.contains("Exchange hashpartitioning"), "no shuffle by group keys")
+  }
+
+  test("IndelRatio is codegen'd inline (no ScalaUDF / codegen fallback)") {
+    import spark.implicits._
+    val df = Seq(("abcdefghij", "abcdefghiX")).toDF("a", "b")
+      .select(IndelRatio.fuzzRatio(col("a"), col("b")).as("r"))
+    assert(df.head().getInt(0) == 90)
+    val p = plan(df)
+    assert(!p.contains("ScalaUDF"), "IndelRatio fell back to UDF path")
+    // interpreted parity with the UDF/driver implementation
+    val fr = graft.functions.text.fuzzRatio("kitten", "sitting")
+    val viaExpr = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(IndelRatio.fuzzRatio(col("a"), col("b"))).head().getInt(0)
+    assert(fr == viaExpr)
+  }
+
+  test("knn brute force broadcasts the probe side") {
+    val p = plan(Similarity.qKnnBruteForce(sf0001))
+    assert(p.contains("Broadcast"), "probes not broadcast")
+  }
+}
