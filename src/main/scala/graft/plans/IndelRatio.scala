@@ -33,9 +33,69 @@ case class IndelRatio(left: Expression, right: Expression)
 }
 
 object IndelRatio {
-  /** Static entry point shared by interpreted eval and generated code. */
-  def ratio(a: UTF8String, b: UTF8String): Int =
-    text.fuzzRatio(a.toString, b.toString)
+
+  private val dpRow = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](256)
+  }
+
+  private val maskTL = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](256)
+  }
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * Fast paths, all byte-level off the UTF8String buffers (no String
+    * allocation):
+    *  - ASCII with |b| ≤ 64: Allison–Dix (1986) bit-parallel LCS — the
+    *    whole DP row is one machine word, ~10× the classic DP.
+    *  - ASCII otherwise: single-row byte DP with a thread-local buffer.
+    *  - non-ASCII: the String reference implementation.
+    * All three compute the same value (randomized parity asserted in
+    * PlanSpec against text.fuzzRatio). */
+  def ratio(a: UTF8String, b: UTF8String): Int = {
+    val n = a.numChars(); val m = b.numChars()
+    if (n != a.numBytes() || m != b.numBytes()) // non-ASCII: correct fallback
+      return text.fuzzRatio(a.toString, b.toString)
+    val total = n + m
+    if (total == 0) return 100
+    if (n == 0 || m == 0) return 0
+    val lcs =
+      if (m <= 64) {
+        val mask = maskTL.get()
+        var j = 0
+        while (j < m) { mask(b.getByte(j) & 0xFF) |= (1L << j); j += 1 }
+        var row = 0L
+        var i = 0
+        while (i < n) {
+          val x = mask(a.getByte(i) & 0xFF) | row
+          row = x & ~(x - ((row << 1) | 1L))
+          i += 1
+        }
+        j = 0
+        while (j < m) { mask(b.getByte(j) & 0xFF) = 0L; j += 1 }
+        java.lang.Long.bitCount(row)
+      } else {
+        var dp = dpRow.get()
+        if (dp.length < m + 1) { dp = new Array[Int](m + 1); dpRow.set(dp) }
+        java.util.Arrays.fill(dp, 0, m + 1, 0)
+        var i = 1
+        while (i <= n) {
+          val ai = a.getByte(i - 1)
+          var diag = 0
+          var j = 1
+          while (j <= m) {
+            val tmp = dp(j)
+            dp(j) =
+              if (ai == b.getByte(j - 1)) diag + 1
+              else if (dp(j) >= dp(j - 1)) dp(j) else dp(j - 1)
+            diag = tmp
+            j += 1
+          }
+          i += 1
+        }
+        dp(m)
+      }
+    math.round(100.0 * (2 * lcs).toDouble / total).toInt
+  }
 
   /** Column API: fuzz_ratio(a, b) ∈ [0, 100]. */
   def fuzzRatio(a: Column, b: Column): Column =

@@ -51,6 +51,22 @@ class PlanSpec extends SparkSpec {
     assert(fr == viaExpr)
   }
 
+  test("IndelRatio fast paths match the reference formula on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // deterministic xorshift; covers bit-parallel (≤64), DP (>64), unicode
+    var s = 0x12345L
+    def next(n: Int): Int = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; math.floorMod(s, n).toInt }
+    val alphabets = Seq("ab", "abcdefg", "abcdefghijklmnopqrstuvwxyz 0123", "äöüabc日本")
+    for (_ <- 1 to 300) {
+      val alpha = alphabets(next(alphabets.size))
+      def mk(maxLen: Int) = (0 until next(maxLen)).map(_ => alpha(next(alpha.length))).mkString
+      val (x, y) = (mk(90), mk(90))
+      val want = graft.functions.text.fuzzRatio(x, y)
+      val got = IndelRatio.ratio(UTF8String.fromString(x), UTF8String.fromString(y))
+      assert(got == want, s"ratio('$x','$y'): got $got want $want")
+    }
+  }
+
   test("knn brute force broadcasts the probe side") {
     val p = plan(Similarity.qKnnBruteForce(sf0001))
     assert(p.contains("Broadcast"), "probes not broadcast")
