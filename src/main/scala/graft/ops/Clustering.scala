@@ -63,7 +63,7 @@ object Clustering {
     val docs = t.documents.filter(col("doc_id") < 200)
     val n = docs.count().toInt
     val k = math.max((n + 3) / 4, 2)
-    val feats = tfidf(docs, "text")
+    val feats = tfidf(docs, "text").cache()
     val km = new KMeans().setK(k).setMaxIter(100).setSeed(42L)
       .setFeaturesCol("tfidf").setPredictionCol("cluster")
     km.fit(feats).transform(feats)
@@ -95,7 +95,9 @@ object Clustering {
     val toks = t.documents.withColumn("tokens",
       text.removeStopwords(text.tokenize(col("text"))))
     val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
-    val counted = cv.transform(toks)
+    // online LDA passes over the input once per iteration: cache the
+    // vectorized corpus or the tokenize→stem→vectorize chain re-runs 10×
+    val counted = cv.transform(toks).cache()
     val lda = new LDA().setK(10).setMaxIter(10).setSeed(42L)
       .setFeaturesCol("tf").setOptimizer("online")
     val model = lda.fit(counted)

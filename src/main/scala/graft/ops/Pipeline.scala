@@ -44,6 +44,7 @@ object Pipeline {
       .setFeaturesCol("tfidf").setPredictionCol("cluster_id")
     val clustered = km.fit(feats).transform(feats)
       .select(col("id"), col("title"), col("text"), col("cluster_id"))
+      .cache() // consumed three times below (sizes, titles, sentences)
 
     // 4-5. LexRank over member sentences AND member titles per cluster
     //      (summarize.py:12-18: lexrank over sentence-split texts, head-1
