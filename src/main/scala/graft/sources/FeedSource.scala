@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, In, IsNotNull, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** An article-feed DataSource V2 with SOURCE-SIDE pushdown — the Spark
+  * form of the reference's HTTP sources, which push their query, limit and
+  * sort into API parameters instead of post-filtering
+  * (SURVEY.md §2.1 S2/S3, §4 rows 1-3: `pageSize=5` realtimeapi.py:39,
+  * `limit=10` reddit.py:4, site whitelist reddit.py:26-35).
+  *
+  * `spark.read.format("graft-feed").option("feed", name)` serves rows from
+  * a registered in-memory feed (in production: the HTTP pagination
+  * client). The scan builder implements
+  *  - SupportsPushDownFilters        (source whitelist / date window),
+  *  - SupportsPushDownLimit          (pageSize/limit),
+  *  - SupportsPushDownRequiredColumns (projection → sparse API field sets),
+  * and records what was pushed in `FeedSource.lastPushed` so specs (and
+  * `.explain`) can prove the pushdown actually reached the source.
+  */
+object FeedSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("title", StringType),
+    StructField("url", StringType), StructField("source", StringType),
+    StructField("section_id", IntegerType)))
+
+  final case class FeedRow(id: Long, title: String, url: String,
+      source: String, sectionId: Int)
+
+  /** Registered feeds (test fixture / stand-in for the remote endpoint). */
+  val feeds: TrieMap[String, Seq[FeedRow]] = TrieMap.empty
+
+  /** Last pushdown the source accepted, per feed: (filters, limit, cols). */
+  val lastPushed: TrieMap[String, (Seq[String], Int, Seq[String])] = TrieMap.empty
+
+  /** Evaluate the pushable filter subset source-side (the "API" honors
+    * equality/IN on source, ranges on id — like query params). */
+  private[sources] def eval(f: Filter, r: FeedRow): Boolean = f match {
+    case EqualTo("source", v)     => r.source == v
+    case In("source", vs)         => vs.contains(r.source)
+    case EqualTo("section_id", v) => r.sectionId == v
+    case GreaterThan("id", v: Long) => r.id > v
+    case LessThan("id", v: Long)  => r.id < v
+    case IsNotNull(_)             => true
+    case _                        => true // unreachable: only accepted filters arrive
+  }
+
+  private[sources] def isPushable(f: Filter): Boolean = f match {
+    case EqualTo("source", _) | In("source", _) | EqualTo("section_id", _) |
+         GreaterThan("id", _) | LessThan("id", _) | IsNotNull(_) => true
+    case _ => false
+  }
+}
+
+class FeedSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FeedSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FeedTable(properties.get("feed"))
+}
+
+class FeedTable(feed: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-feed($feed)"
+  override def schema(): StructType = FeedSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FeedScanBuilder(feed)
+}
+
+class FeedScanBuilder(feed: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+  private var cols: StructType = FeedSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(FeedSource.isPushable)
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    cols = requiredSchema
+
+  override def build(): Scan = {
+    FeedSource.lastPushed(feed) =
+      (pushed.map(_.toString).toSeq, limit, cols.fieldNames.toSeq)
+    new FeedScan(feed, pushed, limit, cols)
+  }
+}
+
+class FeedScan(feed: String, filters: Array[Filter], limit: Int,
+    cols: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = cols
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(FeedPartition(feed, filters, limit, cols.fieldNames))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FeedReaderFactory
+}
+
+final case class FeedPartition(feed: String, filters: Array[Filter],
+    limit: Int, cols: Array[String]) extends InputPartition
+
+class FeedReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FeedPartition]
+    // "the API call": filters + limit applied at the source, before rows
+    // ever enter Spark — the semantics of pageSize/sort/whitelist params
+    val all = FeedSource.feeds.getOrElse(fp.feed, Seq.empty)
+      .filter(r => fp.filters.forall(FeedSource.eval(_, r)))
+    val rows = (if (fp.limit >= 0) all.take(fp.limit) else all).iterator
+    new PartitionReader[InternalRow] {
+      private var cur: FeedSource.FeedRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+      override def get(): InternalRow = {
+        val vals = fp.cols.map {
+          case "id" => cur.id
+          case "title" => UTF8String.fromString(cur.title)
+          case "url" => UTF8String.fromString(cur.url)
+          case "source" => UTF8String.fromString(cur.source)
+          case "section_id" => cur.sectionId
+        }
+        InternalRow.fromSeq(vals.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -120,4 +120,27 @@ object Events {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom per-key state via flatMapGroupsWithState (SURVEY T4): running
+    * per-user event count + value total, emitting one update per user per
+    * micro-batch. The arbitrary-state surface for logic windows can't
+    * express. Works only under streaming (batch path = groupBy in
+    * qRecentWindow etc.). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    final case class UserAgg(n: Long, total: Double)
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var t = t0
+          rows.foreach { case (_, v) => n += 1; t += v }
+          state.update((n, t))
+          Iterator.single((userId, n, math.rint(t * 100) / 100))
+        })
+      .toDF("user_id", "n_events", "total_value")
+  }
 }

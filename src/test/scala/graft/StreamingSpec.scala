@@ -55,6 +55,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState accumulates per-user totals across the stream") {
+    val q = Events.runningUserTotals(streamEvents("/root/testdata/sf0.001"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fmgs_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("fmgs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // the final update per user carries the complete count
+      val finalCounts = out.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+      val batch = sf0001.events.groupBy("user_id").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(finalCounts == batch,
+        s"diff=${(finalCounts.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("batch session windows match hand-computed islands on a tiny input") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
