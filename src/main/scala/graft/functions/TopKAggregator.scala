@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed per-group top-k (SURVEY.md §2.11 U6): an Aggregator whose buffer
+  * is a bounded min-heap-as-sorted-list — each partition keeps ≤ k
+  * (score, payload) pairs, merge is a k-way keep-best, so a grouped top-k
+  * costs one partial+final aggregation instead of sorting every group
+  * (the Window row_number path sorts each partition; Spark 4 plans
+  * WindowGroupLimit which is comparable — this is the TYPED surface of the
+  * same idea, usable where window functions aren't, e.g. inside
+  * Dataset.groupByKey pipelines).
+  *
+  * Ties break toward the smaller payload id for determinism.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    s.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    trim(buf :+ in)
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    trim(a ++ b)
+
+  override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}
