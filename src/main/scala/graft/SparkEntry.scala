@@ -81,6 +81,9 @@ object SparkEntry {
       "q50_news_pipeline"    -> t(Pipeline.qNewsPipeline),
       "q51_percentiles"      -> t(Relational.q51Percentiles),
       "q52_grouping_sets"    -> t(Relational.q52GroupingSets),
+      "q53_string_agg"       -> t(Relational.q53StringAgg),
+      "q54_mode"             -> t(Relational.q54Mode),
+      "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
     )
   }
 
@@ -124,5 +127,8 @@ object SparkEntry {
     "q49_recent_window"    -> streaming.Events.qRecentWindowSql,
     "q51_percentiles"      -> Relational.q51Sql,
     "q52_grouping_sets"    -> Relational.q52Sql,
+    "q53_string_agg"       -> Relational.q53Sql,
+    "q54_mode"             -> Relational.q54Sql,
+    "q55_window_analytics" -> Relational.q55Sql,
   )
 }

@@ -504,6 +504,71 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Q53: ordered string aggregation (LISTAGG/string_agg shape) —
+    * deterministic via sort_array before joining, so both engines emit the
+    * same concatenation. */
+  def q53StringAgg(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_acctbal") > 9000)
+      .groupBy(col("n_name"))
+      .agg(
+        array_join(sort_array(collect_list(col("c_name"))), ",").as("customers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_name"))
+
+  val q53Sql: String =
+    """SELECT n_name,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS customers,
+      |  COUNT(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 9000
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q54: deterministic mode per group — max_by on (count, value) with a
+    * total tie-break, identical rule spelled out in the oracle. */
+  def q54Mode(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"))
+      .select(col("l_returnflag"), col("m.l_quantity").as("mode_qty"),
+        col("m.cnt").as("mode_count"))
+      .orderBy(col("l_returnflag"))
+
+  val q54Sql: String =
+    """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_count FROM (
+      |  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY COUNT(*) DESC, l_quantity DESC) AS rn
+      |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Q55: analytic window functions — first/last/nth value over a running
+    * frame per user (completes the W5 surface beyond lag/lead/rank). */
+  def q55WindowAnalytics(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("first_type", first(col("event_type")).over(w))
+      .withColumn("nth2_type", nth_value(col("event_type"), 2).over(w))
+      .withColumn("last_value_so_far", last(col("value")).over(w))
+      .select(col("user_id"), col("event_id"), col("first_type"),
+        col("nth2_type"), col("last_value_so_far"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q55Sql: String =
+    """SELECT user_id, event_id,
+      |  first_value(event_type) OVER w AS first_type,
+      |  nth_value(event_type, 2) OVER w AS nth2_type,
+      |  last_value(value) OVER w AS last_value_so_far
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
     * distinct would shuffle every key. No SQL oracle (estimator-specific);
     * driver rows-only check + DistinctSpec asserts the error envelope. */
