@@ -93,6 +93,38 @@ object ServerFlow {
       .filter(col("body").isNotNull)
   }
 
+  /** The whole `GET /search` dataflow (reddit_api.py:68-153, SURVEY §3.2),
+    * composed: score+prune sections (P7/W3) → articles for those sections
+    * (any source incl. the DSv2 feed) → greedy fuzzy title dedup (J2) →
+    * fetch (S5) → registry filter + CSS extraction (P9/S7) → section
+    * clusters (J1/P8) → LexRank top-3 joined summaries (M6/W2).
+    *
+    * @param articles (id, title, url, source, section_id)
+    * @param fetcher  url → Some(html) | None (the HTTP stage)
+    * @return (section_id, line, n_articles, summary) */
+  def searchPipeline(sections: DataFrame, articles: DataFrame, pageTitle: String,
+      registry: Map[String, String], fetcher: String => Option[String]): DataFrame = {
+    val spark = articles.sparkSession
+    import spark.implicits._
+    val queries = sectionsToQueries(sections, pageTitle)
+    val inScope = articles.join(
+      queries.select(col("section_id"), col("line")), Seq("section_id"), "left_semi")
+    // greedy keep-first dedup on titles, arrival order = id order
+    val rows = inScope.select(col("id"), col("title")).as[(Long, String)].collect().toSeq
+    val keptIds = Dedup.greedyFuzzyKeepIds(rows)
+    val kept = inScope.filter(col("id").isInCollection(keptIds))
+    val fetched = fetchContent(kept, fetcher).withColumnRenamed("body", "html")
+    val clusters = articlesToClusters(fetched, registry)
+    val members = clusters.select(col("section_id"),
+        explode(col("articles")).as("a"))
+      .select(col("section_id"), col("a.id"), col("a.text"))
+    val summaries = Summarize.joinedSummaries(members, "section_id", "id", "text")
+    clusters.select(col("section_id"), size(col("articles")).as("n_articles"))
+      .join(queries.select(col("section_id"), col("line")), Seq("section_id"))
+      .join(summaries, Seq("section_id"), "left")
+      .orderBy(col("section_id"))
+  }
+
   /** The full §3.2 tail over fixture data: dedup surviving articles →
     * extract body text per source → group into section clusters (J1) →
     * summarize (the LexRank stage is ops.Summarize — composed in
