@@ -82,6 +82,7 @@ object SparkEntry {
       "q51_percentiles"      -> t(Relational.q51Percentiles),
       "q52_grouping_sets"    -> t(Relational.q52GroupingSets),
       "q53_string_agg"       -> t(Relational.q53StringAgg),
+      "q56_knn_ivf"          -> t(Similarity.qKnnIvf),
       "q54_mode"             -> t(Relational.q54Mode),
       "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
     )

@@ -206,4 +206,57 @@ object Similarity {
   def qKnnLsh(t: Tables): DataFrame =
     lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
       .orderBy(col("probe_id"), col("rank"))
+
+  // ------------------------------------------------------- IVF scale path
+
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * partitions the corpus into cells; a probe scores only the vectors in
+    * its nProbe nearest cells, exactly.
+    *
+    * Scale shape: the quantizer trains on a sample (spark.ml KMeans —
+    * broadcast centroids per iteration); cell assignment is one map pass;
+    * the search is an equi-join on cell id — candidates ≈ corpus·nProbe/
+    * nCells, never a cross join. This is the standard dense-ANN layout
+    * (inverted lists in FAISS terms) expressed relationally: the cell id
+    * is just a partitioning key, so at 100 TB the corpus can additionally
+    * be bucketed/partitioned BY cell on disk, making a probe a
+    * partition-pruned scan. On isotropic synthetic noise recall ≈
+    * nProbe/nCells by construction (no cluster structure to exploit);
+    * SimilaritySpec asserts it lands above that floor. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 6): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val feats = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_n"),
+      array_to_vector(col("embedding")).as("features"))
+    val km = new KMeans().setK(nCells).setMaxIter(15).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+    val model = km.fit(feats)
+    val cells = model.transform(feats).select(col("neighbor_id"), col("emb_n"), col("cell"))
+    // probe → its nProbe nearest centroids (tiny loop over broadcast centroids)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
+    val probeCells = udf((emb: Seq[Float]) => {
+      val e = emb.toArray
+      centroids.map { case (c, i) => (fasthash.cosine(e, c), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    })
+    val probed = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").as("emb_p"),
+        explode(probeCells(col("embedding"))).as("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("sim", fasthash.cosineUdf(col("emb_p"), col("emb_n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** ANN via IVF for the same probes as the baseline (rows-only; recall
+    * asserted in SimilaritySpec). */
+  def qKnnIvf(t: Tables): DataFrame =
+    ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
+      .orderBy(col("probe_id"), col("rank"))
 }

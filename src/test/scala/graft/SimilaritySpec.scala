@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("IVF top-k recall beats the random-cells floor") {
+    val exact = Similarity.qKnnBruteForce(sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.qKnnIvf(sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // isotropic noise: scanning nProbe/nCells = 6/16 of the corpus at
+    // random would give ~0.375 — require clearly above that floor
+    assert(recall >= 0.4, s"IVF recall $recall below 0.4")
+  }
+
   test("srp buckets are deterministic across evaluations") {
     def run() = sf0001.embeddings.select(col("vec_id"),
       Similarity.srpBucketsUdf(6, 4)(col("embedding")).as("b")).collect()
