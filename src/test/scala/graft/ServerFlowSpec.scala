@@ -48,6 +48,17 @@ class ServerFlowSpec extends SparkSpec {
     assert(out(1).getString(2) == "\"Some Topic\" +\"Section 1\"")
   }
 
+  test("realtimeapi variant: toclevel pre-sort reorders equal-score sections") {
+    import spark.implicits._
+    // realtimeapi.py:121-123 sorts by toclevel desc BEFORE the stable
+    // score sort — deeper sections win within equal scores
+    val df = Seq(("Shallow", 1, 1), ("Deep", 3, 2), ("Mid", 2, 3))
+      .toDF("line", "toclevel", "pos")
+    val out = ServerFlow.sectionsToQueries(df, "T", sortByTocLevel = true)
+      .collect().filter(_.getInt(0) > 0)
+    assert(out.map(_.getString(1)).toSeq == Seq("Deep", "Mid", "Shallow"))
+  }
+
   test("domain parse P3: mobile.nytimes.com → nytimes") {
     import spark.implicits._
     val got = Seq("mobile.nytimes.com", "www.bbc.co", "edition.cnn.com", "vice.com")
