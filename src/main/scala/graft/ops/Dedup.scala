@@ -263,6 +263,36 @@ object Dedup {
       collect_list(col("id")).as("member_ids"))
   }
 
+  /** Strategy-choosing near-dup front door (SURVEY §4 custom-concern 1:
+    * similarity-join planning is an operator-level choice by input
+    * estimate, NOT a Catalyst rule). Picks:
+    *  - n ≤ exactThreshold: exact all-pairs (distributed ratio + greedy
+    *    walk) — reference-faithful, O(n²) bounded by the threshold;
+    *  - larger: MinHash-LSH candidates + exact verify — O(n·bands)
+    *    shuffle, the 100 TB plan.
+    * Returns kept representative ids either way. */
+  def nearDupKeepIds(df: DataFrame, textCol: String, idCol: String,
+      exactThreshold: Long = 10000): DataFrame = {
+    val n = df.count()
+    if (n <= exactThreshold) {
+      greedyFuzzyDedup(
+        df.select(col(idCol), substring(col(textCol), 1, 40).as("key")),
+        "key", idCol)
+    } else {
+      val pairs = lshCandidatePairs(df, textCol, idCol)
+      val sh = df.select(col(idCol).as("sid"),
+        fasthash.shingleSetUdf(8)(col(textCol)).as("sh"))
+      val verified = pairs
+        .join(sh.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)) >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      componentsMinId(verified, df.select(col(idCol).as("id")))
+        .select(col("keep_id").as(idCol))
+    }
+  }
+
   /** Dedup via fuzzy-pair graph → components → min-id representative:
     * emits component representative and size. */
   def qDedupComponents(t: Tables): DataFrame = {

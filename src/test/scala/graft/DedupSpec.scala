@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
       s"only-in-components=${(comps -- greedy).take(5)} only-in-greedy=${(greedy -- comps).take(5)}")
   }
 
+  test("auto strategy: small input takes the exact path, big the LSH path") {
+    // exact path (n=500 ≤ threshold): identical to qDedupGreedy
+    val auto = Dedup.nearDupKeepIds(sf0001.documents, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val greedy = Dedup.qDedupGreedy(sf0001).collect().map(_.getLong(0)).toSet
+    assert(auto == greedy)
+    // LSH path (force with a tiny threshold): keeps one id per near-dup
+    // component, ids form a subset, dups collapse
+    val lsh = Dedup.nearDupKeepIds(sf0001.documents, "text", "doc_id",
+      exactThreshold = 10).collect().map(_.getLong(0)).toSet
+    val n = sf0001.documents.count()
+    assert(lsh.size < n) // the planted dups collapsed
+    assert(lsh.subsetOf((0L until n).toSet))
+  }
+
   test("exact dedup groups: every distinct text keeps exactly one id") {
     val n = sf0001.documents.count()
     val g = Dedup.qDedupExact(sf0001)
