@@ -83,6 +83,7 @@ object SparkEntry {
       "q52_grouping_sets"    -> t(Relational.q52GroupingSets),
       "q53_string_agg"       -> t(Relational.q53StringAgg),
       "q56_knn_ivf"          -> t(Similarity.qKnnIvf),
+      "q57_sql_parity"       -> t(Relational.q57SqlParity),
       "q54_mode"             -> t(Relational.q54Mode),
       "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
     )
@@ -131,5 +132,6 @@ object SparkEntry {
     "q53_string_agg"       -> Relational.q53Sql,
     "q54_mode"             -> Relational.q54Sql,
     "q55_window_analytics" -> Relational.q55Sql,
+    "q57_sql_parity"       -> Relational.q57Sql,
   )
 }

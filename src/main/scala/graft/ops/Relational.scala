@@ -569,6 +569,36 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Q57: one ANSI query text, two engines — the TPC-H Q7 shape (shipping
+    * volume between nation pairs) run verbatim through spark.sql AND as
+    * the DuckDB oracle. Demonstrates the SQL surface end-to-end: 6-way
+    * join, derived table, year extraction, decimal-exact revenue. */
+  val q57Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(YEAR(l_shipdate) AS INT) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name < n2.n_name
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def q57SqlParity(t: Tables): DataFrame = {
+    Seq("lineitem" -> t.lineitem, "orders" -> t.orders, "customer" -> t.customer,
+      "supplier" -> t.supplier, "nation" -> t.nation)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    t.spark.sql(q57Sql)
+  }
+
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
     * distinct would shuffle every key. No SQL oracle (estimator-specific);
     * driver rows-only check + DistinctSpec asserts the error envelope. */
