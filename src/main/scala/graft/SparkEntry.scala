@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Clustering, Dedup, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
+import graft.ops.{AsOf, Clustering, Dedup, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,7 @@ object SparkEntry {
       "q53_string_agg"       -> t(Relational.q53StringAgg),
       "q56_knn_ivf"          -> t(Similarity.qKnnIvf),
       "q57_sql_parity"       -> t(Relational.q57SqlParity),
+      "q58_asof_join"        -> t(AsOf.qAsOfJoin),
       "q54_mode"             -> t(Relational.q54Mode),
       "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
     )
@@ -133,5 +134,6 @@ object SparkEntry {
     "q54_mode"             -> Relational.q54Sql,
     "q55_window_analytics" -> Relational.q55Sql,
     "q57_sql_parity"       -> Relational.q57Sql,
+    "q58_asof_join"        -> AsOf.qAsOfJoinSql,
   )
 }

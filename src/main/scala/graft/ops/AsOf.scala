@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — composed from built-ins rather than a
+  * custom SparkPlan (preference (a) of the custom-operator ladder: the
+  * union + last(ignoreNulls) running window expresses the semantics
+  * exactly, keeps whole-stage codegen, and shuffles each side once on the
+  * key).
+  *
+  * Semantics: for every left row (key, ts), attach the right row with the
+  * greatest ts_r ≤ ts for the same key (inclusive, like DuckDB/kdb asof).
+  * Shape at scale: one union (no build side), one shuffle by key, one
+  * in-partition sort — same cost profile as a sort-merge join, and
+  * skew-safe under AQE like any windowed aggregation.
+  */
+object AsOf {
+
+  /** @param left  (key, ts, ...leftCols)
+    * @param right (key, ts, valueCol) — the column to carry to left rows
+    * @return left rows + `asof_<valueCol>` + `asof_ts` (null if no match) */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCol: String): DataFrame = {
+    val leftTagged = left.withColumn("__tag", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__vts", lit(null).cast("timestamp"))
+    val rightTagged = right.select(col(key), col(ts),
+      lit(0).as("__tag"), col(valueCol).as("__v"), col(ts).as("__vts"))
+    val unioned = leftTagged.unionByName(
+      rightTagged
+        .withColumns(left.columns.filterNot(Seq(key, ts).contains)
+          .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap),
+      allowMissingColumns = false)
+    // right rows (tag 0) sort before left rows at equal ts ⇒ inclusive ≤
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof_v", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts", last(col("__vts"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .drop("__tag", "__v", "__vts")
+      .withColumnRenamed("__asof_v", s"asof_$valueCol")
+      .withColumnRenamed("__asof_ts", "asof_ts")
+  }
+
+  /** Query surface: each click event joined to the user's most recent
+    * purchase at-or-before it. Oracle: DuckDB's native ASOF LEFT JOIN —
+    * our composed operator must agree exactly. */
+  def qAsOfJoin(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    asOfJoin(clicks, purchases, "user_id", "ts", "value")
+      .select(col("user_id"), col("event_id"), col("asof_value"), col("asof_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qAsOfJoinSql: String =
+    """SELECT c.user_id, c.event_id, p.value AS asof_value,
+      |  CAST(p.ts AS TIMESTAMP) AS asof_ts
+      |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |      FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND p.ts <= c.ts
+      |ORDER BY c.user_id, c.event_id""".stripMargin
+}
