@@ -10,6 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: run the lightweight queries once at the smallest SF so the
+    // timed pass below measures execution, not first-use JIT/whole-stage
+    // codegen compilation (measured: a 0.2 s window query costs ~5 s cold).
+    // Heavy ML/dedup queries are excluded — their training dominates even
+    // at tiny SF and they JIT-share the same codegen paths anyway.
+    val warmupDir = "/root/testdata/sf0.001"
+    val warmupSkip = Set("q34", "q36", "q37", "q42", "q43", "q44", "q45", "q50")
+    if (new java.io.File(warmupDir).isDirectory) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (!warmupSkip.contains(name.take(3)))
+          try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -294,12 +294,33 @@ object Dedup {
   }
 
   /** Dedup via fuzzy-pair graph → components → min-id representative:
-    * emits component representative and size. */
+    * emits component representative and size. The near-dup pair list is
+    * sparse (≪ n) so components run as a driver union-find over the
+    * collected pairs — one Spark job for the pair query instead of a
+    * label-propagation iteration per diameter step; `componentsMinId`
+    * above remains the all-DataFrame path for edge sets too large to
+    * collect. */
   def qDedupComponents(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
     val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
-    val ids = t.documents.select(col("doc_id").as("id"))
-    componentsMinId(pairs, ids)
-      .select(col("keep_id"), size(col("member_ids")).as("component_size"))
-      .orderBy(col("keep_id"))
+      .as[(Long, Long)].collect()
+    val ids = t.documents.select(col("doc_id")).as[Long].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+    }
+    val comps = ids.groupBy(find).map { case (root, members) =>
+      (root, members.length)
+    }.toSeq
+    comps.toDF("keep_id", "component_size").orderBy(col("keep_id"))
   }
 }
