@@ -227,7 +227,7 @@ object Relational {
   }
 
   val q10Sql: String =
-    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3
@@ -420,7 +420,7 @@ object Relational {
       |  UPPER(p_brand) AS brand_upper,
       |  LOWER(p_type) AS type_lower,
       |  SUBSTRING(p_name, 1, 8) AS name_prefix,
-      |  LENGTH(p_name) AS name_len,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
       |  CONCAT_WS('|', p_brand, p_type) AS brand_type,
       |  regexp_extract(p_type, '(\S+)$', 1) AS type_last_word
       |FROM part ORDER BY p_partkey""".stripMargin

@@ -61,6 +61,11 @@ def main(sf_dir, out_dir):
                   f"oracle={sorted(want.columns)}")
             n_fail += 1
             continue
+        # dtype drift warning: a stricter driver compare could fail on it
+        for c in sorted(got.columns):
+            dg, dw = str(got[c].dtype), str(want[c].dtype)
+            if dg != dw:
+                print(f"DTYPE    {name}.{c}: spark={dg} oracle={dw}")
         if len(got) != len(want):
             print(f"ROWS     {name}: spark={len(got)} oracle={len(want)}")
             n_fail += 1
