@@ -85,6 +85,7 @@ object SparkEntry {
       "q56_knn_ivf"          -> t(Similarity.qKnnIvf),
       "q57_sql_parity"       -> t(Relational.q57SqlParity),
       "q58_asof_join"        -> t(AsOf.qAsOfJoin),
+      "q59_range_join"       -> t(AsOf.qRangeJoin),
       "q54_mode"             -> t(Relational.q54Mode),
       "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
     )
@@ -135,5 +136,6 @@ object SparkEntry {
     "q55_window_analytics" -> Relational.q55Sql,
     "q57_sql_parity"       -> Relational.q57Sql,
     "q58_asof_join"        -> AsOf.qAsOfJoinSql,
+    "q59_range_join"       -> AsOf.qRangeJoinSql,
   )
 }

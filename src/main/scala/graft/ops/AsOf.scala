@@ -70,4 +70,34 @@ object AsOf {
       |      FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND p.ts <= c.ts
       |ORDER BY c.user_id, c.event_id""".stripMargin
+
+  /** Event-time range join: purchases within 30 minutes AFTER a click by
+    * the same user (the attribution-window shape). Composed as an
+    * equi-join on the key with the range as a join condition — Catalyst
+    * plans the equi part as the join key and the range as a post-join
+    * predicate; the same expressions run under streaming as a
+    * watermarked stream-stream join (StreamingSpec). */
+  def qRangeJoin(t: Tables): DataFrame = {
+    val ev = t.events
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, p.value
+      |FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |      FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 }
