@@ -33,6 +33,24 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("payload"), "payload column not pruned:\n" + plan)
   }
 
+  test("binaryFile source scans real files into payload + metadata rows") {
+    // the production ingest path for a media lake: spark's binaryFile
+    // source yields (path, modificationTime, length, content)
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/img_$i.bin"),
+        Array.fill[Byte](100 * i)(i.toByte))
+    }
+    val df = spark.read.format("binaryFile").load(dir)
+    assert(df.count() == 3)
+    val rows = df.select("path", "length", "content").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getAs[Array[Byte]](2).length == r.getLong(1))
+    }
+  }
+
   test("thumbnail resize preserves aspect ratio within rounding") {
     val (tw, th) = Multimodal.StubCodec.thumbDims(1024, 512)
     assert(tw == 128 && th == 64)
