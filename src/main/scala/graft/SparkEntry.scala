@@ -86,6 +86,7 @@ object SparkEntry {
       "q57_sql_parity"       -> t(Relational.q57SqlParity),
       "q58_asof_join"        -> t(AsOf.qAsOfJoin),
       "q59_range_join"       -> t(AsOf.qRangeJoin),
+      "q60_approx_percentile" -> t(Relational.qApproxPercentile),
       "q54_mode"             -> t(Relational.q54Mode),
       "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
     )

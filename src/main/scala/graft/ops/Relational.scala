@@ -599,6 +599,19 @@ object Relational {
     t.spark.sql(q57Sql)
   }
 
+  /** Approx percentiles (sketch family next to HLL): percentile_approx's
+    * bounded-memory digest is the 100 TB path where exact interpolation
+    * (q51) would sort every group. Rows-only (estimator-specific values);
+    * DistinctSketchSpec asserts the error envelope vs q51's exact values. */
+  def qApproxPercentile(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
     * distinct would shuffle every key. No SQL oracle (estimator-specific);
     * driver rows-only check + DistinctSpec asserts the error envelope. */
