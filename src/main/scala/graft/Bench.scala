@@ -17,15 +17,20 @@ object Bench {
     // at tiny SF and they JIT-share the same codegen paths anyway.
     val warmupDir = "/root/testdata/sf0.001"
     val warmupSkip = Set("q34", "q36", "q37", "q42", "q43", "q44", "q45", "q50")
+    // Materialize through the built-in noop DSv2 sink: unlike count(),
+    // Catalyst cannot prune unused projections away, so per-row expressions
+    // (string funcs, lag/lead columns, …) are actually evaluated and timed.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     if (new java.io.File(warmupDir).isDirectory) {
       SparkEntry.queries.foreach { case (name, fn) =>
         if (!warmupSkip.contains(name.take(3)))
-          try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+          try run(fn(spark, warmupDir)) catch { case _: Throwable => () }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -36,4 +36,14 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Fan a scan out across all cores before per-row-expensive work (JSON
+    * parse, tokenize chains, ML featurization). The driver's test tables are
+    * single-file/single-row-group parquet, which Spark cannot split — every
+    * scan is ONE task regardless of maxPartitionBytes. At 100 TB tables have
+    * thousands of row groups and scans parallelize natively, so this
+    * round-robin exchange is a small-file mitigation, not the scale plan;
+    * its cost here is one shuffle of the (column-pruned) input. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }

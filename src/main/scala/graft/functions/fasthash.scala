@@ -130,9 +130,96 @@ object fasthash {
     if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  /** Distinct word-n-gram counts for n = 2..maxN in one tokenize pass —
+    * the JVM kernel behind qNgrams (the transform/slice/concat_ws Column
+    * form is interpreted and ~100× slower per row; same output, oracle-
+    * checked). Tokenization matches functions.text.tokenize. */
+  def ngramDistinctCounts(text: String, maxN: Int): Array[Long] = {
+    val toks = tokens(text)
+    val out = new Array[Long](maxN - 1)
+    var n = 2
+    while (n <= maxN) {
+      val set = new java.util.HashSet[String]()
+      if (toks.length >= n) {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j)); j += 1
+          }
+          set.add(sb.toString); i += 1
+        }
+      }
+      out(n - 2) = set.size.toLong
+      n += 1
+    }
+    out
+  }
+
+  /** MinHash fingerprint: min over char shingles of xxhash64(shingle) —
+    * value-identical to the Column form array_min(transform(shingles,
+    * xxhash64)) (Spark's xxhash64 = XXH64 seed 42), but a single JVM pass. */
+  def minhashFingerprint(text: String, shingleLen: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    if (text == null) return 0L
+    val s = UTF8String.fromString(text).toLowerCase
+    val nChars = s.numChars()
+    if (nChars < shingleLen)
+      return XXH64.hashUTF8String(s, 42L)
+    var min = Long.MaxValue
+    var p = 0
+    while (p <= nChars - shingleLen) {
+      val h = XXH64.hashUTF8String(s.substringSQL(p + 1, shingleLen), 42L)
+      if (h < min) min = h
+      p += 1
+    }
+    min
+  }
+
+  /** Word-3-gram Jaccard between two texts (single pair-level kernel for
+    * the blocked near-dup join — avoids shipping/re-evaluating gram arrays
+    * through the join). Gram definition matches the DuckDB oracle: split
+    * lower(text) on single space (keeping empties), 3-token windows joined
+    * by space, distinct sets. */
+  def jaccard3(a: String, b: String): Double = {
+    def gramSet(s: String): java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      if (s == null) return set
+      val t = s.toLowerCase.split(" ", -1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 3 <= t.length) {
+        sb.setLength(0)
+        sb.append(t(i)).append(' ').append(t(i + 1)).append(' ').append(t(i + 2))
+        set.add(sb.toString); i += 1
+      }
+      set
+    }
+    val ga = gramSet(a); val gb = gramSet(b)
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) { if (gb.contains(it.next())) inter += 1 }
+    val uni = ga.size + gb.size - inter
+    inter.toDouble / math.max(uni, 1).toDouble
+  }
+
   // Column-facing UDFs
   def minhashBandKeysUdf(numHashes: Int, bands: Int, shingleLen: Int) =
     udf((text: String) => bandKeys(minhashSignature(text, numHashes, shingleLen), bands))
+
+  def ngramDistinctCountsUdf(maxN: Int) =
+    udf((text: String) => ngramDistinctCounts(text, maxN))
+
+  def minhashFingerprintUdf(shingleLen: Int) =
+    udf((text: String) =>
+      if (text == null) null
+      else java.lang.Long.valueOf(minhashFingerprint(text, shingleLen)))
+
+  val jaccard3Udf = udf((a: String, b: String) => jaccard3(a, b))
 
   def shingleSetUdf(shingleLen: Int) = udf((text: String) => shingleSet(text, shingleLen))
 

@@ -88,9 +88,11 @@ object text {
 
   /** Document fingerprint (SURVEY north-star "document fingerprinting"):
     * min-hash of character shingles — equal texts always collide, near-equal
-    * texts collide with prob ≈ Jaccard similarity. One 64-bit value. */
+    * texts collide with prob ≈ Jaccard similarity. One 64-bit value.
+    * JVM kernel (value-identical to array_min(transform(shingles, xxhash64))
+    * — the interpreted higher-order form costs ~100× more per row). */
   def fingerprint(c: Column, shingleLen: Int = 8): Column =
-    array_min(transform(charShingles(c, shingleLen), s => xxhash64(s)))
+    fasthash.minhashFingerprintUdf(shingleLen)(c)
 
   // ---------------------------------------------------------------- Porter
 
@@ -228,12 +230,14 @@ object text {
   }
 
   /** fuzz.ratio parity (reference `pipeline.py:29` etc.):
-    * round(100 · (|a|+|b| − dist2) / (|a|+|b|)), 100 for two empties. */
+    * round(100 · (|a|+|b| − dist2) / (|a|+|b|)), 100 for two empties.
+    * rint = half-even, matching Python 3's round() used by fuzzywuzzy's
+    * int(round(...)) on exactly-representable .5 ratios (e.g. 62.5 → 62). */
   def fuzzRatio(a: String, b: String): Int = {
     if (a == null || b == null) return 0
     val total = a.length + b.length
     if (total == 0) return 100
-    math.round(100.0 * (total - indelDistance(a, b)) / total).toInt
+    math.rint(100.0 * (total - indelDistance(a, b)) / total).toInt
   }
 
   val fuzzRatioUdf = udf((a: String, b: String) => fuzzRatio(a, b))

@@ -41,7 +41,7 @@ object Clustering {
   /** TF-IDF surface query (rows-only; spec asserts l2-norm ≈ 1 and
     * vocab coverage): per-doc term count, norm, and dominant term weight. */
   def qTfidf(t: Tables): DataFrame = {
-    val vec = tfidf(t.documents, "text")
+    val vec = tfidf(t.fanout(t.documents), "text")
     val stats = udf((v: Vector) => {
       val sv = v.asInstanceOf[SparseVector]
       val norm = math.sqrt(sv.values.map(x => x * x).sum)
@@ -92,7 +92,7 @@ object Clustering {
     * mini-batched — the distributed form of gensim's update_every/chunksize
     * streaming. */
   def qLdaTopics(t: Tables): DataFrame = {
-    val toks = t.documents.withColumn("tokens",
+    val toks = t.fanout(t.documents).withColumn("tokens",
       text.removeStopwords(text.tokenize(col("text"))))
     val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
     // online LDA passes over the input once per iteration: cache the

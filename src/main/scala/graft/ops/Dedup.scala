@@ -71,24 +71,19 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup pairs, same blocking. Set arithmetic is
     * integer-exact so the similarity is hash-safe as a rounded double. */
   def qJaccardPairs(t: Tables): DataFrame = {
-    // same gram strings as the HOF/oracle definition (split on single
-    // space, 3-token windows joined by space, distinct), built in a plain
-    // loop — interpreted higher-order transforms cost ~4s of the bench
-    val gramsUdf = udf((s: String) =>
-      if (s == null) Array.empty[String]
-      else s.toLowerCase.split(" ", -1).sliding(3).filter(_.length == 3)
-        .map(_.mkString(" ")).toArray.distinct)
-    def grams(c: Column) = gramsUdf(c)
-    val a = t.documents.select(col("doc_id").as("id_a"), grams(col("text")).as("g_a"),
+    // Carry the raw text through the blocked join and run ONE pair-level
+    // jaccard kernel per candidate (fasthash.jaccard3, same gram/set
+    // definition as the oracle). Materializing gram ARRAYS before the join
+    // instead backfires: Catalyst inlines the deterministic gram UDF
+    // through the broadcast join and re-evaluates it per reference —
+    // measured ~8× slower than recomputing grams per pair (~12k pairs).
+    val a = t.documents.select(col("doc_id").as("id_a"), col("text").as("t_a"),
       substring(col("text"), 1, 10).as("blk"))
-    val b = t.documents.select(col("doc_id").as("id_b"), grams(col("text")).as("g_b"),
+    val b = t.documents.select(col("doc_id").as("id_b"), col("text").as("t_b"),
       substring(col("text"), 1, 10).as("blk"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
-      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / greatest(col("uni"), lit(1)).cast("double"), 6))
+      .withColumn("jaccard", round(fasthash.jaccard3Udf(col("t_a"), col("t_b")), 6))
       .filter(col("jaccard") > 0.3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -244,9 +239,14 @@ object Dedup {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
+    // Min-id label propagation converges in ≤ diameter iterations; near-dup
+    // graphs are clique-ish (tiny diameter) but a chain-shaped graph can be
+    // long, so run to convergence with a generous cap and FAIL LOUDLY if it
+    // is ever hit — silently unconverged labels mean wrong representatives.
+    val maxIters = 100
     var changed = true
     var iter = 0
-    while (changed && iter < 10) {
+    while (changed && iter < maxIters) {
       val neighborMin = edges.join(labels.select(col("id").as("nb"), col("label")),
           col("id_b") === col("nb"))
         .groupBy(col("id_a")).agg(min(col("label")).as("nbmin"))
@@ -259,6 +259,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"componentsMinId: label propagation did not converge in $maxIters iterations")
     labels.groupBy(col("label")).agg(min(col("id")).as("keep_id"),
       collect_list(col("id")).as("member_ids"))
   }

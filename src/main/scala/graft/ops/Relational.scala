@@ -66,14 +66,16 @@ object Relational {
         col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
         col("l_quantity") < 5)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+      // all four output columns are needed for a total order
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
       |  AND l_quantity < 5
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin
 
   /** Q3: star-schema revenue rollup (SURVEY J3) — lineitem⋈orders is the one
     * genuine shuffle join (both large, co-keyed); customer/nation/region are
@@ -354,7 +356,7 @@ object Relational {
     * string; get_json_object is codegen'd path extraction, no UDF. The
     * oracle uses a regexp to avoid DuckDB's JSON extension (offline). */
   def q17JsonExtract(t: Tables): DataFrame =
-    t.events
+    t.fanout(t.events)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
       .agg(sum(col("k")).as("sum_k"), avg(col("k")).as("avg_k"), count(lit(1)).as("n"))
@@ -468,7 +470,7 @@ object Relational {
     * The 100 TB variant is approx_percentile (t-digest) — rows-only by
     * nature, exercised in the spec. */
   def q51Percentiles(t: Tables): DataFrame =
-    t.lineitem
+    t.fanout(t.lineitem)
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
@@ -604,7 +606,7 @@ object Relational {
     * (q51) would sort every group. Rows-only (estimator-specific values);
     * DistinctSketchSpec asserts the error envelope vs q51's exact values. */
   def qApproxPercentile(t: Tables): DataFrame =
-    t.lineitem
+    t.fanout(t.lineitem)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
@@ -615,11 +617,19 @@ object Relational {
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
     * distinct would shuffle every key. No SQL oracle (estimator-specific);
     * driver rows-only check + DistinctSpec asserts the error envelope. */
-  def qApproxDistinct(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+  def qApproxDistinct(t: Tables): DataFrame = {
+    // Two separate aggregates joined on the tiny group key — NEVER mix
+    // countDistinct with a high-precision HLL in one agg: Catalyst's
+    // distinct rewrite expands rows and every phase-1 (flag, partkey)
+    // group then carries the ~21 KB rsd=0.01 HLL buffer (measured 8 s /
+    // ~13 GB of buffers at sf0.1; split form is ~0.5 s). The exact side
+    // exists only to exhibit the HLL error envelope.
+    val li = t.fanout(t.lineitem)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(exact, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 }

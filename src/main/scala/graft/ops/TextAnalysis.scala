@@ -20,7 +20,7 @@ object TextAnalysis {
   /** Token count per document (whitespace tokens + a regex word-token count,
     * the "BPE-ish" proxy) — SURVEY north-star token counting. */
   def qTokenCount(t: Tables): DataFrame =
-    t.documents
+    t.fanout(t.documents)
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
@@ -41,7 +41,7 @@ object TextAnalysis {
     * total tie-break. The canonical map-side-combine + TakeOrdered shape:
     * at 100 TB the shuffle carries |vocab| rows, not |corpus|. */
   def qWordFreq(t: Tables): DataFrame =
-    t.documents
+    t.fanout(t.documents)
       .select(explode(text.tokenize(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("freq"))
@@ -59,7 +59,7 @@ object TextAnalysis {
     * ratios live in qQualityScore (rows-only) to stay hash-safe. */
   def qQualityCounts(t: Tables): DataFrame = {
     val toks = text.tokenize(col("text"))
-    t.documents
+    t.fanout(t.documents)
       .select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
@@ -87,7 +87,7 @@ object TextAnalysis {
     * (rows-only: float ratios are not hash-stable cross-engine). */
   def qQualityScore(t: Tables): DataFrame = {
     val feats = text.qualityFeatures(col("text"))
-    val base = t.documents.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    val base = t.fanout(t.documents).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     base.withColumn("quality_score",
       round(
         when(col("n_tokens") < 5, 0.0)
@@ -104,7 +104,7 @@ object TextAnalysis {
     * and sanity elsewhere (word-salad text defeats stopword heuristics by
     * construction, so the label column is the ground truth, not the text). */
   def qLangId(t: Tables): DataFrame =
-    t.documents
+    t.fanout(t.documents)
       .select(col("doc_id"), text.langId(col("text")).as("lang_pred"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -112,7 +112,7 @@ object TextAnalysis {
     * md5 — the dedup keys for the Dedup operators (rows-only: xxhash64 is
     * Spark-specific). md5 column is itself oracle-checked in Dedup. */
   def qFingerprint(t: Tables): DataFrame =
-    t.documents
+    t.fanout(t.documents)
       .select(
         col("doc_id"),
         md5(col("text")).as("md5"),
@@ -123,12 +123,15 @@ object TextAnalysis {
   /** N-gram surface (reference utils.py:1-30): distinct word 2-grams per
     * doc count + the reference's n→distinct-ngram map cardinalities. */
   def qNgrams(t: Tables): DataFrame = {
-    val toks = text.tokenize(col("text"))
-    t.documents
+    // one-pass JVM kernel: the Column form (transform/slice/concat_ws) is
+    // interpreted, not codegen'd — ~100× slower per row at corpus scale
+    val counts = graft.functions.fasthash.ngramDistinctCountsUdf(3)(col("text"))
+    t.fanout(t.documents)
+      .select(col("doc_id"), counts.as("c"))
       .select(
         col("doc_id"),
-        size(array_distinct(text.ngrams(toks, 2))).cast("long").as("n_distinct_2grams"),
-        size(array_distinct(text.ngrams(toks, 3))).cast("long").as("n_distinct_3grams"))
+        col("c").getItem(0).as("n_distinct_2grams"),
+        col("c").getItem(1).as("n_distinct_3grams"))
       .orderBy(col("doc_id"))
   }
 

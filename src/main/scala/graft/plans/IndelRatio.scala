@@ -94,7 +94,9 @@ object IndelRatio {
         }
         dp(m)
       }
-    math.round(100.0 * (2 * lcs).toDouble / total).toInt
+    // half-even (= Python 3 round, fuzzywuzzy's int(round(...))) — keep in
+    // lockstep with text.fuzzRatio; PlanSpec asserts randomized parity
+    math.rint(100.0 * (2 * lcs).toDouble / total).toInt
   }
 
   /** Column API: fuzz_ratio(a, b) ∈ [0, 100]. */

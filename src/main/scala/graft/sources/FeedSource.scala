@@ -53,7 +53,11 @@ object FeedSource {
     case GreaterThan("id", v: Long) => r.id > v
     case LessThan("id", v: Long)  => r.id < v
     case IsNotNull(_)             => true
-    case _                        => true // unreachable: only accepted filters arrive
+    // pushedFilters() reports accepted filters as fully applied — an
+    // accepted-but-unmatched filter here would silently return wrong rows,
+    // so fail loudly instead (e.g. a future type change boxing id as Int)
+    case other => throw new IllegalStateException(
+      s"FeedSource.eval: accepted filter has no evaluation rule: $other")
   }
 
   private[sources] def isPushable(f: Filter): Boolean = f match {

@@ -46,6 +46,9 @@ class TextFunctionsSpec extends SparkSpec {
     assert(text.fuzzRatio("abcdefghij", "abcdefghiX") == 90)
     // symmetry
     assert(text.fuzzRatio("abcdef", "abcf") == text.fuzzRatio("abcf", "abcdef"))
+    // half-even at .5 (Python 3 round parity): LCS(aaaaabbb,aaaaaccc)=5
+    // → 2·5/16 = 62.5 → 62, not 63
+    assert(text.fuzzRatio("aaaaabbb", "aaaaaccc") == 62)
   }
 
   test("ngram map reproduces the reference's inline example (utils.py:32)") {
