@@ -89,6 +89,11 @@ object SparkEntry {
       "q60_approx_percentile" -> t(Relational.qApproxPercentile),
       "q54_mode"             -> t(Relational.q54Mode),
       "q55_window_analytics" -> t(Relational.q55WindowAnalytics),
+      // round 2: pivot surface, deterministic sampling, embedding dedup
+      "q61_pivot"            -> t(Relational.q61Pivot),
+      "q62_unpivot"          -> t(Relational.q62Unpivot),
+      "q63_hash_sample"      -> t(Relational.q63HashSample),
+      "q64_dedup_embedding"  -> t(Dedup.qDedupEmbedding),
     )
   }
 
@@ -138,5 +143,10 @@ object SparkEntry {
     "q57_sql_parity"       -> Relational.q57Sql,
     "q58_asof_join"        -> AsOf.qAsOfJoinSql,
     "q59_range_join"       -> AsOf.qRangeJoinSql,
+    "q27_quality_score"    -> TextAnalysis.qQualityScoreSql,
+    "q61_pivot"            -> Relational.q61Sql,
+    "q62_unpivot"          -> Relational.q62Sql,
+    "q63_hash_sample"      -> Relational.q63Sql,
+    "q64_dedup_embedding"  -> Dedup.qDedupEmbeddingSql,
   )
 }

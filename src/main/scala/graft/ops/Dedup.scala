@@ -326,4 +326,57 @@ object Dedup {
     }.toSeq
     comps.toDF("keep_id", "component_size").orderBy(col("keep_id"))
   }
+
+  // --------------------------------------- embedding-cosine near-dup
+
+  /** Embedding-cosine near-dup dedup (north-star dedup block,
+    * "embedding-cosine near-dup"): high-cosine pairs → connected
+    * components → min-id representative + component size. Pair mining is
+    * the distributed part (Similarity.cosinePairsExact — broadcast side +
+    * fanned-out scoring); the surviving pair graph is sparse, so the
+    * component walk is a driver union-find, with `componentsMinId` as the
+    * all-DataFrame path for edge sets too large to collect. Oracle: the
+    * same closure as a recursive CTE in DuckDB. */
+  def qDedupEmbedding(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val pairs = Similarity.cosinePairsExact(t.embeddings, 0.4)
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect()
+    val ids = t.embeddings.select(col("vec_id")).as[Long].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    ids.groupBy(find).map { case (root, members) => (root, members.length.toLong) }
+      .toSeq.toDF("keep_id", "component_size")
+      .orderBy(col("keep_id"))
+  }
+
+  val qDedupEmbeddingSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.4
+      |), e AS (
+      |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      |), reach AS (
+      |  SELECT a AS x, b AS y FROM e
+      |  UNION
+      |  SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+      |), rep AS (
+      |  SELECT v.vec_id AS id, LEAST(v.vec_id, COALESCE(MIN(reach.y), v.vec_id)) AS keep_id
+      |  FROM embeddings v LEFT JOIN reach ON reach.x = v.vec_id
+      |  GROUP BY v.vec_id
+      |)
+      |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
+      |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 }

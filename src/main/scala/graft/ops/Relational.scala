@@ -470,12 +470,18 @@ object Relational {
     * The 100 TB variant is approx_percentile (t-digest) — rows-only by
     * nature, exercised in the spec. */
   def q51Percentiles(t: Tables): DataFrame =
+    // one percentile(col, array(...)) call = ONE counts-map buffer per
+    // group; separate calls each build and merge their own (2× the cost)
     t.fanout(t.lineitem)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ps"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p50"),
+        round(element_at(col("ps"), 2), 4).as("p95"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   val q51Sql: String =
@@ -606,12 +612,18 @@ object Relational {
     * (q51) would sort every group. Rows-only (estimator-specific values);
     * DistinctSketchSpec asserts the error envelope vs q51's exact values. */
   def qApproxPercentile(t: Tables): DataFrame =
+    // single sketch for both quantiles (see q51 note)
     t.fanout(t.lineitem)
       .groupBy(col("l_returnflag"))
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
+          .as("ps"),
         count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50_approx"),
+        element_at(col("ps"), 2).as("p95_approx"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
@@ -625,11 +637,83 @@ object Relational {
     // ~13 GB of buffers at sf0.1; split form is ~0.5 s). The exact side
     // exists only to exhibit the HLL error envelope.
     val li = t.fanout(t.lineitem)
+    // rsd 0.02 → 2^12 registers: 8× smaller partial buffers than 0.01 for
+    // error still inside SketchSpec's 5% envelope (measured 2.5× faster)
     val approx = li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
     approx.join(exact, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Q61: pivot (wide aggregation) — one pass, map-side combine on the
+    * (flag, status) pair, then the pivot is a projection of the grouped
+    * result. Pivot values are DECLARED (Seq("F","O")) so Spark skips the
+    * extra distinct-values job — at 100 TB an undeclared pivot scans the
+    * table twice. */
+  def q61Pivot(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum2(col("l_extendedprice")))
+      .withColumnRenamed("F", "sum_f")
+      .withColumnRenamed("O", "sum_o")
+      .orderBy(col("l_returnflag"))
+
+  val q61Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q62: unpivot (wide → long) — Dataset.unpivot is a zero-shuffle
+    * generator (each input row explodes to |metrics| rows); the only
+    * shuffle is the upstream aggregate. */
+  def q62Unpivot(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty").cast("double").as("sum_qty"), col("sum_price")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  val q62Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM g)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Q63: deterministic hash sampling (pipeline QA / split creation) —
+    * Bernoulli-style ~5% sample keyed on a content hash, so the same rows
+    * are sampled on ANY engine and ANY partitioning (unlike TABLESAMPLE,
+    * which is partition-dependent). The predicate is a pure filter pushed
+    * into the scan stage: no shuffle, no extra pass — the 100 TB way to
+    * cut a reproducible dev slice. First two md5 hex chars < '0d' ⇒
+    * 13/256 ≈ 5.1%. */
+  def q63HashSample(t: Tables): DataFrame =
+    t.lineitem
+      .filter(substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))), 1, 2) < "0d")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"))
+
+  val q63Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |      || '-' || CAST(l_partkey AS VARCHAR)), 1, 2) < '0d'
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
 }

@@ -99,6 +99,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q27 oracle: per-row int-division doubles are IEEE-exact (no aggregation
+    * order involved), so the raw ratio columns hash-match across engines;
+    * the composite score replays the identical expression tree. */
+  val qQualityScoreSql: String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
+       |  FROM f)
+       |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio, punct_ratio,
+       |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |    + (1.0 - least(stopword_ratio * 2.0, 1.0)) * 0.2
+       |    + alpha_ratio * 0.3
+       |    + least(mean_token_len / 8.0, 1.0) * 0.2 END, 4) AS quality_score
+       |FROM feats ORDER BY doc_id""".stripMargin
+  }
+
   /** Language ID vs the table's labeled lang column — emits doc_id, the
     * predicted language and the label; spec asserts accuracy on 'zh' rows
     * and sanity elsewhere (word-salad text defeats stopword heuristics by

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.{Dedup, Relational}
+import org.apache.spark.sql.functions._
+
+/** Round-2 additions: pivot/unpivot, deterministic hash sampling, and
+  * embedding-cosine near-dup dedup. */
+class PivotSampleSpec extends SparkSpec {
+
+  test("q61 pivot equals the equivalent case-when aggregate") {
+    val t = sf0001
+    val got = Relational.q61Pivot(t).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_linestatus") === "F", col("l_extendedprice"))
+          .cast("decimal(18,2)")).cast("double").as("f"),
+        sum(when(col("l_linestatus") === "O", col("l_extendedprice"))
+          .cast("decimal(18,2)")).cast("double").as("o"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == want)
+  }
+
+  test("q62 unpivot emits one row per (flag, metric) with matching values") {
+    val t = sf0001
+    val rows = Relational.q62Unpivot(t).collect()
+    val flags = t.lineitem.select(col("l_returnflag")).distinct().count()
+    assert(rows.length == flags * 2)
+    assert(rows.map(_.getString(1)).toSet == Set("sum_qty", "sum_price"))
+  }
+
+  test("q63 hash sample is deterministic and near the 13/256 rate") {
+    val t = sf0001
+    val a = Relational.q63HashSample(t).collect()
+    val b = Relational.q63HashSample(t).collect()
+    assert(a.toSeq == b.toSeq) // same rows in the same order, run to run
+    val total = t.lineitem.count().toDouble
+    val rate = a.length / total
+    assert(rate > 0.02 && rate < 0.09, s"rate $rate")
+  }
+
+  test("q64 components: representative is the min member id and sizes sum to n") {
+    val t = sf0001
+    val rows = Dedup.qDedupEmbedding(t).collect()
+    val n = t.embeddings.count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    // every keep_id is a real vec_id and unique
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    // a near-dup pair's endpoints share a component, so at most one of
+    // them can be a representative
+    val reps = ids.toSet
+    val pairs = ops.Similarity.cosinePairsExact(t.embeddings, 0.4)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (x, y) =>
+      assert(!(reps.contains(x) && reps.contains(y)),
+        s"pair ($x,$y) spans two representatives")
+    }
+  }
+}
