@@ -77,7 +77,11 @@ object Clustering {
     * (centroid update) over the corpus — the canonical distributed k-means;
     * broadcast centroids, no shuffle of the data itself. */
   def qKmeansEmbeddings(t: Tables): DataFrame = {
-    val feats = t.embeddings.withColumn("features", array_to_vector(col("embedding")))
+    // 30 Lloyd iterations = 30+ scheduled jobs over this input: partition
+    // for the data size (2k rows), not the core count — see qLdaTopics
+    val feats = t.embeddings.repartition(8)
+      .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
     val km = new KMeans().setK(10).setMaxIter(30).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("cluster")
     km.fit(feats).transform(feats)
@@ -94,10 +98,16 @@ object Clustering {
   def qLdaTopics(t: Tables): DataFrame = {
     val toks = t.fanout(t.documents).withColumn("tokens",
       text.removeStopwords(text.tokenize(col("text"))))
-    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
+    // vocab capped to the most frequent 8k terms: LDA cost is O(k·vocab)
+    // per update and the synthetic corpus tail adds nothing to topics
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+      .setVocabSize(8192).fit(toks)
     // online LDA passes over the input once per iteration: cache the
-    // vectorized corpus or the tokenize→stem→vectorize chain re-runs 10×
-    val counted = cv.transform(toks).cache()
+    // vectorized corpus or the tokenize→stem→vectorize chain re-runs 10×.
+    // Partition count tracks DATA size, not core count: each of the ~10
+    // iterations schedules a job over these partitions, so 32 near-empty
+    // tasks per job is pure scheduling overhead for a 5k-doc corpus.
+    val counted = cv.transform(toks).coalesce(8).cache()
     val lda = new LDA().setK(10).setMaxIter(10).setSeed(42L)
       .setFeaturesCol("tf").setOptimizer("online")
     val model = lda.fit(counted)
@@ -112,9 +122,10 @@ object Clustering {
     * gensim show_topics ≈ ml describeTopics). */
   def ldaTopicKeywords(t: Tables, k: Int = 10): DataFrame = {
     val spark = t.spark
-    val toks = t.documents.withColumn("tokens",
+    val toks = t.fanout(t.documents).withColumn("tokens",
       text.removeStopwords(text.tokenize(col("text"))))
-    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
+      .setVocabSize(8192).fit(toks)
     val counted = cv.transform(toks)
     val lda = new LDA().setK(k).setMaxIter(10).setSeed(42L)
       .setFeaturesCol("tf").setOptimizer("online")

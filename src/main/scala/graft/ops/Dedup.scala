@@ -115,7 +115,10 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 8): DataFrame = {
     val keysUdf = fasthash.minhashBandKeysUdf(numHashes, bands, shingleLen)
-    val banded = df.select(col(idCol).as("id"),
+    // signature kernel is the per-row hot loop — fan the (unsplittable
+    // single-row-group) scan out before it, not after
+    val fanned = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val banded = fanned.select(col(idCol).as("id"),
       explode(keysUdf(col(textCol))).as("bk"))
     val l = banded.select(col("bk"), col("id").as("id_a"))
     val r = banded.select(col("bk"), col("id").as("id_b"))
@@ -128,7 +131,7 @@ object Dedup {
     * Emits verified pairs with exact character-shingle Jaccard. */
   def qDedupMinhashLsh(t: Tables): DataFrame = {
     val cands = lshCandidatePairs(t.documents, "text", "doc_id")
-    val sh = t.documents.select(col("doc_id"),
+    val sh = t.fanout(t.documents).select(col("doc_id"),
       fasthash.shingleSetUdf(8)(col("text")).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -149,7 +152,8 @@ object Dedup {
     * on (chunk index, chunk value), then exact hamming verify via
     * bit_count(xor). No cross join. */
   def qDedupSimhash(t: Tables): DataFrame = {
-    val sh = t.documents.select(col("doc_id"), fasthash.simhashUdf(col("text")).as("sh"))
+    val sh = t.fanout(t.documents)
+      .select(col("doc_id"), fasthash.simhashUdf(col("text")).as("sh"))
     val chunks = (0 until 4).map(i => struct(lit(i).as("chunk"),
       shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv")))
     val chunked = sh.select(col("doc_id"), col("sh"),
@@ -283,8 +287,9 @@ object Dedup {
         "key", idCol)
     } else {
       val pairs = lshCandidatePairs(df, textCol, idCol)
-      val sh = df.select(col(idCol).as("sid"),
-        fasthash.shingleSetUdf(8)(col(textCol)).as("sh"))
+      val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as("sid"),
+          fasthash.shingleSetUdf(8)(col(textCol)).as("sh"))
       val verified = pairs
         .join(sh.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(sh.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

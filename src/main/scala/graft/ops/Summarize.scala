@@ -112,7 +112,10 @@ object Summarize {
       iterations: Int = 20): DataFrame = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    val toks = sentences.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+    // fan the (single-row-group) scan out before the tokenize→stem chain;
+    // the groupByKey below re-shuffles by group anyway
+    val fanned = sentences.repartition(spark.sparkContext.defaultParallelism)
+    val toks = fanned.select(col(groupCol).cast("string"), col(idCol).cast("long"),
         text.stemTokens(text.removeStopwords(text.tokenize(col(textCol)))))
       .as[(String, Long, Seq[String])]
     toks.groupByKey(_._1).flatMapGroups { (grp, iter) =>
