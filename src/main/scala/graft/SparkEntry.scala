@@ -144,6 +144,8 @@ object SparkEntry {
     "q58_asof_join"        -> AsOf.qAsOfJoinSql,
     "q59_range_join"       -> AsOf.qRangeJoinSql,
     "q27_quality_score"    -> TextAnalysis.qQualityScoreSql,
+    "q28_lang_id"          -> TextAnalysis.qLangIdSql,
+    "q37_dedup_components" -> Dedup.qDedupComponentsSql,
     "q61_pivot"            -> Relational.q61Sql,
     "q62_unpivot"          -> Relational.q62Sql,
     "q63_hash_sample"      -> Relational.q63Sql,

@@ -254,7 +254,7 @@ object text {
     * analysis: language-ID (n-gram heuristic)"). Scores each candidate
     * language by hits of its most-frequent function words in the token set;
     * CJK scripts short-circuit on character ranges. Column-only. */
-  private val langMarkers: Map[String, Seq[String]] = Map(
+  val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
     "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"),

@@ -327,10 +327,34 @@ object Dedup {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
     }
     val comps = ids.groupBy(find).map { case (root, members) =>
-      (root, members.length)
+      (root, members.length.toLong)
     }.toSeq
     comps.toDF("keep_id", "component_size").orderBy(col("keep_id"))
   }
+
+  /** q37 oracle: the q32 pair graph closed transitively with a recursive
+    * CTE, min-id representative per component (same technique as
+    * qDedupEmbeddingSql). */
+  val qDedupComponentsSql: String =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM documents a JOIN documents b
+      |    ON substr(a.text,1,10) = substr(b.text,1,10) AND a.doc_id < b.doc_id
+      |  WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE
+      |        / greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) > 0.8
+      |), e AS (
+      |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      |), reach AS (
+      |  SELECT a AS x, b AS y FROM e
+      |  UNION
+      |  SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+      |), rep AS (
+      |  SELECT v.doc_id AS id, LEAST(v.doc_id, COALESCE(MIN(reach.y), v.doc_id)) AS keep_id
+      |  FROM documents v LEFT JOIN reach ON reach.x = v.doc_id
+      |  GROUP BY v.doc_id
+      |)
+      |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
+      |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
   // --------------------------------------- embedding-cosine near-dup
 

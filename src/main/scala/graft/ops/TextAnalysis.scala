@@ -138,6 +138,37 @@ object TextAnalysis {
       .select(col("doc_id"), text.langId(col("text")).as("lang_pred"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** q28 oracle: replays the marker-hit argmax with langId's exact
+    * tie-break (struct max ⇒ ties go to the lexicographically LAST
+    * language) and the CJK short-circuit. Marker lists are generated from
+    * text.langMarkers so the two can never drift. */
+  val qLangIdSql: String = {
+    def hits(lang: String): String = {
+      val in = text.langMarkers(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($in))) AS s_$lang"
+    }
+    s"""WITH f AS (
+       |  SELECT doc_id, text, lang,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, text, lang,
+       |    ${hits("de")},
+       |    ${hits("en")},
+       |    ${hits("es")},
+       |    ${hits("fr")}
+       |  FROM f)
+       |SELECT doc_id,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       |       WHEN s_en >= s_de THEN 'en'
+       |       ELSE 'de' END AS lang_pred,
+       |  lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprint: 64-bit minhash over 8-char shingles plus exact
     * md5 — the dedup keys for the Dedup operators (rows-only: xxhash64 is
     * Spark-specific). md5 column is itself oracle-checked in Dedup. */
