@@ -94,6 +94,7 @@ object SparkEntry {
       "q62_unpivot"          -> t(Relational.q62Unpivot),
       "q63_hash_sample"      -> t(Relational.q63HashSample),
       "q64_dedup_embedding"  -> t(Dedup.qDedupEmbedding),
+      "q65_stratified_sample" -> t(Relational.q65StratifiedSample),
     )
   }
 
@@ -150,5 +151,6 @@ object SparkEntry {
     "q62_unpivot"          -> Relational.q62Sql,
     "q63_hash_sample"      -> Relational.q63Sql,
     "q64_dedup_embedding"  -> Dedup.qDedupEmbeddingSql,
+    "q65_stratified_sample" -> Relational.q65Sql,
   )
 }

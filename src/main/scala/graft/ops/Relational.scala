@@ -716,4 +716,38 @@ object Relational {
       |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
       |      || '-' || CAST(l_partkey AS VARCHAR)), 1, 2) < '0d'
       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin
+
+  /** Q65: stratified sampling (df.sampleBy semantics, made deterministic) —
+    * a different Bernoulli rate per stratum keyed on the same content hash
+    * as Q63, so the sample is reproducible on any engine/partitioning.
+    * Rates: A 2/256, N 8/256, R 32/256. Emitted as per-stratum sample
+    * aggregates (count + exact sums), which checks membership compactly. */
+  def q65StratifiedSample(t: Tables): DataFrame =
+    t.lineitem
+      .withColumn("h", substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))), 1, 2))
+      .filter(
+        (col("l_returnflag") === "A" && col("h") < "02") ||
+        (col("l_returnflag") === "N" && col("h") < "08") ||
+        (col("l_returnflag") === "R" && col("h") < "20"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q65Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_sampled,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT *, substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |         || '-' || CAST(l_partkey AS VARCHAR)), 1, 2) AS h
+      |  FROM lineitem)
+      |WHERE (l_returnflag = 'A' AND h < '02')
+      |   OR (l_returnflag = 'N' AND h < '08')
+      |   OR (l_returnflag = 'R' AND h < '20')
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

@@ -39,6 +39,20 @@ class PivotSampleSpec extends SparkSpec {
     assert(rate > 0.02 && rate < 0.09, s"rate $rate")
   }
 
+  test("q65 stratified sample rates follow the per-stratum thresholds") {
+    val t = sf0001
+    val sampled = Relational.q65StratifiedSample(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = t.lineitem.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = Map("A" -> 2.0 / 256, "N" -> 8.0 / 256, "R" -> 32.0 / 256)
+    expect.foreach { case (flag, p) =>
+      val rate = sampled.getOrElse(flag, 0L).toDouble / totals(flag)
+      assert(math.abs(rate - p) < 3 * math.sqrt(p * (1 - p) / totals(flag)) + 0.01,
+        s"$flag rate $rate vs $p")
+    }
+  }
+
   test("q64 components: representative is the min member id and sizes sum to n") {
     val t = sf0001
     val rows = Dedup.qDedupEmbedding(t).collect()
