@@ -28,6 +28,21 @@ class DedupSpec extends SparkSpec {
     assert(overlap.nonEmpty, "no simhash pair confirmed by exact jaccard")
   }
 
+  test("componentsMinId converges on a chain longer than any fixed cap") {
+    // a 30-edge path graph needs 30 propagation steps to carry the min id
+    // to the far end — regression for the silently-capped iteration bug
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 30
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val ids = (0 to n).map(_.toLong).toDF("id")
+    val comps = Dedup.componentsMinId(pairs, ids).collect()
+    assert(comps.length == 1, s"expected one component, got ${comps.length}")
+    assert(comps.head.getAs[Long]("keep_id") == 0L, "representative must be the min id")
+    assert(comps.head.getAs[Seq[Long]]("member_ids").toSet == (0L to n.toLong).toSet)
+  }
+
   test("greedy dedup: kept set is pairwise dissimilar and idempotent") {
     import graft.functions.text
     val spark0 = spark

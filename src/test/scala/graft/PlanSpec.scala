@@ -71,4 +71,24 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.qKnnBruteForce(sf0001))
     assert(p.contains("Broadcast"), "probes not broadcast")
   }
+
+  test("q61: pivot with declared values is a single scan of lineitem") {
+    val df = Relational.q61Pivot(sf0001)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if r.getClass.getSimpleName == "LogicalRelation" => r
+    }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+    // one aggregation pass, no join back
+    assert(!plan(df).contains("Join"), "pivot should not plan a join")
+  }
+
+  test("q63: the sampling predicate stays in the scan stage (no pre-sort shuffle)") {
+    val p = plan(Relational.q63HashSample(sf0001))
+    // exactly one exchange: the range partitioning for the final sort;
+    // sampling itself must not add a shuffle
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"sampling added shuffles:\n${p.take(1200)}")
+  }
 }
