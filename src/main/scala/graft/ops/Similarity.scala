@@ -27,9 +27,9 @@ object Similarity {
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Composable column form (higher-order functions — interpreted, fine for
-    * narrow use). The quadratic operators below use fasthash.cosineUdf: the
-    * identical arithmetic as a tight JVM loop (~50× faster per pair; see
-    * functions/fasthash scaladoc). */
+    * narrow use). The scoring operators below use plans.CosineSim — a
+    * codegen'd Catalyst expression with the identical sequential-double
+    * arithmetic, no Seq boxing, inside the whole-stage span. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -43,7 +43,7 @@ object Similarity {
     val joined = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("emb_n"))
       .crossJoin(broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"))))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", fasthash.cosineUdf(col("emb_p"), col("emb_n")))
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_n")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -195,7 +195,7 @@ object Similarity {
     corpusBuckets.join(broadcast(probeBuckets), Seq("tb"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("sim", fasthash.cosineUdf(col("emb_p"), col("emb_n")))
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
@@ -248,7 +248,7 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cells.join(broadcast(probed), Seq("cell"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("sim", fasthash.cosineUdf(col("emb_p"), col("emb_n")))
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_n")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))

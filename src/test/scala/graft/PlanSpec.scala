@@ -72,6 +72,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), "probes not broadcast")
   }
 
+  test("CosineSim is codegen'd inline and matches the kernel arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = Array(0.1f, 0.2f, -0.3f, 0.9f)
+    val b = Array(0.5f, -0.4f, 0.2f, 0.1f)
+    val viaExpr = Seq((a, b)).toDF("a", "b")
+      .select(graft.plans.CosineSim.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(viaExpr == graft.functions.fasthash.cosine(a, b))
+    assert(graft.plans.CosineSim.sim(
+      ArrayData.toArrayData(a), ArrayData.toArrayData(b)) == viaExpr)
+    val p = plan(Similarity.qKnnBruteForce(sf0001))
+    assert(!p.contains("ScalaUDF"), "cosine still evaluated via UDF path")
+  }
+
   test("q61: pivot with declared values is a single scan of lineitem") {
     val df = Relational.q61Pivot(sf0001)
     val scans = df.queryExecution.optimizedPlan.collect {
