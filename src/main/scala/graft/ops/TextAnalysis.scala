@@ -88,14 +88,16 @@ object TextAnalysis {
   def qQualityScore(t: Tables): DataFrame = {
     val feats = text.qualityFeatures(col("text"))
     val base = t.fanout(t.documents).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+    // UNROUNDED on purpose: every term is the same IEEE op sequence on
+    // both engines, so the raw double is bit-identical — while round(4)
+    // itself diverges cross-engine on .5-boundary doubles (found at sf0.1)
     base.withColumn("quality_score",
-      round(
-        when(col("n_tokens") < 5, 0.0)
-          .otherwise(
-            least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
-              (lit(1.0) - least(col("stopword_ratio") * 2.0, lit(1.0))) * 0.2 +
-              col("alpha_ratio") * 0.3 +
-              least(col("mean_token_len") / 8.0, lit(1.0)) * 0.2), 4))
+      when(col("n_tokens") < 5, 0.0)
+        .otherwise(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - least(col("stopword_ratio") * 2.0, lit(1.0))) * 0.2 +
+            col("alpha_ratio") * 0.3 +
+            least(col("mean_token_len") / 8.0, lit(1.0)) * 0.2))
       .orderBy(col("doc_id"))
   }
 
@@ -121,11 +123,11 @@ object TextAnalysis {
        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
        |  FROM f)
        |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio, punct_ratio,
-       |  round(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+       |  CASE WHEN n_tokens < 5 THEN 0.0 ELSE
        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
        |    + (1.0 - least(stopword_ratio * 2.0, 1.0)) * 0.2
        |    + alpha_ratio * 0.3
-       |    + least(mean_token_len / 8.0, 1.0) * 0.2 END, 4) AS quality_score
+       |    + least(mean_token_len / 8.0, 1.0) * 0.2 END AS quality_score
        |FROM feats ORDER BY doc_id""".stripMargin
   }
 
