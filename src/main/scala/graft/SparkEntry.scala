@@ -95,6 +95,8 @@ object SparkEntry {
       "q63_hash_sample"      -> t(Relational.q63HashSample),
       "q64_dedup_embedding"  -> t(Dedup.qDedupEmbedding),
       "q65_stratified_sample" -> t(Relational.q65StratifiedSample),
+      "q66_topk_aggregator"  -> t(Relational.q66TopkAggregator),
+      "q67_salted_join"      -> t(Relational.q67SaltedJoin),
     )
   }
 
@@ -152,5 +154,7 @@ object SparkEntry {
     "q63_hash_sample"      -> Relational.q63Sql,
     "q64_dedup_embedding"  -> Dedup.qDedupEmbeddingSql,
     "q65_stratified_sample" -> Relational.q65Sql,
+    "q66_topk_aggregator"  -> Relational.q66Sql,
+    "q67_salted_join"      -> Relational.q67Sql,
   )
 }

@@ -750,4 +750,54 @@ object Relational {
       |   OR (l_returnflag = 'N' AND h < '08')
       |   OR (l_returnflag = 'R' AND h < '20')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q66: typed per-group top-k via the bounded-buffer Aggregator
+    * (functions.TopKAggregator) — partial+final aggregation with ≤k rows of
+    * state per group per partition instead of a per-partition sort. The
+    * oracle is the equivalent ROW_NUMBER window: two implementations, one
+    * answer. Top-3 orders by price per priority. */
+  def q66TopkAggregator(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val scored = t.orders.select(col("o_orderpriority"),
+        col("o_totalprice").cast("double"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(3).toColumn
+    scored.groupByKey(_._1)
+      .mapValues { case (_, price, key) => (price, key) }
+      .agg(agg.name("top"))
+      .flatMap { case (prio, top) =>
+        top.zipWithIndex.map { case ((price, key), i) =>
+          (prio, i + 1, key, price)
+        }
+      }
+      .toDF("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  val q66Sql: String =
+    """SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin
+
+  /** Q67: salted skew join under the correctness gate — ops.Skew.saltedJoin
+    * (hot keys spread over salt buckets, small side replicated) must be
+    * row-identical to the plain equi-join the oracle runs. */
+  def q67SaltedJoin(t: Tables): DataFrame =
+    Skew.saltedJoin(
+      t.lineitem.select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
+      t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      "l_orderkey", saltFrom = col("l_linenumber"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
+  val q67Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }
