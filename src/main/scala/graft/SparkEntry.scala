@@ -97,6 +97,9 @@ object SparkEntry {
       "q65_stratified_sample" -> t(Relational.q65StratifiedSample),
       "q66_topk_aggregator"  -> t(Relational.q66TopkAggregator),
       "q67_salted_join"      -> t(Relational.q67SaltedJoin),
+      "q68_window_distribution" -> t(Relational.q68WindowDistribution),
+      "q69_date_arithmetic"  -> t(Relational.q69DateArithmetic),
+      "q70_array_funcs"      -> t(Relational.q70ArrayFuncs),
     )
   }
 
@@ -156,5 +159,8 @@ object SparkEntry {
     "q65_stratified_sample" -> Relational.q65Sql,
     "q66_topk_aggregator"  -> Relational.q66Sql,
     "q67_salted_join"      -> Relational.q67Sql,
+    "q68_window_distribution" -> Relational.q68Sql,
+    "q69_date_arithmetic"  -> Relational.q69Sql,
+    "q70_array_funcs"      -> Relational.q70Sql,
   )
 }

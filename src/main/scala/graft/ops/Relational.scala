@@ -800,4 +800,85 @@ object Relational {
     """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q68: distribution window functions (W5 completion) — ntile,
+    * percent_rank, cume_dist over a per-priority price ranking.
+    * percent_rank/cume_dist are single-division doubles (IEEE-exact both
+    * engines). Output thinned to a deterministic key slice. */
+  def q68WindowDistribution(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("ntile4", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val q68Sql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, ntile4, pct_rank, cume FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(NTILE(4) OVER w AS INT) AS ntile4,
+      |    PERCENT_RANK() OVER w AS pct_rank,
+      |    CUME_DIST() OVER w AS cume
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Q69: date/interval arithmetic surface (F10 completion) — day diffs
+    * against a fixed epoch, month shifts with end-of-month clamping,
+    * calendar field extraction. All pure column exprs; at scale these are
+    * the partition-key derivations. */
+  def q69DateArithmetic(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch"),
+        add_months(col("o_orderdate"), 3).as("plus_3_months"),
+        last_day(col("o_orderdate")).as("month_end"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"))
+      .orderBy(col("o_orderkey"))
+
+  val q69Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow_sun1
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Q70: array function surface (F16) — distinct-sort-slice-join over the
+    * token array, per document. */
+  def q70ArrayFuncs(t: Tables): DataFrame = {
+    val toks = graft.functions.text.tokenize(col("text"))
+    t.fanout(t.documents)
+      .select(
+        col("doc_id"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 5), ",")
+          .as("first5_sorted"),
+        element_at(sort_array(array_distinct(toks), asc = false), 1)
+          .as("max_token"),
+        size(flatten(array(toks, toks))).cast("long").as("n_doubled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first5_sorted,
+      |  list_sort(list_distinct(toks))[-1] AS max_token,
+      |  CAST(2 * len(toks) AS BIGINT) AS n_doubled
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }
