@@ -93,9 +93,12 @@ object Events {
     * timestamp so it is deterministic. */
   def qRecentWindow(t: Tables): DataFrame = {
     val ev = t.events
-    val maxTs = ev.agg(max(col("ts")).as("mx"))
-    ev.crossJoin(broadcast(maxTs))
-      .filter(col("ts") >= col("mx") - expr("INTERVAL 14 DAYS"))
+    // scalar-first: the max is one tiny job; the main scan then filters on
+    // a LITERAL, which (for a native column) reaches the scan as a pushed
+    // predicate — strictly better at scale than the 1-row broadcast
+    // nested-loop join the crossJoin(maxTs) formulation plans
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 14 DAYS"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .orderBy(col("event_type"))

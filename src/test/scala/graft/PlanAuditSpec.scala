@@ -1,0 +1,29 @@
+package graft
+
+/** Engine-wide plan hygiene: build every SparkEntry query's physical plan
+  * at sf0.001 and reject accidental Cartesian products / nested-loop
+  * joins — the plans that stop scaling first. Queries whose SEMANTICS are
+  * all-pairs (exact greedy dedup, brute-force ANN baseline, the composed
+  * reference pipeline that contains the greedy stage) are allowed. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val allowAllPairs = Set(
+    "q36_dedup_greedy",     // reference-exact greedy: distributed all-pairs ratio
+    "q38_knn_brute",        // brute-force baseline: corpus × broadcast probes
+    "q50_news_pipeline")    // composes the greedy dedup stage
+
+  test("no query plans an accidental cartesian / nested-loop join") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (allowAllPairs(name)) None
+      else {
+        val plan = fn(spark, "/root/testdata/sf0.001")
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    }
+    assert(bad.isEmpty, s"unexpected all-pairs plans: ${bad.mkString(", ")}")
+  }
+}
