@@ -180,6 +180,41 @@ object fasthash {
     min
   }
 
+  /** Rolling-hash (Rabin–Karp) document fingerprint: polynomial hash of
+    * every k-char window computed in O(n) total — the O(1) slide removes
+    * the per-window O(k) rehash of minhashFingerprint — then min over
+    * windows (winnowing-style representative). Deterministic, base/mod
+    * are compile-time constants; final splitmix64 disperses the
+    * polynomial structure. */
+  def rollingFingerprint(text: String, k: Int = 8): Long = {
+    if (text == null) return 0L
+    val s = text.toLowerCase
+    val n = s.length
+    val B = 1000003L // polynomial base (prime)
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + s.charAt(i); i += 1 }
+      return splitmix64(h)
+    }
+    // B^(k-1) for the outgoing character
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    var min = splitmix64(h)
+    var p = k
+    while (p < n) {
+      h = (h - s.charAt(p - k) * pow) * B + s.charAt(p) // O(1) slide
+      val m = splitmix64(h)
+      if (m < min) min = m
+      p += 1
+    }
+    min
+  }
+
   /** Word-3-gram Jaccard between two texts (single pair-level kernel for
     * the blocked near-dup join — avoids shipping/re-evaluating gram arrays
     * through the join). Gram definition matches the DuckDB oracle: split
@@ -213,6 +248,11 @@ object fasthash {
 
   def ngramDistinctCountsUdf(maxN: Int) =
     udf((text: String) => ngramDistinctCounts(text, maxN))
+
+  def rollingFingerprintUdf(k: Int) =
+    udf((text: String) =>
+      if (text == null) null
+      else java.lang.Long.valueOf(rollingFingerprint(text, k)))
 
   def minhashFingerprintUdf(shingleLen: Int) =
     udf((text: String) =>

@@ -19,23 +19,34 @@ object TextAnalysis {
 
   /** Token count per document (whitespace tokens + a regex word-token count,
     * the "BPE-ish" proxy) — SURVEY north-star token counting. */
+  /** GPT-2-style pre-tokenizer pieces (the "BPE-ish regex"): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs — lookahead-free so Java regex and DuckDB's RE2 agree.
+    * Counts the pieces BPE would split further, ≈ token-count upper bound
+    * scale factor for budgeting. */
+  private val bpePiecePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+|\\s+"
+
   def qTokenCount(t: Tables): DataFrame =
     t.fanout(t.documents)
       .select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
         size(text.tokenize(col("text"))).cast("long").as("n_word_tokens"),
+        regexp_count(lower(col("text")), lit(bpePiecePattern))
+          .cast("long").as("n_bpe_pieces"),
         length(col("text")).cast("long").as("n_chars_actual"),
         col("n_chars"))
       .orderBy(col("doc_id"))
 
   val qTokenCountSql: String =
-    """SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
-      |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS BIGINT) AS n_word_tokens,
-      |  CAST(length(text) AS BIGINT) AS n_chars_actual,
-      |  n_chars
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS BIGINT) AS n_word_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '${bpePiecePattern.replace("'", "''")}')) AS BIGINT) AS n_bpe_pieces,
+       |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+       |  n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Corpus word frequency: explode tokens, count, global top-k with a
     * total tie-break. The canonical map-side-combine + TakeOrdered shape:
@@ -180,6 +191,8 @@ object TextAnalysis {
         col("doc_id"),
         md5(col("text")).as("md5"),
         text.fingerprint(col("text")).as("minhash_fp"),
+        graft.functions.fasthash.rollingFingerprintUdf(8)(col("text"))
+          .as("rolling_fp"),
         xxhash64(col("text")).as("xxh64"))
       .orderBy(col("doc_id"))
 

@@ -81,6 +81,27 @@ class TextFunctionsSpec extends SparkSpec {
     got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
   }
 
+  test("rolling fingerprint: O(1) slide matches naive per-window recompute") {
+    import graft.functions.fasthash
+    def naive(s0: String, k: Int): Long = {
+      val s = s0.toLowerCase
+      if (s.length < k) return fasthash.rollingFingerprint(s0, k)
+      (0 to s.length - k).map { p =>
+        var h = 0L
+        s.substring(p, p + k).foreach(c => h = h * 1000003L + c)
+        fasthash.splitmix64(h)
+      }.min
+    }
+    val samples = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaa", "ab", "", "Sphinx of black quartz, judge my vow!")
+    samples.foreach { s =>
+      assert(fasthash.rollingFingerprint(s, 8) == naive(s, 8), s"'$s'")
+    }
+    // identical text collides; a one-char change (usually) doesn't
+    assert(fasthash.rollingFingerprint(samples.head, 8) ==
+      fasthash.rollingFingerprint(new String(samples.head.toCharArray), 8))
+  }
+
   test("fingerprint is stable and collides for identical text") {
     import spark.implicits._
     val df = Seq("some document text here", "some document text here",
