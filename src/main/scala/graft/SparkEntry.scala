@@ -100,6 +100,7 @@ object SparkEntry {
       "q68_window_distribution" -> t(Relational.q68WindowDistribution),
       "q69_date_arithmetic"  -> t(Relational.q69DateArithmetic),
       "q70_array_funcs"      -> t(Relational.q70ArrayFuncs),
+      "q71_embed_centroids"  -> t(Similarity.qEmbedCentroids),
     )
   }
 
@@ -162,5 +163,6 @@ object SparkEntry {
     "q68_window_distribution" -> Relational.q68Sql,
     "q69_date_arithmetic"  -> Relational.q69Sql,
     "q70_array_funcs"      -> Relational.q70Sql,
+    "q71_embed_centroids"  -> Similarity.qEmbedCentroidsSql,
   )
 }

@@ -259,4 +259,29 @@ object Similarity {
   def qKnnIvf(t: Tables): DataFrame =
     ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
       .orderBy(col("probe_id"), col("rank"))
+
+  /** Per-label embedding centroid (mean-pool) — the class-centroid /
+    * pooled-representation operation of a training pipeline, expressed
+    * relationally: posexplode to (label, dim, value), two-phase avg per
+    * (label, dim). Shuffle carries |labels|·|dims| rows regardless of
+    * corpus size — the scalable layout for vector aggregation. Values
+    * rounded: float-sum order differs between engines in the low bits. */
+  def qEmbedCentroids(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid_v"),
+        count(lit(1)).as("n_vectors"))
+      .filter(col("dim") < 8) // representative slice keeps output compact
+      .orderBy(col("label"), col("dim"))
+
+  val qEmbedCentroidsSql: String =
+    """SELECT label, CAST(idx - 1 AS INT) AS dim,
+      |  round(avg(CAST(v AS DOUBLE)), 6) AS centroid_v,
+      |  COUNT(*) AS n_vectors
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        generate_subscripts(embedding, 1) AS idx
+      |      FROM embeddings)
+      |WHERE idx <= 8
+      |GROUP BY label, idx ORDER BY label, dim""".stripMargin
 }
