@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsOf, Clustering, Dedup, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
+import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,6 +101,10 @@ object SparkEntry {
       "q69_date_arithmetic"  -> t(Relational.q69DateArithmetic),
       "q70_array_funcs"      -> t(Relational.q70ArrayFuncs),
       "q71_embed_centroids"  -> t(Similarity.qEmbedCentroids),
+      // round 3: multimodal + streaming state under the gate
+      "q72_media_features"   -> t(Multimodal.qMediaFeatures),
+      "q73_media_metadata"   -> t(Multimodal.qMediaMetadata),
+      "q74_stream_state"     -> t(streaming.Events.qStreamState),
     )
   }
 
@@ -164,5 +168,6 @@ object SparkEntry {
     "q69_date_arithmetic"  -> Relational.q69Sql,
     "q70_array_funcs"      -> Relational.q70Sql,
     "q71_embed_centroids"  -> Similarity.qEmbedCentroidsSql,
+    "q73_media_metadata"   -> Multimodal.qMediaMetadataSql,
   )
 }

@@ -15,9 +15,15 @@ final case class Tables(spark: SparkSession, sfDir: String) {
 
   /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
     * reader rejects; read nanos as long and truncate to microsecond
-    * timestamps (what the DuckDB oracle sees after CAST(ts AS TIMESTAMP)). */
+    * timestamps (what the DuckDB oracle sees after CAST(ts AS TIMESTAMP)).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the SESSION
+    * (set by the Verify/Bench/spec builders — a table loader must not
+    * mutate shared session conf; VERDICT r2 item 5). Fails fast with a
+    * pointer at the conf if the session lacks it. */
   private def eventsRaw: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench builders)")
     t("events")
   }
 

@@ -232,40 +232,87 @@ object Dedup {
 
   // --------------------------------------- components (scalable greedy)
 
-  /** Min-id-per-component dedup: union the near-dup pair graph into
-    * connected components by iterated label propagation (small diameter:
-    * dup clusters are cliques-ish, few iterations), keep the min id per
-    * component. Deterministic; equals greedy output when similarity is
-    * transitive (SURVEY §7 hard-part 2). */
-  def componentsMinId(pairs: DataFrame, ids: DataFrame): DataFrame = {
-    // pairs: (id_a, id_b); ids: (id)
-    var labels = ids.select(col("id"), col("id").as("label"))
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .cache()
-    // Min-id label propagation converges in ≤ diameter iterations; near-dup
-    // graphs are clique-ish (tiny diameter) but a chain-shaped graph can be
-    // long, so run to convergence with a generous cap and FAIL LOUDLY if it
-    // is ever hit — silently unconverged labels mean wrong representatives.
-    val maxIters = 100
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIters) {
-      val neighborMin = edges.join(labels.select(col("id").as("nb"), col("label")),
-          col("id_b") === col("nb"))
-        .groupBy(col("id_a")).agg(min(col("label")).as("nbmin"))
-      val next = labels.join(neighborMin, col("id") === col("id_a"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("id").as("id2"), col("label").as("old")),
-        col("id") === col("id2"))
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
-      iter += 1
+  /** One large-star round: every node points its strictly-larger neighbors
+    * at the minimum of its closed neighborhood. Input/output edges are
+    * canonical (u > v). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nbrs.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
+      .distinct()
+  }
+
+  /** One small-star round: every node points its smaller neighbors (and
+    * itself) at the minimum of those neighbors. Canonical in/out. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u
+    e.join(mins, Seq("u"))
+      .select(col("v").as("x"), col("m"))
+      .union(mins.select(col("u").as("x"), col("m")))
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("u"), col("m").as("v")) // x > m ⇒ canonical
+      .distinct()
+  }
+
+  /** Star contraction (large-star/small-star alternation, Kiveris et al.
+    * 2014 "Connected Components in MapReduce and Beyond"): contracts the
+    * pair graph to stars centered at each component's min id in O(log n)
+    * rounds of pure DataFrame shuffles — no driver-side graph state, the
+    * 100 TB shape (a chain that takes O(n) rounds under plain min-label
+    * propagation contracts logarithmically here, because both stars do
+    * pointer doubling). Returns (star edges (member, root), rounds run).
+    *
+    * Convergence detection: per-round (count, bit_xor(xxhash64)) checksum; on a
+    * checksum repeat the fixpoint is confirmed EXACTLY (set except) before
+    * declaring convergence, so a 2^-64 checksum collision cannot silently
+    * mislabel components; a generous round cap fails loudly. */
+  private[graft] def starContract(pairs: DataFrame): (DataFrame, Int) = {
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val maxRounds = 50
+    var rounds = 0
+    var prevChk: Option[(Long, Long)] = None
+    var prev: DataFrame = e
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      prev = e
+      e = smallStar(largeStar(e)).localCheckpoint()
+      rounds += 1
+      val row = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      val chk = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      if (prevChk.contains(chk))
+        converged = e.exceptAll(prev).limit(1).isEmpty
+      prevChk = Some(chk)
     }
-    if (changed)
+    if (!converged)
       throw new IllegalStateException(
-        s"componentsMinId: label propagation did not converge in $maxIters iterations")
+        s"starContract: did not converge in $maxRounds rounds")
+    (e, rounds)
+  }
+
+  /** Min-id-per-component dedup: contract the near-dup pair graph into
+    * connected components (distributed star contraction, O(log n) rounds —
+    * see starContract), keep the min id per component. Deterministic;
+    * equals greedy output when similarity is transitive (SURVEY §7
+    * hard-part 2). All-DataFrame: no collect(), no driver union-find. */
+  def componentsMinId(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    val (stars, _) = starContract(pairs)
+    // at fixpoint every non-root member has exactly one edge (member, root);
+    // the groupBy is belt-and-braces against a duplicate star edge
+    val roots = stars.groupBy(col("u")).agg(min(col("v")).as("root"))
+      .select(col("u").as("id"), col("root"))
+    val labels = ids.select(col("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
     labels.groupBy(col("label")).agg(min(col("id")).as("keep_id"),
       collect_list(col("id")).as("member_ids"))
   }
@@ -302,35 +349,17 @@ object Dedup {
   }
 
   /** Dedup via fuzzy-pair graph → components → min-id representative:
-    * emits component representative and size. The near-dup pair list is
-    * sparse (≪ n) so components run as a driver union-find over the
-    * collected pairs — one Spark job for the pair query instead of a
-    * label-propagation iteration per diameter step; `componentsMinId`
-    * above remains the all-DataFrame path for edge sets too large to
-    * collect. */
-  def qDedupComponents(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
-      .as[(Long, Long)].collect()
-    val ids = t.documents.select(col("doc_id")).as[Long].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
-    }
-    val comps = ids.groupBy(find).map { case (root, members) =>
-      (root, members.length.toLong)
-    }.toSeq
-    comps.toDF("keep_id", "component_size").orderBy(col("keep_id"))
-  }
+    * emits component representative and size. Fully distributed: the pair
+    * graph feeds star contraction (componentsMinId) — no collect(), no
+    * driver union-find, O(log n) shuffle rounds regardless of component
+    * shape. */
+  def qDedupComponents(t: Tables): DataFrame =
+    componentsMinId(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+      .select(col("keep_id"),
+        size(col("member_ids")).cast("long").as("component_size"))
+      .orderBy(col("keep_id"))
 
   /** q37 oracle: the q32 pair graph closed transitively with a recursive
     * CTE, min-id representative per component (same technique as
@@ -360,35 +389,18 @@ object Dedup {
 
   /** Embedding-cosine near-dup dedup (north-star dedup block,
     * "embedding-cosine near-dup"): high-cosine pairs → connected
-    * components → min-id representative + component size. Pair mining is
-    * the distributed part (Similarity.cosinePairsExact — broadcast side +
-    * fanned-out scoring); the surviving pair graph is sparse, so the
-    * component walk is a driver union-find, with `componentsMinId` as the
-    * all-DataFrame path for edge sets too large to collect. Oracle: the
-    * same closure as a recursive CTE in DuckDB. */
-  def qDedupEmbedding(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val pairs = Similarity.cosinePairsExact(t.embeddings, 0.4)
-      .select(col("id_a"), col("id_b"))
-      .as[(Long, Long)].collect()
-    val ids = t.embeddings.select(col("vec_id")).as[Long].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    ids.groupBy(find).map { case (root, members) => (root, members.length.toLong) }
-      .toSeq.toDF("keep_id", "component_size")
+    * components → min-id representative + component size. Pair mining goes
+    * through the Similarity.cosinePairs size ladder (broadcast kernel /
+    * blocked distributed exact / LSH+verify), the component walk through
+    * star contraction — no driver-side graph state on any rung. Oracle:
+    * the same closure as a recursive CTE in DuckDB. */
+  def qDedupEmbedding(t: Tables): DataFrame =
+    componentsMinId(
+      Similarity.cosinePairs(t.embeddings, 0.4).select(col("id_a"), col("id_b")),
+      t.embeddings.select(col("vec_id").as("id")))
+      .select(col("keep_id"),
+        size(col("member_ids")).cast("long").as("component_size"))
       .orderBy(col("keep_id"))
-  }
 
   val qDedupEmbeddingSql: String =
     """WITH RECURSIVE pairs AS (

@@ -107,11 +107,27 @@ object Multimodal {
   }
 
   /** Metadata-only aggregate — must never read the payload column (column
-    * pruning; asserted via the physical plan in MultimodalSpec). */
+    * pruning; asserted via the physical plan in MultimodalSpec). Oracled:
+    * the metadata derivation is pure column arithmetic, so DuckDB can
+    * replay it — the multimodal block's hash-green anchor (VERDICT r2
+    * item 2). */
   def qMediaMetadata(t: Tables): DataFrame =
     mediaTable(t)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_width"),
         max(col("n_frames")).as("max_frames"))
       .orderBy(col("kind"))
+
+  /** q73 oracle: replays mediaTable's metadata columns (NOT the payload —
+    * the oracle never materializes it, mirroring the pruning contract).
+    * avg over exact integer sums is the same double on both engines. */
+  val qMediaMetadataSql: String =
+    """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, avg(width) AS avg_width,
+      |  CAST(max(n_frames) AS INT) AS max_frames
+      |FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |        CAST(n_chars % 512 + 64 AS INT) AS width,
+      |        CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 240 + 24 AS INT)
+      |             ELSE 0 END AS n_frames
+      |      FROM documents)
+      |GROUP BY kind ORDER BY kind""".stripMargin
 }

@@ -492,17 +492,20 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Q52: GROUPING SETS (SURVEY A8) — arbitrary group combinations in one
-    * pass via the SQL surface (Expand operator underneath). */
-  def q52GroupingSets(t: Tables): DataFrame = {
-    t.lineitem.createOrReplaceTempView("graft_lineitem")
-    t.spark.sql(
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n
-        |FROM graft_lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY returnflag, linestatus""".stripMargin)
-  }
+    * pass (Expand operator underneath), via the Dataset.groupingSets API
+    * (no session temp view — a query builder must not mutate session
+    * namespace; VERDICT r2 item 6). */
+  def q52GroupingSets(t: Tables): DataFrame =
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
 
   val q52Sql: String =
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -866,7 +869,10 @@ object Relational {
         col("doc_id"),
         array_join(slice(sort_array(array_distinct(toks)), 1, 5), ",")
           .as("first5_sorted"),
-        element_at(sort_array(array_distinct(toks), asc = false), 1)
+        // try_element_at: under ANSI mode element_at throws on an empty
+        // array, while the DuckDB oracle's toks[-1] yields NULL — a
+        // punctuation-only document must NULL-match, not crash (ADVICE r2)
+        try_element_at(sort_array(array_distinct(toks), asc = false), lit(1))
           .as("max_token"),
         size(flatten(array(toks, toks))).cast("long").as("n_doubled"))
       .orderBy(col("doc_id"))

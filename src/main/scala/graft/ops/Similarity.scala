@@ -105,11 +105,117 @@ object Similarity {
     }.toDF("id_a", "id_b", "sim")
   }
 
+  /** Distributed EXACT all-pairs cosine mining with no driver collect and
+    * no full-corpus broadcast: a triangle block-pair join. Each row lands
+    * in block b = id % nBlocks and is shuffled to every unordered block
+    * pair (i,j) containing b (replication factor nBlocks); each of the
+    * nBlocks·(nBlocks+1)/2 reduce groups scores only its two blocks with
+    * the primitive-array kernel. Memory per task is 2·n/nBlocks rows —
+    * bounded by nBlocks, not by the corpus — and every unordered id pair
+    * is scored exactly once (same-block pairs in group (b,b), cross-block
+    * in (min,max)). Identical arithmetic to cosinePairsExact, so results
+    * are bit-equal; compute is still O(n²·d), distributed — the mid rung
+    * of the cosinePairs ladder. */
+  def cosinePairsBlocked(vectors: DataFrame, threshold: Double,
+      nBlocks: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val v = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    v.flatMap { case (id, emb) =>
+      val b = math.floorMod(id, B).toInt
+      Iterator.range(0, B).map { o =>
+        (math.min(b, o) * B + math.max(b, o), b, id, emb)
+      }
+    }.groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        val i = key / B
+        val j = key % B
+        val arr = rows.toArray
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        if (i == j) {
+          var p = 0
+          while (p < arr.length) {
+            var q = p + 1
+            while (q < arr.length) {
+              val (ida, ea) = (arr(p)._3, arr(p)._4)
+              val (idb, eb) = (arr(q)._3, arr(q)._4)
+              val s = fasthash.cosine(ea, eb)
+              if (s > threshold)
+                out += (if (ida < idb) (ida, idb, s) else (idb, ida, s))
+              q += 1
+            }
+            p += 1
+          }
+        } else {
+          val li = arr.filter(_._2 == i)
+          val lj = arr.filter(_._2 == j)
+          var p = 0
+          while (p < li.length) {
+            var q = 0
+            while (q < lj.length) {
+              val s = fasthash.cosine(li(p)._4, lj(q)._4)
+              if (s > threshold) {
+                val (ida, idb) = (li(p)._3, lj(q)._3)
+                out += (if (ida < idb) (ida, idb, s) else (idb, ida, s))
+              }
+              q += 1
+            }
+            p += 1
+          }
+        }
+        out.result().iterator
+      }.toDF("id_a", "id_b", "sim")
+  }
+
+  /** Approximate pair mining for corpora where exact O(n²) is off the
+    * table: SRP-LSH bucket join (multi-table) for candidates, exact
+    * codegen'd cosine verify. Recall < 1 by construction and strongly
+    * threshold-dependent: SRP per-bit agreement is 1-θ/π, so weak
+    * thresholds (0.4 ⇒ θ≈66°, near-random) need few bits and many tables
+    * (defaults sized for that regime, measured recall ≈ 0.7 in
+    * SimilaritySpec), while real near-dup thresholds (0.9+) collide almost
+    * surely and could run far fewer tables. The top rung of the
+    * cosinePairs ladder. */
+  def cosinePairsLsh(vectors: DataFrame, threshold: Double,
+      nBits: Int = 6, tables: Int = 16): DataFrame = {
+    val buckets = srpBucketsUdf(nBits, tables)
+    val banded = vectors.select(col("vec_id").as("id"),
+      col("embedding").as("emb"), explode(buckets(col("embedding"))).as("tb"))
+    val l = banded.select(col("tb"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = banded.select(col("tb"), col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq("tb"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Pair-mining front door — the size ladder (mirrors Dedup.nearDupKeepIds):
+    *  - n ≤ kernelLimit: broadcast kernel (cosinePairsExact) — the
+    *    per-bucket / small-corpus shape;
+    *  - n ≤ exactLimit: blocked distributed exact — still exact (so oracle
+    *    hash parity holds by construction), no driver collect;
+    *  - above: LSH candidates + exact verify — the only O(n²)-free option,
+    *    approximate by documented contract.
+    * Costs one count() to pick the rung, never a data collect. */
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+      kernelLimit: Long = 1024, exactLimit: Long = 2000000): DataFrame = {
+    val n = vectors.count()
+    if (n <= kernelLimit) cosinePairsExact(vectors, threshold)
+    else if (n <= exactLimit) cosinePairsBlocked(vectors, threshold)
+    else cosinePairsLsh(vectors, threshold)
+  }
+
   /** High-cosine pair mining across the whole corpus (near-dup by
     * embedding, north-star block). Threshold chosen for the synthetic
-    * corpus (max pair sim ≈ 0.51); ids + rounded sim are hash-safe. */
+    * corpus (max pair sim ≈ 0.51); ids + rounded sim are hash-safe. Routed
+    * through the size ladder: at sf0.1 (2k vectors) this takes the blocked
+    * distributed-exact rung — no full-corpus collect or broadcast. */
   def qCosinePairs(t: Tables): DataFrame =
-    cosinePairsExact(t.embeddings, 0.4)
+    cosinePairs(t.embeddings, 0.4)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -201,11 +307,31 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Per-probe recall vs the exact top-k, computed IN-PLAN (VERDICT r2
+    * item 5: the driver — and any reader of the dumped parquet — sees the
+    * recall every round instead of trusting a spec): left-join the ANN
+    * rows against the brute-force neighbor set and window-sum the hits. */
+  private def withRecallAtK(ann: DataFrame, corpus: DataFrame,
+      probes: DataFrame, k: Int): DataFrame = {
+    val exact = bruteForceTopK(corpus, probes, k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("is_hit"))
+    val w = Window.partitionBy(col("probe_id"))
+    ann.join(exact, Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("recall_at_k",
+        round(sum(coalesce(col("is_hit"), lit(0))).over(w) / k.toDouble, 2))
+      .drop("is_hit")
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"),
+        col("recall_at_k"))
+  }
+
   /** ANN via LSH for the same probes as the brute-force baseline
-    * (rows-only; recall asserted in SimilaritySpec). */
-  def qKnnLsh(t: Tables): DataFrame =
-    lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
+    * (rows-only; recall floor asserted in SimilaritySpec AND emitted as a
+    * recall_at_k column for the driver). */
+  def qKnnLsh(t: Tables): DataFrame = {
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    withRecallAtK(lshTopK(t.embeddings, probes, 10), t.embeddings, probes, 10)
       .orderBy(col("probe_id"), col("rank"))
+  }
 
   // ------------------------------------------------------- IVF scale path
 
@@ -255,10 +381,12 @@ object Similarity {
   }
 
   /** ANN via IVF for the same probes as the baseline (rows-only; recall
-    * asserted in SimilaritySpec). */
-  def qKnnIvf(t: Tables): DataFrame =
-    ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 10), 10)
+    * floor asserted in SimilaritySpec AND emitted as recall_at_k). */
+  def qKnnIvf(t: Tables): DataFrame = {
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    withRecallAtK(ivfTopK(t.embeddings, probes, 10), t.embeddings, probes, 10)
       .orderBy(col("probe_id"), col("rank"))
+  }
 
   /** Per-label embedding centroid (mean-pool) — the class-centroid /
     * pooled-representation operation of a training pipeline, expressed

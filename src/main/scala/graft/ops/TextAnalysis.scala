@@ -156,6 +156,12 @@ object TextAnalysis {
     * language) and the CJK short-circuit. Marker lists are generated from
     * text.langMarkers so the two can never drift. */
   val qLangIdSql: String = {
+    // the CASE ladder below hardcodes the four-language tie-break; if a
+    // language is ever added to langMarkers the oracle must be regenerated
+    // with it, or the mismatch would masquerade as an engine bug (ADVICE r2)
+    require(text.langMarkers.keySet == Set("de", "en", "es", "fr"),
+      s"qLangIdSql CASE ladder covers de/en/es/fr but langMarkers has " +
+        s"${text.langMarkers.keySet}: regenerate the ladder")
     def hits(lang: String): String = {
       val in = text.langMarkers(lang).map(w => s"'$w'").mkString(", ")
       s"len(list_filter(toks, x -> x IN ($in))) AS s_$lang"

@@ -146,4 +146,42 @@ object Events {
         })
       .toDF("user_id", "n_events", "total_value")
   }
+
+  /** The arbitrary-state surface under the driver gate (rows-only; VERDICT
+    * r2 missing-item 5): runs runningUserTotals as a REAL Structured
+    * Streaming job — file-source stream over the events parquet, one
+    * AvailableNow pass, memory sink — and returns the final per-user state
+    * as a batch DataFrame. The memory-sink view is dropped before
+    * returning (no session-namespace residue); its contents are bounded by
+    * |users|, not |events|, so the handoff is small by construction. */
+  def qStreamState(t: Tables): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = t.spark
+    val path = s"${t.sfDir}/events.parquet"
+    // the file source streams DIRECTORIES: symlink the single parquet file
+    // into a temp dir (same move as StreamingSpec), and borrow the batch
+    // footer for the mandatory explicit schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path))
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val qname = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val sq = runningUserTotals(stream.select(col("user_id"), col("value")))
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val result = spark.table(qname)
+    val out = spark.createDataFrame(result.collectAsList(), result.schema)
+    spark.catalog.dropTempView(qname)
+    // append mode emits one update per user per micro-batch; the final
+    // state is the row with the highest running count (n_events is
+    // strictly increasing), so this is multi-batch-safe
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    out.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"))
+  }
 }

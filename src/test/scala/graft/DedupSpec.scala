@@ -29,8 +29,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("componentsMinId converges on a chain longer than any fixed cap") {
-    // a 30-edge path graph needs 30 propagation steps to carry the min id
-    // to the far end — regression for the silently-capped iteration bug
+    // a 30-edge path graph takes 30 rounds under naive min-label
+    // propagation — star contraction must handle it in a handful
     val spark0 = spark
     import spark0.implicits._
     val n = 30
@@ -41,6 +41,22 @@ class DedupSpec extends SparkSpec {
     assert(comps.length == 1, s"expected one component, got ${comps.length}")
     assert(comps.head.getAs[Long]("keep_id") == 0L, "representative must be the min id")
     assert(comps.head.getAs[Seq[Long]]("member_ids").toSet == (0L to n.toLong).toSet)
+  }
+
+  test("star contraction is O(log n) rounds on a 1000-node chain") {
+    // the worst shape for label propagation (diameter = n); large-star/
+    // small-star must contract it logarithmically (VERDICT r2 item 1)
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 1000
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val (stars, rounds) = Dedup.starContract(pairs)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    val roots = stars.select("v").distinct().collect().map(_.getLong(0)).toSet
+    assert(roots == Set(0L), s"all stars must center on min id, got $roots")
+    assert(stars.count() == (n - 1).toLong, "every non-root points at the root")
   }
 
   test("greedy dedup: kept set is pairwise dissimilar and idempotent") {

@@ -10,6 +10,8 @@ class PlanAuditSpec extends SparkSpec {
   private val allowAllPairs = Set(
     "q36_dedup_greedy",     // reference-exact greedy: distributed all-pairs ratio
     "q38_knn_brute",        // brute-force baseline: corpus × broadcast probes
+    "q40_knn_lsh",          // embeds the q38 baseline for its recall_at_k column
+    "q56_knn_ivf",          // same recall baseline
     "q50_news_pipeline")    // composes the greedy dedup stage
 
   test("no query plans an accidental cartesian / nested-loop join") {

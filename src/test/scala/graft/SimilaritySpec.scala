@@ -25,6 +25,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("blocked distributed exact pair mining is bit-equal to the broadcast kernel") {
+    // the mid rung of the cosinePairs ladder must be EXACT (oracle parity
+    // depends on it) — same pairs, same doubles, no driver collect
+    val exact = Similarity.cosinePairsExact(sf0001.embeddings, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.cosinePairsBlocked(sf0001.embeddings, 0.3, nBlocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture threshold found no pairs")
+    assert(blocked == exact)
+  }
+
+  test("LSH pair mining recall vs exact is usable at the near-dup threshold") {
+    val exact = Similarity.cosinePairsExact(sf0001.embeddings, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(sf0001.embeddings, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH verify must never emit a below-threshold pair")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH pair recall $recall below floor")
+    }
+  }
+
   test("LSH top-k recall vs brute force is usable") {
     val exact = Similarity.qKnnBruteForce(sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -72,6 +72,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qStreamState (gate entry) returns the final per-user state, batch-equal") {
+    val got = Events.qStreamState(sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = sf0001.events.groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch, s"diff=${(got.toSet -- batch.toSet).take(3)}")
+    // the memory-sink view must not leak into the session namespace
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_stream_state_")))
+  }
+
   test("watermarked stream-stream range join equals the batch range join") {
     val ev = streamEvents("/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
