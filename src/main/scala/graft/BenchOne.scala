@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time individual queries by name (same session config and
+  * noop-sink methodology as Bench) — `runMain graft.BenchOne q64 q37`.
+  * Each query runs REPS times (default 2; override SPARK_GRAFT_REPS) so
+  * the second rep shows the warm figure the full bench approximates. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wanted = args.toSet
+    SparkEntry.queries
+      .filter { case (name, _) => wanted.exists(name.startsWith) }
+      .foreach { case (name, fn) =>
+        (1 to reps).foreach { rep =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"[benchone] $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -105,6 +105,9 @@ object SparkEntry {
       "q72_media_features"   -> t(Multimodal.qMediaFeatures),
       "q73_media_metadata"   -> t(Multimodal.qMediaMetadata),
       "q74_stream_state"     -> t(streaming.Events.qStreamState),
+      "q75_bloom_semi_join"  -> t(Relational.q75BloomSemiJoin),
+      "q76_range_frame"      -> t(Relational.q76RangeFrame),
+      "q77_top_terms"        -> t(TextAnalysis.qTopTerms),
     )
   }
 
@@ -169,5 +172,8 @@ object SparkEntry {
     "q70_array_funcs"      -> Relational.q70Sql,
     "q71_embed_centroids"  -> Similarity.qEmbedCentroidsSql,
     "q73_media_metadata"   -> Multimodal.qMediaMetadataSql,
+    "q75_bloom_semi_join"  -> Relational.q75Sql,
+    "q76_range_frame"      -> Relational.q76Sql,
+    "q77_top_terms"        -> TextAnalysis.qTopTermsSql,
   )
 }

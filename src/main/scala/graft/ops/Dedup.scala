@@ -244,7 +244,9 @@ object Dedup {
     nbrs.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
-      .distinct()
+    // no distinct here: smallStar's output distinct bounds the per-round
+    // edge set, and skipping one exchange per round halves the latency
+    // floor on small graphs
   }
 
   /** One small-star round: every node points its smaller neighbors (and
@@ -272,12 +274,15 @@ object Dedup {
     * declaring convergence, so a 2^-64 checksum collision cannot silently
     * mislabel components; a generous round cap fails loudly. */
   private[graft] def starContract(pairs: DataFrame): (DataFrame, Int) = {
+    // lazy checkpoints: the per-round checksum action below both
+    // materializes the round's edges AND computes the checksum in ONE job
+    // (an eager checkpoint would double the job count per round)
     var e = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val maxRounds = 50
     var rounds = 0
     var prevChk: Option[(Long, Long)] = None
@@ -285,7 +290,7 @@ object Dedup {
     var converged = false
     while (!converged && rounds < maxRounds) {
       prev = e
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       rounds += 1
       val row = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       val chk = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))

@@ -887,4 +887,70 @@ object Relational {
       |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Q75: bloom-filter-accelerated semi join — the runtime-filter pattern
+    * at operator level. A bloom sketch of the (filtered) dim side's keys
+    * is broadcast and applied as a MAP-SIDE pre-filter on the probe scan,
+    * so the exact semi join that follows only shuffles probable matches;
+    * the semi join removes the bloom's false positives, making the result
+    * EXACTLY the plain semi join (which is what the oracle runs). At
+    * 100 TB this is the shape that keeps a selective dim filter from
+    * paying a full probe-side shuffle; the sketch is bounded (~1.2 MB at
+    * 1M keys / 1% fpp) regardless of probe size. */
+  def q75BloomSemiJoin(t: Tables): DataFrame = {
+    val dimKeys = t.supplier.filter(col("s_acctbal") > 9000).select(col("s_suppkey"))
+    // stat.bloomFilter NPEs on an empty input (null agg buffer); an empty
+    // dim side means an empty semi join, so pre-filter everything out.
+    // The count is a dim-side-only job — small by the pattern's contract.
+    val preFilter: Column =
+      if (dimKeys.count() == 0) lit(false)
+      else {
+        val bloom = dimKeys.stat.bloomFilter("s_suppkey", 100000L, 0.01)
+        val bc = t.spark.sparkContext.broadcast(bloom)
+        val might = udf((k: Long) => bc.value.mightContain(k))
+        might(col("l_suppkey"))
+      }
+    t.lineitem
+      .filter(preFilter)
+      .join(dimKeys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q75Sql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 9000)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q76: RANGE window frame (W5 completion) — rolling 30-day spend per
+    * customer. The frame is value-based (days-since-epoch), not row-based,
+    * so date peers aggregate together on both engines; the sum is
+    * decimal-exact. o_orderkey gives the emitted slice a total order. */
+  def q76RangeFrame(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-30, Window.currentRow)
+    t.orders
+      .withColumn("epoch_day",
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+      .withColumn("rolling_30d",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("rolling_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q76Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, rolling_30d FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |      PARTITION BY o_custkey
+      |      ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+      |  FROM orders)
+      |WHERE o_orderkey % 50 = 0
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 }

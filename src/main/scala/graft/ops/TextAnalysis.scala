@@ -217,6 +217,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Q77: per-document top terms (the SQL-exact face of the A2/A3 TF
+    * machinery: term frequency + deterministic argmax, no ML fit) — top-3
+    * non-stopword tokens per doc by (tf desc, token asc). Two-phase
+    * count + a per-doc top-k window (WindowGroupLimit at scale). */
+  def qTopTerms(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tf").desc, col("token"))
+    t.fanout(t.documents)
+      .select(col("doc_id"),
+        explode(text.removeStopwords(text.tokenize(col("text")))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val qTopTermsSql: String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |             x -> len(x) > 0 AND x NOT IN ($sw))) AS token
+       |    FROM documents)
+       |  GROUP BY doc_id, token)
+       |SELECT doc_id, CAST(rank AS INT) AS rank, token, tf FROM (
+       |  SELECT doc_id, token, tf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rank
+       |  FROM tf)
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
   val qNgramsSql: String =
     """SELECT doc_id,
       |  CAST(len(list_distinct([list_aggregate(toks[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(toks))])) AS BIGINT) AS n_distinct_2grams,
