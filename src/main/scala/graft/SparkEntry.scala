@@ -108,6 +108,8 @@ object SparkEntry {
       "q75_bloom_semi_join"  -> t(Relational.q75BloomSemiJoin),
       "q76_range_frame"      -> t(Relational.q76RangeFrame),
       "q77_top_terms"        -> t(TextAnalysis.qTopTerms),
+      "q78_repetition"       -> t(TextAnalysis.qRepetition),
+      "q79_decontaminate"    -> t(TextAnalysis.qDecontaminate),
     )
   }
 
@@ -175,5 +177,7 @@ object SparkEntry {
     "q75_bloom_semi_join"  -> Relational.q75Sql,
     "q76_range_frame"      -> Relational.q76Sql,
     "q77_top_terms"        -> TextAnalysis.qTopTermsSql,
+    "q78_repetition"       -> TextAnalysis.qRepetitionSql,
+    "q79_decontaminate"    -> TextAnalysis.qDecontaminateSql,
   )
 }

@@ -159,6 +159,57 @@ object fasthash {
     out
   }
 
+  /** Word-n-gram repetition stats in one pass: (max frequency of any
+    * single n-gram, total n-gram occurrences) — the Gopher/C4-style
+    * repetition signal (a document whose top 2-gram covers a large
+    * fraction of all 2-grams is boilerplate/looped text). Integer-exact,
+    * so oracle-hash-safe; same tokenizer as ngramDistinctCounts. */
+  def repetitionStats(text: String, n: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array(0L, 0L)
+    val counts = new java.util.HashMap[String, Int]()
+    val sb = new java.lang.StringBuilder
+    var max = 0
+    var total = 0L
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > max) max = c
+      total += 1
+      i += 1
+    }
+    Array(max.toLong, total)
+  }
+
+  /** Distinct word-n-grams as STRINGS (not hashes — gram strings join
+    * identically across engines, which an engine-specific hash would not).
+    * The per-doc gram list for contamination-style overlap joins. */
+  def distinctNgrams(text: String, n: Int): Seq[String] = {
+    val toks = tokens(text)
+    val set = new java.util.LinkedHashSet[String]()
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        set.add(sb.toString); i += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    set.asScala.toSeq
+  }
+
   /** MinHash fingerprint: min over char shingles of xxhash64(shingle) —
     * value-identical to the Column form array_min(transform(shingles,
     * xxhash64)) (Spark's xxhash64 = XXH64 seed 42), but a single JVM pass. */
@@ -248,6 +299,12 @@ object fasthash {
 
   def ngramDistinctCountsUdf(maxN: Int) =
     udf((text: String) => ngramDistinctCounts(text, maxN))
+
+  def repetitionStatsUdf(n: Int) =
+    udf((text: String) => repetitionStats(text, n))
+
+  def distinctNgramsUdf(n: Int) =
+    udf((text: String) => distinctNgrams(text, n))
 
   def rollingFingerprintUdf(k: Int) =
     udf((text: String) =>

@@ -96,22 +96,30 @@ object Clustering {
     * mini-batched — the distributed form of gensim's update_every/chunksize
     * streaming. */
   def qLdaTopics(t: Tables): DataFrame = {
+    // the tokenize chain is cached at full width: it feeds TWO passes
+    // (vocab fit + vectorize) and must not be dragged down to the
+    // iteration partitioning below (a coalesce(8) here was measured to
+    // run tokenization 8-way — the r2 bench regression's root)
     val toks = t.fanout(t.documents).withColumn("tokens",
-      text.removeStopwords(text.tokenize(col("text"))))
+      text.removeStopwords(text.tokenize(col("text")))).cache()
     // vocab capped to the most frequent 8k terms: LDA cost is O(k·vocab)
     // per update and the synthetic corpus tail adds nothing to topics
     val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf")
       .setVocabSize(8192).fit(toks)
     // online LDA passes over the input once per iteration: cache the
-    // vectorized corpus or the tokenize→stem→vectorize chain re-runs 10×.
-    // Partition count tracks DATA size, not core count: each of the ~10
-    // iterations schedules a job over these partitions, so 32 near-empty
-    // tasks per job is pure scheduling overhead for a 5k-doc corpus.
-    val counted = cv.transform(toks).coalesce(8).cache()
+    // vectorized corpus or the chain re-runs 10×. ITERATION partitioning
+    // tracks DATA size, not core count (32 near-empty tasks per scheduled
+    // job is pure overhead for 5k docs) — repartition, not coalesce, so
+    // only the tiny sparse vectors shuffle and upstream stays wide.
+    val counted = cv.transform(toks).select(col("doc_id"), col("tf"))
+      .repartition(8).cache()
     val lda = new LDA().setK(10).setMaxIter(10).setSeed(42L)
       .setFeaturesCol("tf").setOptimizer("online")
     val model = lda.fit(counted)
-    model.transform(counted)
+    toks.unpersist()
+    // per-doc inference (the E-step in transform) is the per-row-heavy
+    // tail — run it at full width, not at the iteration partitioning
+    model.transform(counted.repartition(32))
       .withColumn("dist", vector_to_array(col("topicDistribution")))
       .withColumn("topic", expr("array_position(dist, array_max(dist)) - 1").cast("int"))
       .select(col("doc_id"), col("topic"))

@@ -217,6 +217,88 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Q78: repetition-quality stats (the Gopher/C4 repetition rules'
+    * signals): per doc, the max frequency of any word 2-gram, total
+    * 2-gram occurrences, and duplicate-segment counts ('. '-split
+    * segments — literal split, identical on both engines). All integers —
+    * hash-exact; the filter ratios (max/total etc.) are one division away
+    * downstream. One JVM-kernel pass for the grams (the Column n-gram
+    * form is interpreted — round-1 lesson). */
+  def qRepetition(t: Tables): DataFrame = {
+    val stats = graft.functions.fasthash.repetitionStatsUdf(2)(col("text"))
+    val segs = split(col("text"), "\\. ")
+    t.fanout(t.documents)
+      .select(col("doc_id"), stats.as("s"),
+        size(segs).cast("long").as("n_segments"),
+        size(array_distinct(segs)).cast("long").as("n_distinct_segments"))
+      .select(col("doc_id"),
+        col("s").getItem(0).as("max_2gram_count"),
+        col("s").getItem(1).as("total_2grams"),
+        col("n_segments"), col("n_distinct_segments"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qRepetitionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest([list_aggregate(toks[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(toks))]) AS gram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |        FROM documents)),
+      |c AS (
+      |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS max_2gram_count,
+      |    CAST(SUM(cnt) AS BIGINT) AS total_2grams
+      |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(c.max_2gram_count, 0) AS max_2gram_count,
+      |  COALESCE(c.total_2grams, 0) AS total_2grams,
+      |  CAST(len(string_split(d.text, '. ')) AS BIGINT) AS n_segments,
+      |  CAST(len(list_distinct(string_split(d.text, '. '))) AS BIGINT) AS n_distinct_segments
+      |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Q79: benchmark decontamination — the overlap check an LLM data
+    * pipeline runs before training: which "benchmark" docs (here the
+    * doc_id%97 slice stands in for an eval set) share any word 8-gram
+    * with any training doc. Gram STRINGS (not engine hashes) so the
+    * equi-join and the oracle agree; the join is equi on the gram — at
+    * 100 TB this is the standard shape (gram inverted index), never a
+    * cross join, and the gram table can be bucketed by gram. */
+  def qDecontaminate(t: Tables): DataFrame = {
+    val grams = graft.functions.fasthash.distinctNgramsUdf(8)(col("text"))
+    val docs = t.fanout(t.documents)
+    val probe = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_id"), explode(grams).as("gram"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(grams).as("gram"))
+    val hits = probe.join(train, Seq("gram"))
+      .groupBy(col("probe_id"))
+      .agg(countDistinct(col("train_id")).as("n_contaminating_docs"))
+    t.documents.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"))
+      .orderBy(col("probe_id"))
+  }
+
+  val qDecontaminateSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_distinct([list_aggregate(toks[i:i+7], 'string_agg', ' ') FOR i IN range(1, len(toks) - 6)])) AS gram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |        FROM documents)),
+      |hits AS (
+      |  SELECT p.doc_id AS probe_id, COUNT(DISTINCT tr.doc_id) AS n_contaminating_docs
+      |  FROM g p JOIN g tr ON p.gram = tr.gram
+      |  WHERE p.doc_id % 97 = 0 AND tr.doc_id % 97 != 0
+      |  GROUP BY p.doc_id)
+      |SELECT d.doc_id AS probe_id,
+      |  CAST(COALESCE(h.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.probe_id
+      |WHERE d.doc_id % 97 = 0
+      |ORDER BY probe_id""".stripMargin
+
   /** Q77: per-document top terms (the SQL-exact face of the A2/A3 TF
     * machinery: term frequency + deterministic argmax, no ML fit) — top-3
     * non-stopword tokens per doc by (tf desc, token asc). Two-phase
