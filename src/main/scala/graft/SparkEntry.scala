@@ -110,6 +110,7 @@ object SparkEntry {
       "q77_top_terms"        -> t(TextAnalysis.qTopTerms),
       "q78_repetition"       -> t(TextAnalysis.qRepetition),
       "q79_decontaminate"    -> t(TextAnalysis.qDecontaminate),
+      "q80_incremental_dedup" -> t(Dedup.qIncrementalDedup),
     )
   }
 
@@ -179,5 +180,6 @@ object SparkEntry {
     "q77_top_terms"        -> TextAnalysis.qTopTermsSql,
     "q78_repetition"       -> TextAnalysis.qRepetitionSql,
     "q79_decontaminate"    -> TextAnalysis.qDecontaminateSql,
+    "q80_incremental_dedup" -> Dedup.qIncrementalDedupSql,
   )
 }

@@ -390,6 +390,43 @@ object Dedup {
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
+  // --------------------------------------- incremental ingest dedup
+
+  /** Incremental ingest dedup: dedup a NEW batch against the EXISTING
+    * corpus without ever comparing corpus×corpus — the shape every
+    * continuously-ingesting pipeline needs (re-running full-corpus dedup
+    * per batch is quadratic in total history). The batch side is small
+    * and broadcasts; the corpus side streams through the blocked join.
+    * Blocking here is the q32 prefix block for oracle parity; a real
+    * deployment keys the corpus by precomputed LSH bands
+    * (lshCandidatePairs machinery) so each batch probes an inverted
+    * index. Emits the new ids that are NOT near-dups of any old doc. */
+  def qIncrementalDedup(t: Tables): DataFrame = {
+    val docs = t.documents
+    val newB = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p_n"),
+        substring(col("text"), 1, 10).as("blk"))
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(substring(col("text"), 1, 40).as("p_o"),
+        substring(col("text"), 1, 10).as("blk"))
+    val matched = broadcast(newB).join(old, Seq("blk"))
+      .filter(text.levenshteinSim(col("p_n"), col("p_o")) > 0.8)
+      .select(col("doc_id")).distinct()
+    newB.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  val qIncrementalDedupSql: String =
+    """SELECT n.doc_id FROM documents n
+      |WHERE n.doc_id % 10 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents o
+      |  WHERE o.doc_id % 10 != 0
+      |    AND substr(o.text,1,10) = substr(n.text,1,10)
+      |    AND 1.0 - levenshtein(substr(n.text,1,40), substr(o.text,1,40))::DOUBLE
+      |        / greatest(length(substr(n.text,1,40)), length(substr(o.text,1,40))) > 0.8)
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------- embedding-cosine near-dup
 
   /** Embedding-cosine near-dup dedup (north-star dedup block,
