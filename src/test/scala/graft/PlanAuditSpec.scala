@@ -12,6 +12,7 @@ class PlanAuditSpec extends SparkSpec {
     "q38_knn_brute",        // brute-force baseline: corpus × broadcast probes
     "q40_knn_lsh",          // embeds the q38 baseline for its recall_at_k column
     "q56_knn_ivf",          // same recall baseline
+    "q81_knn_sq8",          // quantized first pass scans codes × broadcast probes
     "q50_news_pipeline")    // composes the greedy dedup stage
 
   test("no query plans an accidental cartesian / nested-loop join") {

@@ -59,6 +59,21 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("SQ8 quantize-then-rerank recall is near-exact") {
+    val exact = Similarity.qKnnBruteForce(sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = Similarity.qKnnSq8(sf0001).collect()
+    val got = sq8.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // 8-bit scalar quantization barely perturbs cosine ordering; with a
+    // 3× rerank budget the floor is high by construction
+    assert(recall >= 0.9, s"SQ8 recall $recall below floor")
+    // the emitted recall_at_k column must agree with the computed recall
+    val emitted = sq8.map(r => r.getDouble(4)).sum / sq8.length
+    assert(math.abs(emitted - recall) < 0.15,
+      s"emitted recall column $emitted far from measured $recall")
+  }
+
   test("IVF top-k recall beats the random-cells floor") {
     val exact = Similarity.qKnnBruteForce(sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
