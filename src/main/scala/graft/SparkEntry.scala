@@ -112,6 +112,10 @@ object SparkEntry {
       "q79_decontaminate"    -> t(TextAnalysis.qDecontaminate),
       "q80_incremental_dedup" -> t(Dedup.qIncrementalDedup),
       "q81_knn_sq8"          -> t(Similarity.qKnnSq8),
+      "q82_filtered_agg"     -> t(Relational.q82FilteredAgg),
+      "q83_latest_per_key"   -> t(Relational.q83LatestPerKey),
+      "q84_redact"           -> t(TextAnalysis.qRedact),
+      "q85_histogram"        -> t(Relational.q85Histogram),
     )
   }
 
@@ -182,5 +186,9 @@ object SparkEntry {
     "q78_repetition"       -> TextAnalysis.qRepetitionSql,
     "q79_decontaminate"    -> TextAnalysis.qDecontaminateSql,
     "q80_incremental_dedup" -> Dedup.qIncrementalDedupSql,
+    "q82_filtered_agg"     -> Relational.q82Sql,
+    "q83_latest_per_key"   -> Relational.q83Sql,
+    "q84_redact"           -> TextAnalysis.qRedactSql,
+    "q85_histogram"        -> Relational.q85Sql,
   )
 }

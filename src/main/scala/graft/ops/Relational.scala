@@ -953,4 +953,65 @@ object Relational {
       |  FROM orders)
       |WHERE o_orderkey % 50 = 0
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Q82: conditional/filtered aggregates (A6 surface completion) —
+    * count_if / conditional sums in one grouped pass (FILTER-clause
+    * semantics). Quantities are integer-valued doubles (q01 precedent),
+    * so raw sums are hash-exact. */
+  def q82FilteredAgg(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_big"),
+        sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0.0)))
+          .as("qty_discounted"),
+        max(when(col("l_linestatus") === "F", col("l_quantity"))).as("max_qty_f"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q82Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+      |  COALESCE(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 0) AS qty_discounted,
+      |  MAX(l_quantity) FILTER (WHERE l_linestatus = 'F') AS max_qty_f,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Q83: latest record per key — CDC/SCD compaction: one pass, per-key
+    * top-1 by recency with a unique tie-break (event_id). Spark 4 plans
+    * WindowGroupLimit (no full per-partition sort of losers); at 100 TB
+    * this is the log-compaction query every changelog table needs. */
+  def q83LatestPerKey(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q83Sql: String =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** Q85: histogram profiling — fixed-width value binning (the data-
+    * profiling pass a pipeline runs before choosing partition bounds).
+    * floor(x / width) is the same IEEE op on both engines; counts and
+    * decimal sums are exact. */
+  def q85Histogram(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(floor(col("l_extendedprice") / 5000.0).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("bin"))
+
+  val q85Sql: String =
+    """SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS INT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin
 }

@@ -299,6 +299,29 @@ object TextAnalysis {
       |WHERE d.doc_id % 97 = 0
       |ORDER BY probe_id""".stripMargin
 
+  /** Q84: pattern redaction — the PII-scrubbing shape (here digit runs
+    * stand in for the sensitive pattern; swapping the regex swaps the
+    * policy): per doc, match count, redacted length, and the redacted
+    * text itself — all string/integer-exact cross-engine (DuckDB
+    * regexp_replace needs the 'g' flag to match Spark's global default). */
+  def qRedact(t: Tables): DataFrame =
+    t.fanout(t.documents)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[0-9]+")).cast("long").as("n_redacted"),
+        length(regexp_replace(col("text"), "[0-9]+", "<NUM>")).cast("long")
+          .as("redacted_len"),
+        substring(regexp_replace(col("text"), "[0-9]+", "<NUM>"), 1, 80)
+          .as("redacted_prefix"))
+      .orderBy(col("doc_id"))
+
+  val qRedactSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redacted,
+      |  CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+      |  substr(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), 1, 80) AS redacted_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Q77: per-document top terms (the SQL-exact face of the A2/A3 TF
     * machinery: term frequency + deterministic argmax, no ML fit) — top-3
     * non-stopword tokens per doc by (tf desc, token asc). Two-phase
