@@ -118,8 +118,9 @@ object Clustering {
     val model = lda.fit(counted)
     toks.unpersist()
     // per-doc inference (the E-step in transform) is the per-row-heavy
-    // tail — run it at full width, not at the iteration partitioning
-    model.transform(counted.repartition(32))
+    // tail — run it at full width (session parallelism, not a constant),
+    // not at the iteration partitioning
+    model.transform(t.fanout(counted))
       .withColumn("dist", vector_to_array(col("topicDistribution")))
       .withColumn("topic", expr("array_position(dist, array_max(dist)) - 1").cast("int"))
       .select(col("doc_id"), col("topic"))

@@ -406,7 +406,9 @@ object Dedup {
     val newB = docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("p_n"),
         substring(col("text"), 1, 10).as("blk"))
-    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    // fan the corpus side out before the per-row-heavy levenshtein verify
+    // (single-file scan = one partition; CLAUDE.md invariant)
+    val old = t.fanout(docs.filter(col("doc_id") % 10 =!= 0))
       .select(substring(col("text"), 1, 40).as("p_o"),
         substring(col("text"), 1, 10).as("blk"))
     val matched = broadcast(newB).join(old, Seq("blk"))

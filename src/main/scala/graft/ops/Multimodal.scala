@@ -100,7 +100,9 @@ object Multimodal {
   def qMediaFeatures(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    extractFeatures(mediaTable(t).as[MediaRow])
+    // fanout before the per-row decode loop — the single-file scan is one
+    // partition and the payload hashing would otherwise run on one core
+    extractFeatures(t.fanout(mediaTable(t)).as[MediaRow])
       .toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 6))
       .orderBy(col("media_id"))
