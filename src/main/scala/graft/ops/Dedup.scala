@@ -440,7 +440,8 @@ object Dedup {
     * the same closure as a recursive CTE in DuckDB. */
   def qDedupEmbedding(t: Tables): DataFrame =
     componentsMinId(
-      Similarity.cosinePairs(t.embeddings, 0.4).select(col("id_a"), col("id_b")),
+      Similarity.cosinePairs(t.embeddings, 0.4, exactOnly = true)
+        .select(col("id_a"), col("id_b")),
       t.embeddings.select(col("vec_id").as("id")))
       .select(col("keep_id"),
         size(col("member_ids")).cast("long").as("component_size"))

@@ -96,7 +96,10 @@ object Multimodal {
     }
   }
 
-  /** Query surface: full decode pipeline over the synthetic media table. */
+  /** Query surface: full decode pipeline over the synthetic media table.
+    * The sampled-frames array is emitted as a CSV string (q70 precedent):
+    * the driver's canonicalizer sorts column values, and a raw array column
+    * is unhashable/unsortable on its side — scalar-only output columns. */
   def qMediaFeatures(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
@@ -105,6 +108,8 @@ object Multimodal {
     extractFeatures(t.fanout(mediaTable(t)).as[MediaRow])
       .toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 6))
+      .withColumn("sampled_frames",
+        array_join(col("sampled_frames").cast("array<string>"), ","))
       .orderBy(col("media_id"))
   }
 

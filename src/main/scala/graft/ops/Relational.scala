@@ -902,10 +902,13 @@ object Relational {
     // stat.bloomFilter NPEs on an empty input (null agg buffer); an empty
     // dim side means an empty semi join, so pre-filter everything out.
     // The count is a dim-side-only job — small by the pattern's contract.
+    val nDim = dimKeys.count()
     val preFilter: Column =
-      if (dimKeys.count() == 0) lit(false)
+      if (nDim == 0) lit(false)
       else {
-        val bloom = dimKeys.stat.bloomFilter("s_suppkey", 100000L, 0.01)
+        // size from the just-computed count (floor keeps tiny SFs honest) —
+        // a hardcoded expectation degrades the fpp as the dim side grows
+        val bloom = dimKeys.stat.bloomFilter("s_suppkey", math.max(nDim, 1000L), 0.01)
         val bc = t.spark.sparkContext.broadcast(bloom)
         val might = udf((k: Long) => bc.value.mightContain(k))
         might(col("l_suppkey"))

@@ -200,12 +200,22 @@ object Similarity {
     *    hash parity holds by construction), no driver collect;
     *  - above: LSH candidates + exact verify — the only O(n²)-free option,
     *    approximate by documented contract.
-    * Costs one count() to pick the rung, never a data collect. */
+    * Costs one count() to pick the rung, never a data collect.
+    *
+    * `exactOnly` is for ORACLED callers (q39, q64): every rung feeding a
+    * hash-compared query must be exact or the oracle gate silently becomes
+    * recall-dependent — so instead of falling through to LSH the ladder
+    * throws, forcing an explicit decision (raise exactLimit / pre-block the
+    * input / drop the oracle) rather than a quiet approximation. */
   def cosinePairs(vectors: DataFrame, threshold: Double,
-      kernelLimit: Long = 1024, exactLimit: Long = 2000000): DataFrame = {
+      kernelLimit: Long = 1024, exactLimit: Long = 2000000,
+      exactOnly: Boolean = false): DataFrame = {
     val n = vectors.count()
     if (n <= kernelLimit) cosinePairsExact(vectors, threshold)
     else if (n <= exactLimit) cosinePairsBlocked(vectors, threshold)
+    else if (exactOnly) throw new IllegalStateException(
+      s"cosinePairs(exactOnly): $n vectors exceeds exactLimit=$exactLimit; " +
+        "an oracled caller must not take the approximate LSH rung")
     else cosinePairsLsh(vectors, threshold)
   }
 
@@ -215,7 +225,7 @@ object Similarity {
     * through the size ladder: at sf0.1 (2k vectors) this takes the blocked
     * distributed-exact rung — no full-corpus collect or broadcast. */
   def qCosinePairs(t: Tables): DataFrame =
-    cosinePairs(t.embeddings, 0.4)
+    cosinePairs(t.embeddings, 0.4, exactOnly = true)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
 

@@ -162,19 +162,27 @@ object Events {
     // into a temp dir (same move as StreamingSpec), and borrow the batch
     // footer for the mandatory explicit schema
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-state")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path))
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-    val qname = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val sq = runningUserTotals(stream.select(col("user_id"), col("value")))
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
-    val result = spark.table(qname)
-    val out = spark.createDataFrame(result.collectAsList(), result.schema)
-    spark.catalog.dropTempView(qname)
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val out =
+      try {
+        val schema = spark.read.parquet(path).schema
+        val stream = spark.readStream.schema(schema).parquet(dir.toString)
+        val qname = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val sq = runningUserTotals(stream.select(col("user_id"), col("value")))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        val result = spark.table(qname)
+        val collected = spark.createDataFrame(result.collectAsList(), result.schema)
+        spark.catalog.dropTempView(qname)
+        collected
+      } finally {
+        // bench warmup + reps call this repeatedly — don't leak a dir per run
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.deleteIfExists(dir)
+      }
     // append mode emits one update per user per micro-batch; the final
     // state is the row with the highest running count (n_events is
     // strictly increasing), so this is multi-batch-safe

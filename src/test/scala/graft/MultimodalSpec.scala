@@ -18,12 +18,15 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("video rows get sampled frames, others none") {
+    // sampled_frames is CSV-serialized for the driver gate (scalar-only
+    // output columns); empty string = no frames
     val rows = Multimodal.qMediaFeatures(sf0001)
       .select("kind", "sampled_frames").collect()
     rows.foreach { r =>
-      val frames = r.getSeq[Int](1)
-      if (r.getString(0) == "video") assert(frames.nonEmpty && frames.length <= 8)
-      else assert(frames.isEmpty)
+      val s = r.getString(1)
+      if (r.getString(0) == "video")
+        assert(s.nonEmpty && s.split(",").length <= 8)
+      else assert(s.isEmpty)
     }
   }
 
