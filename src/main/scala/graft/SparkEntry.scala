@@ -116,6 +116,10 @@ object SparkEntry {
       "q83_latest_per_key"   -> t(Relational.q83LatestPerKey),
       "q84_redact"           -> t(TextAnalysis.qRedact),
       "q85_histogram"        -> t(Relational.q85Histogram),
+      // round 4: quality gate, vocab coverage, domain balancing
+      "q86_quality_filter"   -> t(TextAnalysis.qQualityFilter),
+      "q87_head_coverage"    -> t(TextAnalysis.qHeadCoverage),
+      "q88_domain_cap"       -> t(TextAnalysis.qDomainCap(_)),
     )
   }
 
@@ -190,5 +194,9 @@ object SparkEntry {
     "q83_latest_per_key"   -> Relational.q83Sql,
     "q84_redact"           -> TextAnalysis.qRedactSql,
     "q85_histogram"        -> Relational.q85Sql,
+    "q74_stream_state"     -> streaming.Events.qStreamStateSql,
+    "q86_quality_filter"   -> TextAnalysis.qQualityFilterSql,
+    "q87_head_coverage"    -> TextAnalysis.qHeadCoverageSql,
+    "q88_domain_cap"       -> TextAnalysis.qDomainCapSql,
   )
 }

@@ -356,6 +356,129 @@ object TextAnalysis {
        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   }
 
+  /** Q86: C4/Gopher-style composite quality GATE (Raffel et al. 2020 §2.2,
+    * Rae et al. 2021 A1.1 — published rule families; thresholds tuned to the
+    * synthetic corpus so every rule discriminates). Each ratio rule is a
+    * CROSS-MULTIPLIED integer comparison — no float division anywhere, so
+    * the booleans are bit-exact cross-engine:
+    *   - rule_len:      20 ≤ n_tokens ≤ 80
+    *   - rule_mwl:      mean word length in [4, 5]  (4·n ≤ chars ≤ 5·n)
+    *   - rule_stop:     stopword fraction ≥ 5%      (20·n_stop ≥ n)
+    *   - rule_distinct: distinct-token fraction ≥ ½ (2·n_distinct ≥ n)
+    * Per-row column arithmetic only — the plan is a single scan stage,
+    * linear at 100 TB, and the keep flag feeds a filter for free. */
+  def qQualityFilter(t: Tables): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    t.fanout(t.documents)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        // token characters = text minus separators (codegen'd; avoids an
+        // interpreted aggregate() over the token array)
+        length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+          .cast("long").as("n_tok_chars"),
+        size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 80).as("rule_len"),
+        (col("n_tok_chars") >= col("n_tokens") * 4 &&
+          col("n_tok_chars") <= col("n_tokens") * 5).as("rule_mwl"),
+        (col("n_stop") * 20 >= col("n_tokens")).as("rule_stop"),
+        (col("n_distinct") * 2 >= col("n_tokens")).as("rule_distinct"))
+      .withColumn("keep",
+        col("rule_len") && col("rule_mwl") && col("rule_stop") && col("rule_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityFilterSql: String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens,
+       |  (n_tokens >= 20 AND n_tokens <= 80) AS rule_len,
+       |  (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5) AS rule_mwl,
+       |  (n_stop * 20 >= n_tokens) AS rule_stop,
+       |  (n_distinct * 2 >= n_tokens) AS rule_distinct,
+       |  ((n_tokens >= 20 AND n_tokens <= 80)
+       |   AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+       |   AND (n_stop * 20 >= n_tokens)
+       |   AND (n_distinct * 2 >= n_tokens)) AS keep
+       |FROM (SELECT doc_id,
+       |        CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
+       |        CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+       |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |      FROM (SELECT doc_id, text,
+       |              list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q87: head-vocabulary coverage filter (the OOV/noisiness signal a
+    * training pipeline runs before tokenizer fitting): phase 1 derives the
+    * corpus top-20 vocabulary (freq desc, token asc — a deterministic SET);
+    * phase 2 joins it back per token occurrence and scores each doc by how
+    * much of it is head-vocab mass. The derived dim is |head| rows →
+    * broadcast join; the doc-side shuffle carries (doc_id) partial counts
+    * only. Flag (cross-multiplied, exact): head coverage ≥ 75%. */
+  def qHeadCoverage(t: Tables): DataFrame = {
+    val tokens = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("token"))
+    val head = tokens.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+      .select(col("token"))
+    val n = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val nHead = tokens.join(broadcast(head), Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_head"))
+    n.join(nHead, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_head"), lit(0L)).as("n_head"))
+      .withColumn("head_ok", col("n_head") * 4 >= col("n_tokens") * 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val qHeadCoverageSql: String =
+    """WITH tokens AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS token
+      |  FROM documents),
+      |head AS (
+      |  SELECT token FROM tokens GROUP BY token
+      |  ORDER BY COUNT(*) DESC, token LIMIT 20)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) FILTER (WHERE t.token IN (SELECT token FROM head)) AS BIGINT) AS n_head,
+      |  (COUNT(*) FILTER (WHERE t.token IN (SELECT token FROM head)) * 4 >= COUNT(*) * 3) AS head_ok
+      |FROM tokens t GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Q88: per-domain document cap (the data-mixing "domain balancing" step:
+    * no single source may contribute more than K docs). Priority within a
+    * domain is a deterministic CONTENT hash (md5 — engine- and
+    * partitioning-independent, the q63 pattern) with doc_id as the
+    * duplicate-text tie-break, so the kept set is reproducible anywhere.
+    * Window + rank≤K is the WindowGroupLimit shape: at 100 TB the shuffle
+    * partitions by domain and each partition streams in sorted order —
+    * skewed domains fall out of AQE or a pre-salted two-phase top-K. */
+  def qDomainCap(t: Tables, cap: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(substring(md5(col("text")), 1, 16), col("doc_id"))
+    t.fanout(t.documents)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col("source"), col("rank").cast("long").as("rank"), col("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val qDomainCapSql: String =
+    """SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY substr(md5(text), 1, 16), doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
   val qNgramsSql: String =
     """SELECT doc_id,
       |  CAST(len(list_distinct([list_aggregate(toks[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(toks))])) AS BIGINT) AS n_distinct_2grams,

@@ -133,16 +133,20 @@ object Events {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    final case class UserAgg(n: Long, total: Double)
+    // State accumulates EXACT long cents (values are positive money-like
+    // doubles; Math.round(v*100) ≡ DuckDB round(value*100)::BIGINT for
+    // positive inputs on the same IEEE product) — so the final total is
+    // order-independent and the q74 gate entry can be hash-ORACLED against
+    // a batch SQL aggregate, not just rows-counted.
     events.select(col("user_id").as[Long], col("value").as[Double])
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
-          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
-          var n = n0; var t = t0
-          rows.foreach { case (_, v) => n += 1; t += v }
-          state.update((n, t))
-          Iterator.single((userId, n, math.rint(t * 100) / 100))
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Long)]) => {
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var cents = c0
+          rows.foreach { case (_, v) => n += 1; cents += math.round(v * 100) }
+          state.update((n, cents))
+          Iterator.single((userId, n, cents.toDouble / 100.0))
         })
       .toDF("user_id", "n_events", "total_value")
   }
@@ -192,4 +196,14 @@ object Events {
       .filter(col("rn") === 1).drop("rn")
       .orderBy(col("user_id"))
   }
+
+  /** q74 oracle: the final arbitrary-state totals ARE a batch aggregate —
+    * count + exact cents sum (values are 2-decimal money doubles; both
+    * engines compute round(v*100) on the same IEEE product, and the long
+    * cents sum is order-independent), so the streaming surface is held to
+    * a hash compare, not a rows count. */
+  val qStreamStateSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-pipeline gates: C4/Gopher quality filter, head-vocab
+  * coverage, per-domain cap. The oracle gate hash-checks the values; these
+  * specs pin the SEMANTIC invariants the hashes can't express. */
+class QualityPipelineSpec extends SparkSpec {
+
+  test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
+    val rows = TextAnalysis.qQualityFilter(sf0001).collect()
+    assert(rows.length == 500)
+    Seq("rule_len", "rule_mwl", "rule_stop", "rule_distinct").foreach { r =>
+      val i = rows.head.fieldIndex(r)
+      val passed = rows.count(_.getBoolean(i))
+      assert(passed > 0 && passed < rows.length, s"$r does not discriminate: $passed/500")
+    }
+    rows.foreach { r =>
+      val expect = r.getBoolean(r.fieldIndex("rule_len")) &&
+        r.getBoolean(r.fieldIndex("rule_mwl")) &&
+        r.getBoolean(r.fieldIndex("rule_stop")) &&
+        r.getBoolean(r.fieldIndex("rule_distinct"))
+      assert(r.getBoolean(r.fieldIndex("keep")) == expect)
+    }
+  }
+
+  test("q87: n_head ≤ n_tokens, every doc present, coverage flag matches the ratio") {
+    val rows = TextAnalysis.qHeadCoverage(sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      val h = r.getLong(r.fieldIndex("n_head"))
+      assert(h >= 0 && h <= n)
+      assert(r.getBoolean(r.fieldIndex("head_ok")) == (h * 4 >= n * 3))
+    }
+  }
+
+  test("q87: the head set is the corpus top-20 by frequency (broadcast dim is derived, not guessed)") {
+    import graft.functions.text
+    val tokens = sf0001.documents
+      .select(explode(text.tokenize(col("text"))).as("token"))
+    val top = tokens.groupBy("token").count()
+      .orderBy(col("count").desc, col("token")).limit(20)
+      .collect().map(_.getString(0)).toSet
+    // full-coverage docs must be subsets of the head set
+    val full = TextAnalysis.qHeadCoverage(sf0001)
+      .filter(col("n_head") === col("n_tokens"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(full.nonEmpty)
+    val fullToks = sf0001.documents
+      .filter(col("doc_id").isInCollection(full.take(5)))
+      .select(explode(text.tokenize(col("text"))).as("token"))
+      .collect().map(_.getString(0)).toSet
+    assert(fullToks.subsetOf(top))
+  }
+
+  test("q88: at most 10 docs per source, ranks contiguous from 1, deterministic across runs") {
+    val a = TextAnalysis.qDomainCap(sf0001).collect()
+    val b = TextAnalysis.qDomainCap(sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val bySource = a.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= 10, s"$src over cap")
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // sf0.001 has 500 docs over sources of 25 → every source capped at 10
+    assert(a.length == bySource.size * 10)
+  }
+}
