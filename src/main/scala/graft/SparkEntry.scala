@@ -120,6 +120,7 @@ object SparkEntry {
       "q86_quality_filter"   -> t(TextAnalysis.qQualityFilter),
       "q87_head_coverage"    -> t(TextAnalysis.qHeadCoverage),
       "q88_domain_cap"       -> t(TextAnalysis.qDomainCap(_)),
+      "q89_merge_upsert"     -> t(Relational.q89MergeUpsert),
     )
   }
 
@@ -198,5 +199,6 @@ object SparkEntry {
     "q86_quality_filter"   -> TextAnalysis.qQualityFilterSql,
     "q87_head_coverage"    -> TextAnalysis.qHeadCoverageSql,
     "q88_domain_cap"       -> TextAnalysis.qDomainCapSql,
+    "q89_merge_upsert"     -> Relational.q89Sql,
   )
 }

@@ -1017,4 +1017,55 @@ object Relational {
       |  CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Q89: MERGE/upsert semantics without a table format (the corpus-refresh
+    * shape: a nightly snapshot merged with an update batch). The update
+    * batch is DERIVED deterministically from the snapshot itself (every 7th
+    * customer gets a re-stated balance; key+1500 rows are inserts), so both
+    * engines see identical inputs. Plan shape: full outer join on the merge
+    * key + coalesce per column — at 100 TB this is one co-partitioned
+    * shuffle on the key (or zero with bucketed storage, BucketingSpec), vs
+    * a table format's file-level merge-on-read; action column makes the
+    * upsert auditable. */
+  def q89MergeUpsert(t: Tables): DataFrame = {
+    val snap = t.customer.select(col("c_custkey").as("key"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val updates = t.customer.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("u_key"),
+        col("c_name").as("u_name"),
+        (col("c_acctbal") + 1000.0).as("u_acctbal"))
+      .unionAll(t.customer.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1500000).as("u_key"),
+          concat(lit("NEW-"), col("c_name")).as("u_name"),
+          lit(0.0).as("u_acctbal")))
+    snap.join(updates, col("key") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("key"), col("u_key")).as("key"),
+        coalesce(col("u_name"), col("name")).as("name"),
+        // acctbal arithmetic is +1000.0 on a 2-decimal double — same IEEE
+        // op both engines, hash-safe raw
+        coalesce(col("u_acctbal"), col("acctbal")).as("acctbal"),
+        when(col("key").isNull, "insert")
+          .when(col("u_key").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy(col("key"))
+  }
+
+  val q89Sql: String =
+    """WITH snap AS (
+      |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer),
+      |updates AS (
+      |  SELECT c_custkey AS u_key, c_name AS u_name, c_acctbal + 1000.0 AS u_acctbal
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1500000 AS u_key, 'NEW-' || c_name AS u_name, 0.0 AS u_acctbal
+      |  FROM customer WHERE c_custkey % 100 = 0)
+      |SELECT COALESCE(key, u_key) AS key,
+      |  COALESCE(u_name, name) AS name,
+      |  COALESCE(u_acctbal, acctbal) AS acctbal,
+      |  CASE WHEN key IS NULL THEN 'insert'
+      |       WHEN u_key IS NULL THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM snap FULL OUTER JOIN updates ON key = u_key
+      |ORDER BY key""".stripMargin
 }
