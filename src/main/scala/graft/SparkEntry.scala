@@ -121,6 +121,7 @@ object SparkEntry {
       "q87_head_coverage"    -> t(TextAnalysis.qHeadCoverage),
       "q88_domain_cap"       -> t(TextAnalysis.qDomainCap(_)),
       "q89_merge_upsert"     -> t(Relational.q89MergeUpsert),
+      "q90_asof_native"      -> t(graft.plans.NativeAsOf.qAsOfNative),
     )
   }
 
@@ -200,5 +201,8 @@ object SparkEntry {
     "q87_head_coverage"    -> TextAnalysis.qHeadCoverageSql,
     "q88_domain_cap"       -> TextAnalysis.qDomainCapSql,
     "q89_merge_upsert"     -> Relational.q89Sql,
+    // q90 runs the NATIVE as-of exec against the same DuckDB ASOF oracle as
+    // the composed q58 — two independent implementations, one truth
+    "q90_asof_native"      -> AsOf.qAsOfJoinSql,
   )
 }

@@ -14,8 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session that already exists (extensions only bind at creation).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // ladder rung (c) whole-operator surface: the native as-of join's
+    // planner strategy (NativeAsOf.asOfJoin installs it lazily too)
+    ext.injectPlannerStrategy(_ => NativeAsOf.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -12,6 +12,27 @@ object GraftBridge {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** DataFrame over a custom LogicalPlan (Dataset.ofRows is private[sql]) —
+    * the entry point for library-defined logical operators (ladder rung (c)). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame (for building resolved custom
+    * nodes from user-facing Datasets). */
+  def analyzed(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Install an extra planner strategy on an already-built session. */
+  def addStrategy(spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ strategy
+  }
+
   /** Register a SQL function on an ALREADY-BUILT session (extensions via
     * spark.sql.extensions only bind at session creation; this is the
     * same-registry path for sessions that already exist). */
