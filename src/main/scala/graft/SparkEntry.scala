@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsOf, Clustering, Dedup, Multimodal, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
+import graft.ops.{AsOf, Clustering, Dedup, Layout, Multimodal, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -122,6 +122,10 @@ object SparkEntry {
       "q88_domain_cap"       -> t(TextAnalysis.qDomainCap(_)),
       "q89_merge_upsert"     -> t(Relational.q89MergeUpsert),
       "q90_asof_native"      -> t(graft.plans.NativeAsOf.qAsOfNative),
+
+      "q91_bucketed_join"    -> t(Layout.q91BucketedJoin),
+      "q92_passage_dedup"    -> t(TextAnalysis.qPassageDedup(_)),
+      "q93_partition_prune"  -> t(Layout.q93PartitionPrune),
     )
   }
 
@@ -204,5 +208,8 @@ object SparkEntry {
     // q90 runs the NATIVE as-of exec against the same DuckDB ASOF oracle as
     // the composed q58 — two independent implementations, one truth
     "q90_asof_native"      -> AsOf.qAsOfJoinSql,
+    "q91_bucketed_join"    -> Layout.q91Sql,
+    "q92_passage_dedup"    -> TextAnalysis.qPassageDedupSql,
+    "q93_partition_prune"  -> Layout.q93Sql,
   )
 }

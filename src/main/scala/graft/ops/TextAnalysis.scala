@@ -487,4 +487,69 @@ object TextAnalysis {
       |        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Q92: passage-level exact dedup with document reconstruction (the
+    * C4/RefinedWeb sub-document dedup step: boilerplate passages repeated
+    * across the corpus are dropped, documents are rebuilt from what
+    * survives). Unit = fixed window of `passageLen` tokens (the corpus has
+    * no newline/sentence structure to split on — TESTDATA). Keep-first rule
+    * is the exact-dedup contract: first (doc_id, position) occurrence of a
+    * passage wins, corpus-wide — including self-repeats inside a document.
+    *
+    * Scale shape: tokenize + chunk are per-row; the only shuffle is the
+    * hash partition on passage text for the row_number window (O(n)
+    * passages, same as exact dedup q31 — at 100 TB swap the raw passage for
+    * its 128-bit hash to shrink the shuffle payload; text kept here so the
+    * oracle can replay reconstruction). Rebuild is a groupBy(doc_id)
+    * collect of the KEPT passages only — bounded by document length. */
+  def qPassageDedup(t: Tables, passageLen: Int = 10): DataFrame = {
+    val p = passageLen
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    // chunk ids 0..ceil(n/p)-1; sequence() flips to a DESCENDING range when
+    // n = 0 (start > stop), so guard the empty-doc case to an empty array
+    val chunks = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) = 0 THEN cast(array() as array<string>)
+           |ELSE transform(sequence(0, cast(ceil(size(toks) / $p.0) as int) - 1),
+           |               i -> array_join(slice(toks, i * $p + 1, $p), ' '))
+           |END""".stripMargin)).as(Seq("idx", "passage")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("passage")).orderBy(col("doc_id"), col("idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        // collect_list drops the nulls from the unmatched WHEN branch —
+        // only kept passages reach the rebuild; sort restores text order
+        sort_array(collect_list(when(col("rn") === 1,
+          struct(col("idx"), col("passage"))))).as("kept"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(array_join(expr("transform(kept, x -> x.passage)"), " "))
+          .as("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qPassageDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS INT) AS idx,
+      |    array_to_string(list_slice(toks, i * 10 + 1, (i + 1) * 10), ' ') AS passage
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS i
+      |        FROM toks)),
+      |ranked AS (
+      |  SELECT doc_id, idx, passage,
+      |    ROW_NUMBER() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+      |  FROM chunks)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_passages,
+      |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+      |  string_agg(passage, ' ' ORDER BY idx) FILTER (WHERE rn = 1) AS dedup_text
+      |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

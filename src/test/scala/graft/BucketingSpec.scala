@@ -46,4 +46,52 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
   }
+
+  test("q91: gate query's bucketed SMJ has no exchange and matches plain join") {
+    val t = sf0001
+    val joined = ops.Layout.bucketedJoined(t)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed gate join still shuffles a side:\n" + plan.take(2000))
+
+    val viaBuckets = ops.Layout.q91BucketedJoin(t).collect()
+    val plain = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+      .collect()
+    assert(viaBuckets.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("q93: lang-partitioned layout prunes to the filtered partitions") {
+    val t = sf0001
+    val read = ops.Layout.partitionPrunedScan(t)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    // result parity with the unpartitioned original
+    val expected = t.documents.filter(col("lang").isin("en", "de")).count()
+    assert(read.count() == expected && expected > 0)
+  }
+
+  test("q92: passage dedup keeps exactly the distinct passages, null on empty") {
+    val t = sf0001
+    val out = ops.TextAnalysis.qPassageDedup(t).cache()
+    val keptTotal = out.agg(sum("n_kept")).head.getLong(0)
+    // corpus-wide keep-first ⇒ kept passages = distinct passages
+    val toks = t.documents.select(col("doc_id"),
+      graft.functions.text.tokenize(col("text")).as("toks"))
+    val nDistinct = toks.select(explode(expr(
+      """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
+        |           i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)).as("p"))
+      .select("p").distinct().count()
+    assert(keptTotal == nDistinct, s"kept $keptTotal vs distinct $nDistinct")
+    // dedup_text is null exactly when nothing survives
+    assert(out.filter(col("n_kept") === 0 && col("dedup_text").isNotNull).count() == 0)
+    assert(out.filter(col("n_kept") > 0 && col("dedup_text").isNull).count() == 0)
+    out.unpersist()
+  }
 }
