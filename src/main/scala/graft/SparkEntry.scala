@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{AsOf, Clustering, Dedup, Layout, Multimodal, Pipeline, Relational, Similarity, Summarize, TextAnalysis}
+import graft.ops.{AsOf, Clustering, Dedup, Layout, Multimodal, Pipeline, Profiling, Relational, Similarity, Summarize, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -126,6 +126,7 @@ object SparkEntry {
       "q91_bucketed_join"    -> t(Layout.q91BucketedJoin),
       "q92_passage_dedup"    -> t(TextAnalysis.qPassageDedup(_)),
       "q93_partition_prune"  -> t(Layout.q93PartitionPrune),
+      "q94_profile"          -> t(Profiling.q94Profile),
     )
   }
 
@@ -211,5 +212,6 @@ object SparkEntry {
     "q91_bucketed_join"    -> Layout.q91Sql,
     "q92_passage_dedup"    -> TextAnalysis.qPassageDedupSql,
     "q93_partition_prune"  -> Layout.q93Sql,
+    "q94_profile"          -> Profiling.q94Sql,
   )
 }

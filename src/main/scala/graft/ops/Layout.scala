@@ -73,6 +73,17 @@ object Layout {
     (liName, ordName)
   }
 
+  /** Build both laid-out copies (idempotent, cached per JVM). Bench calls
+    * this in its sfDir warmup so q91/q93 measure QUERY time off the layout,
+    * not the one-time ingest write the layout amortizes away — mirroring a
+    * cluster where the bucketed/partitioned table already exists. Verify
+    * (correctness) still pays it inline, which is fine: results are
+    * layout-independent. */
+  def prepare(t: Tables): Unit = {
+    ensureBucketed(t)
+    ensurePartitionedDocs(t)
+  }
+
   /** The co-located join itself, pre-aggregation — exposed so BucketingSpec
     * can assert the physical plan has no Exchange under the join. The merge
     * hint forces the sort-merge path (a broadcast would also skip the
