@@ -127,6 +127,7 @@ object SparkEntry {
       "q92_passage_dedup"    -> t(TextAnalysis.qPassageDedup(_)),
       "q93_partition_prune"  -> t(Layout.q93PartitionPrune),
       "q94_profile"          -> t(Profiling.q94Profile),
+      "q95_dedup_quality"    -> t(Dedup.qDedupQuality(_)),
     )
   }
 

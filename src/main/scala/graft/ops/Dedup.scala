@@ -129,9 +129,14 @@ object Dedup {
 
   /** MinHash-LSH near-dup detection with exact verify — the 100 TB dedup.
     * Emits verified pairs with exact character-shingle Jaccard. */
-  def qDedupMinhashLsh(t: Tables): DataFrame = {
-    val cands = lshCandidatePairs(t.documents, "text", "doc_id")
-    val sh = t.fanout(t.documents).select(col("doc_id"),
+  def qDedupMinhashLsh(t: Tables): DataFrame =
+    minhashVerifiedPairs(t, t.documents)
+
+  /** The LSH+verify pipeline over an arbitrary document slice (q34 runs it
+    * corpus-wide; q95 re-runs it on the audit slice). */
+  private def minhashVerifiedPairs(t: Tables, docs: DataFrame): DataFrame = {
+    val cands = lshCandidatePairs(docs, "text", "doc_id")
+    val sh = t.fanout(docs).select(col("doc_id"),
       fasthash.shingleSetUdf(8)(col("text")).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -465,4 +470,102 @@ object Dedup {
       |)
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------- dedup-quality audit
+
+  /** Exact all-pairs shingle-Jaccard over a (bounded) slice via the
+    * triangle block-grid (the cosinePairsBlocked shape for text):
+    * each doc goes to the B block-pairs touching its block, every grid
+    * cell compares its two blocks locally — distributed, no cross join,
+    * no collect. Jaccard matches the LSH verify arithmetic bit-for-bit
+    * (dedup'd shingle arrays, ROUND_HALF_UP to 6). O(n²/B) work per cell —
+    * the EXACT kernel, so callers bound n (audit slice), not the engine. */
+  private[graft] def jaccardPairsBlocked(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, shingleLen: Int = 8,
+      nBlocks: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val rows = df
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("tx"))
+      .as[(Long, String)]
+      .map { case (id, tx) => (id, fasthash.shingleSet(tx, shingleLen)) }
+    rows.flatMap { case (id, sh) =>
+      val b = math.floorMod(id, B).toInt
+      Iterator.range(0, B).map(o => (math.min(b, o) * B + math.max(b, o), b, id, sh))
+    }.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val i = (key / B).toInt
+        val j = (key % B).toInt
+        val arr = it.toArray
+        def jac(a: Array[String], b: Array[String]): Double = {
+          if (a.isEmpty && b.isEmpty) return 0.0
+          val sa = a.toSet
+          var inter = 0
+          b.foreach(x => if (sa.contains(x)) inter += 1)
+          val union = math.max(a.length + b.length - inter, 1)
+          BigDecimal(inter.toDouble / union)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        def compare(p: (Int, Int, Long, Array[String]),
+            q: (Int, Int, Long, Array[String])): Unit = {
+          val s = jac(p._4, q._4)
+          if (s >= threshold)
+            out += (if (p._3 < q._3) (p._3, q._3, s) else (q._3, p._3, s))
+        }
+        if (i == j) {
+          var p = 0
+          while (p < arr.length) {
+            var q = p + 1
+            while (q < arr.length) { compare(arr(p), arr(q)); q += 1 }
+            p += 1
+          }
+        } else {
+          val li = arr.filter(_._2 == i)
+          val lj = arr.filter(_._2 == j)
+          var p = 0
+          while (p < li.length) {
+            var q = 0
+            while (q < lj.length) { compare(li(p), lj(q)); q += 1 }
+            p += 1
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** Q95: dedup-quality audit — near-dup LSH recall made driver-visible
+    * (the q40/q56 recall_at_k pattern applied to the dedup block). Ground
+    * truth: EXACT all-pairs shingle-Jaccard ≥ 0.5 on a FIXED audit slice
+    * (first 500 doc ids), via the blocked kernel above. Candidates: the
+    * production MinHash-LSH + exact-verify path (q34's exact machinery)
+    * restricted to the same slice. One output row: pair counts + recall.
+    * The slice is constant by contract, so the audit costs O(1) as the
+    * corpus grows — the standard recall-monitoring step a pipeline runs
+    * per corpus drop before trusting its LSH parameters. Rows-only under
+    * the gate (MinHash isn't DuckDB-replayable); DedupSpec pins the floor
+    * and the hit⊆true invariant. */
+  def qDedupQuality(t: Tables, sliceN: Long = 500,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = t.documents.filter(col("doc_id") < sliceN)
+    val truePairs = jaccardPairsBlocked(docs, "text", "doc_id", threshold)
+      .select(col("id_a"), col("id_b"))
+    val lshPairs = minhashVerifiedPairs(t, docs)
+      .select(col("id_a"), col("id_b"))
+    val hits = truePairs.join(lshPairs, Seq("id_a", "id_b"), "left_semi")
+    truePairs.select(lit("true").as("k"))
+      .unionAll(lshPairs.select(lit("lsh").as("k")))
+      .unionAll(hits.select(lit("hit").as("k")))
+      .agg(
+        count(when(col("k") === "true", 1)).as("n_true_pairs"),
+        count(when(col("k") === "lsh", 1)).as("n_lsh_pairs"),
+        count(when(col("k") === "hit", 1)).as("n_hit_pairs"))
+      .withColumn("recall",
+        when(col("n_true_pairs") === 0, lit(1.0))
+          .otherwise(round(col("n_hit_pairs").cast("double") /
+            col("n_true_pairs").cast("double"), 6)))
+  }
 }

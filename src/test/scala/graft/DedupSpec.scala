@@ -118,4 +118,16 @@ class DedupSpec extends SparkSpec {
     assert(g.agg(sum("n_copies")).head().getLong(0) == n)
     assert(g.select("keep_id").distinct().count() == g.count())
   }
+
+  test("q95: dedup-quality audit — hits are a subset, recall above floor") {
+    val row = Dedup.qDedupQuality(sf0001).head()
+    val (nTrue, nLsh, nHit, recall) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    info(s"n_true=$nTrue n_lsh=$nLsh n_hit=$nHit recall=$recall")
+    assert(nTrue > 0, "audit slice has no true near-dup pairs")
+    assert(nHit <= nTrue && nHit <= nLsh)
+    // 16 bands x 4 rows: collision prob ~1 for the planted high-jaccard
+    // dups; threshold-straddling pairs may be missed, hence a floor
+    assert(recall >= 0.8, s"LSH recall $recall below floor")
+  }
 }
