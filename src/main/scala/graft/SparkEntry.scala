@@ -128,6 +128,7 @@ object SparkEntry {
       "q93_partition_prune"  -> t(Layout.q93PartitionPrune),
       "q94_profile"          -> t(Profiling.q94Profile),
       "q95_dedup_quality"    -> t(Dedup.qDedupQuality(_)),
+      "q96_sequence_pack"    -> t(TextAnalysis.qSequencePack(_)),
     )
   }
 
@@ -214,5 +215,6 @@ object SparkEntry {
     "q92_passage_dedup"    -> TextAnalysis.qPassageDedupSql,
     "q93_partition_prune"  -> Layout.q93Sql,
     "q94_profile"          -> Profiling.q94Sql,
+    "q96_sequence_pack"    -> TextAnalysis.qSequencePackSql,
   )
 }

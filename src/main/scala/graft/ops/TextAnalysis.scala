@@ -552,4 +552,51 @@ object TextAnalysis {
       |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
       |  string_agg(passage, ' ' ORDER BY idx) FILTER (WHERE rn = 1) AS dedup_text
       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Q96: sequence packing — the pre-training step that bins documents
+    * into fixed token-budget training sequences (pack-then-truncate
+    * convention: a boundary-straddling document goes to the bin its FIRST
+    * token lands in, so a bin may overflow by one document's tail).
+    * Deterministic contract: docs pack in doc_id order within fixed
+    * 1000-id shards; a shard's packing depends only on its own docs, so
+    * shards pack in parallel and re-runs/backfills are reproducible —
+    * the global-cumsum alternative would serialize the corpus through one
+    * partition AND re-pack everything when any upstream doc changes.
+    * Shuffle: one window per shard (hash on shard id) + the final
+    * O(sequences) aggregate. fill_ratio is one IEEE division — raw. */
+  def qSequencePack(t: Tables, budget: Int = 256, shardSize: Long = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    t.fanout(t.documents)
+      .select(col("doc_id"),
+        size(text.tokenize(col("text"))).cast("long").as("n_tokens"))
+      // integer division, not floor(double /): exact at any id/count scale
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_tok div $budget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / lit(budget.toDouble))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
+  val qSequencePackSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+      |    CAST(doc_id // 1000 AS BIGINT) AS shard
+      |  FROM documents),
+      |packed AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS start_tok
+      |  FROM toks)
+      |SELECT shard, CAST(start_tok // 256 AS BIGINT) AS seq_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(n_tokens) AS DOUBLE) / 256.0 AS fill_ratio
+      |FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
 }

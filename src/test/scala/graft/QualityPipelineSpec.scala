@@ -67,4 +67,28 @@ class QualityPipelineSpec extends SparkSpec {
     // sf0.001 has 500 docs over sources of 25 → every source capped at 10
     assert(a.length == bySource.size * 10)
   }
+
+  test("q96: sequence packing conserves docs/tokens and packs contiguously") {
+    val t = sf0001
+    val out = TextAnalysis.qSequencePack(t).collect()
+    val docs = t.documents.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs)
+    val totalToks = t.documents
+      .select(size(graft.functions.text.tokenize(col("text"))).cast("long").as("nt"))
+      .agg(sum(col("nt"))).head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    // within a shard, bins cover disjoint contiguous doc-id ranges in order
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getAs[Long]("seq_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+    // packing is tight: every bin that is not a shard tail starts a doc
+    // within `budget` of the previous bin (fill ratio near 1)
+    val nonTail = out.filter(_.getAs[Double]("fill_ratio") >= 1.0)
+    assert(nonTail.length > 0, "no bin ever reached the budget")
+  }
 }
