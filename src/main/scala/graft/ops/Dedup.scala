@@ -537,23 +537,69 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  /** Exact one-sided audit pairs: every pair (a, b), a < b, jaccard ≥
+    * threshold whose SMALLER endpoint is in the audit slice (id < sliceN) —
+    * i.e. the true-pair population incident to the slice, found in ONE
+    * corpus scan against the broadcast slice. The slice's shingle sets are
+    * a driver parameter-fetch bounded by the constant sliceN (~1 MB at
+    * 500 docs — same class as the ≤1024 broadcast kernel rung), so the
+    * audit costs one scan with sliceN comparisons per row regardless of
+    * corpus size. Jaccard arithmetic matches the LSH verify bit-for-bit
+    * (dedup'd shingles, HALF_UP round 6). */
+  private[graft] def auditTruePairs(t: Tables, sliceN: Long,
+      threshold: Double, shingleLen: Int = 8): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val slice: Array[(Long, Array[String])] = t.documents
+      .filter(col("doc_id") < sliceN)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+      .map { case (id, tx) => (id, fasthash.shingleSet(tx, shingleLen)) }
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(slice)
+    t.fanout(t.documents)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        // materialize each slice set once per partition, not per row-pair
+        val sl = bc.value.map { case (sid, arr) => (sid, arr.toSet, arr.length) }
+        rows.flatMap { case (id, tx) =>
+          val sh = fasthash.shingleSet(tx, shingleLen)
+          val out = Seq.newBuilder[(Long, Long)]
+          var i = 0
+          // compare against slice entries with smaller id only: emits each
+          // incident pair exactly once, canonical (min, max)
+          while (i < sl.length && sl(i)._1 < id) {
+            val (sid, sa, slen) = sl(i)
+            var inter = 0
+            sh.foreach(x => if (sa.contains(x)) inter += 1)
+            val union = math.max(slen + sh.length - inter, 1)
+            val jac = BigDecimal(inter.toDouble / union)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (jac >= threshold) out += ((sid, id))
+            i += 1
+          }
+          out.result().iterator
+        }
+      }.toDF("id_a", "id_b")
+  }
+
   /** Q95: dedup-quality audit — near-dup LSH recall made driver-visible
     * (the q40/q56 recall_at_k pattern applied to the dedup block). Ground
-    * truth: EXACT all-pairs shingle-Jaccard ≥ 0.5 on a FIXED audit slice
-    * (first 500 doc ids), via the blocked kernel above. Candidates: the
-    * production MinHash-LSH + exact-verify path (q34's exact machinery)
-    * restricted to the same slice. One output row: pair counts + recall.
-    * The slice is constant by contract, so the audit costs O(1) as the
-    * corpus grows — the standard recall-monitoring step a pipeline runs
-    * per corpus drop before trusting its LSH parameters. Rows-only under
-    * the gate (MinHash isn't DuckDB-replayable); DedupSpec pins the floor
-    * and the hit⊆true invariant. */
+    * truth: the EXACT pair population incident to a fixed 500-id audit
+    * slice (auditTruePairs — one corpus scan, sampling each true pair with
+    * known probability). Candidates: the production corpus-wide
+    * MinHash-LSH + exact-verify path (q34's machinery) restricted to the
+    * same incident population. One output row: pair counts + recall — the
+    * recall-monitoring step a pipeline runs per corpus drop before
+    * trusting its LSH parameters. Rows-only under the gate (MinHash isn't
+    * DuckDB-replayable); DedupSpec pins the floor, the hit⊆true
+    * invariant, and cross-validates the audit kernel against the
+    * independent blocked exact kernel. */
   def qDedupQuality(t: Tables, sliceN: Long = 500,
       threshold: Double = 0.5): DataFrame = {
-    val docs = t.documents.filter(col("doc_id") < sliceN)
-    val truePairs = jaccardPairsBlocked(docs, "text", "doc_id", threshold)
-      .select(col("id_a"), col("id_b"))
-    val lshPairs = minhashVerifiedPairs(t, docs)
+    val truePairs = auditTruePairs(t, sliceN, threshold)
+    val lshPairs = minhashVerifiedPairs(t, t.documents)
+      .filter(col("id_a") < sliceN)
       .select(col("id_a"), col("id_b"))
     val hits = truePairs.join(lshPairs, Seq("id_a", "id_b"), "left_semi")
     truePairs.select(lit("true").as("k"))

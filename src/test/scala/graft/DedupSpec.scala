@@ -130,4 +130,19 @@ class DedupSpec extends SparkSpec {
     // dups; threshold-straddling pairs may be missed, hence a floor
     assert(recall >= 0.8, s"LSH recall $recall below floor")
   }
+
+  test("q95: audit kernel agrees with the independent blocked exact kernel") {
+    // two exact all-pairs implementations, one truth: at sf0.001 the
+    // 500-id slice covers the whole corpus, so the one-sided audit scan
+    // must equal the triangle block-grid kernel's pair set exactly
+    val docs = sf0001.documents
+    val audit = Dedup.auditTruePairs(sf0001, 500, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.jaccardPairsBlocked(docs, "text", "doc_id", 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(audit == blocked,
+      s"only-audit=${audit -- blocked} only-blocked=${blocked -- audit}")
+    assert(audit.nonEmpty)
+  }
 }
