@@ -129,6 +129,7 @@ object SparkEntry {
       "q94_profile"          -> t(Profiling.q94Profile),
       "q95_dedup_quality"    -> t(Dedup.qDedupQuality(_)),
       "q96_sequence_pack"    -> t(TextAnalysis.qSequencePack(_)),
+      "q97_interval_join"    -> t(AsOf.q97IntervalJoin),
     )
   }
 
@@ -216,5 +217,6 @@ object SparkEntry {
     "q93_partition_prune"  -> Layout.q93Sql,
     "q94_profile"          -> Profiling.q94Sql,
     "q96_sequence_pack"    -> TextAnalysis.qSequencePackSql,
+    "q97_interval_join"    -> AsOf.q97Sql,
   )
 }

@@ -100,4 +100,49 @@ object AsOf {
       |  ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '30 minutes'
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
+  /** Q97: interval join WITHOUT an equi key — the pattern a naive plan
+    * turns into BroadcastNestedLoopJoin (O(n·m) compares: the scale trap).
+    * The scale shape is BIN BUCKETIZATION: quantize both sides to
+    * fixed-width time bins (here calendar days; a multi-day interval
+    * explodes into one row per covered bin), equi-join on the bin, then
+    * apply the exact range as a residual filter. The join becomes
+    * hash/broadcast-equi — shuffle O(n + windows·bins_per_window) — and
+    * each event meets only same-bin windows instead of all of them.
+    * Windows here are derived from the data (every 3rd calendar day's
+    * 06:00-18:00), disjoint by construction; AsOfSpec asserts plan shape
+    * (no BNLJ) and row-parity with the direct inequality join. */
+  def q97IntervalJoin(t: Tables): DataFrame = {
+    val ev = t.events
+    val windows = ev.select(to_date(col("ts")).as("d")).distinct()
+      .filter(dayofmonth(col("d")) % 3 === 0)
+      .select(col("d").cast("string").as("window_id"),
+        (col("d").cast("timestamp") + expr("INTERVAL 6 HOURS")).as("w_start"),
+        (col("d").cast("timestamp") + expr("INTERVAL 18 HOURS")).as("w_end"),
+        col("d").as("bin"))
+    ev.select(col("event_id"), col("ts"), col("value"),
+        to_date(col("ts")).as("bin"))
+      .join(broadcast(windows), Seq("bin"))
+      .filter(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  /** The oracle runs the DIRECT inequality join — different plan, same
+    * rows — proving the bucketized rewrite is semantics-preserving. */
+  val q97Sql: String =
+    """WITH windows AS (
+      |  SELECT CAST(d AS VARCHAR) AS window_id,
+      |         d + INTERVAL 6 HOUR AS w_start,
+      |         d + INTERVAL 18 HOUR AS w_end
+      |  FROM (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events)
+      |  WHERE day(d) % 3 = 0)
+      |SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN windows w
+      |  ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_end
+      |GROUP BY window_id ORDER BY window_id""".stripMargin
 }
