@@ -754,6 +754,46 @@ object Relational {
       |   OR (l_returnflag = 'R' AND h < '20')
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q100: weighted (probability-proportional-to-size) sampling with a
+    * Horvitz–Thompson estimate — the importance-sampling shape a training
+    * pipeline uses to over-sample high-value documents while keeping
+    * estimates unbiased. Inclusion test is INTEGER-EXACT cross-engine:
+    * accept row i iff the first 4 md5 hex chars of its content key are
+    * lexicographically below the 4-hex-digit rendering of w_i·26 (fixed-
+    * width lowercase hex compare ≡ integer compare, no float in the
+    * membership decision ⇒ the oracle can never drift by an ulp). So
+    * p_i = w_i·26/65536 with w = l_quantity ∈ [1,50]. Like q63/q65 the
+    * predicate is a pure scan-stage filter: no shuffle before the final
+    * 3-group aggregate — the 100 TB way to draw a weighted dev slice.
+    * ht_rows_est = Σ 1/p_i (per-row exact IEEE division; cross-partition
+    * sum order-dependent ⇒ round(2)). */
+  def q100WeightedSample(t: Tables): DataFrame = weightedSampleAgg(t.lineitem)
+
+  /** Kernel on a raw lineitem frame — split out so the spec can prove the
+    * sample is partitioning-invariant (same rows from any physical layout). */
+  private[graft] def weightedSampleAgg(lineitem: DataFrame): DataFrame =
+    lineitem
+      .withColumn("h4", substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))), 1, 4))
+      .filter(col("h4") < format_string("%04x", (col("l_quantity") * 26).cast("int")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(lit(65536.0) / (lit(26.0) * col("l_quantity"))), 2).as("ht_rows_est"))
+      .orderBy(col("l_returnflag"))
+
+  val q100Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+      |  SUM(l_quantity) AS sum_qty,
+      |  round(SUM(65536.0 / (26.0 * l_quantity)), 2) AS ht_rows_est
+      |FROM lineitem
+      |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |      || '-' || CAST(l_partkey AS VARCHAR)), 1, 4)
+      |      < printf('%04x', CAST(l_quantity * 26 AS INT))
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Q66: typed per-group top-k via the bounded-buffer Aggregator
     * (functions.TopKAggregator) — partial+final aggregation with ≤k rows of
     * state per group per partition instead of a per-partition sort. The

@@ -583,6 +583,90 @@ object TextAnalysis {
       .orderBy(col("shard"), col("seq_id"))
   }
 
+  /** Q98: unigram entropy + top-word fraction per document — the
+    * Gopher/RefinedWeb-style statistical quality gates (low entropy or a
+    * dominant single word ⇒ boilerplate / keyword-stuffed page). Two hash
+    * aggregates over exploded tokens: shuffle O(Σ distinct words per doc)
+    * then O(docs) — linear, no joins, survives 100 TB unchanged. Entropy
+    * uses the factored form H = log2(n) − Σ c·log2(c) / n so the per-term
+    * values stay integer-argument log2s; the cross-partition sum is
+    * aggregation-order-dependent ⇒ round(6) (the established discipline).
+    * top_word_frac is one IEEE division of exact integers ⇒ emitted raw. */
+  def qEntropy(t: Tables): DataFrame =
+    t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        round(
+          log2(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log2(col("c").cast("double"))) /
+              sum(col("c")).cast("double"), 6).as("entropy"),
+        (max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("top_word_frac"))
+      .orderBy(col("doc_id"))
+
+  val qEntropySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS token
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, token, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  round(log2(CAST(SUM(c) AS DOUBLE))
+      |        - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
+    * fixed `size`-token windows every `stride` tokens, so passage
+    * boundaries can't hide a span — the complement of q92's disjoint
+    * passages). Emits a compact per-doc signature (ordered concat of each
+    * chunk's md5 prefix) instead of the chunk rows themselves, so the
+    * oracle verifies every chunk's exact text at O(docs) output. Chunk
+    * construction is per-row over the token array (O(tokens) work, each
+    * token lands in ≤ size/stride chunks); the only shuffle is the final
+    * per-doc aggregate — linear end to end. */
+  def qSlidingChunks(t: Tables, size: Int = 8, stride: Int = 4): DataFrame = {
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    // sequence() flips to a DESCENDING range when start > stop — guard the
+    // short-doc case (fewer than `size` tokens ⇒ zero full windows)
+    val chunks = toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) < $size THEN cast(array() as array<string>)
+           |ELSE transform(sequence(0, (size(toks) - $size) div $stride),
+           |               i -> array_join(slice(toks, i * $stride + 1, $size), ' '))
+           |END""".stripMargin)).as(Seq("idx", "chunk")))
+    chunks
+      .withColumn("sig4", substring(md5(col("chunk")), 1, 4))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(idx, sig4))), x -> x.sig4)"),
+          "").as("sig"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSlidingChunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, CAST(i AS INT) AS idx,
+      |    array_to_string(list_slice(toks, i * 4 + 1, i * 4 + 8), ' ') AS chunk
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(CASE WHEN len(toks) >= 8 THEN (len(toks) - 8) // 4 + 1 ELSE 0 END)) AS i
+      |        FROM toks))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  string_agg(substr(md5(chunk), 1, 4), '' ORDER BY idx) AS sig
+      |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val qSequencePackSql: String =
     """WITH toks AS (
       |  SELECT doc_id,

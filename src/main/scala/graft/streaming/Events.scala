@@ -197,6 +197,62 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Q101: watermarked stream-stream range join under the driver gate —
+    * runs the click→purchase attribution join (same semantics as batch
+    * q59) as a REAL Structured Streaming job: file-source stream read
+    * twice (clicks / purchases branches), 1-hour watermarks on both sides
+    * bounding join state, event-time range predicate, AvailableNow pass,
+    * memory sink. An inner stream-stream join's append-mode output equals
+    * the batch join's rows, so this streaming surface is hash-ORACLED
+    * against the batch range-join SQL (StreamingSpec proves the same
+    * equality in-process). At scale the watermark is the state bound:
+    * each side buffers only rows younger than watermark + range width. */
+  def qStreamJoin(t: Tables): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    val path = s"${t.sfDir}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-join")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    try {
+      // nanos-as-long schema + the same ts conversion Tables.events applies
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def ev = spark.readStream.schema(schema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+      val qname = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val sq = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val result = spark.table(qname)
+      val collected = spark.createDataFrame(result.collectAsList(), result.schema)
+      spark.catalog.dropTempView(qname)
+      collected.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    } finally {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
+  /** q101 oracle: identical to the batch range join's SQL (q59 shape) —
+    * the streaming job must reproduce it row-for-row. */
+  val qStreamJoinSql: String = graft.ops.AsOf.qRangeJoinSql
+
   /** q74 oracle: the final arbitrary-state totals ARE a batch aggregate —
     * count + exact cents sum (values are 2-decimal money doubles; both
     * engines compute round(v*100) on the same IEEE product, and the long

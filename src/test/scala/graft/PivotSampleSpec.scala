@@ -72,4 +72,20 @@ class PivotSampleSpec extends SparkSpec {
         s"pair ($x,$y) spans two representatives")
     }
   }
+
+  test("q100: weighted sample is partitioning-invariant and weight-monotone") {
+    val t = sf0001
+    val base = ops.Relational.q100WeightedSample(t).collect()
+    // deterministic under a different physical layout (hash membership,
+    // not TABLESAMPLE): identical aggregates after an 11-way repartition
+    val reparted = ops.Relational.weightedSampleAgg(t.lineitem.repartition(11))
+    assert(reparted.collect().toSeq == base.toSeq)
+    // PPS property: the sampled mean quantity must exceed the population
+    // mean (heavier rows are more likely to be drawn)
+    val sampledMean = base.map(r => r.getDouble(r.fieldIndex("sum_qty"))).sum /
+      base.map(_.getLong(1)).sum
+    val popMean = t.lineitem.agg(avg(col("l_quantity"))).head.getDouble(0)
+    assert(sampledMean > popMean,
+      s"PPS sample mean $sampledMean not above population mean $popMean")
+  }
 }

@@ -91,4 +91,46 @@ class QualityPipelineSpec extends SparkSpec {
     val nonTail = out.filter(_.getAs[Double]("fill_ratio") >= 1.0)
     assert(nonTail.length > 0, "no bin ever reached the budget")
   }
+
+  test("q98: entropy obeys 0 ≤ H ≤ log2(n) with uniform/constant extremes; one doc recomputed by hand") {
+    val rows = TextAnalysis.qEntropy(sf0001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      val h = r.getDouble(r.fieldIndex("entropy"))
+      val f = r.getDouble(r.fieldIndex("top_word_frac"))
+      // entropy is rounded to 6 decimals, so the uniform-doc maximum can
+      // overshoot log2(n) by up to half an ulp of the rounding grid
+      assert(h >= -1e-6 && h <= math.log(n.toDouble) / math.log(2.0) + 1e-6,
+        s"doc ${r.getLong(0)}: H=$h out of [0, log2($n)]")
+      assert(f > 0.0 && f <= 1.0)
+      // a dominant word forces low entropy relative to the uniform max
+      if (f > 0.5) assert(h < math.log(n.toDouble) / math.log(2.0) * 0.9)
+    }
+    // hand-recompute one document from raw tokens (independent path)
+    val doc0 = sf0001.documents.filter(col("doc_id") === 0)
+      .select(graft.functions.text.tokenize(col("text"))).head.getSeq[String](0)
+    val counts = doc0.groupBy(identity).map(_._2.size.toDouble)
+    val n0 = doc0.size.toDouble
+    val expected = counts.map(c => -(c / n0) * (math.log(c / n0) / math.log(2.0))).sum
+    val got = rows.find(_.getLong(0) == 0L).get
+    assert(math.abs(got.getDouble(got.fieldIndex("entropy")) - expected) < 1e-5)
+  }
+
+  test("q99: chunk count matches the sliding-window formula; signature is 4 hex chars per chunk") {
+    val t = sf0001
+    val rows = TextAnalysis.qSlidingChunks(t).collect()
+    val tokCounts = t.documents
+      .select(col("doc_id"), size(graft.functions.text.tokenize(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // only docs with at least one full window appear
+    assert(rows.map(_.getLong(0)).toSet == tokCounts.filter(_._2 >= 8).keySet)
+    rows.foreach { r =>
+      val n = tokCounts(r.getLong(0))
+      val expect = (n - 8) / 4 + 1
+      assert(r.getLong(r.fieldIndex("n_chunks")) == expect.toLong)
+      val sig = r.getString(r.fieldIndex("sig"))
+      assert(sig.length == 4 * expect && sig.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    }
+  }
 }
