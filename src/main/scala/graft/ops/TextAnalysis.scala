@@ -667,6 +667,38 @@ object TextAnalysis {
       |  string_agg(substr(md5(chunk), 1, 4), '' ORDER BY idx) AS sig
       |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q103: corpus heavy hitters via the native SpaceSaving aggregate
+    * (functions.SpaceSavingTopK — a Catalyst TypedImperativeAggregate:
+    * bounded O(capacity) partial buffers, mergeable across partitions; the
+    * 100 TB frequent-item shape where an exact groupBy's shuffle would
+    * carry the whole vocabulary). The corpus vocabulary (31 terms,
+    * TESTDATA) is below capacity=64, so the sketch runs in its provably
+    * EXACT regime (no eviction ⇒ est = true count, err = 0) and the
+    * DuckDB hash gate verifies the aggregate's full update / merge /
+    * serialize / eval path; SketchSpec exercises the approximate regime
+    * on 2-grams. */
+  def qHeavyHitters(t: Tables): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val sketch = GraftBridge.column(
+      graft.functions.SpaceSavingTopK(
+        GraftBridge.expression(col("token")), 64).toAggregateExpression())
+    t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("token"))
+      .agg(sketch.as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "e")))
+      .filter(col("pos") < 10)
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("e.item").as("term"), col("e.est").as("freq"))
+      .orderBy(col("rank"))
+  }
+
+  val qHeavyHittersSql: String =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS BIGINT) AS rank,
+      |  term, COUNT(*)::BIGINT AS freq
+      |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY rank LIMIT 10""".stripMargin
+
   val qSequencePackSql: String =
     """WITH toks AS (
       |  SELECT doc_id,

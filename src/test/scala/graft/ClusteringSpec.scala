@@ -67,6 +67,29 @@ class ClusteringSpec extends SparkSpec {
     res.foreach(r => assert(membership.contains((r.getString(0), r.getLong(2)))))
   }
 
+  test("q102 pure-plan TF-IDF matches the spark.ml CountVectorizer+IDF pipeline") {
+    import org.apache.spark.ml.feature.{CountVectorizer, IDF}
+    import org.apache.spark.ml.linalg.SparseVector
+    val t = sf0001
+    val docs = t.documents
+      .withColumn("tokens", graft.functions.text.tokenize(col("text")))
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(docs)
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(cv.transform(docs))
+    val ml = idf.transform(cv.transform(docs)).select(col("doc_id"), col("tfidf"))
+      .collect().map(r => r.getLong(0) -> r.getAs[SparseVector](1)).toMap
+    val rows = Clustering.qTfidfExact(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sv = ml(r.getLong(0))
+      val norm = math.sqrt(sv.values.map(x => x * x).sum)
+      val top = if (sv.values.isEmpty) 0.0 else sv.values.max / norm
+      assert(r.getLong(r.fieldIndex("n_terms")) == sv.indices.length.toLong)
+      assert(math.abs(r.getDouble(r.fieldIndex("l2_norm")) - norm) < 1e-5,
+        s"doc ${r.getLong(0)}: plan norm ${r.getDouble(r.fieldIndex("l2_norm"))} vs ml $norm")
+      assert(math.abs(r.getDouble(r.fieldIndex("top_score")) - top) < 1e-5)
+    }
+  }
+
   test("joined summaries are rank-ordered concatenations") {
     val sents = sf0001.documents.filter(col("doc_id") < 50)
       .select(col("source"), col("doc_id"), col("text"))

@@ -17,6 +17,69 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("space-saving exact regime (capacity ≥ vocab): sketch equals groupBy counts, err = 0") {
+    import org.apache.spark.sql.GraftBridge
+    val toks = sf0001.documents
+      .select(explode(graft.functions.text.tokenize(col("text"))).as("tok"))
+    val exact = toks.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = toks.agg(GraftBridge.column(
+        graft.functions.SpaceSavingTopK(
+          GraftBridge.expression(col("tok")), 64).toAggregateExpression()).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err")).collect()
+    assert(sk.length == exact.size)
+    sk.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)), s"${r.getString(0)} est != exact")
+      assert(r.getLong(2) == 0L)
+    }
+  }
+
+  test("space-saving approximate regime (2-grams, capacity 16): invariants + heavy-hitter guarantee") {
+    import org.apache.spark.sql.GraftBridge
+    val grams = sf0001.documents
+      .select(graft.functions.text.tokenize(col("text")).as("toks"))
+      .select(explode(graft.functions.text.ngrams(col("toks"), 2)).as("g"))
+    val exact = grams.groupBy(col("g")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(exact.size > 16, s"need eviction pressure, vocab ${exact.size}")
+    val cap = 16
+    val sk = grams.agg(GraftBridge.column(
+        graft.functions.SpaceSavingTopK(
+          GraftBridge.expression(col("g")), cap).toAggregateExpression()).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err")).collect()
+    assert(sk.length == cap)
+    // total stream weight is conserved across partial buffers + merges
+    assert(sk.map(_.getLong(1)).sum == n)
+    sk.foreach { r =>
+      val t = exact(r.getString(0))
+      assert(r.getLong(1) >= t, s"${r.getString(0)}: est below true")
+      assert(r.getLong(1) - r.getLong(2) <= t, s"${r.getString(0)}: est-err above true")
+    }
+    // mergeable-summary guarantee: anything truly heavier than 2n/cap survives
+    val present = sk.map(_.getString(0)).toSet
+    exact.filter(_._2 > 2L * n / cap).keys.foreach { g =>
+      assert(present.contains(g), s"heavy 2-gram '$g' missing from sketch")
+    }
+  }
+
+  test("space-saving finds the dominant item in a skewed synthetic stream at capacity 8") {
+    import org.apache.spark.sql.GraftBridge
+    import spark.implicits._
+    val rows = (Seq.fill(1000)("hot") ++ (1 to 200).map(i => s"cold_$i")).toDF("x")
+      .repartition(13) // adversarial partitioning: force real merges
+    val sk = rows.agg(GraftBridge.column(
+        graft.functions.SpaceSavingTopK(
+          GraftBridge.expression(col("x")), 8).toAggregateExpression()).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err")).collect()
+    val top = sk.maxBy(_.getLong(1))
+    assert(top.getString(0) == "hot")
+    assert(top.getLong(1) >= 1000L && top.getLong(1) - top.getLong(2) <= 1000L)
+  }
+
   test("t-digest approx percentiles near the exact interpolated values (q60 vs q51)") {
     val approx = Relational.qApproxPercentile(sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
