@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.functions._
+
+/** Funnel / cohort-retention semantics the hash gate can't express:
+  * monotonicity, an independent driver-side recompute of the funnel walk,
+  * and cohort conservation laws. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("q104: stage counts are monotone and match an independent per-user walk") {
+    val t = sf0001
+    val row = EventAnalytics.qFunnel(t).head()
+    val (n1, n2, n3) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(n1 >= n2 && n2 >= n3)
+    assert(n1 > 0)
+
+    // independent recompute: walk each user's sorted events directly
+    val byUser = t.events.select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    val windowMs = 12L * 3600 * 1000
+    var (c1, c2, c3) = (0L, 0L, 0L)
+    byUser.values.foreach { evs =>
+      val t1 = evs.filter(_._2 == "view").map(_._3.getTime).minOption
+      t1.foreach { v =>
+        c1 += 1
+        val t2 = evs.filter(e => e._2 == "click" && e._3.getTime >= v &&
+          e._3.getTime < v + windowMs).map(_._3.getTime).minOption
+        t2.foreach { c =>
+          c2 += 1
+          val t3 = evs.filter(e => e._2 == "purchase" && e._3.getTime >= c &&
+            e._3.getTime < c + windowMs).map(_._3.getTime).minOption
+          t3.foreach(_ => c3 += 1)
+        }
+      }
+    }
+    assert((n1, n2, n3) == ((c1, c2, c3)),
+      s"plan ($n1,$n2,$n3) vs driver walk ($c1,$c2,$c3)")
+  }
+
+  test("q105: day-0 rows conserve users and activity never exceeds cohort size") {
+    val t = sf0001
+    val rows = EventAnalytics.qRetention(t).collect()
+    val day0 = rows.filter(_.getInt(1) == 0)
+      .map(r => r.getDate(0) -> r.getLong(2)).toMap
+    // every cohort has a day-0 row (a user is active on their first day)
+    val cohorts = rows.map(_.getDate(0)).distinct
+    assert(cohorts.forall(day0.contains))
+    // all cohort day-0 sizes sum to the distinct-user population
+    val users = t.events.select(col("user_id")).distinct().count()
+    assert(day0.values.sum == users)
+    // no (cohort, offset) cell can exceed its cohort's size; offsets ≥ 0
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0)
+      assert(r.getLong(2) <= day0(r.getDate(0)))
+    }
+  }
+}
