@@ -79,6 +79,60 @@ object EventAnalytics {
       .orderBy(col("cohort"), col("day_offset"))
   }
 
+  /** Q106: sessionization by inactivity gap (gaps-and-islands: a >30 min
+    * pause starts a new session — the window-function form, complementing
+    * q48's session_window aggregate) + path mining: each session's first 5
+    * event types concatenated in (ts, event_id) order, top-20 paths by
+    * session count. Shuffles: user (lag window) → user+session (path
+    * build) → path (count) — all linear, final top-k is
+    * TakeOrderedAndProject. Counts exact, tie-break on path string. */
+  def qSessionPaths(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      // integer MICROSECONDS on both engines (unix_micros ⇔ epoch_us):
+      // second-truncated casts disagree with fractional epoch() exactly at
+      // the 30 min boundary
+      .withColumn("gap", when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 1800L * 1000000L, 1)
+        .otherwise(lit(0)))
+      .withColumn("session_id", sum(col("gap")).over(byUser))
+      .withColumn("step", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("ts"), col("event_id"))))
+    sessions.filter(col("step") <= 5)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(step, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val qSessionPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS gap
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM flagged),
+      |stepped AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS step
+      |  FROM sess),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY step) AS path
+      |  FROM stepped WHERE step <= 5 GROUP BY user_id, session_id)
+      |SELECT path, COUNT(*)::BIGINT AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   val qRetentionSql: String =
     """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
       |first AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)

@@ -40,6 +40,34 @@ class EventAnalyticsSpec extends SparkSpec {
       s"plan ($n1,$n2,$n3) vs driver walk ($c1,$c2,$c3)")
   }
 
+  test("q106: top session paths match an independent driver-side sessionization") {
+    val t = sf0001
+    val got = EventAnalytics.qSessionPaths(t).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // independent recompute with plain Scala collections
+    val evs = t.events.select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val gapUs = 1800L * 1000000L
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+    val paths = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (micros(r._4), r._2))
+      val sessions = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[String])
+      var prevUs = Long.MinValue
+      sorted.foreach { r =>
+        val us = micros(r._4)
+        if (prevUs != Long.MinValue && us - prevUs > gapUs)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += r._3
+        prevUs = us
+      }
+      sessions.map(_.take(5).mkString(">"))
+    }
+    val expect = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == expect, s"got ${got.take(3)}… expected ${expect.take(3)}…")
+  }
+
   test("q105: day-0 rows conserve users and activity never exceeds cohort size") {
     val t = sf0001
     val rows = EventAnalytics.qRetention(t).collect()
