@@ -133,6 +133,38 @@ object EventAnalytics {
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  /** Q107: volume-anomaly detection — daily event counts per type against
+    * the type's own mean/stddev (the pipeline-health monitor: a scraper
+    * dying or a bot flood shows up as |z| spikes). Two aggregates + a
+    * 5-row broadcast join; counts exact, z = (n−μ)/σ round(6) (μ is an
+    * exact-int mean; σ's accumulation order differs cross-engine in the
+    * low bits — the established round(6) case). */
+  def qVolumeAnomaly(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(avg(col("n").cast("double")).as("mu"),
+        stddev_samp(col("n").cast("double")).as("sigma"))
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("d"), col("n"),
+        round((col("n").cast("double") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val qVolumeAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, AVG(CAST(n AS DOUBLE)) AS mu,
+      |         stddev_samp(CAST(n AS DOUBLE)) AS sigma
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.d, d.n,
+      |  round((CAST(d.n AS DOUBLE) - s.mu) / s.sigma, 6) AS z
+      |FROM daily d JOIN stats s ON d.event_type = s.event_type
+      |ORDER BY d.event_type, d.d""".stripMargin
+
   val qRetentionSql: String =
     """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
       |first AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)

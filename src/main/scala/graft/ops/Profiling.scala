@@ -94,4 +94,73 @@ object Profiling {
         "CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)"),
     ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
+
+  /** Q108: distribution-drift monitor — Laplace-smoothed Population
+    * Stability Index of events.value between the first and second half of
+    * the time range (the check a pipeline runs between snapshots before
+    * retraining: PSI > 0.2 ⇒ the feature moved). Reference deciles come
+    * from an exact NTILE over the first half (total order on (value,
+    * event_id) ⇒ identical decile membership on any engine); the second
+    * half is binned against the first half's decile upper bounds via a
+    * 10-arm CASE ladder (bounds are 10 driver-collected doubles — a
+    * broadcast-scalar pattern, not a data join; an inequality join against
+    * the bounds would plan the NLJ this repo bans). Halving point is
+    * integer MICROSECONDS ((min+max)/2 — exact both engines). p's are
+    * ratios of exact ints with +0.5/+5 smoothing (no empty-decile infs);
+    * psi_term = (p2−p1)·ln(p2/p1) round(6).
+    * Scale note: the global NTILE sorts one half in a single task — at
+    * 100 TB swap the exact decile bounds for approx_percentile cut points
+    * (one pass, no global sort); kept exact here so the oracle replays
+    * bit-identical membership. */
+  def qDriftPsi(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events.select(col("event_id"), col("value"),
+      unix_micros(col("ts")).as("us"))
+    val mm = ev.agg(min(col("us")), max(col("us"))).head()
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+    val h1 = ev.filter(col("us") < mid)
+      .withColumn("dec", ntile(10).over(Window.orderBy(col("value"), col("event_id"))))
+    val bounds = h1.groupBy(col("dec")).agg(max(col("value")).as("hi"))
+      .orderBy(col("dec")).collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val p1 = h1.groupBy(col("dec")).agg(count(lit(1)).as("n1"))
+    val decCase = bounds.foldRight(lit(10): Column) { case ((d, hi), acc) =>
+      when(col("value") <= hi, d).otherwise(acc)
+    }
+    // foldRight builds when(<=hi1,1).otherwise(when(<=hi2,2)...(10)) — the
+    // arms must test ascending bounds first, which foldRight preserves
+    val p2 = ev.filter(col("us") >= mid)
+      .withColumn("dec", decCase)
+      .groupBy(col("dec")).agg(count(lit(1)).as("n2"))
+    val all = Window.partitionBy()
+    p1.join(p2, Seq("dec"), "left")
+      .withColumn("n2", coalesce(col("n2"), lit(0L)))
+      .withColumn("p1s", (col("n1").cast("double") + 0.5) /
+        (sum(col("n1")).over(all).cast("double") + 5.0))
+      .withColumn("p2s", (col("n2").cast("double") + 0.5) /
+        (sum(col("n2")).over(all).cast("double") + 5.0))
+      .select(col("dec").cast("long").as("dec"), col("n1"), col("n2"),
+        round((col("p2s") - col("p1s")) * log(col("p2s") / col("p1s")), 6)
+          .as("psi_term"))
+      .orderBy(col("dec"))
+  }
+
+  val qDriftPsiSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM ev),
+      |h1 AS (SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS dec
+      |       FROM ev, mid WHERE us < m),
+      |bounds AS (SELECT dec, MAX(value) AS hi FROM h1 GROUP BY dec),
+      |p1 AS (SELECT dec, COUNT(*)::BIGINT AS n1 FROM h1 GROUP BY dec),
+      |h2 AS (SELECT COALESCE((SELECT MIN(b.dec) FROM bounds b WHERE ev.value <= b.hi), 10) AS dec
+      |       FROM ev, mid WHERE us >= m),
+      |p2 AS (SELECT dec, COUNT(*)::BIGINT AS n2 FROM h2 GROUP BY dec),
+      |j AS (SELECT p1.dec, p1.n1, COALESCE(p2.n2, 0) AS n2
+      |      FROM p1 LEFT JOIN p2 ON p1.dec = p2.dec)
+      |SELECT dec, n1, n2,
+      |  round(((CAST(n2 AS DOUBLE) + 0.5) / (SUM(CAST(n2 AS DOUBLE)) OVER () + 5.0)
+      |         - (CAST(n1 AS DOUBLE) + 0.5) / (SUM(CAST(n1 AS DOUBLE)) OVER () + 5.0))
+      |        * ln(((CAST(n2 AS DOUBLE) + 0.5) / (SUM(CAST(n2 AS DOUBLE)) OVER () + 5.0))
+      |             / ((CAST(n1 AS DOUBLE) + 0.5) / (SUM(CAST(n1 AS DOUBLE)) OVER () + 5.0))), 6) AS psi_term
+      |FROM j ORDER BY dec""".stripMargin
 }

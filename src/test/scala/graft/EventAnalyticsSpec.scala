@@ -68,6 +68,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == expect, s"got ${got.take(3)}… expected ${expect.take(3)}…")
   }
 
+  test("q107: z-scores are centered per type and flag the extremes") {
+    val rows = EventAnalytics.qVolumeAnomaly(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      // z of a column against its own mean/std: sums to ~0, spread to ~1
+      val zs = rs.map(r => r.getDouble(r.fieldIndex("z")))
+      assert(math.abs(zs.sum) < 1e-3, s"$tpe: z does not center, sum=${zs.sum}")
+      val sampleVar = zs.map(z => z * z).sum / (zs.length - 1)
+      assert(math.abs(sampleVar - 1.0) < 1e-3, s"$tpe: z variance $sampleVar")
+    }
+  }
+
+  test("q108: PSI deciles conserve both halves and stay small on stationary data") {
+    val t = sf0001
+    val rows = graft.ops.Profiling.qDriftPsi(t).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val total = t.events.count()
+    assert(rows.map(_.getLong(1)).sum + rows.map(_.getLong(2)).sum == total)
+    // first-half deciles are near-equal by construction (NTILE)
+    val n1s = rows.map(_.getLong(1))
+    assert(n1s.max - n1s.min <= 1)
+    // synthetic values are stationary across halves: total PSI below the
+    // conventional 0.1 "no shift" line
+    val psi = rows.map(r => r.getDouble(r.fieldIndex("psi_term"))).sum
+    assert(psi < 0.1, s"unexpected drift: PSI=$psi")
+  }
+
   test("q105: day-0 rows conserve users and activity never exceeds cohort size") {
     val t = sf0001
     val rows = EventAnalytics.qRetention(t).collect()
