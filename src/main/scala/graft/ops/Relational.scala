@@ -650,6 +650,34 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Q109: HLL sketch MATERIALIZATION + reuse (Spark 4 DataSketches
+    * surface) — the 100 TB distinct-count pattern: build one compact
+    * sketch per fine-grained slice (here per day) in a single scan, then
+    * answer ANY coarser rollup (week, month, arbitrary ranges) by merging
+    * sketches — no rescan of the raw data, and the weekly shuffle carries
+    * |days| × ~1 KB sketch bytes instead of |events| user ids. The exact
+    * countDistinct column exists to exhibit the error envelope (and is
+    * what a test harness compares; estimates are engine-specific ⇒
+    * rows-only entry, q23 precedent — SketchSpec pins the ≤5% envelope
+    * and the union≡direct-sketch consistency). */
+  def qHllRollup(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), to_date(col("ts")).as("d"))
+    val daily = ev.groupBy(col("d"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    daily
+      .groupBy(weekofyear(col("d")).as("week"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"))
+      .join(
+        ev.groupBy(weekofyear(col("d")).as("week"))
+          .agg(countDistinct(col("user_id")).as("exact_users")),
+        Seq("week"))
+      .select(col("week").cast("long").as("week"), col("n_days"),
+        col("approx_users"), col("exact_users"))
+      .orderBy(col("week"))
+  }
+
   /** Q61: pivot (wide aggregation) — one pass, map-side combine on the
     * (flag, status) pair, then the pivot is a projection of the grouped
     * result. Pivot values are DECLARED (Seq("F","O")) so Spark skips the

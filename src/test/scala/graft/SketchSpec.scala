@@ -17,6 +17,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q109 HLL rollup: merged daily sketches within 5% of exact, and ≡ direct weekly sketch") {
+    val t = sf0001
+    val rows = Relational.qHllRollup(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getLong(r.fieldIndex("approx_users")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_users")).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"week ${r.getLong(0)}: approx $approx vs exact $exact")
+    }
+    // sketch-reuse consistency: union of per-day sketches estimates the
+    // same as one sketch built directly over the week's raw ids
+    val direct = t.events
+      .groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val viaUnion = r.getLong(r.fieldIndex("approx_users")).toDouble
+      val viaDirect = direct(r.getLong(0)).toDouble
+      assert(math.abs(viaUnion - viaDirect) / viaDirect < 0.02,
+        s"week ${r.getLong(0)}: union $viaUnion vs direct $viaDirect")
+    }
+  }
+
   test("space-saving exact regime (capacity ≥ vocab): sketch equals groupBy counts, err = 0") {
     import org.apache.spark.sql.GraftBridge
     val toks = sf0001.documents

@@ -110,6 +110,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming agg resumes from checkpoint exactly-once across restarts") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val t = sf0001
+    val inDir = Files.createTempDirectory("resume-in")
+    val ckpt = Files.createTempDirectory("resume-ckpt")
+    val stage = Files.createTempDirectory("resume-stage")
+    try {
+      // two halves of events written as two single-file parquet drops
+      // (ts already micros here — no nanos handling needed on re-read)
+      val ev = t.events.select(col("event_type"), col("value"), col("event_id"))
+      def writeHalf(dfFilter: org.apache.spark.sql.Column, name: String): java.nio.file.Path = {
+        val out = stage.resolve(name + "-dir")
+        ev.filter(dfFilter).coalesce(1).write.parquet(out.toString)
+        val part = Files.list(out).filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        part
+      }
+      val f1 = writeHalf(col("event_id") % 2 === 0, "h1")
+      val f2 = writeHalf(col("event_id") % 2 =!= 0, "h2")
+      val schema = spark.read.parquet(f1.toString).schema
+
+      def runOnce(qn: String): org.apache.spark.sql.DataFrame = {
+        val q = spark.readStream.schema(schema).parquet(inDir.toString)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table(qn)
+      }
+
+      Files.copy(f1, inDir.resolve("batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val afterRun1 = runOnce("resume_run1").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactH1 = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(afterRun1 == exactH1, "first run must aggregate exactly the first drop")
+
+      // second drop lands; a NEW query restarts from the SAME checkpoint
+      Files.copy(f2, inDir.resolve("batch2.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val afterRun2 = runOnce("resume_run2").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactAll = ev.groupBy(col("event_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // restart recovered the state store AND processed only the new file:
+      // double-counting batch1 would overshoot exactAll
+      assert(afterRun2 == exactAll,
+        s"resume must be exactly-once: got $afterRun2 expected $exactAll")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+      rm(inDir); rm(ckpt); rm(stage)
+    }
+  }
+
   test("batch session windows match hand-computed islands on a tiny input") {
     import spark.implicits._
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
