@@ -699,6 +699,44 @@ object TextAnalysis {
       |      FROM documents)
       |GROUP BY term ORDER BY rank LIMIT 10""".stripMargin
 
+  /** Q110: corpus-LM quality scoring (the CCNet-style filter: score each
+    * document by its average negative log-probability under a unigram LM
+    * fit on the corpus itself — atypical/garbled pages score high). The
+    * LM "fit" is one word-count aggregate; scoring is tf ⋈ broadcast(LM)
+    * (at 100 TB the unigram table is |vocab| rows — always the broadcast
+    * side) + one per-doc aggregate. No smoothing needed: scoring the
+    * training corpus means every term has f ≥ 1. avg_neg_logp uses the
+    * factored form (ln N · n − Σ c·ln f)/n so per-term floats are
+    * integer-argument lns; cross-partition sum ⇒ round(6). */
+  def qUnigramLogprob(t: Tables): DataFrame = {
+    val tok = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val f = tok.groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val n = tok.count()
+    tf.join(broadcast(f), "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        round((log(lit(n.toDouble)) * sum(col("c")).cast("double")
+          - sum(col("c").cast("double") * log(col("f").cast("double"))))
+          / sum(col("c")).cast("double"), 6).as("avg_neg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qUnigramLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+      |f AS (SELECT term, COUNT(*)::BIGINT AS f FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*)::BIGINT AS n FROM tok)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  round((ln(CAST(n.n AS DOUBLE)) * CAST(SUM(c) AS DOUBLE)
+      |         - SUM(CAST(c AS DOUBLE) * ln(CAST(f.f AS DOUBLE)))) / CAST(SUM(c) AS DOUBLE), 6) AS avg_neg_logp
+      |FROM tf JOIN f USING (term), n GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin
+
   val qSequencePackSql: String =
     """WITH toks AS (
       |  SELECT doc_id,

@@ -117,6 +117,32 @@ class QualityPipelineSpec extends SparkSpec {
     assert(math.abs(got.getDouble(got.fieldIndex("entropy")) - expected) < 1e-5)
   }
 
+  test("q110: LM score is bounded by the corpus cross-entropy extremes and recomputes by hand") {
+    val t = sf0001
+    val rows = TextAnalysis.qUnigramLogprob(t).collect()
+    assert(rows.length == 500)
+    // global bounds: -ln(max_p) ≤ score ≤ -ln(min_p)
+    val freqs = t.documents
+      .select(explode(graft.functions.text.tokenize(col("text"))).as("w"))
+      .groupBy(col("w")).count().collect().map(_.getLong(1))
+    val n = freqs.sum.toDouble
+    val lo = -math.log(freqs.max / n)
+    val hi = -math.log(freqs.min / n)
+    rows.foreach { r =>
+      val s = r.getDouble(r.fieldIndex("avg_neg_logp"))
+      assert(s >= lo - 1e-6 && s <= hi + 1e-6, s"doc ${r.getLong(0)}: $s outside [$lo,$hi]")
+    }
+    // hand-recompute doc 0 from raw tokens + corpus counts
+    val fmap = t.documents
+      .select(explode(graft.functions.text.tokenize(col("text"))).as("w"))
+      .groupBy(col("w")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks0 = t.documents.filter(col("doc_id") === 0)
+      .select(graft.functions.text.tokenize(col("text"))).head.getSeq[String](0)
+    val expected = toks0.map(w => -math.log(fmap(w) / n)).sum / toks0.size
+    val got = rows.find(_.getLong(0) == 0L).get.getDouble(2)
+    assert(math.abs(got - expected) < 1e-5, s"doc0 $got vs $expected")
+  }
+
   test("q99: chunk count matches the sliding-window formula; signature is 4 hex chars per chunk") {
     val t = sf0001
     val rows = TextAnalysis.qSlidingChunks(t).collect()
