@@ -737,6 +737,53 @@ object TextAnalysis {
       |         - SUM(CAST(c AS DOUBLE) * ln(CAST(f.f AS DOUBLE)))) / CAST(SUM(c) AS DOUBLE), 6) AS avg_neg_logp
       |FROM tf JOIN f USING (term), n GROUP BY doc_id, n.n ORDER BY doc_id""".stripMargin
 
+  /** Q111: collocation mining — top adjacent-pair PMI with a min-count
+    * floor (the tokenizer-prep / phrase-detection statistic: which word
+    * pairs co-occur far above chance). pmi = ln(N·c(a,b)/(f(a)·f(b))) with
+    * unigram marginals. Bigram build is per-row over the token array; the
+    * only shuffles are the two count aggregates; marginals join back as
+    * broadcasts (|vocab| rows at any corpus size). Ranking orders by the
+    * ROUNDED pmi (identical on both engines) with a (a,b) tie-break, so
+    * the top-20 cut is deterministic cross-engine. */
+  def qPmiCollocations(t: Tables, minCount: Long = 5): DataFrame = {
+    val toks = t.fanout(t.documents)
+      .select(text.tokenize(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bf = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val nb = pairs.count()
+    bf.filter(col("c") >= minCount)
+      .join(broadcast(uf.withColumnRenamed("w", "a").withColumnRenamed("f", "fa")), "a")
+      .join(broadcast(uf.withColumnRenamed("w", "b").withColumnRenamed("f", "fb")), "b")
+      .select(col("a"), col("b"), col("c"),
+        round(log(lit(nb.toDouble) * col("c").cast("double") /
+          (col("fa").cast("double") * col("fb").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val qPmiCollocationsSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |uni AS (SELECT unnest(toks) AS w FROM toks),
+      |uf AS (SELECT w, COUNT(*)::BIGINT AS f FROM uni GROUP BY w),
+      |bi AS (SELECT toks[i] AS a, toks[i+1] AS b
+      |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM toks)),
+      |bf AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM bi GROUP BY a, b),
+      |n AS (SELECT COUNT(*)::BIGINT AS nb FROM bi)
+      |SELECT bf.a, bf.b, bf.c,
+      |  round(ln(CAST(n.nb AS DOUBLE) * CAST(bf.c AS DOUBLE)
+      |           / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE))), 6) AS pmi
+      |FROM bf JOIN uf fa ON bf.a = fa.w JOIN uf fb ON bf.b = fb.w, n
+      |WHERE bf.c >= 5
+      |ORDER BY pmi DESC, bf.a, bf.b LIMIT 20""".stripMargin
+
   val qSequencePackSql: String =
     """WITH toks AS (
       |  SELECT doc_id,

@@ -143,6 +143,34 @@ class QualityPipelineSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-5, s"doc0 $got vs $expected")
   }
 
+  test("q111: PMI values recompute from independent bigram/unigram counts") {
+    val t = sf0001
+    val rows = TextAnalysis.qPmiCollocations(t).collect()
+    assert(rows.length > 0 && rows.length <= 20)
+    // independent recompute with plain Scala collections
+    val toks = t.documents.select(graft.functions.text.tokenize(col("text")))
+      .collect().map(_.getSeq[String](0))
+    val uf = toks.flatten.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val bis = toks.flatMap(ts => ts.zip(ts.drop(1)))
+    val bf = bis.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    val nb = bis.length.toDouble
+    rows.foreach { r =>
+      val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(bf((a, b)) == c, s"bigram count mismatch for ($a,$b)")
+      val expected = math.log(nb * c / (uf(a).toDouble * uf(b).toDouble))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-5,
+        s"($a,$b): pmi ${r.getDouble(3)} vs $expected")
+    }
+    // the emitted list is the true top-20 under (round(pmi,6) desc, a, b)
+    val all = bf.filter(_._2 >= 5).map { case ((a, b), c) =>
+      val pmi = BigDecimal(math.log(nb * c / (uf(a).toDouble * uf(b).toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c, pmi)
+    }.toSeq.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      all.map(e => (e._1, e._2)))
+  }
+
   test("q99: chunk count matches the sliding-window formula; signature is 4 hex chars per chunk") {
     val t = sf0001
     val rows = TextAnalysis.qSlidingChunks(t).collect()
