@@ -667,6 +667,123 @@ object TextAnalysis {
       |  string_agg(substr(md5(chunk), 1, 4), '' ORDER BY idx) AS sig
       |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q112: the composed training-data pipeline — the LLM analog of q50's
+    * news pipeline, chaining the blocks this engine exists for in their
+    * production order and reporting per-stage survival:
+    *   1. quality gate (q86's four Gopher-style rules)
+    *   2. corpus-wide exact dedup, keep-first (q31 shape)
+    *   3. benchmark decontamination: drop any training doc sharing a word
+    *      8-gram with the held-out eval slice (q79 shape; the eval slice
+    *      itself never enters training)
+    *   4. sequence packing into 256-token budget bins (q96 shape)
+    * Every stage keeps its scale shape from the standalone query (linear
+    * scans, equi-joins on hash/gram keys, one window per shard); output is
+    * 4 rows of pure-integer conservation stats, so the composition itself
+    * is under the hash gate — composing operators must not change any
+    * stage's semantics. */
+  def qTrainPipeline(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = text.tokenize(col("text"))
+    val base = t.fanout(t.documents).select(col("doc_id"), col("text"))
+    val quality = base.select(col("doc_id"), col("text"),
+        size(toksCol).cast("long").as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+          .cast("long").as("n_tok_chars"),
+        size(filter(toksCol, tk => tk.isInCollection(text.stopwords)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toksCol)).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 80 &&
+        col("n_tok_chars") >= col("n_tokens") * 4 &&
+        col("n_tok_chars") <= col("n_tokens") * 5 &&
+        col("n_stop") * 20 >= col("n_tokens") &&
+        col("n_distinct") * 2 >= col("n_tokens"))
+      .select(col("doc_id"), col("text"), col("n_tokens"))
+    val deduped = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val grams = graft.functions.fasthash.distinctNgramsUdf(8)(col("text"))
+    val evalGrams = base.filter(col("doc_id") % 97 === 0)
+      .select(explode(grams).as("gram")).distinct()
+    val trainCand = deduped.filter(col("doc_id") % 97 =!= 0)
+    val contaminated = trainCand.select(col("doc_id"), explode(grams).as("gram"))
+      .join(evalGrams, "gram").select(col("doc_id")).distinct()
+    val clean = trainCand.join(contaminated, Seq("doc_id"), "left_anti")
+    val packed = clean
+      .withColumn("shard", expr("doc_id div 1000"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_tok div 256"))
+    def stage(id: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(id.toLong).as("stage"), lit(name).as("name"),
+          col("n_docs"), col("n_tokens"), lit(0L).as("n_sequences"))
+    val st4 = packed.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("nt")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_sequences"))
+      .select(lit(4L).as("stage"), lit("packed").as("name"),
+        col("n_docs"), col("n_tokens"), col("n_sequences"))
+    stage(1, "quality", quality)
+      .union(stage(2, "deduped", deduped))
+      .union(stage(3, "decontaminated", clean))
+      .union(st4)
+      .orderBy(col("stage"))
+  }
+
+  val qTrainPipelineSql: String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, text, toks,
+       |          CAST(len(toks) AS BIGINT) AS nt,
+       |          CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS nc,
+       |          CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS ns,
+       |          CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+       |        FROM base)
+       |  WHERE nt >= 20 AND nt <= 80 AND nc >= nt * 4 AND nc <= nt * 5
+       |    AND ns * 20 >= nt AND nd * 2 >= nt),
+       |dd AS (
+       |  SELECT doc_id, text, n_tokens
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+       |  WHERE rn = 1),
+       |eg AS (
+       |  SELECT DISTINCT unnest(list_distinct([list_aggregate(toks[i:i+7], 'string_agg', ' ') FOR i IN range(1, len(toks) - 6)])) AS gram
+       |  FROM base WHERE doc_id % 97 = 0),
+       |cand AS (SELECT dd.*, b.toks FROM dd JOIN base b USING (doc_id) WHERE doc_id % 97 != 0),
+       |bad AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(list_distinct([list_aggregate(toks[i:i+7], 'string_agg', ' ') FOR i IN range(1, len(toks) - 6)])) AS gram
+       |        FROM cand) c JOIN eg ON c.gram = eg.gram),
+       |clean AS (SELECT doc_id, n_tokens FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |packed AS (
+       |  SELECT doc_id // 1000 AS shard, n_tokens,
+       |    (SUM(n_tokens) OVER (PARTITION BY doc_id // 1000 ORDER BY doc_id) - n_tokens) // 256 AS seq_id
+       |  FROM clean),
+       |st4 AS (
+       |  SELECT CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n_docs,
+       |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_sequences
+       |  FROM (SELECT shard, seq_id, COUNT(*)::BIGINT AS nd, SUM(n_tokens) AS nt
+       |        FROM packed GROUP BY shard, seq_id))
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens, CAST(0 AS BIGINT) AS n_sequences FROM q
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'deduped', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT), CAST(0 AS BIGINT) FROM dd
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT), CAST(0 AS BIGINT) FROM clean
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), 'packed', n_docs, n_tokens, n_sequences FROM st4)
+       |ORDER BY stage""".stripMargin
+  }
+
   /** Q103: corpus heavy hitters via the native SpaceSaving aggregate
     * (functions.SpaceSavingTopK — a Catalyst TypedImperativeAggregate:
     * bounded O(capacity) partial buffers, mergeable across partitions; the

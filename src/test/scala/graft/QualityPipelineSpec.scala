@@ -117,6 +117,23 @@ class QualityPipelineSpec extends SparkSpec {
     assert(math.abs(got.getDouble(got.fieldIndex("entropy")) - expected) < 1e-5)
   }
 
+  test("q112: composed pipeline stages are monotone and match the standalone operators") {
+    val t = sf0001
+    val rows = TextAnalysis.qTrainPipeline(t).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byStage = rows.map(r => r.getLong(0) ->
+      (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_tokens")))).toMap
+    // survival is monotone non-increasing through quality → dedup → decon
+    assert(byStage(1)._1 >= byStage(2)._1 && byStage(2)._1 >= byStage(3)._1)
+    // packing conserves the decontaminated set exactly
+    assert(byStage(4) == byStage(3))
+    val nSeqs = rows.last.getLong(rows.last.fieldIndex("n_sequences"))
+    assert(nSeqs > 0 && nSeqs <= byStage(3)._1)
+    // stage-1 parity with the standalone quality filter
+    val q86keep = TextAnalysis.qQualityFilter(t).filter(col("keep")).count()
+    assert(byStage(1)._1 == q86keep, s"stage1 ${byStage(1)._1} vs q86 $q86keep")
+  }
+
   test("q110: LM score is bounded by the corpus cross-entropy extremes and recomputes by hand") {
     val t = sf0001
     val rows = TextAnalysis.qUnigramLogprob(t).collect()
