@@ -221,7 +221,10 @@ object Events {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      def ev = spark.readStream.schema(schema).parquet(dir.toString)
+      // one source definition shared by both branches (self-join on a
+      // streaming DF is supported; measured equal to two sources — the
+      // query's cost is join state-store tasks, not the file scan)
+      val ev = spark.readStream.schema(schema).parquet(dir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
