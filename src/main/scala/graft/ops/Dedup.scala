@@ -395,6 +395,93 @@ object Dedup {
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
+  /** Q115: quality-preferred canonical selection — near-dup components keep
+    * the HIGHEST-QUALITY member, not the min id. This is what production
+    * training-data dedup actually ships (RefinedWeb/FineWeb keep the best
+    * duplicate, since near-dups differ by boilerplate, truncation, OCR
+    * noise): rep = argmax(quality_score, tie → min doc_id) per component.
+    *
+    * Same distributed shape as q37 (star contraction labels, no collect());
+    * the rep pick is one row_number window partitioned by component label —
+    * shuffle O(n), bounded partitions (a component's members). The ranking
+    * key is q27's per-row composite quality double: bit-identical on both
+    * engines (same IEEE op sequence per row), so ordering by it raw is
+    * hash-safe where ordering by an aggregated float would not be. */
+  def qDedupBestRep(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (stars, _) = starContract(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")))
+    val roots = stars.groupBy(col("u")).agg(min(col("v")).as("root"))
+      .select(col("u").as("id"), col("root"))
+    val quality = TextAnalysis.qQualityScore(t)
+      .select(col("doc_id").as("id"), col("quality_score"))
+    val labeled = t.documents.select(col("doc_id").as("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+      .join(quality, Seq("id"))
+    val byLabel = Window.partitionBy(col("label"))
+    labeled
+      .withColumn("rn", row_number().over(
+        byLabel.orderBy(col("quality_score").desc, col("id"))))
+      .withColumn("component_size", count(lit(1)).over(byLabel))
+      .filter(col("rn") === 1)
+      .select(col("id").as("keep_id"), col("component_size"),
+        col("quality_score"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** q115 oracle: q37's recursive-CTE component labels joined to q27's
+    * quality replay, window argmax per label. */
+  val qDedupBestRepSql: String = {
+    val sw = graft.functions.text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM documents a JOIN documents b
+       |    ON substr(a.text,1,10) = substr(b.text,1,10) AND a.doc_id < b.doc_id
+       |  WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE
+       |        / greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) > 0.8
+       |), e AS (
+       |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+       |), reach AS (
+       |  SELECT a AS x, b AS y FROM e
+       |  UNION
+       |  SELECT reach.x, e.b FROM reach JOIN e ON reach.y = e.a
+       |), lab AS (
+       |  SELECT v.doc_id AS id, LEAST(v.doc_id, COALESCE(MIN(reach.y), v.doc_id)) AS label
+       |  FROM documents v LEFT JOIN reach ON reach.x = v.doc_id
+       |  GROUP BY v.doc_id
+       |), f AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_token_len,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio
+       |  FROM f
+       |), q AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + (1.0 - least(stopword_ratio * 2.0, 1.0)) * 0.2
+       |      + alpha_ratio * 0.3
+       |      + least(mean_token_len / 8.0, 1.0) * 0.2 END AS quality_score
+       |  FROM feats
+       |), r AS (
+       |  SELECT lab.id, lab.label, q.quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY lab.label ORDER BY q.quality_score DESC, lab.id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lab.label) AS component_size
+       |  FROM lab JOIN q ON q.doc_id = lab.id
+       |)
+       |SELECT id AS keep_id, CAST(component_size AS BIGINT) AS component_size, quality_score
+       |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin
+  }
+
   // --------------------------------------- incremental ingest dedup
 
   /** Incremental ingest dedup: dedup a NEW batch against the EXISTING

@@ -165,6 +165,80 @@ object EventAnalytics {
       |FROM daily d JOIN stats s ON d.event_type = s.event_type
       |ORDER BY d.event_type, d.d""".stripMargin
 
+  /** Q118: ingest-completeness monitor — per event type, which HOURS of the
+    * type's own [first, last] span have no events at all? Missing hours are
+    * how a dead producer, a dropped Kafka partition, or a backfill hole
+    * shows up before anyone reads a dashboard. Emits per type: span hours,
+    * present/missing counts, number of contiguous gap runs and the longest
+    * run (gaps-and-islands on the missing set).
+    *
+    * Scale shape: the only corpus-sized work is one distinct over
+    * (type, hour) — map-side combinable, shuffle O(types·hours). The hour
+    * spine is GENERATED per type from its min/max (sequence + explode), so
+    * nothing rescans the data; the anti-join and island windows run on
+    * spine-sized inputs. Hours are integer epoch-hour (µs div 3.6e9) on
+    * both engines — no timezone or truncation drift. */
+  def qCoverageGaps(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hrs = t.events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .distinct()
+    val spans = hrs.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"),
+        count(lit(1)).as("hours_present"))
+    val spine = spans.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val missing = spine.join(hrs, Seq("event_type", "hr"), "left_anti")
+    // islands: consecutive missing hours share (hr - row_number)
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val runs = missing
+      .withColumn("grp", col("hr") - row_number().over(byType))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gap_runs"), max(col("run_len")).as("longest_gap"))
+    spans
+      .join(runs, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("hi") - col("lo") + 1L).as("hours_span"),
+        col("hours_present"),
+        (col("hi") - col("lo") + 1L - col("hours_present")).as("hours_missing"),
+        coalesce(col("n_gap_runs"), lit(0L)).as("n_gap_runs"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCoverageGapsSql: String =
+    """WITH hrs AS (
+      |  SELECT DISTINCT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+      |  FROM events),
+      |spans AS (
+      |  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi, COUNT(*)::BIGINT AS hours_present
+      |  FROM hrs GROUP BY event_type),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM spans),
+      |missing AS (
+      |  SELECT s.event_type, s.hr FROM spine s
+      |  LEFT JOIN hrs ON hrs.event_type = s.event_type AND hrs.hr = s.hr
+      |  WHERE hrs.hr IS NULL),
+      |runs AS (
+      |  SELECT event_type, grp, COUNT(*)::BIGINT AS run_len FROM (
+      |    SELECT event_type, hr,
+      |      hr - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS grp
+      |    FROM missing)
+      |  GROUP BY event_type, grp),
+      |agg AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_gap_runs, MAX(run_len) AS longest_gap
+      |  FROM runs GROUP BY event_type)
+      |SELECT s.event_type,
+      |  s.hi - s.lo + 1 AS hours_span,
+      |  s.hours_present,
+      |  s.hi - s.lo + 1 - s.hours_present AS hours_missing,
+      |  COALESCE(a.n_gap_runs, 0) AS n_gap_runs,
+      |  COALESCE(a.longest_gap, 0) AS longest_gap
+      |FROM spans s LEFT JOIN agg a ON a.event_type = s.event_type
+      |ORDER BY s.event_type""".stripMargin
+
   val qRetentionSql: String =
     """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
       |first AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id)

@@ -144,6 +144,135 @@ object Profiling {
       .orderBy(col("dec"))
   }
 
+  /** Q113: join-key skew audit — the diagnostic a pipeline runs over its
+    * fact-table join keys BEFORE launching the 100 TB join that one hot key
+    * would stall. Emits one row per audited key column: row/key counts, the
+    * hottest key's count, skew_ratio (max over mean — 1.0 ⇒ uniform) and
+    * the share of rows held by the 10 hottest keys.
+    *
+    * Scale shape: ONE scan builds all three per-key count tables via
+    * GROUPING SETS (Expand ×3 feeding a single map-side-combinable hash
+    * aggregate — the shuffle carries |keys| partial counts, never rows).
+    * The top-10 cut is a per-column row_number window over the count table
+    * (|keys| rows, not |fact|); at 100 TB swap it for a per-column
+    * TakeOrdered or a SpaceSaving sketch (q103 machinery) if even |keys|
+    * is too big to sort. */
+  def qSkewAudit(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Seq("l_partkey", "l_suppkey", "l_orderkey")
+    val counts = t.lineitem
+      .groupingSets(keys.map(k => Seq(col(k))), keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        // lineitem keys are non-null, so the one non-null group column
+        // identifies the grouping set (no grouping_id() bit math needed)
+        coalesce(keys.map(k => when(col(k).isNotNull, lit(k))): _*)
+          .as("key_col"),
+        coalesce(keys.map(col): _*).as("k"),
+        col("cnt"))
+    val w = Window.partitionBy(col("key_col"))
+      .orderBy(col("cnt").desc, col("k"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("key_col"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        sum(when(col("rn") <= 10, col("cnt")).otherwise(0L)).as("top10_rows"))
+      .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew_ratio"),
+        round(col("top10_rows").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top10_share"))
+      .orderBy(col("key_col"))
+  }
+
+  /** Oracle replays each column as its own CTE chain (DuckDB re-scans the
+    * small parquet; the single-scan GROUPING SETS plan is the Spark side's
+    * contract). Float terms are the same (a·b)/c IEEE sequence, round(6). */
+  val qSkewAuditSql: String = {
+    def one(c: String): String =
+      s"""SELECT '$c' AS key_col, n_rows, n_keys, max_cnt,
+         |  round(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+         |  round(CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top10_share
+         |FROM (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    MAX(cnt) AS max_cnt,
+         |    CAST(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10_rows
+         |  FROM (
+         |    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rn
+         |    FROM (SELECT $c AS k, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem GROUP BY $c)))""".stripMargin
+    Seq("l_partkey", "l_suppkey", "l_orderkey").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
+  /** Q114: join pre-flight — EXACT join-output cardinality and skew
+    * amplification for three candidate joins, computed from per-side
+    * key-count tables without running the join. est_rows = Σ cnt_l·cnt_r
+    * over matching keys is the true inner-join output size; max_key_rows
+    * is the single hottest key's output (what lands in ONE task of a
+    * sort-merge join). The strategy column encodes the planning ladder a
+    * 100 TB pipeline applies: broadcast when the build side is small,
+    * salt when one key dominates the average by 20×, plain shuffle join
+    * otherwise (Skew.saltedJoin is the engine's salted implementation).
+    *
+    * Scale shape: each side contributes one map-side-combinable per-key
+    * count aggregate (shuffle O(|keys|)); the count-table equi-join is
+    * tiny relative to the data. Integer-only arithmetic — the skew test
+    * compares max_key_rows · matching_keys > 20 · est_rows to avoid
+    * cross-engine float division. */
+  def qJoinPreflight(t: Tables): DataFrame = {
+    def keyCounts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    def preflight(name: String, left: DataFrame, lKey: String,
+        right: DataFrame, rKey: String): DataFrame = {
+      val l = keyCounts(left, lKey)
+      val r = keyCounts(right, rKey)
+      val m = l.join(r.select(col("k"), col("cnt").as("cnt_r")), Seq("k"))
+        .select(col("cnt").as("cnt_l"), col("cnt_r"))
+        .agg(
+          count(lit(1)).as("matching_keys"),
+          sum(col("cnt_l") * col("cnt_r")).as("est_rows"),
+          max(col("cnt_l") * col("cnt_r")).as("max_key_rows"))
+      val totals = l.agg(sum(col("cnt")).as("left_rows")).withColumn("j", lit(1))
+        .join(r.agg(sum(col("cnt")).as("right_rows")).withColumn("j", lit(1)), Seq("j"))
+      m.withColumn("j", lit(1)).join(totals, Seq("j"))
+        .select(lit(name).as("join_name"), col("left_rows"), col("right_rows"),
+          col("matching_keys"), col("est_rows"), col("max_key_rows"),
+          when(col("right_rows") <= 50000L, "broadcast")
+            .when(col("max_key_rows") * col("matching_keys") > col("est_rows") * 20L,
+              "salted_shuffle_join")
+            .otherwise("shuffle_join").as("strategy"))
+    }
+    val li = t.lineitem
+    preflight("lineitem_orders", li, "l_orderkey", t.orders, "o_orderkey")
+      .unionAll(preflight("lineitem_part", li, "l_partkey", t.part, "p_partkey"))
+      .unionAll(preflight("lineitem_self_partkey", li, "l_partkey", li, "l_partkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val qJoinPreflightSql: String = {
+    def one(name: String, lTbl: String, lKey: String,
+        rTbl: String, rKey: String): String =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $lTbl) AS left_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rTbl) AS right_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS matching_keys,
+         |  CAST(SUM(cnt_l * cnt_r) AS BIGINT) AS est_rows,
+         |  CAST(MAX(cnt_l * cnt_r) AS BIGINT) AS max_key_rows,
+         |  CASE WHEN (SELECT COUNT(*) FROM $rTbl) <= 50000 THEN 'broadcast'
+         |       WHEN MAX(cnt_l * cnt_r) * COUNT(*) > SUM(cnt_l * cnt_r) * 20 THEN 'salted_shuffle_join'
+         |       ELSE 'shuffle_join' END AS strategy
+         |FROM (SELECT $lKey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_l FROM $lTbl GROUP BY $lKey) l
+         |JOIN (SELECT $rKey AS k, CAST(COUNT(*) AS BIGINT) AS cnt_r FROM $rTbl GROUP BY $rKey) r USING (k)""".stripMargin
+    Seq(
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem_self_partkey", "lineitem", "l_partkey", "lineitem", "l_partkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+  }
+
   val qDriftPsiSql: String =
     """WITH ev AS (
       |  SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -621,6 +621,106 @@ object TextAnalysis {
       |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q116: padding-waste audit — the batch-assembly economics check behind
+    * q96's sequence packing. If training batches pad every document to a
+    * power-of-2 length bucket (the static-shape / XLA-style strategy),
+    * how many tokens are padding? One row per bucket: docs, real tokens,
+    * padded tokens (n_docs · bucket), waste ratio. Reading this table is
+    * how a pipeline decides packing (q96) is worth its shuffle.
+    *
+    * Buckets come from an integer CASE ladder (16, 32, … 4096, else 8192)
+    * — no log2/pow floats to diverge cross-engine at exact powers of two.
+    * Scale: one linear scan + a ≤9-group aggregate. */
+  def qPaddingWaste(t: Tables): DataFrame = {
+    val buckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val nt = size(split(trim(col("text")), "\\s+")).cast("long")
+    val bucket = buckets.foldRight(lit(8192L): org.apache.spark.sql.Column) { (b, acc) =>
+      when(col("n_tokens") <= b, b).otherwise(acc)
+    }
+    t.documents
+      .select(nt.as("n_tokens"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("actual_tokens"))
+      .select(col("bucket"), col("n_docs"), col("actual_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        round((col("n_docs") * col("bucket") - col("actual_tokens")).cast("double")
+          / (col("n_docs") * col("bucket")).cast("double"), 6).as("waste_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  val qPaddingWasteSql: String = {
+    val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+      .map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (SELECT n_tokens, CASE $ladder ELSE 8192 END AS bucket FROM d)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens,
+       |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+       |  round(CAST(COUNT(*) * bucket - SUM(n_tokens) AS DOUBLE)
+       |        / CAST(COUNT(*) * bucket AS DOUBLE), 6) AS waste_ratio
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** Q117: Zipf-fit corpus health check — least-squares slope of
+    * log(freq) on log(rank) over the ranked vocabulary (natural text sits
+    * near slope −1; a corpus that drifts far from it after filtering is a
+    * red flag: boilerplate floods or over-aggressive dedup). Rank is a
+    * total order (freq DESC, token ASC) so the min-count cut is
+    * engine-independent; the fit is the closed-form b = (nΣxy−ΣxΣy) /
+    * (nΣx²−(Σx)²) with per-row ln() IEEE-exact and only the Σ's
+    * aggregation-order-dependent → slope/intercept round(6).
+    *
+    * Scale: vocabulary aggregate (map-side combine, shuffle O(|vocab|)),
+    * then a window rank over |vocab| rows and a 1-row fit. At 100 TB the
+    * vocab table still fits a single shuffle — that's the point of
+    * fitting on ranks, not documents. */
+  def qZipfFit(t: Tables, minFreq: Long = 5, maxRank: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))))
+      .filter(col("rank") <= maxRank)
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val n = count(lit(1)).cast("double")
+    val fit = ranked.agg(
+      count(lit(1)).as("n_ranked"),
+      ((n * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+        (n * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))))
+        .as("slope_raw"),
+      sum(col("y")).as("sy"), sum(col("x")).as("sx"))
+    fit.select(col("n_ranked"),
+      round(col("slope_raw"), 6).as("zipf_slope"),
+      round((col("sy") - col("slope_raw") * col("sx")) /
+        col("n_ranked").cast("double"), 6).as("intercept"))
+  }
+
+  val qZipfFitSql: String =
+    """WITH freqs AS (
+      |  SELECT token, COUNT(*)::BIGINT AS freq FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0)) AS token
+      |    FROM documents)
+      |  GROUP BY token HAVING COUNT(*) >= 5),
+      |ranked AS (
+      |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM (
+      |    SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS r FROM freqs)
+      |  WHERE r <= 200),
+      |fit AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_ranked,
+      |    (CAST(COUNT(*) AS DOUBLE) * SUM(x*y) - SUM(x) * SUM(y))
+      |      / (CAST(COUNT(*) AS DOUBLE) * SUM(x*x) - SUM(x) * SUM(x)) AS slope_raw,
+      |    SUM(y) AS sy, SUM(x) AS sx
+      |  FROM ranked)
+      |SELECT n_ranked, round(slope_raw, 6) AS zipf_slope,
+      |  round((sy - slope_raw * sx) / CAST(n_ranked AS DOUBLE), 6) AS intercept
+      |FROM fit""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

@@ -26,4 +26,38 @@ class ProfilingSpec extends SparkSpec {
     assert(out("l_extendedprice").getString(4).matches("""\d+\.\d\d"""))
     assert(out("l_shipdate").getString(4).matches("""\d{4}-\d{2}-\d{2}"""))
   }
+
+  test("q113: skew audit rows agree with direct per-key computations") {
+    val t = sf0001
+    val rows = ops.Profiling.qSkewAudit(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_partkey", "l_suppkey", "l_orderkey"))
+    val total = t.lineitem.count()
+    Seq("l_partkey", "l_suppkey", "l_orderkey").foreach { k =>
+      val r = rows(k)
+      assert(r.getLong(1) == total, s"$k n_rows")
+      val counts = t.lineitem.groupBy(col(k)).agg(count(lit(1)).as("c"))
+      assert(r.getLong(2) == counts.count(), s"$k n_keys")
+      assert(r.getLong(3) == counts.agg(max(col("c"))).head.getLong(0), s"$k max_cnt")
+      val top10 = counts.orderBy(col("c").desc, col(k)).limit(10)
+        .agg(sum(col("c"))).head.getLong(0)
+      assert(math.abs(r.getDouble(5) - top10.toDouble / total) < 1e-6, s"$k top10_share")
+      assert(r.getDouble(4) >= 1.0 - 1e-9, s"$k skew_ratio >= 1 (max >= mean)")
+    }
+  }
+
+  test("q114: pre-flight est_rows EXACTLY equals the executed join's output") {
+    val t = sf0001
+    val rows = ops.Profiling.qJoinPreflight(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val liOrders = t.lineitem.join(t.orders,
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows("lineitem_orders").getLong(4) == liOrders)
+    val self = t.lineitem.select(col("l_partkey").as("a"))
+      .join(t.lineitem.select(col("l_partkey").as("b")), col("a") === col("b")).count()
+    assert(rows("lineitem_self_partkey").getLong(4) == self)
+    // orders/part at sf0.001 are well under the broadcast threshold
+    assert(rows("lineitem_orders").getString(6) == "broadcast")
+    assert(rows("lineitem_part").getString(6) == "broadcast")
+  }
 }
