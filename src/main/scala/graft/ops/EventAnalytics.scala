@@ -138,7 +138,9 @@ object EventAnalytics {
     * dying or a bot flood shows up as |z| spikes). Two aggregates + a
     * 5-row broadcast join; counts exact, z = (n−μ)/σ round(6) (μ is an
     * exact-int mean; σ's accumulation order differs cross-engine in the
-    * low bits — the established round(6) case). */
+    * low bits — the established round(6) case). σ=0 (a type with constant
+    * daily counts) yields NULL, not 0.0/0.0=NaN — Spark and DuckDB render
+    * the degenerate division differently, NULL is cross-engine stable. */
   def qVolumeAnomaly(t: Tables): DataFrame = {
     val daily = t.events
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
@@ -148,7 +150,9 @@ object EventAnalytics {
         stddev_samp(col("n").cast("double")).as("sigma"))
     daily.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("d"), col("n"),
-        round((col("n").cast("double") - col("mu")) / col("sigma"), 6).as("z"))
+        when(col("sigma") === 0d, lit(null).cast("double"))
+          .otherwise(round((col("n").cast("double") - col("mu")) / col("sigma"), 6))
+          .as("z"))
       .orderBy(col("event_type"), col("d"))
   }
 
@@ -161,7 +165,7 @@ object EventAnalytics {
       |         stddev_samp(CAST(n AS DOUBLE)) AS sigma
       |  FROM daily GROUP BY 1)
       |SELECT d.event_type, d.d, d.n,
-      |  round((CAST(d.n AS DOUBLE) - s.mu) / s.sigma, 6) AS z
+      |  round((CAST(d.n AS DOUBLE) - s.mu) / NULLIF(s.sigma, 0), 6) AS z
       |FROM daily d JOIN stats s ON d.event_type = s.event_type
       |ORDER BY d.event_type, d.d""".stripMargin
 

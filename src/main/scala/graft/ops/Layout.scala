@@ -31,21 +31,35 @@ object Layout {
   private def dsum2(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
-  /** One laid-out copy per (session, sfDir) per JVM. Fixed paths under the
-    * system temp dir (keyed by the SF name, overwritten each run) so
-    * repeated runs re-use one location instead of accumulating dirs. */
+  /** One laid-out copy per (session, sfDir) per JVM. Tables, paths, and
+    * the cache key all carry the SAME session-scoped tag: two live
+    * sessions on one sfDir get disjoint metastore tables and temp dirs
+    * (no overwrite race), and a restarted session gets a fresh tag (a
+    * rebuild is never skipped against a stopped session's catalog — the
+    * identity-hash-reuse hazard the old key had). Tags are a monotonic
+    * counter held in a WeakHashMap, so they restart per JVM and paths
+    * from a previous run get overwritten rather than accumulating. */
   private val prepared = scala.collection.concurrent.TrieMap[String, Unit]()
+
+  private val sessionTags = new java.util.WeakHashMap[SparkSession, String]()
+  private val sessionCtr = new java.util.concurrent.atomic.AtomicInteger()
+  private def sessionTag(spark: SparkSession): String = sessionTags.synchronized {
+    var t = sessionTags.get(spark)
+    if (t == null) { t = s"s${sessionCtr.incrementAndGet()}"; sessionTags.put(spark, t) }
+    t
+  }
 
   private def sfTag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def layoutRoot(sfDir: String): java.nio.file.Path =
+  private def layoutRoot(t: Tables): java.nio.file.Path =
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft-layout-${sfTag(sfDir)}")
+      s"graft-layout-${sessionTag(t.spark)}-${sfTag(t.sfDir)}")
 
-  /** Table names are per-SF so one session can hold several SFs (specs). */
-  private def bucketNames(sfDir: String): (String, String) = {
-    val tag = sfTag(sfDir).replaceAll("[^A-Za-z0-9_]", "_")
+  /** Table names are per-(session, SF) so one session can hold several SFs
+    * (specs) and concurrent sessions never collide in the metastore. */
+  private def bucketNames(t: Tables): (String, String) = {
+    val tag = s"${sessionTag(t.spark)}_${sfTag(t.sfDir)}".replaceAll("[^A-Za-z0-9_]", "_")
     (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
   }
 
@@ -53,10 +67,10 @@ object Layout {
     * within buckets), projected to the columns q91 needs — a pruned write,
     * like a real ingest job materializing a join-optimized layout. */
   private def ensureBucketed(t: Tables): (String, String) = {
-    val (liName, ordName) = bucketNames(t.sfDir)
-    val key = s"${System.identityHashCode(t.spark)}#bkt#${t.sfDir}"
+    val (liName, ordName) = bucketNames(t)
+    val key = s"${sessionTag(t.spark)}#bkt#${t.sfDir}"
     prepared.getOrElseUpdate(key, {
-      val root = layoutRoot(t.sfDir)
+      val root = layoutRoot(t)
       t.lineitem
         .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
         .write.mode("overwrite")
@@ -115,8 +129,8 @@ object Layout {
 
   /** Write documents partitioned by lang (hive-style directories). */
   private def ensurePartitionedDocs(t: Tables): String = {
-    val dir = layoutRoot(t.sfDir).resolve("docs_by_lang").toString
-    val key = s"${System.identityHashCode(t.spark)}#part#${t.sfDir}"
+    val dir = layoutRoot(t).resolve("docs_by_lang").toString
+    val key = s"${sessionTag(t.spark)}#part#${t.sfDir}"
     prepared.getOrElseUpdate(key, {
       t.documents.write.mode("overwrite").partitionBy("lang").parquet(dir)
     })

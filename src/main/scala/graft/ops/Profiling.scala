@@ -153,12 +153,13 @@ object Profiling {
     * Scale shape: ONE scan builds all three per-key count tables via
     * GROUPING SETS (Expand ×3 feeding a single map-side-combinable hash
     * aggregate — the shuffle carries |keys| partial counts, never rows).
-    * The top-10 cut is a per-column row_number window over the count table
-    * (|keys| rows, not |fact|); at 100 TB swap it for a per-column
-    * TakeOrdered or a SpaceSaving sketch (q103 machinery) if even |keys|
-    * is too big to sort. */
+    * The top-10 cut is the typed TopKAggregator (U6): a bounded 10-element
+    * heap per partial, merged k-way — so NO per-column window sorts the
+    * whole count table in one task (the row_number shape this replaced
+    * pulled every l_orderkey count through a single partition; at 100 TB
+    * that column alone is billions of keys). Everything after the Expand
+    * is a single partial+final aggregate pair. */
   def qSkewAudit(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keys = Seq("l_partkey", "l_suppkey", "l_orderkey")
     val counts = t.lineitem
       .groupingSets(keys.map(k => Seq(col(k))), keys.map(col): _*)
@@ -170,16 +171,18 @@ object Profiling {
           .as("key_col"),
         coalesce(keys.map(col): _*).as("k"),
         col("cnt"))
-    val w = Window.partitionBy(col("key_col"))
-      .orderBy(col("cnt").desc, col("k"))
+    // counts are exact longs ≪ 2^53, so the Double score is lossless; ties
+    // break toward the smaller key id, matching the old (cnt DESC, k) order
+    val top10 = udaf(new graft.functions.TopKAggregator(10))
     counts
-      .withColumn("rn", row_number().over(w))
       .groupBy(col("key_col"))
       .agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         max(col("cnt")).as("max_cnt"),
-        sum(when(col("rn") <= 10, col("cnt")).otherwise(0L)).as("top10_rows"))
+        top10(col("cnt").cast("double"), col("k")).as("top10"))
+      .withColumn("top10_rows",
+        expr("CAST(aggregate(top10, 0D, (acc, e) -> acc + e._1) AS BIGINT)"))
       .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_cnt"),
         round(col("max_cnt").cast("double") * col("n_keys").cast("double")
           / col("n_rows").cast("double"), 6).as("skew_ratio"),
@@ -218,26 +221,29 @@ object Profiling {
     * otherwise (Skew.saltedJoin is the engine's salted implementation).
     *
     * Scale shape: each side contributes one map-side-combinable per-key
-    * count aggregate (shuffle O(|keys|)); the count-table equi-join is
-    * tiny relative to the data. Integer-only arithmetic — the skew test
-    * compares max_key_rows · matching_keys > 20 · est_rows to avoid
-    * cross-engine float division. */
+    * count aggregate (shuffle O(|keys|)); the count tables then meet in a
+    * single full-outer equi-join on the key and ONE aggregate derives all
+    * five stats simultaneously (side totals sum the non-null counts,
+    * match stats sum/max the null-propagating product) — no 1-row scalar
+    * combines, so constant folding can't degrade any join to a nested
+    * loop. Integer-only arithmetic — the skew test compares
+    * max_key_rows · matching_keys > 20 · est_rows to avoid cross-engine
+    * float division. */
   def qJoinPreflight(t: Tables): DataFrame = {
-    def keyCounts(df: DataFrame, key: String): DataFrame =
-      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+    def keyCounts(df: DataFrame, key: String, as: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as(as))
     def preflight(name: String, left: DataFrame, lKey: String,
         right: DataFrame, rKey: String): DataFrame = {
-      val l = keyCounts(left, lKey)
-      val r = keyCounts(right, rKey)
-      val m = l.join(r.select(col("k"), col("cnt").as("cnt_r")), Seq("k"))
-        .select(col("cnt").as("cnt_l"), col("cnt_r"))
+      val l = keyCounts(left, lKey, "cnt_l")
+      val r = keyCounts(right, rKey, "cnt_r")
+      l.join(r, Seq("k"), "full_outer")
         .agg(
-          count(lit(1)).as("matching_keys"),
+          sum(col("cnt_l")).as("left_rows"),
+          sum(col("cnt_r")).as("right_rows"),
+          count(when(col("cnt_l").isNotNull && col("cnt_r").isNotNull, lit(1)))
+            .as("matching_keys"),
           sum(col("cnt_l") * col("cnt_r")).as("est_rows"),
           max(col("cnt_l") * col("cnt_r")).as("max_key_rows"))
-      val totals = l.agg(sum(col("cnt")).as("left_rows")).withColumn("j", lit(1))
-        .join(r.agg(sum(col("cnt")).as("right_rows")).withColumn("j", lit(1)), Seq("j"))
-      m.withColumn("j", lit(1)).join(totals, Seq("j"))
         .select(lit(name).as("join_name"), col("left_rows"), col("right_rows"),
           col("matching_keys"), col("est_rows"), col("max_key_rows"),
           when(col("right_rows") <= 50000L, "broadcast")

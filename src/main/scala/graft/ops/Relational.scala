@@ -655,16 +655,19 @@ object Relational {
     * sketch per fine-grained slice (here per day) in a single scan, then
     * answer ANY coarser rollup (week, month, arbitrary ranges) by merging
     * sketches — no rescan of the raw data, and the weekly shuffle carries
-    * |days| × ~1 KB sketch bytes instead of |events| user ids. The exact
-    * countDistinct column exists to exhibit the error envelope (and is
-    * what a test harness compares; estimates are engine-specific ⇒
-    * rows-only entry, q23 precedent — SketchSpec pins the ≤5% envelope
-    * and the union≡direct-sketch consistency). */
+    * |days| × ~1 KB sketch bytes instead of |events| user ids. The daily
+    * aggregate carries ONLY the sketch (mixing countDistinct with a
+    * high-precision HLL in one aggregate trips Catalyst's distinct-rewrite
+    * — rows × sketch buffer per group, the q23 lesson); the exact weekly
+    * distinct comes from its own two-phase aggregate. Hash-gated: the
+    * oracled columns are the exact weekly counts, and the engine-specific
+    * sketch estimate is folded into `within_5pct`, a deterministic
+    * |est−exact|/exact ≤ 0.05 envelope the oracle asserts as TRUE — a
+    * sketch drifting outside its error bound fails the hash compare. */
   def qHllRollup(t: Tables): DataFrame = {
     val ev = t.events.select(col("user_id"), to_date(col("ts")).as("d"))
     val daily = ev.groupBy(col("d"))
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
     daily
       .groupBy(weekofyear(col("d")).as("week"))
       .agg(count(lit(1)).as("n_days"),
@@ -674,9 +677,20 @@ object Relational {
           .agg(countDistinct(col("user_id")).as("exact_users")),
         Seq("week"))
       .select(col("week").cast("long").as("week"), col("n_days"),
-        col("approx_users"), col("exact_users"))
+        col("exact_users"),
+        (abs(col("approx_users").cast("double") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("week"))
   }
+
+  val qHllRollupSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events)
+      |SELECT CAST(weekofyear(d) AS BIGINT) AS week,
+      |  COUNT(DISTINCT d)::BIGINT AS n_days,
+      |  COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+      |  TRUE AS within_5pct
+      |FROM ev GROUP BY 1 ORDER BY week""".stripMargin
 
   /** Q61: pivot (wide aggregation) — one pass, map-side combine on the
     * (flag, status) pair, then the pivot is a projection of the grouped

@@ -674,18 +674,21 @@ object TextAnalysis {
     * aggregation-order-dependent → slope/intercept round(6).
     *
     * Scale: vocabulary aggregate (map-side combine, shuffle O(|vocab|)),
-    * then a window rank over |vocab| rows and a 1-row fit. At 100 TB the
-    * vocab table still fits a single shuffle — that's the point of
-    * fitting on ranks, not documents. */
+    * then the top-maxRank cut runs as TakeOrderedAndProject — per-partition
+    * heaps of maxRank rows, NOT a single-task global sort/window over the
+    * whole vocabulary (the tail vocab at 100 TB is huge even after the
+    * minFreq filter). Rank is then assigned by a window over the already-
+    * bounded maxRank-row result, and the fit is 1 row. */
   def qZipfFit(t: Tables, minFreq: Long = 5, maxRank: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = t.fanout(t.documents)
+    val top = t.fanout(t.documents)
       .select(explode(text.tokenize(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("token")).limit(maxRank)
+    val ranked = top
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("token"))))
-      .filter(col("rank") <= maxRank)
       .select(log(col("rank").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
     val n = count(lit(1)).cast("double")

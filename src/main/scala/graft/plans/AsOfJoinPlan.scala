@@ -116,29 +116,39 @@ object NativeAsOf {
             proj(joined(lrow, nullRow))
           } else {
             val ltv = ltsB.eval(lrow)
-            if (haveMatch && keyOrd.compare(lastKey, lkv) != 0) haveMatch = false
-            var advance = true
-            while (advance && rBuf.hasNext) {
-              val head = rBuf.head
-              val rkv = rkB.eval(head)
-              if (rkv == null) { rBuf.next() } // skip unmatched-able rows
-              else {
-                val c = keyOrd.compare(rkv, lkv)
-                if (c < 0) { rBuf.next(); haveMatch = false }
-                else if (c == 0 && tsOrd.compare(rtsB.eval(head), ltv) <= 0) {
-                  var i = 0
-                  while (i < n) {
-                    // copy: evaluated values may point into the reused row
-                    matched(i) = InternalRow.copyValue(carB(i).eval(head))
-                    i += 1
-                  }
-                  lastKey = InternalRow.copyValue(rkv)
-                  haveMatch = true
-                  rBuf.next()
-                } else advance = false
+            if (ltv == null) {
+              // null left ts: "latest right row at-or-before NULL" has no
+              // answer — emit the null row, like an unmatched key
+              proj(joined(lrow, nullRow))
+            } else {
+              if (haveMatch && keyOrd.compare(lastKey, lkv) != 0) haveMatch = false
+              var advance = true
+              while (advance && rBuf.hasNext) {
+                val head = rBuf.head
+                val rkv = rkB.eval(head)
+                if (rkv == null) { rBuf.next() } // skip unmatched-able rows
+                else {
+                  val c = keyOrd.compare(rkv, lkv)
+                  if (c < 0) { rBuf.next(); haveMatch = false }
+                  else if (c == 0) {
+                    val rtv = rtsB.eval(head)
+                    if (rtv == null) { rBuf.next() } // null ts never ≤ lts
+                    else if (tsOrd.compare(rtv, ltv) <= 0) {
+                      var i = 0
+                      while (i < n) {
+                        // copy: evaluated values may point into the reused row
+                        matched(i) = InternalRow.copyValue(carB(i).eval(head))
+                        i += 1
+                      }
+                      lastKey = InternalRow.copyValue(rkv)
+                      haveMatch = true
+                      rBuf.next()
+                    } else advance = false
+                  } else advance = false
+                }
               }
+              proj(joined(lrow, if (haveMatch) matchRow else nullRow))
             }
-            proj(joined(lrow, if (haveMatch) matchRow else nullRow))
           }
         }
       }

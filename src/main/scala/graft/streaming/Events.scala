@@ -21,6 +21,30 @@ object Events {
   private def dsum2(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** qStreamJoin's parquet-sink output must OUTLIVE the call (the returned
+    * DataFrame scans it lazily), so it can't be deleted in the `finally`
+    * with the symlink/checkpoint. Instead each (session, sfDir) keeps one
+    * live output dir: the next call deletes the previous run's dir (bench
+    * reps don't accumulate), and a JVM shutdown hook sweeps the last one. */
+  private val liveStreamOuts =
+    scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      liveStreamOuts.values.foreach { p =>
+        try deleteRecursively(p) catch { case _: Throwable => () }
+      }))
+  }
+
   /** Tumbling 10-minute windows per event type. */
   def tumbling(events: DataFrame, width: String = "10 minutes"): DataFrame =
     events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
@@ -238,17 +262,24 @@ object Events {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") < col("click_ts") + expr("INTERVAL 30 MINUTES"))
         .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
-      val qname = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val sq = joined.writeStream.format("memory").queryName(qname)
+      // parquet sink, NOT a memory sink: the attribution output grows with
+      // SF, and a memory-sink + collect round-trips every joined row
+      // through the driver — a ceiling the batch q59 path doesn't have.
+      // The executors write the result; the driver only plans the re-read.
+      val outDir = dir.resolve("out")
+      val sq = joined.writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       sq.awaitTermination()
-      val result = spark.table(qname)
-      val collected = spark.createDataFrame(result.collectAsList(), result.schema)
-      spark.catalog.dropTempView(qname)
-      collected.orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      liveStreamOuts.put(s"stream_join#${t.sfDir}", dir).foreach(deleteRecursively)
+      // explicit schema: a zero-match SF writes _spark_metadata but no
+      // data files, which would otherwise fail schema inference
+      spark.read.schema(joined.schema).parquet(outDir.toString)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     } finally {
       java.nio.file.Files.deleteIfExists(link)
-      java.nio.file.Files.deleteIfExists(dir)
+      deleteRecursively(dir.resolve("ckpt"))
     }
   }
 

