@@ -170,6 +170,91 @@ object Clustering {
       .orderBy(col("doc_id"))
   }
 
+  /** Q119: the reference's k-means loop (cluster.py:51-53 intent) as a
+    * DETERMINISTIC, oracle-replayable Lloyd iteration — the hash-gated
+    * counterpart of qKmeansEmbeddings (whose k-means|| init and spark.ml
+    * internals aren't DuckDB-replayable). Spherical k-means (cosine
+    * assignment, per-dim mean update — Dhillon & Modha 2001, "Concept
+    * decompositions for large sparse text data using clustering"):
+    *
+    *  - init: centroids = the embeddings of the first `k` vec_ids;
+    *  - assign: per vector, argmax sequential-double cosine (CosineSimD)
+    *    over the broadcast centroids, ties → smaller centroid id;
+    *  - update: centroid = per-dimension mean of its members, round(6)
+    *    (the mean's accumulation order is engine/partition-dependent in
+    *    the low bits — the established round(6) case; rounding makes the
+    *    next round's inputs bit-identical cross-engine);
+    *  - `updates` update rounds, then one final assignment. Empty
+    *    clusters are dropped (deterministic in both engines).
+    *
+    * Scale shape: exactly distributed Lloyd — per round ONE job: a
+    * broadcast of k·dims doubles against a streamed corpus (map-side
+    * argmax, no shuffle of the vectors) + a two-phase per-(cid,dim) avg
+    * whose exchange carries k·dims partials. Centroids ride the driver
+    * between rounds (k·dims doubles — the same bounded parameter fetch
+    * spark.ml's KMeans makes each Lloyd round). The DuckDB oracle replays
+    * the identical rounds as chained CTEs. */
+  def qKmeansStep(t: Tables, k: Int = 8, updates: Int = 2): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .cache()
+    def assign(cs: Seq[(Long, Seq[Double])]): DataFrame = {
+      val cdf = cs.toDF("cid", "c")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+      emb.crossJoin(broadcast(cdf))
+        .withColumn("sim", graft.plans.CosineSim.cosineD(col("e"), col("c")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cid"), col("sim"))
+    }
+    var centroids: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to updates) {
+      centroids = assign(centroids)
+        .select(col("cid"), posexplode(col("e")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d")).agg(round(avg(col("v")), 6).as("m"))
+        .groupBy(col("cid")).agg(collect_list(struct(col("d"), col("m"))).as("dm"))
+        .select(col("cid"), expr("transform(array_sort(dm), x -> x.m)").as("c"))
+        .orderBy(col("cid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    }
+    assign(centroids)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q119 oracle: the same rounds unrolled as CTEs — c0 = first-k init,
+    * aN = argmax-cosine assignment, cN = round(6) per-dim means. */
+  def qKmeansStepSql(k: Int = 8, updates: Int = 2): String = {
+    def assignCte(a: String, c: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, e, cid, sim FROM (
+         |    SELECT emb.vec_id, emb.e, c.cid,
+         |      list_cosine_similarity(emb.e, c.c) AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY emb.vec_id
+         |        ORDER BY list_cosine_similarity(emb.e, c.c) DESC, c.cid) AS rn
+         |    FROM emb CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    def updateCte(c: String, a: String): String =
+      s"""$c AS (
+         |  SELECT cid, list(m ORDER BY d) AS c FROM (
+         |    SELECT cid, d, round(AVG(v), 6) AS m FROM (
+         |      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS d FROM $a)
+         |    GROUP BY cid, d) GROUP BY cid)""".stripMargin
+    val rounds = (0 until updates).flatMap { i =>
+      Seq(assignCte(s"a$i", s"c$i"), updateCte(s"c${i + 1}", s"a$i"))
+    } :+ assignCte(s"a$updates", s"c$updates")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $k),
+       |${rounds.mkString(",\n")}
+       |SELECT vec_id, cid AS cluster, round(sim, 6) AS sim
+       |FROM a$updates ORDER BY vec_id""".stripMargin
+  }
+
   /** LDA topic keywords: top-10 terms per topic (lda.py:54-56 intent,
     * gensim show_topics ≈ ml describeTopics). */
   def ldaTopicKeywords(t: Tables, k: Int = 10): DataFrame = {

@@ -36,6 +36,27 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<double> × array<double> variant of [[CosineSim]] — the float
+  * getter reads garbage on a double-backed ArrayData, so computed vectors
+  * (e.g. k-means centroids, which are per-dim means) need their own
+  * accessor. Callers cast the raw embedding side to array<double> too
+  * (float→double widening is exact, so results are unchanged). */
+case class CosineSimD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.simD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CosineSim.simD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimD =
+    copy(left = newLeft, right = newRight)
+}
+
 object CosineSim {
 
   /** Static entry point shared by interpreted eval and generated code —
@@ -52,7 +73,24 @@ object CosineSim {
     if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  /** Same sequential accumulation over double-element arrays. */
+  def simD(a: ArrayData, b: ArrayData): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
   /** Column API: cosine(a, b) over array<float> columns. */
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: cosine(a, b) over array<double> columns. */
+  def cosineD(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimD(GraftBridge.expression(a), GraftBridge.expression(b)))
 }
