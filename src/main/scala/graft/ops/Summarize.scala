@@ -49,10 +49,13 @@ object Summarize {
     */
   def lexrank(sentences: DataFrame, groupCol: String, idCol: String,
       textCol: String, threshold: Double = 0.1, damping: Double = 0.85,
-      iterations: Int = 12): DataFrame = {
+      iterations: Int = 12, stem: Boolean = true): DataFrame = {
     val g = col(groupCol).as("grp")
-    val toks = sentences.select(g, col(idCol).as("sid"),
-      text.stemTokens(text.removeStopwords(text.tokenize(col(textCol)))).as("toks"))
+    val chain = {
+      val base = text.removeStopwords(text.tokenize(col(textCol)))
+      if (stem) text.stemTokens(base) else base
+    }
+    val toks = sentences.select(g, col(idCol).as("sid"), chain.as("toks"))
 
     // per-group smooth idf: log((N+1)/(df+1)) + 1
     val groupSizes = toks.groupBy(col("grp")).agg(count(lit(1)).as("n_sent"))
@@ -109,14 +112,18 @@ object Summarize {
     * cost of a shuffle per iteration. Same algorithm, same parameters. */
   def lexrankGrouped(sentences: DataFrame, groupCol: String, idCol: String,
       textCol: String, threshold: Double = 0.1, damping: Double = 0.85,
-      iterations: Int = 20): DataFrame = {
+      iterations: Int = 20, stem: Boolean = true): DataFrame = {
     val spark = sentences.sparkSession
     import spark.implicits._
     // fan the (single-row-group) scan out before the tokenize→stem chain;
     // the groupByKey below re-shuffles by group anyway
     val fanned = sentences.repartition(spark.sparkContext.defaultParallelism)
+    val chain = {
+      val base = text.removeStopwords(text.tokenize(col(textCol)))
+      if (stem) text.stemTokens(base) else base
+    }
     val toks = fanned.select(col(groupCol).cast("string"), col(idCol).cast("long"),
-        text.stemTokens(text.removeStopwords(text.tokenize(col(textCol)))))
+        chain)
       .as[(String, Long, Seq[String])]
     toks.groupByKey(_._1).flatMapGroups { (grp, iter) =>
       val sents = iter.toArray
@@ -207,4 +214,113 @@ object Summarize {
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("rank"), col(textCol)))),
           s => s.getField(textCol)), " ").as("summary"))
+
+  /** Q120: LexRank power iteration under the HASH GATE (summarize.py:5-26
+    * intent, Erkan & Radev 2004) — the oracle-replayable counterpart of
+    * q45 (whose stemmed tokens and map-kernel cosine aren't DuckDB-
+    * expressible). Same graph-centrality algorithm, fully relational:
+    *
+    *  - nodes: documents within each `source` group (the synthetic corpus
+    *    has no sentence punctuation — TESTDATA — so the doc is the
+    *    sentence unit, as in q45);
+    *  - tf·idf weights per (group, doc, term), smooth idf ln((n+1)/(df+1))+1
+    *    on UNSTEMMED stopword-filtered tokens (documented deviation from
+    *    q45's Porter chain: stemming isn't SQL-replayable; the algorithm
+    *    is unchanged);
+    *  - sim graph: idf-weighted cosine > threshold via an INVERTED-INDEX
+    *    self-join on (group, term) + one pair aggregate — the dot products
+    *    of all co-term pairs in one distributed pass, no per-group kernel
+    *    (shuffle O(Σ_term df²); at 100 TB the threshold prefilter becomes
+    *    LSH candidate generation, q34's machinery);
+    *  - `iterations` fixed damped rounds s = (1−d)/n + d·Σ_in s_j/deg_j;
+    *    fixed rounds rather than convergence so the DuckDB oracle can
+    *    replay them as unrolled CTEs. Scores round(6): the two engines'
+    *    sums run in different orders (kernel map order vs hash-aggregate
+    *    order) and agree to ~1e-15, far inside the rounding.
+    *
+    * Execution is the grouped kernel (lexrankGrouped): ONE shuffle keys
+    * the sentences by group, then each group — bounded by construction
+    * (a story cluster's sentences) — builds its idf, graph and iteration
+    * locally; thousands of groups run in parallel. The per-round
+    * DataFrame-join variant (`lexrank`) remains the escape hatch for a
+    * group too large for one task. (A first cut ran the iteration as 10
+    * rounds of |E|-join DataFrames — 17 s at sf0.1 vs ~1 s for the
+    * kernel, all of it Spark scheduling floor on tiny per-round state;
+    * the measured reason the grouped kernel is this surface's default.) */
+  def qLexrankPower(t: Tables, threshold: Double = 0.1, damping: Double = 0.85,
+      iterations: Int = 10, topK: Int = 3): DataFrame = {
+    val scored = lexrankGrouped(
+      t.fanout(t.documents).select(col("source"), col("doc_id"), col("text")),
+      "source", "doc_id", "text", threshold, damping, iterations, stem = false)
+    val wnd = Window.partitionBy(col("source"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("rnk").cast("long").as("rank"),
+        col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** q120 oracle: the identical rounds unrolled as aggregating CTEs (an
+    * aggregate in a RECURSIVE term is not portable); self-loop rows with a
+    * zero contribution stand in for the Spark side's left join, so every
+    * vertex survives each round. Constants are written as the same IEEE
+    * expressions Catalyst folds ((1.0 - 0.85), not a decimal 0.15). */
+  def qLexrankPowerSql(threshold: Double = 0.1, damping: Double = 0.85,
+      iterations: Int = 10, topK: Int = 3): String = {
+    val stop = text.stopwords.map(s => s"'$s'").mkString(", ")
+    val iterCtes = (0 until iterations).map { i =>
+      s"""s${i + 1} AS (
+         |  SELECT e.grp, e.dst AS sid,
+         |    (1.0::DOUBLE - $damping::DOUBLE) / CAST(n.n AS DOUBLE)
+         |      + $damping::DOUBLE * SUM(CASE WHEN e.src = e.dst THEN 0.0::DOUBLE
+         |          ELSE s.score / CAST(e.deg AS DOUBLE) END) AS score
+         |  FROM s$i s JOIN eaug e ON e.grp = s.grp AND e.src = s.sid
+         |  JOIN nd n ON n.grp = e.grp
+         |  GROUP BY e.grp, e.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT source AS grp, doc_id AS sid,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |           x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT grp, sid, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+       |  WHERE term NOT IN ($stop) GROUP BY grp, sid, term),
+       |nd AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM documents GROUP BY source),
+       |verts AS (SELECT source AS grp, doc_id AS sid FROM documents),
+       |dfc AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY grp, term),
+       |w AS (
+       |  SELECT tf.grp, tf.sid, tf.term,
+       |    tf.tf * (ln(CAST(dfc2.n + 1 AS DOUBLE) / CAST(dfc.df + 1 AS DOUBLE)) + 1.0) AS w
+       |  FROM tf JOIN dfc USING (grp, term) JOIN nd dfc2 USING (grp)),
+       |norms AS (SELECT grp, sid, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY grp, sid),
+       |dots AS (
+       |  SELECT a.grp, a.sid AS src, b.sid AS dst, SUM(a.w * b.w) AS dot
+       |  FROM w a JOIN w b ON a.grp = b.grp AND a.term = b.term AND a.sid < b.sid
+       |  GROUP BY a.grp, a.sid, b.sid),
+       |sim_half AS (
+       |  SELECT d.grp, d.src, d.dst FROM dots d
+       |  JOIN norms na ON na.grp = d.grp AND na.sid = d.src
+       |  JOIN norms nb ON nb.grp = d.grp AND nb.sid = d.dst
+       |  WHERE d.dot / (na.nrm * nb.nrm) > $threshold::DOUBLE),
+       |edges AS (SELECT grp, src, dst FROM sim_half
+       |          UNION ALL SELECT grp, dst, src FROM sim_half),
+       |deg AS (SELECT grp, src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY grp, src),
+       |eaug AS (
+       |  SELECT e.grp, e.src, e.dst, d.deg FROM edges e
+       |  JOIN deg d ON d.grp = e.grp AND d.src = e.src
+       |  UNION ALL SELECT grp, sid, sid, 1 FROM verts),
+       |s0 AS (
+       |  SELECT v.grp, v.sid, 1.0::DOUBLE / CAST(n.n AS DOUBLE) AS score
+       |  FROM verts v JOIN nd n USING (grp)),
+       |$iterCtes
+       |SELECT grp AS source, CAST(rnk AS BIGINT) AS rank, sid AS doc_id, score FROM (
+       |  SELECT grp, sid, round(score, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY grp
+       |      ORDER BY round(score, 6) DESC, sid) AS rnk
+       |  FROM s$iterations) WHERE rnk <= $topK
+       |ORDER BY source, rank""".stripMargin
+  }
 }

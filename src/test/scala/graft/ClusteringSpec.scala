@@ -111,6 +111,31 @@ class ClusteringSpec extends SparkSpec {
     res.foreach(r => assert(membership.contains((r.getString(0), r.getLong(2)))))
   }
 
+  test("q120 grouped kernel matches the iterative-DataFrame lexrank implementation") {
+    val t = sf0001
+    // two independent implementations of the same fixed-round power
+    // iteration (in-task kernel vs per-round joins) must agree to float
+    // noise on every score — catches formula drift in either one
+    val kernel = Summarize.lexrankGrouped(
+        t.documents.select(col("source"), col("doc_id"), col("text")),
+        "source", "doc_id", "text", iterations = 10, stem = false)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val loop = Summarize.lexrank(
+        t.documents.select(col("source"), col("doc_id"), col("text")),
+        "source", "doc_id", "text", iterations = 10, stem = false)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(kernel.keySet == loop.keySet)
+    val maxDelta = kernel.map { case (k, v) => math.abs(v - loop(k)) }.max
+    assert(maxDelta < 1e-9, s"implementations diverge: max |delta| = $maxDelta")
+    // and the gated query surface is structurally sound + deterministic
+    val out = Summarize.qLexrankPower(t).collect()
+    assert(out.length == 60)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to 3L))
+    }
+    assert(out.forall(_.getDouble(3) > 0.0))
+  }
+
   test("q102 pure-plan TF-IDF matches the spark.ml CountVectorizer+IDF pipeline") {
     import org.apache.spark.ml.feature.{CountVectorizer, IDF}
     import org.apache.spark.ml.linalg.SparseVector
