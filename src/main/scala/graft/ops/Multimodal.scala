@@ -12,10 +12,19 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — schema, partition-preserving batch
   * processing via mapPartitions over a typed Dataset, deterministic
   * outputs, and a metadata struct the optimizer can prune independently of
-  * the payload. The DECODE step is a deliberate STUB (this container has no
-  * image/audio codecs): `StubCodec` derives deterministic "decoded"
-  * properties from the payload bytes. Swapping in a real codec changes one
-  * function, not the plan.
+  * the payload. Decode is REAL for two of the three modalities:
+  *
+  *  - '''image''': payloads are genuine PNGs (synthesized per row with
+  *    `javax.imageio` over a deterministic raster) and decode reads the
+  *    true dimensions back out of the codec — end-to-end honest.
+  *  - '''audio''': payloads are genuine 16-bit PCM WAVs (RIFF header +
+  *    deterministic samples) and decode recovers sample rate and frame
+  *    count via `javax.sound.sampled`.
+  *  - '''video''': the JDK ships no video container parser, so the payload
+  *    stays an opaque deterministic blob and the decode step is a
+  *    clearly-marked STUB (dims/rate 0; frame sampling runs on the
+  *    declared n_frames metadata). Swapping in a real demuxer changes one
+  *    case arm, not the plan.
   *
   * Scale notes: payloads stay in executor memory one partition batch at a
   * time (mapPartitions = the Scala analog of mapInPandas batch iteration);
@@ -32,22 +41,85 @@ object Multimodal {
   /** Extracted features per media row (decode output). */
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       sha_like: Long, mean_byte: Double, decoded_width: Int, decoded_height: Int,
+      decoded_sample_rate: Int, decoded_audio_frames: Long,
       thumb_width: Int, thumb_height: Int, sampled_frames: Seq[Int])
 
-  /** STUB codec — deterministic fake decode. A real deployment replaces
-    * exactly these three functions with actual codec calls. */
-  object StubCodec {
-    /** "Decode" image dimensions from payload bytes (stub: hash-derived,
-      * but stable and schema-correct). */
-    def decodeDims(payload: Array[Byte]): (Int, Int) = {
-      val h = payload.foldLeft(17L)((a, b) => fasthash.splitmix64(a ^ (b & 0xFF)))
-      (64 + math.floorMod(h, 1024).toInt, 64 + math.floorMod(h >> 12, 1024).toInt)
+  /** Real codecs (JDK-only, no extra dependencies) + the one remaining
+    * stub (video). Synthesis is deterministic per (id, params) so every
+    * run of the pipeline sees identical payloads. */
+  object Codecs {
+    /** Synthesize a real PNG: deterministic RGB raster, encoded through
+      * javax.imageio. Decoding it recovers exactly (w, h). */
+    def synthesizePng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = fasthash.splitmix64(id ^ (x * 2654435761L) ^ (y * 40503L))
+          px(y * w + x) = (v & 0xFFFFFFL).toInt
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
+
+    /** REAL image decode: true dimensions out of the PNG codec.
+      * (0, 0) for bytes no installed reader accepts. */
+    def decodeImageDims(payload: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+    }
+
+    /** Synthesize a real RIFF/WAVE payload: 16-bit mono PCM, deterministic
+      * samples. 44-byte canonical header + data chunk. */
+    def synthesizeWav(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      var s = id
+      while (i < nSamples) {
+        s = fasthash.splitmix64(s)
+        buf.putShort((s & 0xFFFFL).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
+    /** REAL audio decode: (sample rate, frame count) via
+      * javax.sound.sampled. (0, 0) for unparseable bytes. */
+    def decodeAudio(payload: Array[Byte]): (Int, Long) = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try ((in.getFormat.getSampleRate.toInt, in.getFrameLength))
+        finally in.close()
+      } catch { case _: Exception => (0, 0L) }
+    }
+
+    /** STUB — the JDK has no video demuxer; a real deployment swaps this
+      * one function for an ffmpeg/JNI call. */
+    def decodeVideo(payload: Array[Byte]): (Int, Int) = (0, 0)
 
     /** Resize-to-thumbnail: aspect-preserving fit into 128×128. */
     def thumbDims(w: Int, h: Int): (Int, Int) = {
       val scale = 128.0 / math.max(w, h)
-      if (scale >= 1.0) (w, h)
+      if (w <= 0 || h <= 0) (0, 0)
+      else if (scale >= 1.0) (w, h)
       else (math.max((w * scale).toInt, 1), math.max((h * scale).toInt, 1))
     }
 
@@ -57,30 +129,60 @@ object Multimodal {
       else (0 until nFrames by math.max(nFrames / k, 1)).take(k)
   }
 
-  /** Synthesize a deterministic media table from the documents table
-    * (payload = utf-8 bytes of the text; metadata derived from doc fields).
-    * Stands in for `spark.read.format("binaryFile")` / a media lake scan. */
-  def mediaTable(t: Tables): DataFrame =
-    t.documents.select(
+  /** Back-compat alias (thumb/frame math predates the real codecs). */
+  val StubCodec: Codecs.type = Codecs
+
+  private val pngUdf = udf((id: Long, w: Int, h: Int) => Codecs.synthesizePng(id, w, h))
+  private val wavUdf = udf((id: Long, sr: Int, n: Int) => Codecs.synthesizeWav(id, sr, n))
+
+  /** Synthesize a deterministic media table from the documents table —
+    * REAL PNG payloads for image rows (at exactly the declared
+    * width×height, so decode is verifiable against metadata), REAL WAV
+    * payloads for audio rows, opaque bytes for video rows. Stands in for
+    * `spark.read.format("binaryFile")` / a media lake scan. */
+  def mediaTable(t: Tables): DataFrame = mediaTableFrom(t.documents)
+
+  /** Payload synthesis is per-row-heavy (a real PNG encode) — callers that
+    * materialize payloads must pass an already-fanned-out documents frame,
+    * or the codec work runs on the single scan partition. */
+  def mediaTableFrom(documents: DataFrame): DataFrame =
+    documents.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (col("n_chars") % 512 + 64).cast("int").as("width"),
-      (col("n_chars") % 256 + 64).cast("int").as("height"),
+      col("text"),
+      // dims sized so the per-row PNG encode stays cheap (ImageIO deflate
+      // is the q72 hot loop; ≤160×112 keeps the full sf0.1 pipeline ~1 s)
+      (col("n_chars") % 128 + 32).cast("int").as("width"),
+      (col("n_chars") % 96 + 16).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"),
       when(col("doc_id") % 3 === 2, (col("doc_id") % 240 + 24).cast("int"))
-        .otherwise(0).as("n_frames"))
+        .otherwise(0).as("n_frames"),
+      (col("n_chars") % 2048 + 256).cast("int").as("n_samples"))
+    .select(col("media_id"), col("kind"),
+      when(col("kind") === "image",
+        pngUdf(col("media_id"), col("width"), col("height")))
+        .when(col("kind") === "audio",
+          wavUdf(col("media_id"), col("sample_rate"), col("n_samples")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+      col("width"), col("height"), col("sample_rate"), col("n_frames"))
 
   /** Decode + feature-extract + resize + frame-sample, one partition batch
     * at a time (mapPartitions — no per-row task overhead, payloads never
-    * shuffled). */
+    * shuffled). Image/audio decode is the real codec; video is the stub. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (dw, dh) = StubCodec.decodeDims(r.payload)
-        val (tw, th) = StubCodec.thumbDims(r.width, r.height)
+        val (dw, dh, dsr, daf) = r.kind match {
+          case "image" =>
+            val (w0, h0) = Codecs.decodeImageDims(r.payload); (w0, h0, 0, 0L)
+          case "audio" =>
+            val (sr, nf) = Codecs.decodeAudio(r.payload); (0, 0, sr, nf)
+          case _ =>
+            val (w0, h0) = Codecs.decodeVideo(r.payload); (w0, h0, 0, 0L)
+        }
+        val (tw, th) = Codecs.thumbDims(dw, dh)
         var h = 1469598103934665603L
         var sum = 0L
         var i = 0
@@ -91,7 +193,7 @@ object Multimodal {
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h,
           if (r.payload.isEmpty) 0.0 else sum.toDouble / r.payload.length,
-          dw, dh, tw, th, StubCodec.sampleFrames(r.n_frames))
+          dw, dh, dsr, daf, tw, th, Codecs.sampleFrames(r.n_frames))
       }
     }
   }
@@ -103,9 +205,10 @@ object Multimodal {
   def qMediaFeatures(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    // fanout before the per-row decode loop — the single-file scan is one
-    // partition and the payload hashing would otherwise run on one core
-    extractFeatures(t.fanout(mediaTable(t)).as[MediaRow])
+    // fanout BEFORE synthesis — fanout(mediaTable(t)) would leave the PNG
+    // encode below the exchange, on the single scan partition (measured:
+    // 15.8 s vs ~1 s at sf0.1)
+    extractFeatures(mediaTableFrom(t.fanout(t.documents)).as[MediaRow])
       .toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 6))
       .withColumn("sampled_frames",
@@ -132,7 +235,7 @@ object Multimodal {
     """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, avg(width) AS avg_width,
       |  CAST(max(n_frames) AS INT) AS max_frames
       |FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |        CAST(n_chars % 512 + 64 AS INT) AS width,
+      |        CAST(n_chars % 128 + 32 AS INT) AS width,
       |        CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 240 + 24 AS INT)
       |             ELSE 0 END AS n_frames
       |      FROM documents)

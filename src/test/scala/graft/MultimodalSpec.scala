@@ -5,16 +5,54 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  test("media features: deterministic decode stubs, schema intact") {
-    val a = Multimodal.qMediaFeatures(sf0001).collect()
+  test("media features: real PNG/WAV decode matches declared metadata, deterministic") {
+    val t = sf0001
+    val a = Multimodal.qMediaFeatures(t).collect()
     assert(a.length == 500)
-    val b = Multimodal.qMediaFeatures(sf0001).collect()
+    val b = Multimodal.qMediaFeatures(t).collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // declared metadata (payload pruned out of this read)
+    val meta = Multimodal.mediaTable(t)
+      .select("media_id", "width", "height", "sample_rate").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     a.foreach { r =>
-      assert(r.getLong(2) > 0)                  // n_bytes
-      assert(r.getInt(5) >= 64 && r.getInt(6) >= 64) // decoded dims
-      assert(r.getInt(7) <= 128 && r.getInt(8) <= 128) // thumb fits
+      val (w, h, sr) = meta(r.getLong(0))
+      assert(r.getLong(2) > 0) // n_bytes
+      r.getString(1) match {
+        case "image" =>
+          // the codec must read back exactly the dims the PNG was built at
+          assert(r.getInt(5) == w && r.getInt(6) == h,
+            s"media ${r.getLong(0)}: decoded ${r.getInt(5)}x${r.getInt(6)} vs declared ${w}x$h")
+          assert(r.getInt(9) <= 128 && r.getInt(10) <= 128) // thumb fits
+        case "audio" =>
+          assert(r.getInt(7) == sr, s"decoded rate ${r.getInt(7)} vs declared $sr")
+          assert(r.getLong(8) > 0) // frame count recovered from the RIFF header
+        case _ => // video: documented stub — no JDK demuxer
+          assert(r.getInt(5) == 0 && r.getInt(6) == 0 && r.getInt(7) == 0)
+      }
     }
+  }
+
+  test("codec goldens: synthesized PNG/WAV round-trip through the real decoders") {
+    import Multimodal.Codecs
+    // PNG: magic bytes + exact dimensional round-trip at several sizes
+    Seq((1L, 37, 23), (42L, 128, 128), (7L, 575, 319), (9L, 1, 1)).foreach {
+      case (id, w, h) =>
+        val png = Codecs.synthesizePng(id, w, h)
+        assert(png.take(8).sameElements(
+          Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)),
+          "not a PNG signature")
+        assert(Codecs.decodeImageDims(png) == ((w, h)))
+    }
+    // deterministic synthesis: same inputs, same bytes
+    assert(Codecs.synthesizePng(5L, 16, 16).sameElements(Codecs.synthesizePng(5L, 16, 16)))
+    // WAV: RIFF magic + sample rate and frame count round-trip
+    val wav = Codecs.synthesizeWav(3L, 16000, 777)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(Codecs.decodeAudio(wav) == ((16000, 777L)))
+    // junk bytes don't crash the decoders
+    assert(Codecs.decodeImageDims(Array[Byte](1, 2, 3)) == ((0, 0)))
+    assert(Codecs.decodeAudio(Array[Byte](1, 2, 3)) == ((0, 0L)))
   }
 
   test("video rows get sampled frames, others none") {

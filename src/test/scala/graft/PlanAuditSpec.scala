@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkSpec {
     "q40_knn_lsh",          // embeds the q38 baseline for its recall_at_k column
     "q56_knn_ivf",          // same recall baseline
     "q81_knn_sq8",          // quantized first pass scans codes × broadcast probes
-    "q50_news_pipeline")    // composes the greedy dedup stage
+    "q50_news_pipeline",    // composes the greedy dedup stage
+    "q119_kmeans_step")     // Lloyd assignment IS corpus × broadcast centroids (k rows)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
