@@ -195,10 +195,15 @@ object Dedup {
     * part — every pairwise fuzz.ratio — runs distributed (all-pairs UDF
     * over the cross join, ~n²/2 ratio evaluations across the cluster);
     * only the conflict pairs (ratio > threshold, a sparse graph) come back
-    * to the driver, where the arrival-order keep-first walk is O(n + |E|):
-    * scan ids ascending, drop an id iff it conflicts with an already-KEPT
-    * id. Identical output to the sequential reference loop, because the
-    * walk only ever consults pairs — which are all present. */
+    * to the driver — that collect IS the contract: the arrival-order
+    * keep-first walk is inherently sequential, and the pair graph is the
+    * bounded state it needs. The walk itself (O(n + |E|): scan ids
+    * ascending, drop an id iff it conflicts with an already-KEPT id) runs
+    * in ONE executor task — the ids stream through a single-partition
+    * mapPartitions against the broadcast conflict graph, so the id set
+    * never round-trips the driver. Identical output to the sequential
+    * reference loop, because the walk only ever consults pairs — which
+    * are all present. */
   def greedyFuzzyDedup(df: DataFrame, keyCol: String, idCol: String,
       threshold: Int = 80): DataFrame = {
     val spark = df.sparkSession
@@ -218,14 +223,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .as[(Long, Long)].collect()
 
-    val byId = conflicts.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
-    val ids = keyed.select(col("id")).as[Long].collect().sorted
-    val kept = scala.collection.mutable.LinkedHashSet.empty[Long]
-    ids.foreach { id =>
-      val conflictsWithKept = byId.getOrElse(id, Array.empty[Long]).exists(kept.contains)
-      if (!conflictsWithKept) kept += id
-    }
-    kept.toSeq.toDF("doc_id").orderBy(col("doc_id"))
+    val byId = spark.sparkContext.broadcast(
+      conflicts.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) })
+    keyed.select(col("id")).repartition(1).sortWithinPartitions(col("id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        val kept = scala.collection.mutable.LinkedHashSet.empty[Long]
+        ids.foreach { id =>
+          if (!byId.value.getOrElse(id, Array.empty[Long]).exists(kept.contains))
+            kept += id
+        }
+        kept.iterator
+      }
+      .toDF("doc_id").orderBy(col("doc_id"))
   }
 
   /** Greedy dedup as an operator over the full documents table (40-char
