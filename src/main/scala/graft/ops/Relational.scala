@@ -614,20 +614,48 @@ object Relational {
     * bounded-memory digest is the 100 TB path where exact interpolation
     * (q51) would sort every group. Rows-only (estimator-specific values);
     * DistinctSketchSpec asserts the error envelope vs q51's exact values. */
-  def qApproxPercentile(t: Tables): DataFrame =
-    // single sketch for both quantiles (see q51 note)
+  def qApproxPercentile(t: Tables): DataFrame = {
+    // single sketch for both quantiles (see q51 note). Hash-gated by the
+    // sketch's ACTUAL contract — rank error: for an approx value v at
+    // quantile q, |rank(v)/n − q| must sit inside the tolerance. The rank
+    // check is computed in-plan (one broadcast join + conditional counts)
+    // and the oracle asserts the booleans TRUE; this is robust to the
+    // estimator returning different (all valid) values across merges,
+    // where hashing the approx value itself never could be.
+    val li = t.fanout(t.lineitem).select(col("l_returnflag"), col("l_extendedprice"))
+    li.join(broadcast(approxPercentiles(t)), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        first(col("n")).as("n"),
+        sum(when(col("l_extendedprice") <= col("p50_approx"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("l_extendedprice") <= col("p95_approx"), 1L).otherwise(0L)).as("r95"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("r50").cast("double") / col("n").cast("double") - 0.5) <= 0.005)
+          .as("p50_rank_ok"),
+        (abs(col("r95").cast("double") / col("n").cast("double") - 0.95) <= 0.005)
+          .as("p95_rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qApproxPercentileSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** The raw sketch values (one percentile_approx call for both
+    * quantiles) — q60's rank gate consumes this; SketchSpec compares it
+    * against q51's exact interpolated percentiles directly. */
+  private[graft] def approxPercentiles(t: Tables): DataFrame =
     t.fanout(t.lineitem)
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)), lit(10000))
           .as("ps"),
         count(lit(1)).as("n"))
-      .select(
-        col("l_returnflag"),
+      .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("p50_approx"),
         element_at(col("ps"), 2).as("p95_approx"),
         col("n"))
-      .orderBy(col("l_returnflag"))
 
   /** Approx distinct via HLL++ (SURVEY A7) — the 100 TB path where exact
     * distinct would shuffle every key. No SQL oracle (estimator-specific);
@@ -646,9 +674,21 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    // hash-gated via the q109 envelope pattern: the oracled columns are
+    // the exact counts, and the engine-specific HLL estimate folds into a
+    // deterministic ≤5% envelope boolean the oracle asserts as TRUE
     approx.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+          <= col("exact_parts").cast("double") * 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Q109: HLL sketch MATERIALIZATION + reuse (Spark 4 DataSketches
     * surface) — the 100 TB distinct-count pattern: build one compact

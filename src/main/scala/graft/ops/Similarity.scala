@@ -488,6 +488,31 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Q121: ANN recall audit — the q95 pattern applied to the similarity
+    * block (VERDICT r4 missing-item 4): one row per ANN method with its
+    * mean recall@k over the standard probe set vs the brute-force ground
+    * truth, the method's floor, and a pass flag — so the floors that
+    * previously lived only in SimilaritySpec are now DRIVER-VISIBLE every
+    * round. Floors: SRP-LSH 0.5 (multiprobe banding), IVF 0.375 (the
+    * nProbe/nCells=6/16 structural floor on isotropic noise — there is no
+    * cluster structure to beat it with), SQ8 0.9 (quantize-then-exact-
+    * rerank is near-exact by construction). Rows-only: the recall values
+    * come from the seeded LSH/k-means internals, which no SQL replay can
+    * reproduce; AnnAuditSpec pins the floors in-process. */
+  def qAnnRecallAudit(t: Tables, k: Int = 10): DataFrame = {
+    def audit(name: String, ann: DataFrame, floor: Double): DataFrame =
+      ann.select(col("probe_id"), col("recall_at_k")).distinct()
+        .agg(count(lit(1)).as("n_probes"),
+          round(avg(col("recall_at_k")), 4).as("mean_recall"))
+        .select(lit(name).as("method"), lit(k).as("k"), col("n_probes"),
+          col("mean_recall"), lit(floor).as("floor"),
+          (col("mean_recall") >= floor).as("pass_floor"))
+    audit("ivf", qKnnIvf(t), 0.375)
+      .unionAll(audit("sq8", qKnnSq8(t), 0.9))
+      .unionAll(audit("srp_lsh", qKnnLsh(t), 0.5))
+      .orderBy(col("method"))
+  }
+
   /** Per-label embedding centroid (mean-pool) — the class-centroid /
     * pooled-representation operation of a training pipeline, expressed
     * relationally: posexplode to (label, dim, value), two-phase avg per

@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked == exact)
   }
 
+  test("q121 ANN recall audit: every method above its floor, one row each") {
+    val rows = graft.ops.Similarity.qAnnRecallAudit(sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "sq8", "srp_lsh"))
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("pass_floor")),
+        s"${r.getString(0)}: recall ${r.getDouble(r.fieldIndex("mean_recall"))} " +
+          s"below floor ${r.getDouble(r.fieldIndex("floor"))}")
+      assert(r.getLong(r.fieldIndex("n_probes")) == 10)
+    }
+  }
+
   test("LSH pair mining recall vs exact is usable at the near-dup threshold") {
     val exact = Similarity.cosinePairsExact(sf0001.embeddings, 0.4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -7,13 +7,12 @@ import org.apache.spark.sql.functions._
   * substitutes for exact distinct/percentile. */
 class SketchSpec extends SparkSpec {
 
-  test("HLL++ approx distinct within its 1% rsd envelope (q23)") {
+  test("HLL++ approx distinct within its envelope (q23, hash-gated boolean)") {
     val rows = Relational.qApproxDistinct(sf0001).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"${r.getString(0)}: approx $approx vs exact $exact")
+      assert(r.getBoolean(r.fieldIndex("within_5pct")),
+        s"${r.getString(0)}: estimate outside the 5% envelope")
     }
   }
 
@@ -110,7 +109,7 @@ class SketchSpec extends SparkSpec {
   }
 
   test("t-digest approx percentiles near the exact interpolated values (q60 vs q51)") {
-    val approx = Relational.qApproxPercentile(sf0001).collect()
+    val approx = Relational.approxPercentiles(sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Relational.q51Percentiles(sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
@@ -118,6 +117,12 @@ class SketchSpec extends SparkSpec {
       val (a50, a95) = approx(flag)
       assert(math.abs(a50 - p50) / p50 < 0.02, s"$flag p50 $a50 vs $p50")
       assert(math.abs(a95 - p95) / p95 < 0.02, s"$flag p95 $a95 vs $p95")
+    }
+    // and the gated rank-error booleans hold on every group
+    Relational.qApproxPercentile(sf0001).collect().foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("p50_rank_ok")) &&
+        r.getBoolean(r.fieldIndex("p95_rank_ok")),
+        s"${r.getString(0)}: rank error outside tolerance")
     }
   }
 }
