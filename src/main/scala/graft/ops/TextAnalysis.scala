@@ -1020,4 +1020,139 @@ object TextAnalysis {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       |  CAST(SUM(n_tokens) AS DOUBLE) / 256.0 AS fill_ratio
       |FROM packed GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
+  /** Q122: corpus mixture resampling — the data-mixing step of a training
+    * pipeline: given target per-source weights, DOWNSAMPLE overrepresented
+    * sources so the output matches the target mixture (the "source
+    * weighting" of The Pile / Dolma recipes). Membership is the q63/q100
+    * integer hex compare on md5(doc_id) — deterministic, partitioning-
+    * independent, replayable — and the per-source keep-threshold is pure
+    * INTEGER arithmetic: t = min(65535, (w·65536·N) div (Σw·n_source)),
+    * so both engines compute the identical cut with no float division.
+    * (w·65536·N stays under 2^63 for any corpus below ~4.7e13 docs.)
+    *
+    * Scale shape: one per-source count aggregate (20 rows), scalar totals
+    * via windows over that TINY table (never a 1-row scalar join — the
+    * q114 lesson: constant folding degrades those to nested loops), then
+    * the sample is a scan-stage filter against the broadcast rate table.
+    * Demo weights: even-numbered sources get 3× the target share of odd. */
+  def qMixResample(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t.documents.select(col("source"), col("doc_id"))
+    val all = Window.partitionBy()
+    val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+      .withColumn("w",
+        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 3L).otherwise(1L))
+      .withColumn("n_total", sum(col("n_in")).over(all))
+      .withColumn("sum_w", sum(col("w")).over(all))
+      .withColumn("t", expr("least(65535L, (w * 65536L * n_total) div (sum_w * n_in))"))
+      .select(col("source"), col("n_in"), col("w"), col("t"))
+    val sampled = docs.join(broadcast(rates), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4)
+        < format_string("%04x", col("t").cast("int")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_out"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("w"), col("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"), col("t"))
+      .orderBy(col("source"))
+  }
+
+  val qMixResampleSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_in FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, n_in,
+      |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END AS w,
+      |    LEAST(65535,
+      |      (CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END
+      |        * 65536 * SUM(n_in) OVER ())
+      |      // (SUM(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END) OVER ()
+      |         * n_in)) AS t
+      |  FROM counts),
+      |sampled AS (
+      |  SELECT d.source, COUNT(*)::BIGINT AS n_out
+      |  FROM documents d JOIN rates r USING (source)
+      |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', CAST(r.t AS INT))
+      |  GROUP BY d.source)
+      |SELECT r.source, CAST(r.w AS BIGINT) AS w, r.n_in,
+      |  COALESCE(s.n_out, 0)::BIGINT AS n_out, CAST(r.t AS BIGINT) AS t
+      |FROM rates r LEFT JOIN sampled s USING (source)
+      |ORDER BY r.source""".stripMargin
+
+  /** Q123: BM25 retrieval scoring (Robertson-Walker-Jones Okapi BM25, the
+    * Lucene-practical variant: idf = ln(1 + (N−df+0.5)/(df+0.5))) — the
+    * retrieval half of a RAG pipeline next to the vector ANN block. Score
+    * for a fixed query term set over the documents table; top-`topK` docs
+    * by rounded score with a doc_id tie-break.
+    *
+    * Scale shape: the tf table is filtered to the query's terms at the
+    * scan (an inverted-index probe — candidate rows ≈ Σ df(term), never
+    * the corpus); doc lengths are one linear aggregate; (N, Σlen) ride
+    * the driver as a bounded parameter fetch (two longs — the SQ8-params
+    * contract) rather than a 1-row scalar join the optimizer would turn
+    * into a nested loop. Per-term float math is the same IEEE sequence on
+    * both engines; the ≤|query|-term per-doc sum is aggregation-ordered →
+    * round(6). b = 0.75 is exactly binary; k1 literals are written in
+    * both engines' parsers identically. */
+  def qBm25(t: Tables, query: Seq[String] = Seq("spark", "window", "join"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    val Array(nDocs, sumLen) = lens
+      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val avgdl = lit(sumLen).cast("double") / lit(nDocs).cast("double")
+    val tf = toks.filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(1.0) +
+        ((lit(nDocs) - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+    val scored = tf.join(broadcast(dfs), "term").join(lens, "doc_id")
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / avgdl)))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"), col("n_terms_hit"))
+      .orderBy(col("rank"))
+  }
+
+  val qBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |lens AS (SELECT doc_id, COUNT(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+      |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(len)::BIGINT AS sum_len FROM lens),
+      |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+      |       WHERE term IN ('spark', 'window', 'join') GROUP BY doc_id, term),
+      |dfs AS (
+      |  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    round(SUM(
+      |      ln(1.0::DOUBLE + (CAST(s.n - dfs.df AS DOUBLE) + 0.5::DOUBLE)
+      |                       / (CAST(dfs.df AS DOUBLE) + 0.5::DOUBLE))
+      |      * (CAST(tf.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+      |      / (CAST(tf.tf AS DOUBLE)
+      |         + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+      |            + 0.75::DOUBLE * CAST(l.len AS DOUBLE)
+      |              / (CAST(s.sum_len AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      |  FROM tf JOIN dfs USING (term) JOIN lens l ON l.doc_id = tf.doc_id, stats s
+      |  GROUP BY tf.doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, score, n_terms_hit
+      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |ORDER BY rank""".stripMargin
 }

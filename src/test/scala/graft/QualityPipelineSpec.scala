@@ -8,6 +8,60 @@ import org.apache.spark.sql.functions._
   * specs pin the SEMANTIC invariants the hashes can't express. */
 class QualityPipelineSpec extends SparkSpec {
 
+  test("q122 mixture resample: moves source shares toward the target weights") {
+    val rows = TextAnalysis.qMixResample(sf0001).collect()
+    assert(rows.length == 20)
+    val w = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nIn = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val nOut = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"${r.getString(0)}: n_out > n_in")
+      assert(r.getLong(4) >= 1L, "degenerate zero threshold")
+    }
+    // the heaviest-weighted sources must keep (nearly) everything: their
+    // threshold saturates at 65535 (rate 1.0)
+    assert(rows.filter(_.getLong(1) == 3L).forall(_.getLong(4) == 65535L))
+    // L1 distance from the target mixture must shrink vs the input mixture
+    val sumW = w.values.sum.toDouble
+    def l1(counts: Map[String, Long]): Double = {
+      val tot = counts.values.sum.toDouble
+      // toSeq: mapping over the key SET would dedupe equal L1 terms
+      w.keys.toSeq.map(s => math.abs(counts(s) / tot - w(s) / sumW)).sum
+    }
+    assert(l1(nOut) < l1(nIn),
+      s"mixture did not improve: in ${l1(nIn)} out ${l1(nOut)}")
+  }
+
+  test("q123 BM25: matches an independent driver-side recompute, exact top-20") {
+    val t = sf0001
+    val query = Seq("spark", "window", "join")
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.length).sum.toDouble / n
+    val dfm = query.map(q => q -> docs.values.count(_.contains(q))).toMap
+    def bm25(toks: Seq[String]): Double = query.map { q =>
+      val tf = toks.count(_ == q).toDouble
+      if (tf == 0 || dfm(q) == 0) 0.0
+      else {
+        val idf = math.log(1.0 + (n - dfm(q) + 0.5) / (dfm(q) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+      }
+    }.sum
+    val expect = docs.toSeq
+      .map { case (id, toks) => (id, BigDecimal(bm25(toks))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = TextAnalysis.qBm25(t).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((gid, gs), (eid, es)) =>
+      assert(gid == eid && math.abs(gs - es) < 2e-6, s"got ($gid,$gs) want ($eid,$es)")
+    }
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
