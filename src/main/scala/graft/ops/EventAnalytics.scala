@@ -169,6 +169,42 @@ object EventAnalytics {
       |FROM daily d JOIN stats s ON d.event_type = s.event_type
       |ORDER BY d.event_type, d.d""".stripMargin
 
+  /** Q124: SCD2 history build — turn a change-event log into slowly-
+    * changing-dimension type-2 validity intervals: one row per observed
+    * state with [valid_from, valid_to) bounds and an is_current flag
+    * (valid_to = next change's timestamp via lead(), NULL on the open
+    * interval). The warehouse-side temporal operator every CDC ingest
+    * needs downstream of q83's latest-per-key compaction.
+    *
+    * Scale shape: ONE window shuffle partitioned by the dimension key —
+    * O(n) exchange, per-key partitions bounded by a key's change count.
+    * Total order inside a key is (ts, event_id) — event_id is unique, so
+    * same-timestamp changes sequence deterministically on both engines.
+    * Micro-precision timestamps end-to-end (the nanos→micros truncation
+    * lives in Tables.events / the oracle's CAST — q106's lesson). */
+  def qScd2(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val changes = t.events
+      .filter(col("event_type") === "purchase" && col("user_id") < 200)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  val qScd2Sql: String =
+    """WITH changes AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |  FROM events WHERE event_type = 'purchase' AND user_id < 200)
+      |SELECT user_id, event_id, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+      |  value
+      |FROM changes ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** Q118: ingest-completeness monitor — per event type, which HOURS of the
     * type's own [first, last] span have no events at all? Missing hours are
     * how a dead producer, a dropped Kafka partition, or a backfill hole

@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
   * and cohort conservation laws. */
 class EventAnalyticsSpec extends SparkSpec {
 
+  test("q124: SCD2 intervals are contiguous, half-open, with one open row per key") {
+    val rows = graft.ops.EventAnalytics.qScd2(sf0001).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      // exactly one current (open) interval per key
+      assert(rs.count(_.getBoolean(4)) == 1, s"user $u: open-interval count != 1")
+      val sorted = rs.sortBy(r => (r.getTimestamp(2).getTime, r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // contiguity: this row's valid_to IS the next row's valid_from
+          assert(a.getTimestamp(3) == b.getTimestamp(2), s"user $u: gap in history")
+          assert(!a.getBoolean(4), s"user $u: non-final row marked current")
+        case _ =>
+      }
+      assert(sorted.last.getBoolean(4) && sorted.last.get(3) == null)
+    }
+  }
+
   test("q104: stage counts are monotone and match an independent per-user walk") {
     val t = sf0001
     val row = EventAnalytics.qFunnel(t).head()
