@@ -202,6 +202,53 @@ object TextAnalysis {
         xxhash64(col("text")).as("xxh64"))
       .orderBy(col("doc_id"))
 
+  /** Q125: document fingerprinting under the HASH GATE — the oracle-
+    * replayable face of q29's JVM rolling-hash kernel (that kernel stays
+    * the fast path; its splitmix/xxhash values are engine-specific by
+    * nature, so q29 is rows-only forever). Same operator class, exact
+    * integer math both engines share: token value = first 8 md5 hex
+    * digits as an integer (< 2^32), window hash = the base-257 polynomial
+    * over each 4-token window (≤ 2^58 — no overflow, no modulus needed),
+    * fingerprint = MIN over the doc's windows.
+    *
+    * Scale shape: one O(tokens) window shuffle partitioned by doc (lead()
+    * supplies the 3 following token values — each token is read once, the
+    * Rabin-Karp O(1)-slide idea in relational form), then a per-doc agg.
+    * Docs with fewer than 4 tokens emit (0, NULL). */
+  def qFingerprintGate(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), posexplode(text.tokenize(col("text"))).as(Seq("pos", "term")))
+      .withColumn("v", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("h",
+        col("v") * lit(16974593L) + lead(col("v"), 1).over(w) * lit(66049L)
+          + lead(col("v"), 2).over(w) * lit(257L) + lead(col("v"), 3).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_windows"), min(col("h")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qFingerprintGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term,
+      |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0), 1) AS pos
+      |  FROM documents),
+      |vals AS (
+      |  SELECT doc_id, pos, CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS v
+      |  FROM toks),
+      |wins AS (
+      |  SELECT doc_id,
+      |    v * 16974593 + LEAD(v, 1) OVER w * 66049
+      |      + LEAD(v, 2) OVER w * 257 + LEAD(v, 3) OVER w AS h
+      |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT doc_id, COUNT(h)::BIGINT AS n_windows, MIN(h) AS fingerprint
+      |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** N-gram surface (reference utils.py:1-30): distinct word 2-grams per
     * doc count + the reference's n→distinct-ngram map cardinalities. */
   def qNgrams(t: Tables): DataFrame = {

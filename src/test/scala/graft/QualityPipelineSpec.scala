@@ -32,6 +32,31 @@ class QualityPipelineSpec extends SparkSpec {
       s"mixture did not improve: in ${l1(nIn)} out ${l1(nOut)}")
   }
 
+  test("q125 gated fingerprint matches an independent driver-side recompute") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq).toMap
+    def tokVal(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val expect = docs.map { case (id, toks) =>
+      val hs = toks.map(tokVal).sliding(4).filter(_.length == 4)
+        .map(w => w(0) * 16974593L + w(1) * 66049L + w(2) * 257L + w(3)).toSeq
+      id -> (hs.length.toLong, if (hs.isEmpty) None else Some(hs.min))
+    }
+    val got = TextAnalysis.qFingerprintGate(t).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (n, fp) = expect(r.getLong(0))
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)}: window count")
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == fp,
+        s"doc ${r.getLong(0)}: fingerprint mismatch")
+    }
+  }
+
   test("q123 BM25: matches an independent driver-side recompute, exact top-20") {
     val t = sf0001
     val query = Seq("spark", "window", "join")
