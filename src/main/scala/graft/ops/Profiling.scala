@@ -279,6 +279,78 @@ object Profiling {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
   }
 
+  /** Q126: data-quality expectations (the Deequ / Great-Expectations
+    * operator class) — the assertion suite a pipeline runs on every new
+    * drop BEFORE it joins the lake: uniqueness, completeness, referential
+    * integrity, range and accepted-values checks, each emitted as one row
+    * of (check, n_rows, violations, pass).
+    *
+    * Scale shape: every check is ONE aggregate over a single scan
+    * (count + conditional count are map-side combinable; the shuffle per
+    * check is one partial-state row per partition). Referential integrity
+    * rides a left join against the unique parent key — at 100 TB that is
+    * the one check with a real shuffle, and it is exactly the join the
+    * pipeline is about to run anyway (q114's preflight sizes it). */
+  def qExpectations(t: Tables): DataFrame = {
+    def shaped(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check_name"), col("n_rows"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+    val uniq = shaped("events.event_id is unique",
+      t.events.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("violations")))
+    val complete = shaped("orders.o_custkey is complete",
+      t.orders.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("o_custkey"))).as("violations")))
+    val refInt = shaped("lineitem.l_orderkey references orders",
+      t.lineitem.select(col("l_orderkey"))
+        .join(t.orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("o_orderkey").isNull, lit(1))).as("violations")))
+    val range = shaped("events.value is non-negative",
+      t.events.agg(count(lit(1)).as("n_rows"),
+        count(when(col("value") < 0d, lit(1))).as("violations")))
+    val accepted = shaped("lineitem.l_returnflag in (A,N,R)",
+      t.lineitem.agg(count(lit(1)).as("n_rows"),
+        count(when(!col("l_returnflag").isin("A", "N", "R"), lit(1)))
+          .as("violations")))
+    uniq.unionAll(complete).unionAll(refInt).unionAll(range).unionAll(accepted)
+      .orderBy(col("check_name"))
+  }
+
+  val qExpectationsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'events.event_id is unique' AS check_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS violations,
+      |    COUNT(*) - COUNT(DISTINCT event_id) = 0 AS pass
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey is complete',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+      |    COUNT(*) - COUNT(o_custkey) = 0
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey references orders',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT),
+      |    COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'events.value is non-negative',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(CASE WHEN value < 0 THEN 1 END) AS BIGINT),
+      |    COUNT(CASE WHEN value < 0 THEN 1 END) = 0
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem.l_returnflag in (A,N,R)',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) AS BIGINT),
+      |    COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 END) = 0
+      |  FROM lineitem)
+      |ORDER BY check_name""".stripMargin
+
   val qDriftPsiSql: String =
     """WITH ev AS (
       |  SELECT event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

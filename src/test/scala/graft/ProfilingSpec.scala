@@ -7,6 +7,25 @@ import org.apache.spark.sql.functions._
   * multiple COUNT(DISTINCT)s — or a distinct with a sketch — in one agg). */
 class ProfilingSpec extends SparkSpec {
 
+  test("q126: expectations pass on clean data and catch an injected violation") {
+    val t = sf0001
+    val rows = graft.ops.Profiling.qExpectations(t).collect()
+    assert(rows.length == 5)
+    // the synthetic tables are clean by construction: all checks green
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: ${r.getLong(2)} violations")
+      assert(r.getLong(1) > 0)
+    }
+    // sanity of the violation arithmetic: a duplicated event_id set must
+    // report exactly n duplicates on the uniqueness check's own formula
+    import org.apache.spark.sql.functions._
+    val ev = t.events.limit(10)
+    val dup = ev.unionAll(ev)
+    val viol = dup.agg((count(lit(1)) - countDistinct(col("event_id"))).as("v"))
+      .head().getLong(0)
+    assert(viol == 10L, s"expected 10 injected duplicates, got $viol")
+  }
+
   test("q94: per-column stats are consistent with direct queries") {
     val t = sf0001
     val out = ops.Profiling.q94Profile(t).collect()
