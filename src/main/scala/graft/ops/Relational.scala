@@ -1173,6 +1173,60 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Q127: incremental aggregate maintenance — the materialized-view /
+    * nightly-batch pattern: persisted per-group aggregate STATE (built
+    * from the history partition) merged with a new batch's partials
+    * WITHOUT rescanning history. The state carries mergeable components
+    * only (count, decimal sum, min, max — a commutative monoid), so the
+    * merge is a full-outer join on the group key + component-wise
+    * combine; avg is derived at read time from the merged components.
+    *
+    * The ORACLE is the full recompute over the union — the hash compare
+    * IS the algebraic claim (merge(state, partials(batch)) ≡
+    * aggregate(history ∪ batch)). At 100 TB this is the difference
+    * between touching one day and rescanning the lake; the same component
+    * discipline is why Spark's own partial aggregation works.
+    *
+    * Nulls through the merge: a group present on one side only must keep
+    * that side's components — least/greatest null handling differs across
+    * engines, so both sides coalesce EXPLICITLY before combining. */
+  def qIncrementalAgg(t: Tables, splitDate: String = "1997-01-01"): DataFrame = {
+    val split = lit(splitDate).cast("timestamp")
+    def partials(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(s"${tag}_cnt"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as(s"${tag}_sum"),
+          min(col("l_quantity")).as(s"${tag}_min"),
+          max(col("l_quantity")).as(s"${tag}_max"))
+    val state = partials(t.lineitem.filter(col("l_shipdate") < split), "s")
+    val batch = partials(t.lineitem.filter(col("l_shipdate") >= split), "b")
+    state.join(batch, Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        (coalesce(col("s_cnt"), lit(0L)) + coalesce(col("b_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("s_sum"), lit(0).cast(DecimalType(18, 2)))
+          + coalesce(col("b_sum"), lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("sum_price"),
+        least(coalesce(col("s_min"), col("b_min")),
+          coalesce(col("b_min"), col("s_min"))).as("min_qty"),
+        greatest(coalesce(col("s_max"), col("b_max")),
+          coalesce(col("b_max"), col("s_max"))).as("max_qty"))
+      .withColumn("avg_price",
+        round(col("sum_price") / col("cnt").cast("double"), 6))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q127 oracle: the FULL recompute — merge must be indistinguishable
+    * from rescanning everything. */
+  val qIncrementalAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty,
+      |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val q89Sql: String =
     """WITH snap AS (
       |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer),

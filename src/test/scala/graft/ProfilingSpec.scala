@@ -26,6 +26,15 @@ class ProfilingSpec extends SparkSpec {
     assert(viol == 10L, s"expected 10 injected duplicates, got $viol")
   }
 
+  test("q127: merged state is split-invariant (the mergeable-monoid property)") {
+    import graft.ops.Relational
+    // merge(state@d, batch@d) must equal the full recompute for ANY split
+    // point — three different splits, identical results
+    val results = Seq("1994-06-01", "1997-01-01", "1998-12-01")
+      .map(d => Relational.qIncrementalAgg(sf0001, d).collect().map(_.toSeq).toSeq)
+    assert(results.distinct.size == 1, "merge result depends on the split point")
+  }
+
   test("q94: per-column stats are consistent with direct queries") {
     val t = sf0001
     val out = ops.Profiling.q94Profile(t).collect()
