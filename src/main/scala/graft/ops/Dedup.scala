@@ -132,6 +132,93 @@ object Dedup {
   def qDedupMinhashLsh(t: Tables): DataFrame =
     minhashVerifiedPairs(t, t.documents)
 
+  /** Q128: MinHash-LSH candidate generation under the HASH GATE — the
+    * oracle-replayable face of q34's pipeline (whose splitmix signatures
+    * are engine-specific and stay the fast rows-only path). Same
+    * algorithm end to end, engine-neutral hashing: shingles are 8-token
+    * windows built relationally (lead() over one window shuffle — the
+    * q125 move; unigram sets don't discriminate on this corpus's ~40-word
+    * vocabulary), per-permutation shingle hash = the first 15 md5 hex
+    * digits of "i:shingle" as an integer (< 2^60 — exact BIGINT both
+    * engines), signature = min over the doc's DISTINCT shingles, 4 bands
+    * × 2 rows banded into an md5 band key, candidates = the distinct a<b
+    * pairs sharing a (band, key) bucket, with the band-agreement count
+    * per pair.
+    *
+    * Scale shape identical to q34: the permutation fan-out is a map-side
+    * ×8, signatures are one map-side-combinable min aggregate, and
+    * candidate generation is an equi-join on the bucket key — banding is
+    * what keeps near-dup search O(n·bands) instead of n². Everything is
+    * declarative (md5/conv/min/lead/concat) — no kernel, so the DuckDB
+    * replay is line-for-line the same relational program. */
+  def qLshCandidatesGate(t: Tables, perms: Int = 8, rowsPerBand: Int = 2,
+      shingleLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("term") +: (1 until shingleLen)
+      .map(j => lead(col("term"), j).over(w))
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), posexplode(text.tokenize(col("text"))).as(Seq("pos", "term")))
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      .withColumn("tail", lead(col("term"), shingleLen - 1).over(w))
+      .filter(col("tail").isNotNull)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val sigs = toks
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(perms - 1))).as("i"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("i"), lit(":"), col("shingle"))), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("sig"))
+    val bands = sigs
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws("|",
+        min(when(col("i") % 2 === 0, col("sig"))),
+        min(when(col("i") % 2 === 1, col("sig"))))).as("bkey"))
+    bands.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val qLshCandidatesGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term,
+      |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0), 1) AS pos
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w
+      |        || ' ' || LEAD(term, 3) OVER w || ' ' || LEAD(term, 4) OVER w
+      |        || ' ' || LEAD(term, 5) OVER w || ' ' || LEAD(term, 6) OVER w
+      |        || ' ' || LEAD(term, 7) OVER w AS shingle
+      |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  WHERE shingle IS NOT NULL),
+      |sigs AS (
+      |  SELECT doc_id, g.i,
+      |    MIN(CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || shingle), 1, 15)
+      |        AS BIGINT)) AS sig
+      |  FROM shingles, generate_series(0, 7) g(i)
+      |  GROUP BY doc_id, g.i),
+      |bands AS (
+      |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+      |    md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN sig END) AS VARCHAR) || '|'
+      |        || CAST(MIN(CASE WHEN i % 2 = 1 THEN sig END) AS VARCHAR)) AS bkey
+      |  FROM sigs GROUP BY doc_id, i // 2)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      |  AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** The LSH+verify pipeline over an arbitrary document slice (q34 runs it
     * corpus-wide; q95 re-runs it on the audit slice). */
   private def minhashVerifiedPairs(t: Tables, docs: DataFrame): DataFrame = {

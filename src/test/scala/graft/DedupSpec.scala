@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  test("q128 gated LSH candidates cover the exact near-dup pairs") {
+    val t = sf0001
+    val rows = graft.ops.Dedup.qLshCandidatesGate(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nb = r.getLong(2)
+      assert(nb >= 1 && nb <= 4, s"n_bands $nb out of range")
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+    }
+    val cands = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact 8-shingle jaccard ≥ 0.5 via the blocked kernel
+    val exact = graft.ops.Dedup.jaccardPairsBlocked(
+        t.documents, "text", "doc_id", 0.5).collect()
+      .map(r => (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))))
+      .toSet
+    assert(exact.nonEmpty, "fixture has no near-dup pairs")
+    val recall = exact.count(cands.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"gated-LSH recall $recall below floor (|exact|=${exact.size})")
+  }
+
   test("minhash LSH finds every planted near-dup the exact pass finds") {
     // Exact (blocked) jaccard pairs are the ground truth; LSH candidates
     // must cover them (jaccard ≥ 0.5 ⇒ collision prob ≈ 1 at 16 bands × 4).
