@@ -58,6 +58,25 @@ class NativeAsOfSpec extends SparkSpec {
       Seq((1L, 50L, None), (1L, 100L, Some(7.5)), (2L, 10L, None)))
   }
 
+  test("null timestamps: null left ts emits the null row, null right ts is skipped") {
+    import spark.implicits._
+    // java.lang.Long so the ts column is nullable
+    val left = Seq[(Long, java.lang.Long, String)](
+      (1L, null, "null-ts"), (1L, 100L, "ok"))
+      .toDF("k", "t", "tag")
+    val right = Seq[(Long, java.lang.Long, Double)](
+      (1L, null, 99.9), // must never match anything ("≤ ts" is unknowable)
+      (1L, 60L, 7.5))
+      .toDF("k", "t", "v")
+    val out = NativeAsOf.asOfJoin(left, right, "k", "t", "v")
+      .collect()
+      .map(r => (Option(r.get(r.fieldIndex("t"))),
+        Option(r.get(r.fieldIndex("asof_v"))))).toSet
+    // null left ts → unmatched (null payload); real ts matches only the
+    // non-null right row — no NPE through the interpreted orderings
+    assert(out == Set((None, None), (Some(100L), Some(7.5))), out.toString)
+  }
+
   test("inclusive bound: right row at exactly left ts matches") {
     import spark.implicits._
     val left = Seq((1L, 100L, "a")).toDF("k", "t", "tag")
