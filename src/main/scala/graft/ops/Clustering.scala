@@ -255,6 +255,57 @@ object Clustering {
        |FROM a$updates ORDER BY vec_id""".stripMargin
   }
 
+  /** Q129: the LDA corpus build under the HASH GATE — gensim's
+    * `corpora.Dictionary` + `doc2bow` (reference lda.py:39-41), the A3/M5
+    * preprocessing that otherwise lives inside CountVectorizer. Term ids
+    * are assigned by token ascending (documented deviation from gensim's
+    * first-appearance order — topic math is invariant to vocabulary
+    * relabeling, and a total alphabetic order is engine-independent by
+    * construction). Each doc's bag-of-words is emitted as the ordered
+    * "id:count" join (the q99 compact-signature pattern: the oracle pins
+    * every pair's exact content at O(docs) output).
+    *
+    * Scale shape: one token-count aggregate (map-side combinable), a
+    * vocabulary id assignment (dense_rank over the vocab table — |vocab|
+    * rows, not corpus; swap for a zipWithIndex-free hash id at 100 TB if
+    * even vocab is too big to sort), and a per-doc ordered aggregate. */
+  def qBowCorpus(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"),
+        explode(text.removeStopwords(text.tokenize(col("text")))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val vocab = tf.select(col("term")).distinct()
+      .withColumn("tid", (dense_rank().over(Window.orderBy(col("term"))) - 1).cast("long"))
+    tf.join(vocab, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("tid"), col("c")))),
+          s => concat(s.getField("tid"), lit(":"), s.getField("c"))), " ").as("bow"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBowCorpusSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM toks
+      |  WHERE term NOT IN (STOPWORDS) GROUP BY doc_id, term),
+      |vocab AS (
+      |  SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) - 1 AS BIGINT) AS tid
+      |  FROM (SELECT DISTINCT term FROM tf))
+      |SELECT tf.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(tf.c) AS BIGINT) AS n_tokens,
+      |  string_agg(CAST(v.tid AS VARCHAR) || ':' || CAST(tf.c AS VARCHAR), ' '
+      |    ORDER BY v.tid) AS bow
+      |FROM tf JOIN vocab v USING (term)
+      |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
+      .replace("STOPWORDS", graft.functions.text.stopwords.map(s => s"'$s'").mkString(", "))
+
   /** LDA topic keywords: top-10 terms per topic (lda.py:54-56 intent,
     * gensim show_topics ≈ ml describeTopics). */
   def ldaTopicKeywords(t: Tables, k: Int = 10): DataFrame = {

@@ -136,6 +136,31 @@ class ClusteringSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) > 0.0))
   }
 
+  test("q129 BoW corpus agrees with the CountVectorizer vectorization") {
+    import org.apache.spark.ml.feature.CountVectorizer
+    import org.apache.spark.ml.linalg.SparseVector
+    val t = sf0001
+    val rows = Clustering.qBowCorpus(t).collect()
+    assert(rows.length == 500)
+    val toks = t.documents.withColumn("tokens",
+      graft.functions.text.removeStopwords(graft.functions.text.tokenize(col("text"))))
+    val cv = new CountVectorizer().setInputCol("tokens").setOutputCol("tf").fit(toks)
+    val ml = cv.transform(toks).select("doc_id", "tf").collect()
+      .map(r => r.getLong(0) -> r.getAs[SparseVector](1)).toMap
+    rows.foreach { r =>
+      val v = ml(r.getLong(0))
+      assert(r.getLong(1) == v.numNonzeros.toLong,
+        s"doc ${r.getLong(0)}: n_terms vs CountVectorizer nnz")
+      assert(r.getLong(2) == v.values.sum.toLong,
+        s"doc ${r.getLong(0)}: n_tokens vs CountVectorizer mass")
+      // bow pairs are "id:count" ascending by our alphabetic ids — counts
+      // (id-order independent) must be the same multiset as the vector's
+      val counts = r.getString(3).split(" ").map(_.split(":")(1).toLong).sorted.toSeq
+      assert(counts == v.values.map(_.toLong).sorted.toSeq,
+        s"doc ${r.getLong(0)}: count multiset differs")
+    }
+  }
+
   test("q102 pure-plan TF-IDF matches the spark.ml CountVectorizer+IDF pipeline") {
     import org.apache.spark.ml.feature.{CountVectorizer, IDF}
     import org.apache.spark.ml.linalg.SparseVector
