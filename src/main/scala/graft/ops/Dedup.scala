@@ -138,44 +138,54 @@ object Dedup {
     * algorithm end to end, engine-neutral hashing: shingles are 8-token
     * windows built relationally (lead() over one window shuffle — the
     * q125 move; unigram sets don't discriminate on this corpus's ~40-word
-    * vocabulary), per-permutation shingle hash = the first 15 md5 hex
-    * digits of "i:shingle" as an integer (< 2^60 — exact BIGINT both
-    * engines), signature = min over the doc's DISTINCT shingles, 4 bands
-    * × 2 rows banded into an md5 band key, candidates = the distinct a<b
-    * pairs sharing a (band, key) bucket, with the band-agreement count
-    * per pair.
+    * vocabulary), base hash = the first 15 md5 hex digits of the shingle
+    * as an integer reduced mod the Mersenne prime 2^31−1, and the 8
+    * permutations are Carter–Wegman universal hashes h_i = (a_i·u + b_i)
+    * mod (2^31−1) — products < 2^62, exact BIGINT on both engines, ONE
+    * md5 per shingle (an i:shingle md5 per permutation benched 4.5 s;
+    * this shape is ~2 s). All 8 signature minimums come out of a single
+    * per-doc aggregate (no ×perms row fan-out), bands = 4 × 2-row md5
+    * keys unioned to (doc, band, key) rows, candidates = the distinct
+    * a<b pairs sharing a bucket, with the band-agreement count.
     *
-    * Scale shape identical to q34: the permutation fan-out is a map-side
-    * ×8, signatures are one map-side-combinable min aggregate, and
-    * candidate generation is an equi-join on the bucket key — banding is
-    * what keeps near-dup search O(n·bands) instead of n². Everything is
-    * declarative (md5/conv/min/lead/concat) — no kernel, so the DuckDB
-    * replay is line-for-line the same relational program. */
-  def qLshCandidatesGate(t: Tables, perms: Int = 8, rowsPerBand: Int = 2,
-      shingleLen: Int = 8): DataFrame = {
+    * Scale shape identical to q34: one min-aggregate pass for signatures
+    * and an equi-join on the bucket key — banding is what keeps near-dup
+    * search O(n·bands) instead of n². Everything is declarative
+    * (md5/conv/min/lead/concat) — no kernel, so the DuckDB replay is
+    * line-for-line the same relational program. */
+  def qLshCandidatesGate(t: Tables, shingleLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L // 2^31 − 1
+    // fixed odd multipliers/offsets (any a_i ∈ [1, P) works; these are
+    // arbitrary constants shared with the SQL below)
+    val A = Seq(1103515245L, 1299709L, 492876847L, 715225739L,
+      179424673L, 982451653L, 32452843L, 613651349L)
+    val B = Seq(12345L, 543210L, 998877L, 192837L,
+      564738L, 102938L, 777777L, 246813L)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = col("term") +: (1 until shingleLen)
       .map(j => lead(col("term"), j).over(w))
-    val toks = t.fanout(t.documents)
+    val shingles = t.fanout(t.documents)
       .select(col("doc_id"), posexplode(text.tokenize(col("text"))).as(Seq("pos", "term")))
       .withColumn("shingle", concat_ws(" ", parts: _*))
       .withColumn("tail", lead(col("term"), shingleLen - 1).over(w))
       .filter(col("tail").isNotNull)
       .select(col("doc_id"), col("shingle")).distinct()
-    val sigs = toks
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(perms - 1))).as("i"))
-      .withColumn("h",
-        conv(substring(md5(concat(col("i"), lit(":"), col("shingle"))), 1, 15), 16, 10)
-          .cast("long"))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("sig"))
+      .withColumn("u",
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long") % P)
+    val sigCols = A.indices.map(i =>
+      min((col("u") * A(i) + B(i)) % P).as(s"s$i"))
+    val sigs = shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // ONE projection stacks the 4 band keys (a 4-way union of selects
+    // would recompute the whole signature pipeline per branch — the
+    // differing band literals defeat exchange reuse; measured 5 s vs 2 s)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey"))
+    }
     val bands = sigs
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("|",
-        min(when(col("i") % 2 === 0, col("sig"))),
-        min(when(col("i") % 2 === 1, col("sig"))))).as("bkey"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     bands.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
         Seq("band", "bkey"))
@@ -185,39 +195,50 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val qLshCandidatesGateSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
-      |           x -> len(x) > 0)) AS term,
-      |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
-      |           x -> len(x) > 0), 1) AS pos
-      |  FROM documents),
-      |shingles AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id,
-      |      term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w
-      |        || ' ' || LEAD(term, 3) OVER w || ' ' || LEAD(term, 4) OVER w
-      |        || ' ' || LEAD(term, 5) OVER w || ' ' || LEAD(term, 6) OVER w
-      |        || ' ' || LEAD(term, 7) OVER w AS shingle
-      |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-      |  WHERE shingle IS NOT NULL),
-      |sigs AS (
-      |  SELECT doc_id, g.i,
-      |    MIN(CAST('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || shingle), 1, 15)
-      |        AS BIGINT)) AS sig
-      |  FROM shingles, generate_series(0, 7) g(i)
-      |  GROUP BY doc_id, g.i),
-      |bands AS (
-      |  SELECT doc_id, CAST(i // 2 AS INT) AS band,
-      |    md5(CAST(MIN(CASE WHEN i % 2 = 0 THEN sig END) AS VARCHAR) || '|'
-      |        || CAST(MIN(CASE WHEN i % 2 = 1 THEN sig END) AS VARCHAR)) AS bkey
-      |  FROM sigs GROUP BY doc_id, i // 2)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
-      |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-      |  AND a.doc_id < b.doc_id
-      |GROUP BY a.doc_id, b.doc_id
-      |ORDER BY id_a, id_b""".stripMargin
+  val qLshCandidatesGateSql: String = {
+    val P = "2147483647"
+    val A = Seq(1103515245L, 1299709L, 492876847L, 715225739L,
+      179424673L, 982451653L, 32452843L, 613651349L)
+    val B = Seq(12345L, 543210L, 998877L, 192837L,
+      564738L, 102938L, 777777L, 246813L)
+    val sigExprs = A.indices.map(i =>
+      s"MIN((u * ${A(i)} + ${B(i)}) % $P) AS s$i").mkString(",\n      |    ")
+    val bandSelects = (0 until 4).map(b =>
+      s"""SELECT doc_id, $b AS band,
+         |    md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR)) AS bkey
+         |  FROM sigs""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |           x -> len(x) > 0)) AS term,
+       |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |           x -> len(x) > 0), 1) AS pos
+       |  FROM documents),
+       |shingles AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w
+       |        || ' ' || LEAD(term, 3) OVER w || ' ' || LEAD(term, 4) OVER w
+       |        || ' ' || LEAD(term, 5) OVER w || ' ' || LEAD(term, 6) OVER w
+       |        || ' ' || LEAD(term, 7) OVER w AS shingle
+       |    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+       |  WHERE shingle IS NOT NULL),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % $P AS u
+       |  FROM shingles),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** The LSH+verify pipeline over an arbitrary document slice (q34 runs it
     * corpus-wide; q95 re-runs it on the audit slice). */
