@@ -220,6 +220,53 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Q130: decode-fidelity check under the HASH GATE — drives the REAL
+    * codec path (synthesize → decode for every row) and counts, per kind,
+    * how many rows decode back EXACTLY to their declared metadata (image:
+    * PNG dims, audio: WAV sample rate + frame count, video: the stub's
+    * documented zeros). The oracle computes the expected counts from the
+    * metadata formulas alone and asserts n_match = n — so a codec
+    * regression (or a future payload/decoder change that breaks
+    * round-tripping) fails the driver compare, not just MultimodalSpec. */
+  def qDecodeCheck(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val media = mediaTableFrom(t.fanout(t.documents))
+    val feats = extractFeatures(media.as[MediaRow]).toDF()
+      .select(col("media_id"), col("decoded_width"), col("decoded_height"),
+        col("decoded_sample_rate"), col("decoded_audio_frames"))
+    // n_samples isn't carried on MediaRow — recompute the declared values
+    // from the same formulas the synthesizer used
+    val declared = t.documents.select(col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      (col("n_chars") % 128 + 32).cast("int").as("width"),
+      (col("n_chars") % 96 + 16).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"),
+      (col("n_chars") % 2048 + 256).cast("long").as("n_samples"))
+    feats.join(declared, "media_id")
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        count(when(
+          (col("kind") === "image" && col("decoded_width") === col("width")
+            && col("decoded_height") === col("height")) ||
+          (col("kind") === "audio" && col("decoded_sample_rate") === col("sample_rate")
+            && col("decoded_audio_frames") === col("n_samples")) ||
+          (col("kind") === "video" && col("decoded_width") === 0
+            && col("decoded_height") === 0 && col("decoded_sample_rate") === 0),
+          lit(1))).as("n_decode_match"))
+      .orderBy(col("kind"))
+  }
+
+  /** q130 oracle: expected counts from the metadata formulas alone —
+    * n_decode_match MUST equal n (the decode round-trips faithfully). */
+  val qDecodeCheckSql: String =
+    """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS BIGINT) AS n_decode_match
+      |FROM (SELECT (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind
+      |      FROM documents)
+      |GROUP BY kind ORDER BY kind""".stripMargin
+
   /** Metadata-only aggregate — must never read the payload column (column
     * pruning; asserted via the physical plan in MultimodalSpec). Oracled:
     * the metadata derivation is pure column arithmetic, so DuckDB can
