@@ -202,8 +202,13 @@ object Clustering {
       .cache()
     def assign(cs: Seq[(Long, Seq[Double])]): DataFrame = {
       val cdf = cs.toDF("cid", "c")
+      // argmax over round(sim, 6), not the raw cosine: the raw values are
+      // sequential-double on the Spark side vs DuckDB's
+      // list_cosine_similarity — a near-tie inside float noise would flip
+      // the assignment cross-engine and cascade through later rounds
+      // (round-5 advice). Same round(6) discipline as the centroid means.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+        .partitionBy(col("vec_id")).orderBy(round(col("sim"), 6).desc, col("cid"))
       emb.crossJoin(broadcast(cdf))
         .withColumn("sim", graft.plans.CosineSim.cosineD(col("e"), col("c")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -236,7 +241,7 @@ object Clustering {
          |    SELECT emb.vec_id, emb.e, c.cid,
          |      list_cosine_similarity(emb.e, c.c) AS sim,
          |      ROW_NUMBER() OVER (PARTITION BY emb.vec_id
-         |        ORDER BY list_cosine_similarity(emb.e, c.c) DESC, c.cid) AS rn
+         |        ORDER BY round(list_cosine_similarity(emb.e, c.c), 6) DESC, c.cid) AS rn
          |    FROM emb CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
     def updateCte(c: String, a: String): String =
       s"""$c AS (

@@ -283,6 +283,117 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Q131: SimHash near-dup detection under the HASH GATE — the
+    * oracle-replayable face of q35 (whose splitmix sketch is
+    * engine-specific and stays the fast rows-only path). Same Charikar
+    * construction as fasthash.simhash64 — token-MULTISET weights,
+    * majority vote with ties → 1, 4×16-bit pigeonhole blocking, exact
+    * hamming ≤ 3 verify — but every step is declarative integer
+    * arithmetic both engines replay bit-for-bit: per-term 16-bit chunk
+    * hashes are md5 hex nibbles 1-4/5-8/9-12/13-16 (ONE md5 per distinct
+    * (doc, term) row — the q128 lesson), the 64 per-bit majority sums are
+    * 64 conditional SUM columns in ONE aggregate (no ×64 row fan-out:
+    * map-side combinable, the exchange carries 64 longs per doc), chunk
+    * values are CASE-sum bit packs, and the verify is xor + bit_count
+    * (DuckDB: xor()/bit_count — exact on both engines).
+    *
+    * Scale shape: one token-count aggregate, one 64-column signature
+    * aggregate, a 4-rows-per-doc band equi-join — O(n·4) candidates,
+    * never n². The pigeonhole guarantee (hamming ≤ 3 over 4 chunks ⇒
+    * some chunk equal) makes the equi-join lossless for the emitted
+    * distance, so this IS the exact hamming-≤3 pair set. */
+  def qSimhashGate(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
+    val hashed = toks
+      .withColumn("m", md5(col("term")))
+      .select(col("doc_id") +: col("cnt") +: (0 until 4).map(c =>
+        conv(substring(col("m"), 1 + 4 * c, 4), 16, 10).cast("long").as(s"h$c")): _*)
+    val oneSums = for { c <- 0 until 4; b <- 0 until 16 } yield
+      sum(col("cnt") * shiftright(col(s"h$c"), b).bitwiseAND(lit(1L))).as(s"o${c}_$b")
+    val aggs = sum(col("cnt")).as("n") +: oneSums
+    val sums = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val cvs = (0 until 4).map { c =>
+      (0 until 16).map(b =>
+        when(col(s"o${c}_$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"cv$c")
+    }
+    val sigs = sums.select(col("doc_id") +: cvs: _*)
+    // single projection + explode for the band rows (q128: a 4-way union
+    // of selects recomputes the signature pipeline per branch)
+    val bandStructs = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"), col(s"cv$c").as("cv")))
+    val bandCols = Seq(col("doc_id")) ++ (0 until 4).map(c => col(s"cv$c")) ++
+      Seq(col("bk.chunk").as("chunk"), col("bk.cv").as("cv"))
+    val bands = sigs
+      .withColumn("bk", explode(array(bandStructs: _*)))
+      .select(bandCols: _*)
+    def side(tag: String): DataFrame =
+      bands.select(Seq(col("chunk"), col("cv"), col("doc_id").as(s"id_$tag")) ++
+        (0 until 4).map(c => col(s"cv$c").as(s"$tag$c")): _*)
+    side("a").join(side("b"), Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", (0 until 4)
+        .map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
+        .reduce(_ + _).cast("long"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("hamming")).as("hamming"), count(lit(1)).as("n_chunks"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q131 oracle: the identical relational program — DuckDB's >>, &,
+    * xor() and bit_count are exact on BIGINT, and the md5-nibble chunk
+    * hashes replay via CAST('0x…' AS BIGINT). */
+  def qSimhashGateSql(maxHamming: Int = 3): String = {
+    val hashCols = (0 until 4).map(c =>
+      s"CAST('0x' || substr(md5(term), ${1 + 4 * c}, 4) AS BIGINT) AS h$c")
+      .mkString(",\n      |    ")
+    val oneSums = (for { c <- 0 until 4; b <- 0 until 16 } yield
+      s"SUM(cnt * ((h$c >> $b) & 1)) AS o${c}_$b").mkString(",\n      |    ")
+    val cvExprs = (0 until 4).map { c =>
+      (0 until 16).map(b =>
+        s"(CASE WHEN 2 * o${c}_$b >= n THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ") + s" AS cv$c"
+    }.mkString(",\n      |    ")
+    val bandSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, cv0, cv1, cv2, cv3, $c AS chunk, cv$c AS cv FROM sigs")
+      .mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, term, COUNT(*)::BIGINT AS cnt FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |             x -> len(x) > 0)) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |hashed AS (
+      |  SELECT doc_id, cnt,
+      |    $hashCols
+      |  FROM toks),
+      |sums AS (
+      |  SELECT doc_id, SUM(cnt) AS n,
+      |    $oneSums
+      |  FROM hashed GROUP BY doc_id),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    $cvExprs
+      |  FROM sums),
+      |bands AS (
+      |  $bandSelects),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(MAX(bit_count(xor(a.cv0, b.cv0)) + bit_count(xor(a.cv1, b.cv1))
+      |           + bit_count(xor(a.cv2, b.cv2)) + bit_count(xor(a.cv3, b.cv3))
+      |         ) AS BIGINT) AS hamming,
+      |    COUNT(*)::BIGINT AS n_chunks
+      |  FROM bands a JOIN bands b ON a.chunk = b.chunk AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, hamming, n_chunks FROM pairs
+      |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ------------------------------------------------- greedy (ref parity)
 
   /** The reference's greedy keep-first fuzzy dedup (pipeline.py:27-35):

@@ -43,7 +43,7 @@ object Layout {
 
   private val sessionTags = new java.util.WeakHashMap[SparkSession, String]()
   private val sessionCtr = new java.util.concurrent.atomic.AtomicInteger()
-  private def sessionTag(spark: SparkSession): String = sessionTags.synchronized {
+  private[graft] def sessionTag(spark: SparkSession): String = sessionTags.synchronized {
     var t = sessionTags.get(spark)
     if (t == null) { t = s"s${sessionCtr.incrementAndGet()}"; sessionTags.put(spark, t) }
     t

@@ -1088,8 +1088,11 @@ object TextAnalysis {
     val docs = t.documents.select(col("source"), col("doc_id"))
     val all = Window.partitionBy()
     val rates = docs.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+      // substr(source, 4) UNBOUNDED, exactly mirroring the oracle's
+      // substr(source, 4): the old 10-char cap would silently diverge on a
+      // longer numeric suffix while the oracle errors (round-5 advice)
       .withColumn("w",
-        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 3L).otherwise(1L))
+        when(expr("substring(source, 4)").cast("long") % 2 === 0, 3L).otherwise(1L))
       .withColumn("n_total", sum(col("n_in")).over(all))
       .withColumn("sum_w", sum(col("w")).over(all))
       .withColumn("t", expr("least(65535L, (w * 65536L * n_total) div (sum_w * n_in))"))
@@ -1147,8 +1150,10 @@ object TextAnalysis {
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    // coalesce the sum: on an empty documents table sum(len) is NULL and a
+    // bare cast throws; the empty result set itself is correct either way
     val Array(nDocs, sumLen) = lens
-      .agg(count(lit(1)), sum(col("len"))).collect()(0)
+      .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val avgdl = lit(sumLen).cast("double") / lit(nDocs).cast("double")
     val tf = toks.filter(col("term").isin(query: _*))
@@ -1173,8 +1178,16 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
-  val qBm25Sql: String =
-    """WITH toks AS (
+  /** q123 oracle, parameterized EXACTLY like qBm25 (the qKmeansStepSql
+    * pattern — round-5 advice: a hard-coded term list/LIMIT silently broke
+    * oracle parity for any non-default invocation). The float literals are
+    * interpolated so both engines parse the SAME doubles, and composite
+    * constants (k1+1, 1-b) stay written as the two-operand IEEE expression
+    * in both parsers. */
+  def qBm25Sql(query: Seq[String] = Seq("spark", "window", "join"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+    val terms = query.map(q => "'" + q.replace("'", "''") + "'").mkString(", ")
+    s"""WITH toks AS (
       |  SELECT doc_id,
       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
       |           x -> len(x) > 0)) AS term
@@ -1182,7 +1195,7 @@ object TextAnalysis {
       |lens AS (SELECT doc_id, COUNT(*)::BIGINT AS len FROM toks GROUP BY doc_id),
       |stats AS (SELECT COUNT(*)::BIGINT AS n, SUM(len)::BIGINT AS sum_len FROM lens),
       |tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
-      |       WHERE term IN ('spark', 'window', 'join') GROUP BY doc_id, term),
+      |       WHERE term IN ($terms) GROUP BY doc_id, term),
       |dfs AS (
       |  SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
       |scored AS (
@@ -1190,16 +1203,17 @@ object TextAnalysis {
       |    round(SUM(
       |      ln(1.0::DOUBLE + (CAST(s.n - dfs.df AS DOUBLE) + 0.5::DOUBLE)
       |                       / (CAST(dfs.df AS DOUBLE) + 0.5::DOUBLE))
-      |      * (CAST(tf.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+      |      * (CAST(tf.tf AS DOUBLE) * ($k1::DOUBLE + 1.0::DOUBLE))
       |      / (CAST(tf.tf AS DOUBLE)
-      |         + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
-      |            + 0.75::DOUBLE * CAST(l.len AS DOUBLE)
+      |         + $k1::DOUBLE * (1.0::DOUBLE - $b::DOUBLE
+      |            + $b::DOUBLE * CAST(l.len AS DOUBLE)
       |              / (CAST(s.sum_len AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6) AS score,
       |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       |  FROM tf JOIN dfs USING (term) JOIN lens l ON l.doc_id = tf.doc_id, stats s
       |  GROUP BY tf.doc_id)
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
       |  doc_id, score, n_terms_hit
-      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
+  }
 }

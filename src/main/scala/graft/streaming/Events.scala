@@ -272,7 +272,12 @@ object Events {
         .option("checkpointLocation", dir.resolve("ckpt").toString)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       sq.awaitTermination()
-      liveStreamOuts.put(s"stream_join#${t.sfDir}", dir).foreach(deleteRecursively)
+      // key by (session, sfDir) — the Layout sessionTag pattern: two
+      // concurrent sessions on one sfDir must not delete each other's live
+      // output. The returned DataFrame stays valid only until the NEXT
+      // qStreamJoin call on the same session+sfDir (documented contract).
+      val liveKey = s"stream_join#${graft.ops.Layout.sessionTag(spark)}#${t.sfDir}"
+      liveStreamOuts.put(liveKey, dir).foreach(deleteRecursively)
       // explicit schema: a zero-match SF writes _spark_metadata but no
       // data files, which would otherwise fail schema inference
       spark.read.schema(joined.schema).parquet(outDir.toString)

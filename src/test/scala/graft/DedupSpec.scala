@@ -48,6 +48,32 @@ class DedupSpec extends SparkSpec {
     assert(overlap.nonEmpty, "no simhash pair confirmed by exact jaccard")
   }
 
+  test("q131 gated simhash: pigeonhole invariants + kernel-path agreement") {
+    val t = sf0001
+    val gate = Dedup.qSimhashGate(t).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      val h = r.getLong(2); val nc = r.getLong(3)
+      assert(h >= 0 && h <= 3, s"hamming $h out of the <=3 contract")
+      assert(nc >= 1 && nc <= 4, s"n_chunks $nc out of range")
+      // hamming <= 3 bits spread over 4 chunks leaves >= 4-h chunks equal
+      assert(nc >= 4 - h, s"pigeonhole violated: hamming=$h, equal chunks=$nc")
+    }
+    // the gate and the kernel path use different hashes, but both are
+    // SimHash over the same token multisets: the strong near-dups must
+    // be found by both, and some gate pair must survive exact jaccard
+    val kernel = Dedup.qDedupSimhash(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gateSet = gate.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gateSet.intersect(kernel).nonEmpty,
+      "no overlap between gated and kernel simhash pairs")
+    val exact = Dedup.qJaccardPairs(t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gateSet.intersect(exact).nonEmpty,
+      "no gated simhash pair confirmed by exact jaccard")
+  }
+
   test("componentsMinId converges on a chain longer than any fixed cap") {
     // a 30-edge path graph takes 30 rounds under naive min-label
     // propagation — star contraction must handle it in a handful
