@@ -311,6 +311,168 @@ object Clustering {
       |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin
       .replace("STOPWORDS", graft.functions.text.stopwords.map(s => s"'$s'").mkString(", "))
 
+  /** Q132: a fixed-round NMF topic-model step under the HASH GATE — the
+    * deterministic face of the reference's topic modeling (lda.py:43-51
+    * intent), completing the q102/q119/q120 program: the last ML operator
+    * whose only check was rows-only. Lee & Seung (2001) multiplicative
+    * updates for Frobenius NMF, V ≈ W·H over the q129 BoW corpus
+    * (doc × term counts, q129's alphabetic term ids):
+    *  - init: W = all-ones (docs × k); H_i = count vector of the i-th
+    *    smallest doc_id + 1 (dense over the vocab — symmetry broken by
+    *    the data itself, the q119 first-k-docs discipline);
+    *  - per round: H ← H ∘ WᵀV / (WᵀW·H + ε), then W ← W ∘ V·Hᵀ /
+    *    (W·H·Hᵀ + ε), ε = 1e-9, every aggregate round(6) (the established
+    *    aggregation-order discipline; the elementwise update on rounded
+    *    inputs is then the identical IEEE expression in both engines).
+    * Emits the final document-topic matrix W. Docs with no non-stopword
+    * token have no V rows and are excluded (documented).
+    *
+    * Scale shape: the nonzero V entries drive every product — WᵀV and
+    * V·Hᵀ are equi-joins on doc/term keys over the sparse counts, WᵀW and
+    * H·Hᵀ shuffle only k² partials, and the elementwise updates are
+    * per-key joins; nothing materializes a dense docs × vocab matrix. W
+    * (docs × k) and H (k × vocab) stay DISTRIBUTED — no driver round-trip
+    * — and each round is localCheckpoint'd so the plan (and the
+    * optimizer's expression tree) stays O(1) in the round count. The
+    * DuckDB oracle replays the identical rounds as chained CTEs. */
+  def qNmfStep(t: Tables, k: Int = 4, rounds: Int = 2): DataFrame = {
+    val (_, w, _) = nmfFactors(t, k, rounds)
+    w.select(col("doc_id"), col("i").as("topic"), col("w").as("weight"))
+      .orderBy(col("doc_id"), col("topic"))
+  }
+
+  /** (V, W, H) after `rounds` multiplicative updates — V exposed so specs
+    * can measure reconstruction error without re-deriving the corpus. */
+  private[graft] def nmfFactors(t: Tables, k: Int, rounds: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = t.spark
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"),
+        explode(text.removeStopwords(text.tokenize(col("text")))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+    val vocab = tf.select(col("term")).distinct()
+      .withColumn("tid", (dense_rank().over(Window.orderBy(col("term"))) - 1).cast("long"))
+    val v = tf.join(vocab, "term")
+      .select(col("doc_id"), col("tid"), col("c").cast("double").as("c"))
+      .localCheckpoint()
+    val docs = v.select(col("doc_id")).distinct()
+    val topics = spark.range(k).select(col("id").as("i"))
+    val firstk = docs
+      .withColumn("i", (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))
+      .filter(col("i") < k)
+    val tids = v.select(col("tid")).distinct()
+    val eps = lit(1e-9)
+    var w = docs.crossJoin(topics)
+      .select(col("doc_id"), col("i"), lit(1.0).as("w")).localCheckpoint()
+    var h = firstk.crossJoin(tids)
+      .join(v, Seq("doc_id", "tid"), "left")
+      .select(col("i"), col("tid"),
+        round(coalesce(col("c"), lit(0.0)) + lit(1.0), 6).as("h"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val wtv = w.join(v, "doc_id").groupBy(col("i"), col("tid"))
+        .agg(round(sum(col("w") * col("c")), 6).as("wtv"))
+      val wtw = w.select(col("doc_id"), col("i"), col("w").as("wa"))
+        .join(w.select(col("doc_id"), col("i").as("j"), col("w").as("wb")), "doc_id")
+        .groupBy(col("i"), col("j"))
+        .agg(round(sum(col("wa") * col("wb")), 6).as("wtw"))
+      val wtwh = wtw.join(h.select(col("i").as("j"), col("tid"), col("h")), "j")
+        .groupBy(col("i"), col("tid"))
+        .agg(round(sum(col("wtw") * col("h")), 6).as("wtwh"))
+      h = h.join(wtv, Seq("i", "tid")).join(wtwh, Seq("i", "tid"))
+        .select(col("i"), col("tid"),
+          round(col("h") * col("wtv") / (col("wtwh") + eps), 6).as("h"))
+        .localCheckpoint()
+      val vht = v.join(h, "tid").groupBy(col("doc_id"), col("i"))
+        .agg(round(sum(col("c") * col("h")), 6).as("vht"))
+      val hht = h.select(col("tid"), col("i"), col("h").as("ha"))
+        .join(h.select(col("tid"), col("i").as("j"), col("h").as("hb")), "tid")
+        .groupBy(col("i"), col("j"))
+        .agg(round(sum(col("ha") * col("hb")), 6).as("hht"))
+      // WHHᵀ(d, i) = Σ_j W(d, j)·HHᵀ(j, i): join W's topic with hht.i,
+      // emit hht.j (HHᵀ is symmetric; mirrored exactly in the oracle)
+      val whht = w.join(hht, "i")
+        .groupBy(col("doc_id"), col("j"))
+        .agg(round(sum(col("w") * col("hht")), 6).as("whht"))
+        .select(col("doc_id"), col("j").as("i"), col("whht"))
+      w = w.join(vht, Seq("doc_id", "i")).join(whht, Seq("doc_id", "i"))
+        .select(col("doc_id"), col("i"),
+          round(col("w") * col("vht") / (col("whht") + eps), 6).as("w"))
+        .localCheckpoint()
+    }
+    (v, w, h)
+  }
+
+  /** q132 oracle: the same rounds unrolled as chained CTEs (the q119
+    * pattern); ε and the update expression are written identically. */
+  def qNmfStepSql(k: Int = 4, rounds: Int = 2): String = {
+    def roundCtes(r: Int, w: String, h: String): String = {
+      val p = s"r$r"
+      s"""${p}_wtv AS (
+         |  SELECT w.i, v.tid, round(SUM(w.w * v.c), 6) AS wtv
+         |  FROM $w w JOIN v ON w.doc_id = v.doc_id GROUP BY w.i, v.tid),
+         |${p}_wtw AS (
+         |  SELECT a.i AS i, b.i AS j, round(SUM(a.w * b.w), 6) AS wtw
+         |  FROM $w a JOIN $w b ON a.doc_id = b.doc_id GROUP BY a.i, b.i),
+         |${p}_wtwh AS (
+         |  SELECT m.i, h.tid, round(SUM(m.wtw * h.h), 6) AS wtwh
+         |  FROM ${p}_wtw m JOIN $h h ON m.j = h.i GROUP BY m.i, h.tid),
+         |${p}_h AS (
+         |  SELECT h.i, h.tid,
+         |    round(h.h * n.wtv / (d.wtwh + 1e-9), 6) AS h
+         |  FROM $h h JOIN ${p}_wtv n ON n.i = h.i AND n.tid = h.tid
+         |  JOIN ${p}_wtwh d ON d.i = h.i AND d.tid = h.tid),
+         |${p}_vht AS (
+         |  SELECT v.doc_id, h.i, round(SUM(v.c * h.h), 6) AS vht
+         |  FROM v JOIN ${p}_h h ON v.tid = h.tid GROUP BY v.doc_id, h.i),
+         |${p}_hht AS (
+         |  SELECT a.i AS i, b.i AS j, round(SUM(a.h * b.h), 6) AS hht
+         |  FROM ${p}_h a JOIN ${p}_h b ON a.tid = b.tid GROUP BY a.i, b.i),
+         |${p}_whht AS (
+         |  SELECT w.doc_id, m.j AS i, round(SUM(w.w * m.hht), 6) AS whht
+         |  FROM $w w JOIN ${p}_hht m ON w.i = m.i GROUP BY w.doc_id, m.j),
+         |${p}_w AS (
+         |  SELECT w.doc_id, w.i,
+         |    round(w.w * n.vht / (d.whht + 1e-9), 6) AS w
+         |  FROM $w w JOIN ${p}_vht n ON n.doc_id = w.doc_id AND n.i = w.i
+         |  JOIN ${p}_whht d ON d.doc_id = w.doc_id AND d.i = w.i)""".stripMargin
+    }
+    val chain = (1 to rounds).map { r =>
+      val (w, h) = if (r == 1) ("w0", "h0") else (s"r${r - 1}_w", s"r${r - 1}_h")
+      roundCtes(r, w, h)
+    }.mkString(",\n")
+    val last = if (rounds > 0) s"r${rounds}_w" else "w0"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |           x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM toks
+       |  WHERE term NOT IN (STOPWORDS) GROUP BY doc_id, term),
+       |vocab AS (
+       |  SELECT term, CAST(DENSE_RANK() OVER (ORDER BY term) - 1 AS BIGINT) AS tid
+       |  FROM (SELECT DISTINCT term FROM tf)),
+       |v AS (
+       |  SELECT tf.doc_id, vocab.tid, CAST(tf.c AS DOUBLE) AS c
+       |  FROM tf JOIN vocab USING (term)),
+       |docs AS (SELECT DISTINCT doc_id FROM v),
+       |topics AS (SELECT unnest(range($k)) AS i),
+       |firstk AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS i
+       |  FROM docs QUALIFY i < $k),
+       |w0 AS (SELECT d.doc_id, t.i, 1.0::DOUBLE AS w FROM docs d CROSS JOIN topics t),
+       |h0 AS (
+       |  SELECT f.i, t.tid, round(COALESCE(v.c, 0.0) + 1.0, 6) AS h
+       |  FROM firstk f CROSS JOIN (SELECT DISTINCT tid FROM v) t
+       |  LEFT JOIN v ON v.doc_id = f.doc_id AND v.tid = t.tid),
+       |$chain
+       |SELECT doc_id, i AS topic, w AS weight FROM $last
+       |ORDER BY doc_id, topic""".stripMargin
+      .replace("STOPWORDS", graft.functions.text.stopwords.map(s => s"'$s'").mkString(", "))
+  }
+
   /** LDA topic keywords: top-10 terms per topic (lda.py:54-56 intent,
     * gensim show_topics ≈ ml describeTopics). */
   def ldaTopicKeywords(t: Tables, k: Int = 10): DataFrame = {

@@ -184,6 +184,28 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("q132 NMF step: positive factors, differentiated topics, error decreases") {
+    val t = sf0001
+    val out = Clustering.qNmfStep(t).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(2) > 0.0, s"non-positive weight in $r"))
+    // topics must be differentiated: more than one topic wins some doc's argmax
+    val argmax = out.groupBy(_.getLong(0)).values
+      .map(_.maxBy(r => (r.getDouble(2), -r.getLong(1))).getLong(1)).toSet
+    assert(argmax.size >= 2, s"degenerate topic assignment: $argmax")
+    // multiplicative updates must reduce Frobenius reconstruction error
+    def frob(rounds: Int): Double = {
+      val (v, w, h) = Clustering.nmfFactors(t, 4, rounds)
+      val wh = w.join(h, "i").groupBy(col("doc_id"), col("tid"))
+        .agg(sum(col("w") * col("h")).as("wh"))
+      v.join(wh, Seq("doc_id", "tid"), "full")
+        .select(sum(pow(coalesce(col("c"), lit(0.0)) - coalesce(col("wh"), lit(0.0)), 2)))
+        .collect()(0).getDouble(0)
+    }
+    val (e0, e2) = (frob(0), frob(2))
+    assert(e2 < e0, s"reconstruction error did not decrease: $e0 -> $e2")
+  }
+
   test("joined summaries are rank-ordered concatenations") {
     val sents = sf0001.documents.filter(col("doc_id") < 50)
       .select(col("source"), col("doc_id"), col("text"))
