@@ -111,9 +111,108 @@ object Multimodal {
       } catch { case _: Exception => (0, 0L) }
     }
 
-    /** STUB — the JDK has no video demuxer; a real deployment swaps this
-      * one function for an ffmpeg/JNI call. */
-    def decodeVideo(payload: Array[Byte]): (Int, Int) = (0, 0)
+    /** Synthesize a real uncompressed AVI (RIFF 'AVI ': hdrl/avih + one
+      * 'vids'/DIB stream + movi with bottom-up 24-bit DIB frames, rows
+      * padded to 4 bytes — the same RIFF family as synthesizeWav). The
+      * container carries true (w, h) in the avih header, so decode is
+      * verifiable against metadata like the PNG/WAV paths. */
+    def synthesizeAvi(id: Long, w: Int, h: Int, nFrames: Int = 2): Array[Byte] = {
+      val rowLen = ((w * 3 + 3) / 4) * 4
+      val frameLen = rowLen * h
+      val avihLen = 56
+      val strhLen = 56
+      val strfLen = 40
+      val strlLen = 4 + (8 + strhLen) + (8 + strfLen)
+      val hdrlLen = 4 + (8 + avihLen) + (8 + strlLen)
+      val moviLen = 4 + nFrames * (8 + frameLen)
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); buf.putInt(riffLen); fcc("AVI ")
+      fcc("LIST"); buf.putInt(hdrlLen); fcc("hdrl")
+      fcc("avih"); buf.putInt(avihLen)
+      buf.putInt(40000)            // dwMicroSecPerFrame (25 fps)
+      buf.putInt(frameLen * 25)    // dwMaxBytesPerSec
+      buf.putInt(0)                // dwPaddingGranularity
+      buf.putInt(0)                // dwFlags (no index)
+      buf.putInt(nFrames)          // dwTotalFrames
+      buf.putInt(0)                // dwInitialFrames
+      buf.putInt(1)                // dwStreams
+      buf.putInt(frameLen)         // dwSuggestedBufferSize
+      buf.putInt(w); buf.putInt(h) // dwWidth, dwHeight
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // reserved
+      fcc("LIST"); buf.putInt(strlLen); fcc("strl")
+      fcc("strh"); buf.putInt(strhLen)
+      fcc("vids"); fcc("DIB ")
+      buf.putInt(0)                       // dwFlags
+      buf.putShort(0); buf.putShort(0)    // priority, language
+      buf.putInt(0)                       // dwInitialFrames
+      buf.putInt(1); buf.putInt(25)       // dwScale, dwRate
+      buf.putInt(0)                       // dwStart
+      buf.putInt(nFrames)                 // dwLength
+      buf.putInt(frameLen)                // dwSuggestedBufferSize
+      buf.putInt(-1)                      // dwQuality
+      buf.putInt(frameLen)                // dwSampleSize
+      buf.putShort(0); buf.putShort(0)    // rcFrame left, top
+      buf.putShort(w.toShort); buf.putShort(h.toShort)
+      fcc("strf"); buf.putInt(strfLen)
+      buf.putInt(40)                      // biSize
+      buf.putInt(w); buf.putInt(h)        // biWidth, biHeight (bottom-up)
+      buf.putShort(1); buf.putShort(24)   // biPlanes, biBitCount
+      buf.putInt(0)                       // biCompression = BI_RGB
+      buf.putInt(frameLen)                // biSizeImage
+      buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+      fcc("LIST"); buf.putInt(moviLen); fcc("movi")
+      var f = 0
+      var s = id
+      while (f < nFrames) {
+        fcc("00db"); buf.putInt(frameLen)
+        var i = 0
+        while (i < frameLen) {
+          s = fasthash.splitmix64(s)
+          buf.put((s & 0xFF).toByte)
+          i += 1
+        }
+        f += 1
+      }
+      buf.array()
+    }
+
+    /** REAL video metadata decode: hand-parsed RIFF/AVI chunk walk to the
+      * avih header's (dwWidth, dwHeight) — a published container layout
+      * (no JDK demuxer exists; full frame decode would be the ffmpeg/JNI
+      * swap-in, but the metadata round-trip is honest). (0, 0) for bytes
+      * that aren't a well-formed AVI. */
+    def decodeVideo(payload: Array[Byte]): (Int, Int) = {
+      try {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+        if (payload.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+          return (0, 0)
+        var off = 12
+        while (off + 8 <= payload.length) {
+          val id = fourcc(off)
+          val size = bb.getInt(off + 4)
+          if (size < 0) return (0, 0)
+          if (id == "LIST" && off + 12 <= payload.length && fourcc(off + 8) == "hdrl") {
+            var o = off + 12
+            val end = math.min(off + 8 + size, payload.length)
+            while (o + 8 <= end) {
+              val ssz = bb.getInt(o + 4)
+              if (ssz < 0) return (0, 0)
+              if (fourcc(o) == "avih" && o + 8 + 40 <= payload.length)
+                return (bb.getInt(o + 8 + 32), bb.getInt(o + 8 + 36))
+              o += 8 + ssz + (ssz & 1)
+            }
+            return (0, 0)
+          }
+          off += 8 + size + (size & 1)
+        }
+        (0, 0)
+      } catch { case _: Exception => (0, 0) }
+    }
 
     /** Resize-to-thumbnail: aspect-preserving fit into 128×128. */
     def thumbDims(w: Int, h: Int): (Int, Int) = {
@@ -134,11 +233,13 @@ object Multimodal {
 
   private val pngUdf = udf((id: Long, w: Int, h: Int) => Codecs.synthesizePng(id, w, h))
   private val wavUdf = udf((id: Long, sr: Int, n: Int) => Codecs.synthesizeWav(id, sr, n))
+  private val aviUdf = udf((id: Long, w: Int, h: Int) => Codecs.synthesizeAvi(id, w, h))
 
   /** Synthesize a deterministic media table from the documents table —
     * REAL PNG payloads for image rows (at exactly the declared
     * width×height, so decode is verifiable against metadata), REAL WAV
-    * payloads for audio rows, opaque bytes for video rows. Stands in for
+    * payloads for audio rows, REAL uncompressed-AVI payloads for video
+    * rows (at the smaller v_width×v_height — see below). Stands in for
     * `spark.read.format("binaryFile")` / a media lake scan. */
   def mediaTable(t: Tables): DataFrame = mediaTableFrom(t.documents)
 
@@ -158,18 +259,24 @@ object Multimodal {
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"),
       when(col("doc_id") % 3 === 2, (col("doc_id") % 240 + 24).cast("int"))
         .otherwise(0).as("n_frames"),
-      (col("n_chars") % 2048 + 256).cast("int").as("n_samples"))
+      (col("n_chars") % 2048 + 256).cast("int").as("n_samples"),
+      // video payloads get their own SMALL dims (8-39 × 6-29): the AVI
+      // stores real uncompressed DIB frames, and image-sized frames
+      // (160×112×3×n) would dominate the whole pipeline's runtime
+      ((col("n_chars") % 128 + 32) % 32 + 8).cast("int").as("v_width"),
+      ((col("n_chars") % 96 + 16) % 24 + 6).cast("int").as("v_height"))
     .select(col("media_id"), col("kind"),
       when(col("kind") === "image",
         pngUdf(col("media_id"), col("width"), col("height")))
         .when(col("kind") === "audio",
           wavUdf(col("media_id"), col("sample_rate"), col("n_samples")))
-        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+        .otherwise(aviUdf(col("media_id"), col("v_width"), col("v_height")))
+        .as("payload"),
       col("width"), col("height"), col("sample_rate"), col("n_frames"))
 
   /** Decode + feature-extract + resize + frame-sample, one partition batch
     * at a time (mapPartitions — no per-row task overhead, payloads never
-    * shuffled). Image/audio decode is the real codec; video is the stub. */
+    * shuffled). All three kinds decode through real container parsers. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -223,11 +330,12 @@ object Multimodal {
   /** Q130: decode-fidelity check under the HASH GATE — drives the REAL
     * codec path (synthesize → decode for every row) and counts, per kind,
     * how many rows decode back EXACTLY to their declared metadata (image:
-    * PNG dims, audio: WAV sample rate + frame count, video: the stub's
-    * documented zeros). The oracle computes the expected counts from the
-    * metadata formulas alone and asserts n_match = n — so a codec
-    * regression (or a future payload/decoder change that breaks
-    * round-tripping) fails the driver compare, not just MultimodalSpec. */
+    * PNG dims, audio: WAV sample rate + frame count, video: AVI header
+    * dims — all three kinds round-trip through real containers since r6).
+    * The oracle computes the expected counts from the metadata formulas
+    * alone and asserts n_match = n — so a codec regression (or a future
+    * payload/decoder change that breaks round-tripping) fails the driver
+    * compare, not just MultimodalSpec. */
   def qDecodeCheck(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
@@ -243,7 +351,9 @@ object Multimodal {
       (col("n_chars") % 128 + 32).cast("int").as("width"),
       (col("n_chars") % 96 + 16).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"),
-      (col("n_chars") % 2048 + 256).cast("long").as("n_samples"))
+      (col("n_chars") % 2048 + 256).cast("long").as("n_samples"),
+      ((col("n_chars") % 128 + 32) % 32 + 8).cast("int").as("v_width"),
+      ((col("n_chars") % 96 + 16) % 24 + 6).cast("int").as("v_height"))
     feats.join(declared, "media_id")
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
@@ -252,8 +362,9 @@ object Multimodal {
             && col("decoded_height") === col("height")) ||
           (col("kind") === "audio" && col("decoded_sample_rate") === col("sample_rate")
             && col("decoded_audio_frames") === col("n_samples")) ||
-          (col("kind") === "video" && col("decoded_width") === 0
-            && col("decoded_height") === 0 && col("decoded_sample_rate") === 0),
+          (col("kind") === "video" && col("decoded_width") === col("v_width")
+            && col("decoded_height") === col("v_height")
+            && col("decoded_sample_rate") === 0),
           lit(1))).as("n_decode_match"))
       .orderBy(col("kind"))
   }

@@ -27,8 +27,10 @@ class MultimodalSpec extends SparkSpec {
         case "audio" =>
           assert(r.getInt(7) == sr, s"decoded rate ${r.getInt(7)} vs declared $sr")
           assert(r.getLong(8) > 0) // frame count recovered from the RIFF header
-        case _ => // video: documented stub — no JDK demuxer
-          assert(r.getInt(5) == 0 && r.getInt(6) == 0 && r.getInt(7) == 0)
+        case _ => // video: AVI header dims recovered by the RIFF walk
+          assert(r.getInt(5) > 0 && r.getInt(6) > 0,
+            s"media ${r.getLong(0)}: video decode got ${r.getInt(5)}x${r.getInt(6)}")
+          assert(r.getInt(7) == 0)
       }
     }
   }
@@ -50,9 +52,23 @@ class MultimodalSpec extends SparkSpec {
     val wav = Codecs.synthesizeWav(3L, 16000, 777)
     assert(new String(wav.take(4), "US-ASCII") == "RIFF")
     assert(Codecs.decodeAudio(wav) == ((16000, 777L)))
+    // AVI: RIFF/AVI magic + exact dimensional round-trip at several sizes
+    Seq((1L, 8, 6), (42L, 39, 29), (7L, 17, 11)).foreach { case (id, w, h) =>
+      val avi = Codecs.synthesizeAvi(id, w, h)
+      assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+      assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+      assert(Codecs.decodeVideo(avi) == ((w, h)),
+        s"AVI ${w}x$h decoded as ${Codecs.decodeVideo(avi)}")
+    }
+    // golden pin: one known container byte-for-byte stable (header bytes)
+    val g = Codecs.synthesizeAvi(3L, 8, 6)
+    assert(g.length == 8 + 4 + (8 + 4 + 64 + 8 + 4 + 64 + 48) + (8 + 4 + 2 * (8 + 8 * 3 * 6)))
+    assert(g.sameElements(Codecs.synthesizeAvi(3L, 8, 6)))
     // junk bytes don't crash the decoders
     assert(Codecs.decodeImageDims(Array[Byte](1, 2, 3)) == ((0, 0)))
     assert(Codecs.decodeAudio(Array[Byte](1, 2, 3)) == ((0, 0L)))
+    assert(Codecs.decodeVideo(Array[Byte](1, 2, 3)) == ((0, 0)))
+    assert(Codecs.decodeVideo("RIFFxxxxAVI but truncated".getBytes) == ((0, 0)))
   }
 
   test("video rows get sampled frames, others none") {
