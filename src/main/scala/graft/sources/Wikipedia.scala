@@ -30,6 +30,51 @@ object Wikipedia {
           .as("image"))
   }
 
+  /** Q133: the S4 image-fallback chain under the HASH GATE. Builds a
+    * deterministic fleet of API-shaped page records from the documents
+    * table (original present iff doc_id % 4 = 0, thumbnail present iff
+    * doc_id % 2 = 0 — all four ladder states exercised), round-trips them
+    * through the engine's JSON path (to_json → from_json, the same
+    * `query.pages` struct shape `pages()` projects), and applies the
+    * reference's original→thumbnail→null fallback
+    * (realtimeapi.py:185-191). The oracle replays the ladder as a CASE —
+    * the JSON round-trip must be lossless for the hash to match, so this
+    * puts both the fallback semantics AND the JSON projection under the
+    * driver gate (previously WikipediaSpec-only).
+    *
+    * Scale shape: pure per-row projection — scan-stage, no shuffle but
+    * the final ORDER BY. */
+  def qImageFallback(t: graft.Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val pages = t.documents.select(
+      col("doc_id").as("pageid"),
+      concat(lit("Page "), col("source")).as("title"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("https://img/orig/"), col("doc_id"))).as("orig"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("https://img/thumb/"), col("doc_id"))).as("thumb"))
+    val schema = StructType(Seq(
+      StructField("pageid", LongType),
+      StructField("title", StringType),
+      StructField("original", StructType(Seq(StructField("source", StringType)))),
+      StructField("thumbnail", StructType(Seq(StructField("source", StringType))))))
+    pages
+      .select(to_json(struct(col("pageid"), col("title"),
+        struct(col("orig").as("source")).as("original"),
+        struct(col("thumb").as("source")).as("thumbnail"))).as("js"))
+      .select(from_json(col("js"), schema).as("p"))
+      .select(col("p.pageid").as("pageid"), col("p.title").as("title"),
+        coalesce(col("p.original.source"), col("p.thumbnail.source")).as("image"))
+      .orderBy(col("pageid"))
+  }
+
+  val qImageFallbackSql: String =
+    """SELECT doc_id AS pageid, 'Page ' || source AS title,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'https://img/orig/' || CAST(doc_id AS VARCHAR)
+      |       WHEN doc_id % 2 = 0 THEN 'https://img/thumb/' || CAST(doc_id AS VARCHAR)
+      |       ELSE NULL END AS image
+      |FROM documents ORDER BY pageid""".stripMargin
+
   /** Parse a `parse.sections` response into (line, toclevel, pos) — the
     * input shape for ServerFlow.sectionsToQueries (realtimeapi.py:119-130). */
   def sections(spark: SparkSession, json: String): DataFrame = {

@@ -22,6 +22,18 @@ class WikipediaSpec extends SparkSpec {
     assert(rows(2).isNullAt(3))
   }
 
+  test("q133 fallback ladder: all four availability states behave like pages()") {
+    val rows = Wikipedia.qImageFallback(sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val img = Option(r.getString(2))
+      if (id % 4 == 0) assert(img.exists(_.contains("/orig/")), s"pageid $id: $img")
+      else if (id % 2 == 0) assert(img.exists(_.contains("/thumb/")), s"pageid $id: $img")
+      else assert(img.isEmpty, s"pageid $id should have no image, got $img")
+    }
+  }
+
   test("sections projection keeps document order positions") {
     val json =
       """{"parse": {"title": "Topic", "sections": [
