@@ -507,10 +507,23 @@ object Similarity {
         .select(lit(name).as("method"), lit(k).as("k"), col("n_probes"),
           col("mean_recall"), lit(floor).as("floor"),
           (col("mean_recall") >= floor).as("pass_floor"))
-    audit("ivf", qKnnIvf(t), 0.375)
+    // localCheckpoint the 3-row per-method table so deriving the "all"
+    // summary row doesn't re-run the three ANN pipelines (each one runs
+    // brute-force ground truth by construction)
+    val per = audit("ivf", qKnnIvf(t), 0.375)
       .unionAll(audit("sq8", qKnnSq8(t), 0.9))
       .unionAll(audit("srp_lsh", qKnnLsh(t), 0.5))
-      .orderBy(col("method"))
+      .localCheckpoint()
+    // one grep-able verdict row for the driver: pass_floor on "all" is the
+    // AND of every method's floor check (r5 verdict item 8)
+    val overall = per.agg(
+        sum(col("n_probes")).as("n_probes"),
+        round(min(col("mean_recall")), 4).as("mean_recall"),
+        min(col("pass_floor")).as("pass_floor"))
+      .select(lit("all").as("method"), lit(k).as("k"), col("n_probes"),
+        col("mean_recall"), lit(null).cast("double").as("floor"),
+        col("pass_floor"))
+    per.unionAll(overall).orderBy(col("method"))
   }
 
   /** Per-label embedding centroid (mean-pool) — the class-centroid /

@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("q128: band stacking stays a single projection (no union re-execution)") {
+    // the 4 band keys come from one explode(array(...)) projection; a
+    // 4-way union of selects recomputes the whole signature pipeline per
+    // branch (differing band literals defeat exchange reuse — measured
+    // 5 s vs 2 s in round 5). Guard against the refactor coming back.
+    val p = plan(graft.ops.Dedup.qLshCandidatesGate(sf0001))
+    assert(!p.contains("Union"), "q128 plans a Union — band stacking regressed:\n" + p.take(800))
+  }
+
   test("q01: aggregation is two-phase (partial before the exchange)") {
     val p = plan(Relational.q01PricingSummary(sf0001))
     assert(p.contains("HashAggregate"), "no hash aggregate")

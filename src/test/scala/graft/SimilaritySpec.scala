@@ -36,14 +36,16 @@ class SimilaritySpec extends SparkSpec {
     assert(blocked == exact)
   }
 
-  test("q121 ANN recall audit: every method above its floor, one row each") {
+  test("q121 ANN recall audit: every method above its floor, plus the all row") {
     val rows = graft.ops.Similarity.qAnnRecallAudit(sf0001).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "sq8", "srp_lsh"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("all", "ivf", "sq8", "srp_lsh"))
     rows.foreach { r =>
       assert(r.getBoolean(r.fieldIndex("pass_floor")),
-        s"${r.getString(0)}: recall ${r.getDouble(r.fieldIndex("mean_recall"))} " +
-          s"below floor ${r.getDouble(r.fieldIndex("floor"))}")
-      assert(r.getLong(r.fieldIndex("n_probes")) == 10)
+        s"${r.getString(0)}: recall ${r.getDouble(r.fieldIndex("mean_recall"))} below floor")
+      if (r.getString(0) == "all") {
+        assert(r.getLong(r.fieldIndex("n_probes")) == 30) // 3 methods × 10
+        assert(r.isNullAt(r.fieldIndex("floor"))) // no single floor on the AND row
+      } else assert(r.getLong(r.fieldIndex("n_probes")) == 10)
     }
   }
 
