@@ -53,3 +53,16 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def fanout(df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
 }
+
+object Tables {
+  /** A 0-row frame with the given columns — the empty-input result for
+    * spark.ml-fit wrappers (KMeans/LDA/CountVectorizer throw on an empty
+    * corpus; a library query should return an empty result instead). */
+  private[graft] def emptyFrame(spark: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt)
+      }))
+}

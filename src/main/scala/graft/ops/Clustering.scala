@@ -41,6 +41,11 @@ object Clustering {
   /** TF-IDF surface query (rows-only; spec asserts l2-norm ≈ 1 and
     * vocab coverage): per-doc term count, norm, and dominant term weight. */
   def qTfidf(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (t.documents.isEmpty)
+      return graft.Tables.emptyFrame(t.spark, "doc_id" -> LongType,
+        "n_terms" -> IntegerType, "l2_norm" -> DoubleType,
+        "top_weight" -> DoubleType)
     val vec = tfidf(t.fanout(t.documents), "text")
     val stats = udf((v: Vector) => {
       val sv = v.asInstanceOf[SparseVector]
@@ -105,6 +110,10 @@ object Clustering {
   def qKmeansDocsRef(t: Tables): DataFrame = {
     val docs = t.documents.filter(col("doc_id") < 200)
     val n = docs.count().toInt
+    if (n == 0)
+      return graft.Tables.emptyFrame(t.spark,
+        "doc_id" -> org.apache.spark.sql.types.LongType,
+        "cluster" -> org.apache.spark.sql.types.IntegerType)
     val k = math.max((n + 3) / 4, 2)
     val feats = tfidf(docs, "text").cache()
     val km = new KMeans().setK(k).setMaxIter(100).setSeed(42L)
@@ -120,6 +129,11 @@ object Clustering {
     * (centroid update) over the corpus — the canonical distributed k-means;
     * broadcast centroids, no shuffle of the data itself. */
   def qKmeansEmbeddings(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (t.embeddings.isEmpty)
+      return graft.Tables.emptyFrame(t.spark, "vec_id" -> LongType,
+        "cluster" -> IntegerType,
+        "label" -> t.embeddings.schema("label").dataType)
     // 30 Lloyd iterations = 30+ scheduled jobs over this input: partition
     // for the data size (2k rows), not the core count — see qLdaTopics
     val feats = t.embeddings.repartition(8)
@@ -139,6 +153,10 @@ object Clustering {
     * mini-batched — the distributed form of gensim's update_every/chunksize
     * streaming. */
   def qLdaTopics(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (t.documents.isEmpty)
+      return graft.Tables.emptyFrame(t.spark, "doc_id" -> LongType,
+        "topic" -> IntegerType)
     // the tokenize chain is cached at full width: it feeds TWO passes
     // (vocab fit + vectorize) and must not be dragged down to the
     // iteration partitioning below (a coalesce(8) here was measured to

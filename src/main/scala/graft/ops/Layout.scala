@@ -143,7 +143,10 @@ object Layout {
     * 100 TB with ~40 language partitions this reads ~2/40ths of the lake.
     * Oracle: same aggregate on the unpartitioned original. */
   def q93PartitionPrune(t: Tables): DataFrame = {
-    val docs = t.spark.read.parquet(ensurePartitionedDocs(t))
+    // explicit schema: a 0-row source writes no data files and inference
+    // fails; partition discovery (and pruning) still applies
+    val docs = t.spark.read.schema(t.documents.schema)
+      .parquet(ensurePartitionedDocs(t))
     docs.filter(col("lang").isin("en", "de"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
@@ -152,7 +155,8 @@ object Layout {
 
   /** Exposed for the pruning plan assertion. */
   def partitionPrunedScan(t: Tables): DataFrame =
-    t.spark.read.parquet(ensurePartitionedDocs(t))
+    t.spark.read.schema(t.documents.schema)
+      .parquet(ensurePartitionedDocs(t))
       .filter(col("lang").isin("en", "de"))
 
   val q93Sql: String =

@@ -31,6 +31,14 @@ object Pipeline {
     //    input; the scalable strategies live in ops.Dedup).
     val rows = articles.select(col("id"), col("title")).as[(Long, String)]
       .collect().toSeq
+    // empty-input guard: the k-means/LexRank stages cannot fit on an
+    // empty corpus — an empty article set is an empty summary table
+    if (rows.isEmpty) {
+      import org.apache.spark.sql.types._
+      return graft.Tables.emptyFrame(spark, "cluster_id" -> IntegerType,
+        "n_articles" -> LongType, "best_title" -> StringType,
+        "best_sentence" -> StringType)
+    }
     val keptIds = Dedup.greedyFuzzyKeepIds(rows)
     val kept = articles.filter(col("id").isInCollection(keptIds))
 

@@ -117,6 +117,15 @@ object Profiling {
     val ev = t.events.select(col("event_id"), col("value"),
       unix_micros(col("ts")).as("us"))
     val mm = ev.agg(min(col("us")), max(col("us"))).head()
+    // empty-table guard: min/max are NULL with no events and getLong
+    // throws; the PSI of an empty window is an empty report, not a crash
+    if (mm.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      return t.spark.createDataFrame(
+        t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("dec", LongType), StructField("n1", LongType),
+          StructField("n2", LongType), StructField("psi_term", DoubleType))))
+    }
     val mid = (mm.getLong(0) + mm.getLong(1)) / 2
     val h1 = ev.filter(col("us") < mid)
       .withColumn("dec", ntile(10).over(Window.orderBy(col("value"), col("event_id"))))

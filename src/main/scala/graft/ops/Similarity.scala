@@ -364,6 +364,13 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
+    // empty-corpus guard: the coarse quantizer cannot fit on zero vectors
+    if (corpus.isEmpty) {
+      import org.apache.spark.sql.types._
+      return graft.Tables.emptyFrame(spark, "probe_id" -> LongType,
+        "rank" -> IntegerType, "neighbor_id" -> LongType,
+        "sim" -> DoubleType)
+    }
     val feats = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("emb_n"),
       array_to_vector(col("embedding")).as("features"))

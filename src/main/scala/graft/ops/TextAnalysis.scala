@@ -1155,7 +1155,11 @@ object TextAnalysis {
     val Array(nDocs, sumLen) = lens
       .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val avgdl = lit(sumLen).cast("double") / lit(nDocs).cast("double")
+    // guard the empty corpus: a lit(0)/lit(0) column division CONSTANT-
+    // FOLDS at plan time and throws DIVIDE_BY_ZERO under ANSI before any
+    // (zero) rows run. The Scala division is the identical IEEE op on the
+    // same operands, so oracle parity is unchanged on non-empty input.
+    val avgdl = lit(if (nDocs == 0L) 0.0 else sumLen.toDouble / nDocs.toDouble)
     val tf = toks.filter(col("term").isin(query: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -121,8 +121,11 @@ object Events {
     // a LITERAL, which (for a native column) reaches the scan as a pushed
     // predicate — strictly better at scale than the 1-row broadcast
     // nested-loop join the crossJoin(maxTs) formulation plans
+    // empty-table guard: max(ts) is NULL on an empty events table and
+    // lit(null) is untyped — "NULL - INTERVAL" is a type error, not an
+    // empty result. Cast pins the literal's type either way.
     val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 14 DAYS"))
+    ev.filter(col("ts") >= lit(mx).cast("timestamp") - expr("INTERVAL 14 DAYS"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
