@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{Clustering, Layout, Pipeline, Profiling, Similarity, TextAnalysis}
+import java.nio.file.Files
+
+/** Empty-input contract: every query that fits an ML model, fetches a
+  * scalar parameter driver-side, or reads back a derived layout must
+  * return a correctly-typed EMPTY result on a 0-row source, not throw
+  * (spark.ml fit, getLong/getTimestamp on NULL aggregates, ANSI
+  * divide-by-zero on constant-folded literals, and schema inference on
+  * a data-file-less parquet write are all crash paths without guards).
+  *
+  * The fixture is a scale-factor directory with the real sf0.001 schemas
+  * and zero rows — exactly what a date-filtered partition of an otherwise
+  * healthy 100 TB lake looks like.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft-empty-sf").toString
+    // events.parquet must keep its long (nanos) ts column, so copy the
+    // RAW schema via a bare read — the session has nanosAsLong=true
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.foreach { n =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$n.parquet")
+        .limit(0).write.parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
+
+  private lazy val et: Tables = Tables(spark, emptyDir)
+
+  test("ml-fit wrappers return typed empty frames") {
+    assert(Clustering.qTfidf(et).collect().isEmpty)
+    assert(Clustering.qKmeansDocsRef(et).collect().isEmpty)
+    assert(Clustering.qKmeansEmbeddings(et).collect().isEmpty)
+    assert(Clustering.qLdaTopics(et).collect().isEmpty)
+    assert(Similarity.qKnnIvf(et).collect().isEmpty)
+  }
+
+  test("scalar-parameter queries survive NULL aggregates") {
+    assert(Profiling.qDriftPsi(et).collect().isEmpty)
+    assert(TextAnalysis.qBm25(et).collect().isEmpty)
+    assert(streaming.Events.qRecentWindow(et).collect().isEmpty)
+  }
+
+  test("partition-pruned scan reads a data-file-less layout") {
+    assert(Layout.q93PartitionPrune(et).collect().isEmpty)
+  }
+
+  test("composed pipeline returns an empty summary table") {
+    val docs = et.documents
+      .selectExpr("doc_id as id", "substring(text, 1, 40) as title", "text")
+    assert(Pipeline.newsPipeline(docs).collect().isEmpty)
+  }
+}
