@@ -212,7 +212,18 @@ object Clustering {
     * between rounds (k·dims doubles — the same bounded parameter fetch
     * spark.ml's KMeans makes each Lloyd round). The DuckDB oracle replays
     * the identical rounds as chained CTEs. */
-  def qKmeansStep(t: Tables, k: Int = 8, updates: Int = 2): DataFrame = {
+  def qKmeansStep(t: Tables, k: Int = 8, updates: Int = 2): DataFrame =
+    kmeansAssignments(t, k, updates)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_id"))
+
+  /** The q119 Lloyd pipeline up to (and including) the final assignment,
+    * with the vectors still attached: (vec_id, e, cid, sim). Shared by
+    * qKmeansStep and the SemDeDup pipeline (q134), which needs the
+    * vectors for its within-cluster pair stage. */
+  private[graft] def kmeansAssignments(t: Tables, k: Int = 8,
+      updates: Int = 2): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     val emb = t.embeddings
@@ -245,14 +256,19 @@ object Clustering {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     }
     assign(centroids)
-      .select(col("vec_id"), col("cid").as("cluster"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("vec_id"))
   }
 
   /** q119 oracle: the same rounds unrolled as CTEs — c0 = first-k init,
     * aN = argmax-cosine assignment, cN = round(6) per-dim means. */
-  def qKmeansStepSql(k: Int = 8, updates: Int = 2): String = {
+  def qKmeansStepSql(k: Int = 8, updates: Int = 2): String =
+    s"""WITH ${kmeansCtes(k, updates)}
+       |SELECT vec_id, cid AS cluster, round(sim, 6) AS sim
+       |FROM a$updates ORDER BY vec_id""".stripMargin
+
+  /** The q119 rounds as a reusable WITH-body: emb, c0 (first-k init),
+    * then aN/cN assignment/update CTEs — the final assignment is
+    * `a<updates>`. Shared with the q134 SemDeDup oracle. */
+  private[graft] def kmeansCtes(k: Int = 8, updates: Int = 2): String = {
     def assignCte(a: String, c: String): String =
       s"""$a AS (
          |  SELECT vec_id, e, cid, sim FROM (
@@ -270,12 +286,10 @@ object Clustering {
     val rounds = (0 until updates).flatMap { i =>
       Seq(assignCte(s"a$i", s"c$i"), updateCte(s"c${i + 1}", s"a$i"))
     } :+ assignCte(s"a$updates", s"c$updates")
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $k),
-       |${rounds.mkString(",\n")}
-       |SELECT vec_id, cid AS cluster, round(sim, 6) AS sim
-       |FROM a$updates ORDER BY vec_id""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 
   /** Q129: the LDA corpus build under the HASH GATE — gensim's

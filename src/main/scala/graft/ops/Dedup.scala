@@ -787,6 +787,73 @@ object Dedup {
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
+  // --------------------------------------------------- semantic dedup
+
+  /** Q134: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") under the
+    * HASH GATE — the cluster-then-prune semantic dedup a 100 TB embedding
+    * corpus actually runs: k-means the embeddings, then compare pairs
+    * ONLY within a cluster and drop every vector that has a
+    * higher-similarity twin with a smaller id (keep-lowest-id, the
+    * paper's deterministic keep rule).
+    *
+    * Clustering is the q119 deterministic spherical Lloyd step
+    * (Clustering.kmeansAssignments) so the oracle can replay it; the
+    * within-cluster stage is an equi-join on the cluster id. Pair cosine
+    * is round(6) BEFORE thresholding and max-aggregation (both are then
+    * order-independent and engine-exact).
+    *
+    * Scale shape: this is the whole point of SemDeDup — the quadratic
+    * pair stage is bounded per cluster, and k grows with the corpus
+    * (k ≈ n/target_cluster_size) so per-cluster work stays constant; the
+    * join is a shuffle on cid, never all-pairs. The assignment stage is
+    * the q119 broadcast-centroid scan. localCheckpoint pins the (tiny:
+    * n×(dims+2)) assignment result so the self-join does not re-run the
+    * Lloyd rounds twice. */
+  def qDedupSemantic(t: Tables, k: Int = 8, updates: Int = 2,
+      tau: Double = 0.25): DataFrame = {
+    val asg = Clustering.kmeansAssignments(t, k, updates)
+      .select(col("vec_id"), col("e"), col("cid"))
+      .localCheckpoint()
+    val a = asg.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
+    val b = asg.select(col("cid"), col("vec_id").as("idb"), col("e").as("eb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("ps", round(graft.plans.CosineSim.cosineD(col("ea"), col("eb")), 6))
+      .filter(col("ps") >= tau)
+    val dropped = pairs.groupBy(col("idb").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("ps")).as("max_dup_sim"))
+    asg.select(col("vec_id"), col("cid").as("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("max_dup_sim"),
+        col("max_dup_sim").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q134 oracle: the q119 CTE chain (Clustering.kmeansCtes) + the same
+    * within-cluster pair prune. */
+  def qDedupSemanticSql(k: Int = 8, updates: Int = 2,
+      tau: Double = 0.25): String =
+    s"""WITH ${Clustering.kmeansCtes(k, updates)},
+       |asg AS (SELECT vec_id, e, cid FROM a$updates),
+       |pairs AS (
+       |  SELECT b.vec_id AS vid,
+       |         round(list_cosine_similarity(a.e, b.e), 6) AS ps
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= $tau),
+       |drops AS (
+       |  SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       |         max(ps) AS max_dup_sim
+       |  FROM pairs GROUP BY vid)
+       |SELECT asg.vec_id, asg.cid AS cluster,
+       |  COALESCE(d.n_dups, 0)::BIGINT AS n_dups,
+       |  d.max_dup_sim,
+       |  d.max_dup_sim IS NULL AS kept
+       |FROM asg LEFT JOIN drops d ON asg.vec_id = d.vid
+       |ORDER BY asg.vec_id""".stripMargin
+
   // ------------------------------------------------- dedup-quality audit
 
   /** Exact all-pairs shingle-Jaccard over a (bounded) slice via the

@@ -191,4 +191,36 @@ class DedupSpec extends SparkSpec {
       s"only-audit=${audit -- blocked} only-blocked=${blocked -- audit}")
     assert(audit.nonEmpty)
   }
+
+  test("q134 semdedup: keep rule matches a brute-force within-cluster check") {
+    val res = Dedup.qDedupSemantic(sf0001).collect()
+    assert(res.length == 500)
+    val dropped = res.filter(!_.getBoolean(4))
+    assert(dropped.nonEmpty, "threshold too high: nothing dropped")
+    assert(dropped.forall(r => r.getDouble(3) >= 0.25 && r.getLong(2) > 0))
+    assert(res.filter(_.getBoolean(4)).forall(_.isNullAt(3)))
+    // independent truth: same clusters (q119 face), brute-force pairs
+    val clusters = graft.ops.Clustering.qKmeansStep(sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.forall(r => clusters(r.getLong(0)) == r.getLong(1)),
+      "cluster column deviates from the q119 assignment")
+    val embs = sf0001.embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) e").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ids = embs.keys.toArray.sorted
+    val expectDropped = (for {
+      i <- ids; j <- ids
+      if i < j && clusters(i) == clusters(j) && cos(embs(i), embs(j)) >= 0.25
+    } yield j).toSet
+    val gotDropped = dropped.map(_.getLong(0)).toSet
+    assert(gotDropped == expectDropped,
+      s"only-got=${gotDropped -- expectDropped} only-expected=${expectDropped -- gotDropped}")
+  }
 }

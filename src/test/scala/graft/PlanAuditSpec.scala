@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
     "q50_news_pipeline",    // composes the greedy dedup stage
     "q119_kmeans_step",     // Lloyd assignment IS corpus × broadcast centroids (k rows)
     "q121_ann_recall_audit", // composes the q38 ground truth + q40/q56/q81 baselines
-    "q132_nmf_step")        // NMF init fans docs × k topics (k-row broadcast)
+    "q132_nmf_step",        // NMF init fans docs × k topics (k-row broadcast)
+    "q134_semdedup")        // composes the q119 Lloyd assignment stage
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
