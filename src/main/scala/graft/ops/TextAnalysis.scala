@@ -1220,4 +1220,53 @@ object TextAnalysis {
       |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
   }
+
+  /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword Units",
+    * algorithm 1 step: count adjacent symbol pairs over the word-frequency
+    * table, weighted by word frequency). The initial-symbols round is fully
+    * declarative — a symbol is a character, a pair is substring(term,i,2),
+    * plus the (last-char, </w>) end-of-word pair of the published
+    * formulation. Emits the top merge candidates with a total order.
+    *
+    * Scale shape: the pair stage runs on the WORD-FREQUENCY table, not the
+    * corpus — |vocab| rows regardless of corpus size (the reason BPE
+    * training scales at all) — so the explode is O(vocab·word_len) and the
+    * pair aggregate is map-side combinable; the only corpus-sized work is
+    * the token count, one shuffle. Top-k via orderBy+limit plans
+    * TakeOrderedAndProject (no global sort). */
+  def qBpePairs(t: Tables, topK: Int = 50): DataFrame = {
+    val wf = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("term"))
+      .filter(length(col("term")) >= 2)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val inner = wf
+      .withColumn("i", explode(sequence(lit(1), length(col("term")) - 1)))
+      .select(expr("substring(term, i, 2)").as("pair"), col("f"))
+    val endOfWord = wf.select(
+      concat(expr("substring(term, length(term), 1)"), lit("</w>")).as("pair"),
+      col("f"))
+    inner.union(endOfWord)
+      .groupBy(col("pair")).agg(sum(col("f")).as("total"))
+      .orderBy(col("total").desc, col("pair"))
+      .limit(topK)
+  }
+
+  def qBpePairsSql(topK: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |         x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |wf AS (
+       |  SELECT term, COUNT(*)::BIGINT AS f FROM toks
+       |  WHERE len(term) >= 2 GROUP BY term),
+       |inner_pairs AS (
+       |  SELECT substr(term, i, 2) AS pair, f
+       |  FROM (SELECT term, f,
+       |          unnest(generate_series(1, len(term) - 1)) AS i FROM wf)),
+       |eow_pairs AS (
+       |  SELECT substr(term, len(term), 1) || '</w>' AS pair, f FROM wf)
+       |SELECT pair, CAST(SUM(f) AS BIGINT) AS total
+       |FROM (SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs)
+       |GROUP BY pair ORDER BY total DESC, pair LIMIT $topK""".stripMargin
 }

@@ -283,4 +283,22 @@ class QualityPipelineSpec extends SparkSpec {
       assert(sig.length == 4 * expect && sig.forall(c => c.isDigit || ('a' to 'f').contains(c)))
     }
   }
+
+  test("q135 BPE pairs match an independent driver-side recompute") {
+    val t = sf0001
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    t.documents.select("text").collect().foreach { r =>
+      r.getString(0).toLowerCase.split("[^a-z0-9']+").filter(_.length >= 2)
+        .foreach { w =>
+          w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1L)
+          val eow = w.last.toString + "</w>"
+          counts(eow) = counts.getOrElse(eow, 0L) + 1L
+        }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    val got = TextAnalysis.qBpePairs(t).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect,
+      s"first diff: ${got.zip(expect).find(x => x._1 != x._2)}")
+  }
 }
