@@ -1269,4 +1269,88 @@ object TextAnalysis {
        |SELECT pair, CAST(SUM(f) AS BIGINT) AS total
        |FROM (SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs)
        |GROUP BY pair ORDER BY total DESC, pair LIMIT $topK""".stripMargin
+
+  /** Q136: DSIR importance-resampling scores (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — the
+    * data-selection step that picks raw-corpus documents resembling a
+    * target domain. Features are hashed uni+bigrams (md5 → first 4 bytes
+    * mod `buckets`, the q125 integer-hash pattern — exactly replayable in
+    * DuckDB via the '0x' cast); the target bag-of-words model here is the
+    * English slice (`lang = 'en'`), the raw model the whole corpus, both
+    * add-alpha smoothed. Per document: log importance weight
+    * logw = Σ_b count[b]·(ln p_target[b] − ln p_raw[b]), round(6) (bucket
+    * accumulation order is engine-dependent); `selected` = logw > 0 (doc
+    * looks more target- than raw-like), a threshold that needs no global
+    * rank.
+    *
+    * Scale shape: the two n-gram language models are ONE aggregate each,
+    * collapsing the corpus to ≤`buckets` rows; their totals come from
+    * windows over that tiny table (never a 1-row-aggregate scalar join —
+    * the q114 rule) and the per-doc scoring join broadcasts the
+    * `buckets`-row model. Everything else is map-side combinable. */
+  def qDsirScores(t: Tables, buckets: Int = 256): DataFrame = {
+    val B = buckets
+    val tk = text.tokenize(col("text"))
+    val grams = t.fanout(t.documents)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(tk, text.ngrams(tk, 2))).as("g"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(B.toLong)))
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("r"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tg0"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val alphaB = lit(0.01) * lit(B.toDouble)
+    val model = raw.join(tgt, Seq("b"), "left")
+      .withColumn("tg", coalesce(col("tg0"), lit(0L)))
+      .withColumn("rt", sum(col("r")).over(w))
+      .withColumn("tt", sum(col("tg")).over(w))
+      .select(col("b"), round(
+        log((col("tg").cast("double") + lit(0.01)) /
+            (col("tt").cast("double") + alphaB)) -
+        log((col("r").cast("double") + lit(0.01)) /
+            (col("rt").cast("double") + alphaB)), 6).as("lr"))
+    grams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(sum(col("c").cast("double") * col("lr")), 6).as("logw"))
+      .withColumn("selected", col("logw") > lit(0.0))
+      .orderBy(col("doc_id"))
+  }
+
+  def qDsirScoresSql(buckets: Int = 256): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |      x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % $buckets AS b
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(tk || [list_aggregate(tk[i:i+1], 'string_agg', ' ')
+       |                        FOR i IN range(1, len(tk))]) AS g
+       |        FROM toks)),
+       |raw AS (SELECT b, COUNT(*)::BIGINT AS r FROM grams GROUP BY b),
+       |tgt AS (SELECT b, COUNT(*)::BIGINT AS tg FROM grams
+       |        WHERE lang = 'en' GROUP BY b),
+       |model AS (
+       |  SELECT b, round(
+       |    ln((CAST(tg AS DOUBLE) + 0.01) / (CAST(tt AS DOUBLE) + 0.01 * ${buckets}.0))
+       |    - ln((CAST(r AS DOUBLE) + 0.01) / (CAST(rt AS DOUBLE) + 0.01 * ${buckets}.0)),
+       |    6) AS lr
+       |  FROM (SELECT raw.b, raw.r, COALESCE(tgt.tg, 0) AS tg,
+       |          SUM(raw.r) OVER () AS rt,
+       |          SUM(COALESCE(tgt.tg, 0)) OVER () AS tt
+       |        FROM raw LEFT JOIN tgt USING (b))),
+       |feat AS (
+       |  SELECT doc_id, b, COUNT(*)::BIGINT AS c FROM grams GROUP BY doc_id, b)
+       |SELECT feat.doc_id,
+       |  CAST(SUM(feat.c) AS BIGINT) AS n_grams,
+       |  round(SUM(CAST(feat.c AS DOUBLE) * model.lr), 6) AS logw,
+       |  round(SUM(CAST(feat.c AS DOUBLE) * model.lr), 6) > 0.0 AS selected
+       |FROM feat JOIN model USING (b)
+       |GROUP BY feat.doc_id ORDER BY feat.doc_id""".stripMargin
 }

@@ -301,4 +301,30 @@ class QualityPipelineSpec extends SparkSpec {
     assert(got == expect,
       s"first diff: ${got.zip(expect).find(x => x._1 != x._2)}")
   }
+
+  test("q136 DSIR: gram counts recompute driver-side; target language scores highest") {
+    val t = sf0001
+    val langs = t.documents.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expectGrams = langs.map { case (id, _, text) =>
+      val tk = text.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      id -> (tk.length + math.max(tk.length - 1, 0)).toLong
+    }.toMap
+    val got = TextAnalysis.qDsirScores(t).collect()
+    assert(got.length == langs.length)
+    got.foreach(r => assert(r.getLong(1) == expectGrams(r.getLong(0)),
+      s"doc ${r.getLong(0)}: n_grams"))
+    // the importance weight must rank the target domain (en) above every
+    // other language on average — the whole point of DSIR
+    val byLang = langs.map(x => x._1 -> x._2).toMap
+    val means = got.groupBy(r => byLang(r.getLong(0)))
+      .map { case (l, rs) => l -> rs.map(_.getDouble(2)).sum / rs.length }
+    assert(means.keySet.size > 1, "corpus has one language; test is vacuous")
+    val (enMean, others) = (means("en"), means.filterNot(_._1 == "en"))
+    others.foreach { case (l, m) =>
+      assert(enMean > m, s"en mean $enMean not above $l mean $m")
+    }
+    // selected ⇔ logw > 0, bit-consistent with the emitted score
+    got.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0.0)))
+  }
 }
