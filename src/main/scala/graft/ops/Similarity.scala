@@ -495,6 +495,126 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  // ------------------------------------------------ PQ (ADC) scale path
+
+  /** Product-quantization top-k with asymmetric-distance scan + exact
+    * rerank (Jégou, Douze & Schmid 2011, "Product quantization for
+    * nearest neighbor search") — the COMPUTE-bound ANN path completing
+    * the ladder (SRP-LSH buckets / IVF cells / SQ8 bytes / PQ codes):
+    * each vector is `m` sub-codebook ids (here 8 codes = 8 bytes per
+    * 64-dim vector, 32× smaller than float32 and 8× smaller than SQ8),
+    * and the first-pass score is `m` table lookups per pair instead of
+    * `dim` multiplies — the asymmetric distance computation (ADC).
+    *
+    * Train: one seeded spark.ml k-means per subspace (m bounded fits on
+    * dsub-dim slices). Probes ride the driver into per-probe lookup
+    * tables T[j][c] = <q_j, cb_j[c]> and per-centroid norms — the probe
+    * side is the broadcast-bounded side by the q38 contract, and the
+    * tables are exactly what FAISS materializes per query. At 100 TB the
+    * corpus stores only codes (8 bytes/vector): the ADC scan reads 1/32nd
+    * of the bytes of a float scan and only the per-probe top `rerank`
+    * rows touch raw vectors. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      rerank: Int = 30, dim: Int = 64, m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+    // m bounded k-means fits on the subvector slices; iteration inputs
+    // partitioned for data size, not core count (Tables.fanout note)
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      val sliced = corpus.select(array_to_vector(
+        slice(col("embedding"), j * dsub + 1, dsub).cast("array<double>"))
+        .as("features")).repartition(8)
+      new KMeans().setK(ksub).setMaxIter(20).setSeed(42L + j)
+        .fit(sliced).clusterCenters.map(_.toArray)
+    }.toArray
+    val bCb = spark.sparkContext.broadcast(codebooks)
+    // per-centroid squared norms for the ADC cosine denominator
+    val bCn = spark.sparkContext.broadcast(
+      codebooks.map(_.map(c => c.map(x => x * x).sum)))
+    val encode = udf((emb: Seq[Float]) => {
+      val out = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < ksub) {
+          val cb = bCb.value(j)(c)
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val t = emb(j * dsub + i) - cb(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(j) = best.toByte
+        j += 1
+      }
+      out
+    })
+    // per-probe ADC tables: T[j][c] = <q_j, cb_j[c]>, plus ||q|| — the
+    // probe set is the bounded broadcast side (q38 contract), so this is
+    // a probes×m×ksub-double parameter fetch, not corpus-sized state
+    val probeRows = probes.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val pid = r.getLong(0)
+        val q = r.getSeq[Float](1).toArray
+        val tab = Array.tabulate(m, ksub) { (j, c) =>
+          val cb = codebooks(j)(c)
+          var ip = 0.0; var i = 0
+          while (i < dsub) { ip += q(j * dsub + i) * cb(i); i += 1 }
+          ip
+        }
+        var qq = 0.0
+        q.foreach(x => qq += x.toDouble * x.toDouble)
+        pid -> ((tab, math.sqrt(qq)))
+      }.toMap
+    val bTabs = spark.sparkContext.broadcast(probeRows)
+    val adcSim = udf((pid: Long, code: Array[Byte]) => {
+      val (tab, qn) = bTabs.value(pid)
+      var ip = 0.0; var cn = 0.0; var j = 0
+      while (j < m) {
+        val c = code(j) & 0xFF
+        ip += tab(j)(c); cn += bCn.value(j)(c)
+        j += 1
+      }
+      if (qn == 0.0 || cn == 0.0) 0.0 else ip / (qn * math.sqrt(cn))
+    })
+    val codes = corpus.select(col("vec_id").as("neighbor_id"),
+      encode(col("embedding")).as("code"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"))
+    val wApprox = Window.partitionBy(col("probe_id"))
+      .orderBy(col("approx_sim").desc, col("neighbor_id"))
+    val cands = codes.crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("approx_sim", adcSim(col("probe_id"), col("code")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select(col("probe_id"), col("neighbor_id"), col("emb_p"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n")), Seq("neighbor_id"))
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_n")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** ANN via PQ for the baseline probes (rows-only; recall floor in
+    * SimilaritySpec, recall_at_k emitted for the driver). */
+  def qKnnPq(t: Tables): DataFrame = {
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    // 5x rerank budget: 8-byte codes on isotropic noise make the ADC
+    // ordering the lossiest of the ladder; the rerank set is still
+    // k-proportional and the scan still reads only codes
+    withRecallAtK(pqTopK(t.embeddings, probes, 10, rerank = 50),
+      t.embeddings, probes, 10)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** Q121: ANN recall audit — the q95 pattern applied to the similarity
     * block (VERDICT r4 missing-item 4): one row per ANN method with its
     * mean recall@k over the standard probe set vs the brute-force ground
@@ -503,7 +623,8 @@ object Similarity {
     * round. Floors: SRP-LSH 0.5 (multiprobe banding), IVF 0.375 (the
     * nProbe/nCells=6/16 structural floor on isotropic noise — there is no
     * cluster structure to beat it with), SQ8 0.9 (quantize-then-exact-
-    * rerank is near-exact by construction). Rows-only: the recall values
+    * rerank is near-exact by construction), PQ 0.3 (8-byte ADC codes are
+    * the lossiest of the ladder; holds at all SFs). Rows-only: the recall values
     * come from the seeded LSH/k-means internals, which no SQL replay can
     * reproduce; AnnAuditSpec pins the floors in-process. */
   def qAnnRecallAudit(t: Tables, k: Int = 10): DataFrame = {
@@ -520,6 +641,9 @@ object Similarity {
     val per = audit("ivf", qKnnIvf(t), 0.375)
       .unionAll(audit("sq8", qKnnSq8(t), 0.9))
       .unionAll(audit("srp_lsh", qKnnLsh(t), 0.5))
+      // PQ floor 0.3: measured 0.63/0.69/0.37 across the three SFs with
+      // the fixed rerank=50 budget (random-candidate baseline rerank/n)
+      .unionAll(audit("pq", qKnnPq(t), 0.3))
       .localCheckpoint()
     // one grep-able verdict row for the driver: pass_floor on "all" is the
     // AND of every method's floor check (r5 verdict item 8)

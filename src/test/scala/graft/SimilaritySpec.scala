@@ -38,12 +38,12 @@ class SimilaritySpec extends SparkSpec {
 
   test("q121 ANN recall audit: every method above its floor, plus the all row") {
     val rows = graft.ops.Similarity.qAnnRecallAudit(sf0001).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("all", "ivf", "sq8", "srp_lsh"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("all", "ivf", "pq", "sq8", "srp_lsh"))
     rows.foreach { r =>
       assert(r.getBoolean(r.fieldIndex("pass_floor")),
         s"${r.getString(0)}: recall ${r.getDouble(r.fieldIndex("mean_recall"))} below floor")
       if (r.getString(0) == "all") {
-        assert(r.getLong(r.fieldIndex("n_probes")) == 30) // 3 methods × 10
+        assert(r.getLong(r.fieldIndex("n_probes")) == 40) // 4 methods × 10
         assert(r.isNullAt(r.fieldIndex("floor"))) // no single floor on the AND row
       } else assert(r.getLong(r.fieldIndex("n_probes")) == 10)
     }
@@ -96,6 +96,20 @@ class SimilaritySpec extends SparkSpec {
     // isotropic noise: scanning nProbe/nCells = 6/16 of the corpus at
     // random would give ~0.375 — require clearly above that floor
     assert(recall >= 0.4, s"IVF recall $recall below 0.4")
+  }
+
+  test("PQ ADC-then-rerank recall clears its floor") {
+    val t = sf0001
+    val res = Similarity.qKnnPq(t).collect()
+    assert(res.length == 100) // 10 probes x k=10
+    val recall = res.map(r => (r.getLong(0), r.getDouble(r.fieldIndex("recall_at_k"))))
+      .distinct.map(_._2).sum / 10
+    info(s"PQ mean recall@10 = $recall")
+    // 8x16 codebooks on isotropic 64-dim noise: measured 0.63/0.69/0.37
+    // at sf0.001/0.01/0.1 (the fixed rerank=50 budget scans a shrinking
+    // corpus fraction as n grows; the random-candidate baseline is
+    // rerank/n = 0.1/0.1/0.025). Floor 0.3 holds at every SF
+    assert(recall >= 0.3, s"PQ recall $recall below floor")
   }
 
   test("srp buckets are deterministic across evaluations") {
