@@ -520,6 +520,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val dsub = dim / m
+    // empty-corpus guard: the sub-codebook k-means cannot fit on zero rows
+    if (corpus.isEmpty) {
+      import org.apache.spark.sql.types._
+      return graft.Tables.emptyFrame(spark, "probe_id" -> LongType,
+        "rank" -> IntegerType, "neighbor_id" -> LongType,
+        "sim" -> DoubleType)
+    }
     // m bounded k-means fits on the subvector slices; iteration inputs
     // partitioned for data size, not core count (Tables.fanout note)
     val codebooks: Array[Array[Array[Double]]] = (0 until m).map { j =>

@@ -37,6 +37,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Clustering.qKmeansEmbeddings(et).collect().isEmpty)
     assert(Clustering.qLdaTopics(et).collect().isEmpty)
     assert(Similarity.qKnnIvf(et).collect().isEmpty)
+    assert(Similarity.qKnnPq(et).collect().isEmpty)
   }
 
   test("scalar-parameter queries survive NULL aggregates") {
