@@ -1189,9 +1189,19 @@ object TextAnalysis {
     * constants (k1+1, 1-b) stay written as the two-operand IEEE expression
     * in both parsers. */
   def qBm25Sql(query: Seq[String] = Seq("spark", "window", "join"),
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): String =
+    s"""WITH ${bm25Ctes(query, k1, b)}
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, score, n_terms_hit
+      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $topK)
+      |ORDER BY rank""".stripMargin
+
+  /** The BM25 CTE chain (tokenize → lens/stats → tf/df → `scored`), shared
+    * verbatim between the q123 oracle and the q138 hybrid-fusion oracle so
+    * the sparse arm cannot drift between them. */
+  private def bm25Ctes(query: Seq[String], k1: Double, b: Double): String = {
     val terms = query.map(q => "'" + q.replace("'", "''") + "'").mkString(", ")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id,
       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
       |           x -> len(x) > 0)) AS term
@@ -1214,12 +1224,96 @@ object TextAnalysis {
       |              / (CAST(s.sum_len AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6) AS score,
       |    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
       |  FROM tf JOIN dfs USING (term) JOIN lens l ON l.doc_id = tf.doc_id, stats s
-      |  GROUP BY tf.doc_id)
-      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-      |  doc_id, score, n_terms_hit
-      |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $topK)
-      |ORDER BY rank""".stripMargin
+      |  GROUP BY tf.doc_id)""".stripMargin
   }
+
+  /** Q138: hybrid sparse+dense retrieval with reciprocal-rank fusion
+    * (Cormack, Clarke & Buettcher 2009, "Reciprocal rank fusion
+    * outperforms Condorcet and individual rank learning methods") — the
+    * standard RAG retrieval composition: BM25 term ranking and exact
+    * embedding-cosine ranking each produce a top-`n` list, fused by
+    * rrf(d) = Σ_arms 1/(k + rank_arm(d)) with k = `rrfK` (60, the
+    * published constant).
+    *
+    * Scale shape: the sparse arm is q123's inverted-index probe
+    * (candidates ≈ Σ df(term), never the corpus); the dense arm fetches
+    * the single probe vector to the driver (dim floats — the bounded
+    * SQ8-params contract) and scores the corpus with a scan-stage
+    * CosineSim expression + TakeOrderedAndProject: NO join at all on the
+    * dense side, so no broadcast-NLJ and nothing shuffles except two
+    * ≤`n`-row lists. The fusion itself is a full-outer equi-join of two
+    * bounded lists — constant-size work regardless of corpus scale. At
+    * 100 TB the dense arm would swap in an ANN rung (q40/q56/q81/q137)
+    * unchanged above the fusion.
+    *
+    * Oracle parity: ranks are integers with total tie-break orders; the
+    * RRF score is the identical two-term IEEE expression both engines
+    * (1.0/(60.0+rank), coalesced to 0 for a one-arm doc) → emitted RAW. */
+  def qHybridRrf(t: Tables, query: Seq[String] = Seq("spark", "window", "join"),
+      probeId: Long = 0L, n: Int = 20, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val sparse = qBm25(t, query, topK = n)
+      .select(col("doc_id"), col("rank").as("rank_sparse"))
+    // bounded parameter fetch: one dim-float probe vector rides the driver
+    val probeRows = t.embeddings.filter(col("vec_id") === probeId)
+      .select(col("embedding")).collect()
+    if (probeRows.isEmpty)
+      return Tables.emptyFrame(spark, "rank" -> LongType, "doc_id" -> LongType,
+        "rrf_score" -> DoubleType, "rank_sparse" -> LongType,
+        "rank_dense" -> LongType)
+    val pv = probeRows(0).getSeq[Float](0).toArray
+    val dense = t.embeddings.filter(col("vec_id") =!= probeId)
+      .withColumn("sim",
+        graft.plans.CosineSim.cosine(typedLit(pv), col("embedding")))
+      .orderBy(col("sim").desc, col("vec_id")).limit(n)
+      // post-limit ≤n rows: the partition-less window is bounded by construction
+      .withColumn("rank_dense", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rank_dense"))
+    val kD = lit(rrfK.toDouble)
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (kD + col("rank_sparse").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (kD + col("rank_dense").cast("double")), lit(0.0)))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(topK)
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("rrf_score"),
+        col("rank_sparse"), col("rank_dense"))
+      .orderBy(col("rank"))
+  }
+
+  /** q138 oracle: the shared BM25 CTE chain (bm25Ctes — cannot drift from
+    * q123) + the q38 dense-cosine pattern + the RRF expression written as
+    * the same IEEE two-term sum. */
+  def qHybridRrfSql(query: Seq[String] = Seq("spark", "window", "join"),
+      probeId: Long = 0L, n: Int = 20, topK: Int = 10, rrfK: Int = 60): String =
+    s"""WITH ${bm25Ctes(query, 1.2, 0.75)},
+      |sparse AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_sparse
+      |  FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $n)),
+      |dense0 AS (
+      |  SELECT vec_id AS doc_id,
+      |    list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = $probeId)) AS sim
+      |  FROM embeddings WHERE vec_id != $probeId),
+      |dense AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS rank_dense
+      |  FROM (SELECT * FROM dense0 ORDER BY sim DESC, doc_id LIMIT $n)),
+      |fused AS (
+      |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.rank_sparse, d.rank_dense,
+      |    COALESCE(1.0::DOUBLE / ($rrfK.0::DOUBLE + CAST(s.rank_sparse AS DOUBLE)), 0.0::DOUBLE)
+      |    + COALESCE(1.0::DOUBLE / ($rrfK.0::DOUBLE + CAST(d.rank_dense AS DOUBLE)), 0.0::DOUBLE) AS rrf_score
+      |  FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, rrf_score, rank_sparse, rank_dense
+      |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
+      |ORDER BY rank""".stripMargin
 
   /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.
     * 2016, "Neural Machine Translation of Rare Words with Subword Units",

@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Clustering.qLdaTopics(et).collect().isEmpty)
     assert(Similarity.qKnnIvf(et).collect().isEmpty)
     assert(Similarity.qKnnPq(et).collect().isEmpty)
+    assert(TextAnalysis.qHybridRrf(et).collect().isEmpty)
   }
 
   test("scalar-parameter queries survive NULL aggregates") {

@@ -87,6 +87,41 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q138 hybrid RRF: fusion recomputes from the two arms; both arms contribute") {
+    val t = sf0001
+    val sparse = TextAnalysis.qBm25(t, topK = 20).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc_id -> rank
+    val embs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val pv = embs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      if (aa == 0 || bb == 0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val dense = embs.filter(_._1 != 0L).map { case (id, e) => id -> cos(pv, e) }
+      .sortBy { case (id, s) => (-s, id) }.take(20).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expect = (sparse.keySet ++ dense.keySet).toSeq.map { id =>
+      val r = sparse.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      (id, r)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.qHybridRrf(t).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case ((gid, gs), (eid, es)) =>
+      assert(gid == eid && math.abs(gs - es) < 1e-12,
+        s"got ($gid,$gs) want ($eid,$es)")
+    }
+    val fusedIds = got.map(_._1).toSet
+    assert(fusedIds.exists(sparse.contains), "no sparse doc in fused top-k")
+    assert(fusedIds.exists(dense.contains), "no dense doc in fused top-k")
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
