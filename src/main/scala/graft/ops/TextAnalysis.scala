@@ -1315,6 +1315,178 @@ object TextAnalysis {
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
 
+  /** Q139: fixed-round logistic-regression quality classifier trained by
+    * full-batch gradient descent — the learned-quality-classifier step of a
+    * training-data pipeline (fastText-style filtering, Joulin et al. 2017;
+    * the GPT-3/CCNet quality-classifier pattern). The label DISTILLS the
+    * hand-written q86 Gopher-rule gate (`keep` = AND of four rules) into a
+    * linear model — exactly how production pipelines bootstrap a classifier
+    * from heuristic labels. Features are the per-rule margins (1 − scaled
+    * band distance for the two band rules; scaled ratio − 1 for the two
+    * floor rules) plus the weakest-rule margin least(f1..f4), so the AND
+    * label is near-linearly separable; trained accuracy reaches ~0.93-0.95
+    * vs the ~0.81-0.83 majority baseline at all three SFs. Emits one row
+    * per round r = 0..`rounds`: the weights AFTER r updates and training
+    * accuracy under those weights.
+    *
+    * Determinism (the q119/q120/q132 fixed-round recipe): weights start at
+    * 0; each round's gradient components are round(6)-ed aggregates
+    * (aggregation-order floats); lr = 8 is a power of two so the update
+    * w − 8·g is exact; every per-row feature is single IEEE ops (abs,
+    * one division, ×2⁻ᵏ-free constants written identically both engines);
+    * accuracy is an exact integer ratio with the prediction thresholded on
+    * round(p, 6) (exp parity has the q123 ln precedent). The oracle
+    * unrolls the rounds as chained CTEs.
+    *
+    * Scale shape: one linear scan per round over a cached 6-column feature
+    * projection (tokenize runs once into the cache); gradients are
+    * map-side-combinable aggregates; the weight vector rides the driver
+    * between rounds (the k-means-centroid bounded-fetch contract, 6
+    * doubles). At 100 TB each round is one pass — exactly how distributed
+    * full-batch GD is shaped on a cluster. */
+  def qLogitClassifier(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val toks = text.tokenize(col("text"))
+    val counts = t.fanout(t.documents).select(
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+        .cast("long").as("n_tok_chars"),
+      size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+        .cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val den = greatest(col("n_tokens"), lit(1L)).cast("double")
+    val feats = counts.select(
+      when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
+        (col("n_tok_chars") >= col("n_tokens") * 4 &&
+          col("n_tok_chars") <= col("n_tokens") * 5) &&
+        (col("n_stop") * 20 >= col("n_tokens")) &&
+        (col("n_distinct") * 2 >= col("n_tokens")), 1.0).otherwise(0.0).as("y"),
+      (lit(1.0) - abs(col("n_tokens").cast("double") - lit(50.0)) / lit(30.0)).as("f1"),
+      (lit(1.0) - abs(col("n_tok_chars").cast("double") / den - lit(4.5)) * lit(2.0)).as("f2"),
+      (col("n_stop").cast("double") * lit(20.0) / den - lit(1.0)).as("f3"),
+      (col("n_distinct").cast("double") * lit(2.0) / den - lit(1.0)).as("f4"))
+      .withColumn("f5", least(col("f1"), col("f2"), col("f3"), col("f4")))
+      .cache()
+    val dims = 6 // bias + f1..f5
+    var w = Array.fill(dims)(0.0)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Double, Double, Double, Double, Double, Long)]
+    var r = 0
+    var nonEmpty = true
+    while (r <= rounds && nonEmpty) {
+      val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+        lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col("y")
+      val gradCols = round(avg(err), 6) +: (1 until dims).map(j =>
+        round(avg(err * col(s"f$j")), 6))
+      val row = feats.agg(gradCols.head, gradCols.tail ++ Seq(
+        sum(when((round(p, 6) > 0.5).cast("int") === col("y").cast("int"), 1L)
+          .otherwise(0L)),
+        count(lit(1))): _*).collect()(0)
+      if (row.isNullAt(0)) nonEmpty = false
+      else {
+        val n = row.getLong(dims + 1)
+        out += ((r.toLong, w(0), w(1), w(2), w(3), w(4), w(5),
+          row.getLong(dims).toDouble / n.toDouble, n))
+        if (r < rounds)
+          w = Array.tabulate(dims)(j => w(j) - lr * row.getDouble(j))
+        r += 1
+      }
+    }
+    feats.unpersist()
+    val names = Seq("round") ++ (0 until dims).map(j => s"w$j") ++ Seq("acc", "n")
+    if (out.isEmpty)
+      return graft.Tables.emptyFrame(spark, names.map(nm =>
+        nm -> (if (nm == "round" || nm == "n") LongType: DataType
+               else DoubleType)): _*)
+    import spark.implicits._
+    out.toSeq.toDF(names: _*).orderBy(col("round"))
+  }
+
+  /** q139 oracle: the rounds unrolled as chained CTEs (the qKmeansStepSql
+    * pattern) — each pass CTE computes the six round(6) gradient averages
+    * plus the exact correct-prediction count under the incoming weights;
+    * each weights CTE applies w − lr·g. Feature/label expressions are
+    * q86's parity pairs verbatim plus the margin rescalings. */
+  def qLogitClassifierSql(rounds: Int = 16, lr: Double = 8.0): String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    val dims = 6
+    def feat(j: Int): String = if (j == 0) "1.0::DOUBLE" else s"f$j"
+    def zExpr: String =
+      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
+    def passCte(name: String, wFrom: Option[String]): String = {
+      val (z, from) = wFrom match {
+        case Some(src) => (zExpr, s"FROM f, $src w")
+        case None      => ("0.0::DOUBLE", "FROM f")
+      }
+      val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
+      val grads = (0 until dims).map { j =>
+        val term = if (j == 0) s"$p - y" else s"($p - y) * ${feat(j)}"
+        s"round(avg($term), 6) AS g$j"
+      }.mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $grads,
+         |    CAST(SUM(CASE WHEN (round($p, 6) > 0.5::DOUBLE)
+         |                       = (y = 1.0::DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+         |    COUNT(*)::BIGINT AS n
+         |  $from)""".stripMargin
+    }
+    def wCte(name: String, prevW: Option[String], pass: String): String = {
+      val base = prevW match {
+        case Some(pw) => (j: Int) => s"$pw.w$j - $lr::DOUBLE * $pass.g$j"
+        case None     => (j: Int) => s"0.0::DOUBLE - $lr::DOUBLE * $pass.g$j"
+      }
+      val from = prevW.map(pw => s"FROM $pass, $pw").getOrElse(s"FROM $pass")
+      val cols = (0 until dims).map(j => s"${base(j)} AS w$j").mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $cols
+         |  $from)""".stripMargin
+    }
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += s"""c AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT text,
+       |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |        FROM documents)),
+       |f0 AS (
+       |  SELECT CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+       |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+       |      AND (n_stop * 20 >= n_tokens)
+       |      AND (n_distinct * 2 >= n_tokens) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+       |    1.0::DOUBLE - abs(CAST(n_tokens AS DOUBLE) - 50.0::DOUBLE) / 30.0::DOUBLE AS f1,
+       |    1.0::DOUBLE - abs(CAST(n_tok_chars AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) - 4.5::DOUBLE) * 2.0::DOUBLE AS f2,
+       |    CAST(n_stop AS DOUBLE) * 20.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f3,
+       |    CAST(n_distinct AS DOUBLE) * 2.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f4
+       |  FROM c),
+       |f AS MATERIALIZED (SELECT y, f1, f2, f3, f4, least(f1, f2, f3, f4) AS f5 FROM f0)""".stripMargin
+    var prevW: Option[String] = None
+    val rows = new scala.collection.mutable.ArrayBuffer[String]
+    for (r <- 0 to rounds) {
+      val pass = s"p$r"
+      ctes += passCte(pass, prevW)
+      val wRefs = (0 until dims).map { j =>
+        prevW.map(pw => s"(SELECT w$j FROM $pw)").getOrElse("0.0::DOUBLE")
+      }
+      val wCols = (0 until dims).map(j => s"${wRefs(j)} AS w$j").mkString(", ")
+      rows += s"""SELECT ${r}::BIGINT AS round, $wCols,
+         |  CAST(correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc, n FROM $pass""".stripMargin
+      if (r < rounds) {
+        val wName = s"w${r + 1}"
+        ctes += wCte(wName, prevW, pass)
+        prevW = Some(wName)
+      }
+    }
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")}
+       |) ORDER BY round""".stripMargin
+  }
+
   /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.
     * 2016, "Neural Machine Translation of Rare Words with Subword Units",
     * algorithm 1 step: count adjacent symbol pairs over the word-frequency

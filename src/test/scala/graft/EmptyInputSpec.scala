@@ -39,6 +39,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.qKnnIvf(et).collect().isEmpty)
     assert(Similarity.qKnnPq(et).collect().isEmpty)
     assert(TextAnalysis.qHybridRrf(et).collect().isEmpty)
+    assert(TextAnalysis.qLogitClassifier(et).collect().isEmpty)
   }
 
   test("scalar-parameter queries survive NULL aggregates") {

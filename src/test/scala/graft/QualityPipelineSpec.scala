@@ -122,6 +122,30 @@ class QualityPipelineSpec extends SparkSpec {
     assert(fusedIds.exists(dense.contains), "no dense doc in fused top-k")
   }
 
+  test("q139 logit classifier: learns the q86 rule (acc beats majority); round 0 is the zero model") {
+    val t = sf0001
+    val rows = TextAnalysis.qLogitClassifier(t).collect()
+    assert(rows.length == 17) // rounds 0..16
+    val r0 = rows.head
+    // round 0: weights all zero, p = 0.5 exactly, predict-negative baseline
+    (1 to 6).foreach(j => assert(r0.getDouble(j) == 0.0))
+    val keepRate = TextAnalysis.qQualityFilter(t)
+      .agg(avg(col("keep").cast("double"))).collect()(0).getDouble(0)
+    val majority = math.max(keepRate, 1.0 - keepRate)
+    assert(math.abs(r0.getDouble(7) - majority) < 1e-9,
+      s"round-0 acc ${r0.getDouble(7)} != majority $majority")
+    // training must actually learn: final acc clears majority by ≥5 points
+    val accFinal = rows.last.getDouble(7)
+    assert(accFinal >= majority + 0.05,
+      s"final acc $accFinal vs majority $majority — no learning")
+    // the weakest-rule margin is the dominant positive feature and grows
+    val w5 = rows.map(_.getDouble(6))
+    assert(w5.last > 1.0 && w5.sliding(2).forall(p => p(1) >= p(0)),
+      s"w5 trajectory not increasing: ${w5.mkString(",")}")
+    // n constant across rounds
+    assert(rows.map(_.getLong(8)).distinct.length == 1)
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
