@@ -1315,6 +1315,76 @@ object TextAnalysis {
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
 
+  /** Q140: within-document repetition filters (Rae et al. 2021 "Gopher",
+    * table A1: fraction of characters in the most common 2/3/4-gram;
+    * fraction of characters in duplicated 5..10-grams) — the repetition
+    * gate every LLM-data pipeline runs between exact dedup and quality
+    * scoring. This implementation uses the token-instance proxy (fraction
+    * of n-gram INSTANCES, not characters — documented deviation: interval
+    * -union character coverage is not expressible as one aggregate): per
+    * (doc, n∈{2,3,5,10}) emits top_frac = max gram count / total grams,
+    * dup_frac = instances of grams occurring ≥2 / total grams, and a
+    * rule_pass at thresholds adapted to the synthetic corpus (top ≤ 0.05,
+    * dup ≤ 0.10 — Gopher's char-based originals are 0.20/0.18/…).
+    *
+    * Scale shape: ONE explode of all four gram sizes (struct(n, gram) —
+    * no per-n rescan) → two map-side-combinable hash aggregates keyed
+    * (doc_id, n, gram) then (doc_id, n); work is O(tokens·|ns|), shuffle
+    * is the gram-count aggregate — linear at 100 TB. Fractions are single
+    * integer divisions → emitted RAW (per-row IEEE-identical). */
+  def qRepetitionFilter(t: Tables, ns: Seq[Int] = Seq(2, 3, 5, 10),
+      topThresh: Double = 0.05, dupThresh: Double = 0.10): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    val grams = t.fanout(t.documents)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(flatten(array(ns.map(n =>
+        transform(text.ngrams(col("toks"), n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+    grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("cnt")).as("m_grams"),
+        max(col("cnt")).as("top_count"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt"))), lit(0L)).as("dup_instances"))
+      .select(col("doc_id"), col("n"), col("m_grams"), col("top_count"),
+        col("dup_instances"),
+        (col("top_count").cast("double") / col("m_grams").cast("double")).as("top_frac"),
+        (col("dup_instances").cast("double") / col("m_grams").cast("double")).as("dup_frac"))
+      .withColumn("rule_pass",
+        col("top_frac") <= topThresh && col("dup_frac") <= dupThresh)
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  /** q140 oracle: DuckDB's list slicing `toks[i+1:i+n]` is 1-based
+    * inclusive — exactly Spark's slice(toks, i+1, n); range(len-n+1)
+    * matches sequence(0, size-n) inclusive. */
+  def qRepetitionFilterSql(ns: Seq[Int] = Seq(2, 3, 5, 10),
+      topThresh: Double = 0.05, dupThresh: Double = 0.10): String = {
+    val nsList = ns.mkString(", ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n,
+       |    unnest(list_transform(range(len(toks) - n + 1),
+       |      i -> array_to_string(toks[i+1:i+n], ' '))) AS gram
+       |  FROM (SELECT doc_id, unnest([$nsList]) AS n, toks FROM tok)
+       |  WHERE len(toks) >= n),
+       |c AS (SELECT doc_id, n, gram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY doc_id, n, gram),
+       |a AS (SELECT doc_id, n,
+       |    CAST(SUM(cnt) AS BIGINT) AS m_grams,
+       |    CAST(MAX(cnt) AS BIGINT) AS top_count,
+       |    CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0) AS BIGINT) AS dup_instances
+       |  FROM c GROUP BY doc_id, n)
+       |SELECT doc_id, CAST(n AS INT) AS n, m_grams, top_count, dup_instances,
+       |  CAST(top_count AS DOUBLE) / CAST(m_grams AS DOUBLE) AS top_frac,
+       |  CAST(dup_instances AS DOUBLE) / CAST(m_grams AS DOUBLE) AS dup_frac,
+       |  (CAST(top_count AS DOUBLE) / CAST(m_grams AS DOUBLE) <= $topThresh::DOUBLE
+       |   AND CAST(dup_instances AS DOUBLE) / CAST(m_grams AS DOUBLE) <= $dupThresh::DOUBLE) AS rule_pass
+       |FROM a ORDER BY doc_id, n""".stripMargin
+  }
+
   /** Q139: fixed-round logistic-regression quality classifier trained by
     * full-batch gradient descent — the learned-quality-classifier step of a
     * training-data pipeline (fastText-style filtering, Joulin et al. 2017;

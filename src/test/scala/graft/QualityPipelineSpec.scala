@@ -122,6 +122,33 @@ class QualityPipelineSpec extends SparkSpec {
     assert(fusedIds.exists(dense.contains), "no dense doc in fused top-k")
   }
 
+  test("q140 repetition filter: fractions recompute driver-side; rule discriminates at every n") {
+    val t = sf0001
+    val got = TextAnalysis.qRepetitionFilter(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(7))).toMap
+    // driver-side recompute on a sample of docs
+    val docs = t.documents.select("doc_id", "text").limit(30).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq)
+    for ((id, tk) <- docs; n <- Seq(2, 3, 5, 10) if tk.length >= n) {
+      val grams = tk.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).map(_._2.size)
+      val m = grams.size.toLong
+      val top = counts.max.toLong
+      val dup = counts.filter(_ >= 2).sum.toLong
+      val (gm, gt, gd, _) = got((id, n))
+      assert((gm, gt, gd) == (m, top, dup),
+        s"doc $id n=$n: got ($gm,$gt,$gd) want ($m,$top,$dup)")
+    }
+    // the gate must discriminate: both outcomes present at every n
+    for (n <- Seq(2, 3, 5, 10)) {
+      val passes = got.collect { case ((_, nn), (_, _, _, p)) if nn == n => p }
+      assert(passes.exists(identity) && passes.exists(!_),
+        s"n=$n rule does not discriminate")
+    }
+  }
+
   test("q139 logit classifier: learns the q86 rule (acc beats majority); round 0 is the zero model") {
     val t = sf0001
     val rows = TextAnalysis.qLogitClassifier(t).collect()
