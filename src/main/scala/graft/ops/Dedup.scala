@@ -600,11 +600,11 @@ object Dedup {
         size(col("member_ids")).cast("long").as("component_size"))
       .orderBy(col("keep_id"))
 
-  /** q37 oracle: the q32 pair graph closed transitively with a recursive
-    * CTE, min-id representative per component (same technique as
-    * qDedupEmbeddingSql). */
-  val qDedupComponentsSql: String =
-    """WITH RECURSIVE pairs AS (
+  /** The q37 transitive-closure CTE chain (fuzzy pair graph → recursive
+    * reach → per-doc min-id representative `rep(id, keep_id)`), shared
+    * between the q37 oracle and the q141 leakage-safe-split oracle. */
+  private val componentsRepCtes: String =
+    """pairs AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b
       |  FROM documents a JOIN documents b
       |    ON substr(a.text,1,10) = substr(b.text,1,10) AND a.doc_id < b.doc_id
@@ -620,9 +620,57 @@ object Dedup {
       |  SELECT v.doc_id AS id, LEAST(v.doc_id, COALESCE(MIN(reach.y), v.doc_id)) AS keep_id
       |  FROM documents v LEFT JOIN reach ON reach.x = v.doc_id
       |  GROUP BY v.doc_id
-      |)
+      |)""".stripMargin
+
+  /** q37 oracle: the q32 pair graph closed transitively with a recursive
+    * CTE, min-id representative per component (same technique as
+    * qDedupEmbeddingSql). */
+  val qDedupComponentsSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
+
+  /** Q141: leakage-safe train/val/test split — the assignment is a hash of
+    * the near-dup COMPONENT representative, not of the document, so near-
+    * duplicate documents can never straddle a split boundary (the
+    * train/test contamination mode exact-dedup alone cannot prevent; cf.
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" §5 on eval leakage). ~80/10/10 via the first 4 md5 hex chars
+    * of the label (integer thresholds 52429/58982 of 65536 — the q122
+    * deterministic-resampling pattern, q125 hex parity).
+    *
+    * Scale shape: the label is q37's star contraction (O(log n) rounds,
+    * collect-free); the split itself is a scan-stage expression — no extra
+    * shuffle beyond the contraction. At 100 TB this is exactly how
+    * leakage-safe splits are assigned (hash-of-group, never random()). */
+  def qLeakSafeSplit(t: Tables): DataFrame = {
+    val (stars, _) = starContract(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")))
+    val roots = stars.groupBy(col("u")).agg(min(col("v")).as("root"))
+      .select(col("u").as("doc_id"), col("root"))
+    t.documents.select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("label"))
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(label as string)), 1, 4), 16, 10)").cast("long"))
+      .withColumn("split",
+        when(col("bucket") < 52429L, "train")
+          .when(col("bucket") < 58982L, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q141 oracle: the shared q37 closure chain + the same md5-hex bucket
+    * arithmetic (DuckDB CAST('0x…'), Spark conv — q125 parity). */
+  val qLeakSafeSplitSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes
+      |SELECT id AS doc_id, keep_id AS label,
+      |  CAST('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 4) AS BIGINT) AS bucket,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 4) AS BIGINT) < 52429
+      |         THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(keep_id AS VARCHAR)), 1, 4) AS BIGINT) < 58982
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM rep ORDER BY doc_id""".stripMargin
 
   /** Q115: quality-preferred canonical selection — near-dup components keep
     * the HIGHEST-QUALITY member, not the min id. This is what production

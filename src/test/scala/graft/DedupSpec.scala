@@ -5,6 +5,27 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  test("q141 leak-safe split: near-dup pairs never straddle splits; shares ≈ 80/10/10") {
+    val t = sf0001
+    val split = Dedup.qLeakSafeSplit(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(split.nonEmpty)
+    // every doc assigned exactly once; split is a pure function of label
+    split.groupBy(_._2._1).foreach { case (label, members) =>
+      assert(members.values.map(_._2).toSet.size == 1,
+        s"component $label straddles splits")
+    }
+    // THE leakage invariant: both endpoints of every fuzzy pair share a split
+    Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a)._2 == split(b)._2, s"pair ($a,$b) split across sets")
+    }
+    // deterministic ~80/10/10 with generous tolerance at 500 docs
+    val shares = split.values.groupBy(_._2).map { case (s, v) => s -> v.size.toDouble / split.size }
+    assert(shares("train") > 0.70 && shares("train") < 0.90, s"train share ${shares("train")}")
+    assert(shares.getOrElse("val", 0.0) > 0.0 && shares.getOrElse("test", 0.0) > 0.0)
+  }
+
   test("q128 gated LSH candidates cover the exact near-dup pairs") {
     val t = sf0001
     val rows = graft.ops.Dedup.qLshCandidatesGate(t).collect()
