@@ -688,4 +688,117 @@ object Similarity {
       |      FROM embeddings)
       |WHERE idx <= 8
       |GROUP BY label, idx ORDER BY label, dim""".stripMargin
+
+  // --------------------------------------------------- bitext mining
+
+  /** Bipartite analog of cosinePairsBlocked: every left×right pair scored
+    * exactly once with the primitive-array kernel. Left rows replicate to
+    * groups (i·B + j) over all j, right rows to (i·B + j) over all i, so
+    * group (i,j) holds left block i and right block j; memory per task is
+    * n_l/B + n_r/B rows — bounded by nBlocks, not the corpora. */
+  def cosineBipartiteBlocked(left: DataFrame, right: DataFrame,
+      nBlocks: Int = 8): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val B = nBlocks
+    val l = left.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        val b = math.floorMod(id, B).toInt
+        Iterator.range(0, B).map(o => (b * B + o, true, id, e))
+      }
+    val r = right.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, e) =>
+        val b = math.floorMod(id, B).toInt
+        Iterator.range(0, B).map(o => (o * B + b, false, id, e))
+      }
+    l.union(r).groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val arr = rows.toArray
+        val ls = arr.filter(_._2)
+        val rs = arr.filter(!_._2)
+        ls.iterator.flatMap(a =>
+          rs.iterator.map(b => (a._3, b._3, fasthash.cosine(a._4, b._4))))
+      }.toDF("x_id", "y_id", "sim")
+  }
+
+  /** Q142: margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-
+    * based Parallel Corpus Mining with Multilingual Sentence Embeddings")
+    * — the cross-lingual pair-mining step of a multilingual data pipeline:
+    * for source-language doc x, candidate target y scores
+    * margin(x,y) = cos(x,y) / ((avgTopK(x→tgt) + avgTopK(y→src)) / 2)
+    * (the "ratio" margin), and the mined pair is x's argmax-margin y.
+    *
+    * Scale shape: the exact bipartite kernel is the baseline rung
+    * (ANN rungs q40/q56/q81/q137 swap in at corpus scale exactly as in
+    * the paper's FAISS setup); margins are two bounded-partition windows
+    * + two k-row aggregates over the pair table — one shuffle each. The
+    * pair table is localCheckpoint'd: three consumers (rx, ry, join)
+    * must not re-run the kernel.
+    *
+    * Determinism: sims are the q38/q39 kernel-parity doubles; top-k sets
+    * have total orders (sim desc, id); the k-element averages are
+    * round(6) (aggregation-order floats), the margin re-rounds, and the
+    * argmax orders by (rounded margin desc, y). */
+  def qBitextMine(t: Tables, srcLang: String = "en", tgtLang: String = "fr",
+      k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langOf = t.documents.select(col("doc_id").as("vec_id"), col("lang"))
+    val emb = t.embeddings.join(langOf, Seq("vec_id"))
+    val src = emb.filter(col("lang") === srcLang).select("vec_id", "embedding")
+    val tgt = emb.filter(col("lang") === tgtLang).select("vec_id", "embedding")
+    val s = cosineBipartiteBlocked(src, tgt).localCheckpoint()
+    val wx = Window.partitionBy(col("x_id")).orderBy(col("sim").desc, col("y_id"))
+    val wy = Window.partitionBy(col("y_id")).orderBy(col("sim").desc, col("x_id"))
+    val ax = s.withColumn("r", row_number().over(wx)).filter(col("r") <= k)
+      .groupBy(col("x_id")).agg(round(avg(col("sim")), 6).as("ax"))
+    val ay = s.withColumn("r", row_number().over(wy)).filter(col("r") <= k)
+      .groupBy(col("y_id")).agg(round(avg(col("sim")), 6).as("ay"))
+    val m = s.join(ax, Seq("x_id")).join(ay, Seq("y_id"))
+      .withColumn("margin",
+        round(col("sim") / ((col("ax") + col("ay")) / lit(2.0)), 6))
+    m.withColumn("rk", row_number().over(
+        Window.partitionBy(col("x_id")).orderBy(col("margin").desc, col("y_id"))))
+      .filter(col("rk") === 1)
+      .select(col("x_id").as("src_id"), col("y_id").as("tgt_id"),
+        round(col("sim"), 6).as("sim"), col("margin"))
+      .orderBy(col("src_id"))
+  }
+
+  /** q142 oracle: the pair matrix via list_cosine_similarity (q38 parity),
+    * identical window/round discipline. */
+  def qBitextMineSql(srcLang: String = "en", tgtLang: String = "fr",
+      k: Int = 4): String =
+    s"""WITH src AS (
+      |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      |  WHERE d.lang = '$srcLang'),
+      |tgt AS (
+      |  SELECT e.vec_id AS id, CAST(e.embedding AS DOUBLE[]) AS v
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      |  WHERE d.lang = '$tgtLang'),
+      |s AS MATERIALIZED (
+      |  SELECT src.id AS x_id, tgt.id AS y_id,
+      |    list_cosine_similarity(src.v, tgt.v) AS sim
+      |  FROM src, tgt),
+      |ax AS (
+      |  SELECT x_id, round(avg(sim), 6) AS ax FROM (
+      |    SELECT x_id, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY sim DESC, y_id) AS r
+      |    FROM s) WHERE r <= $k GROUP BY x_id),
+      |ay AS (
+      |  SELECT y_id, round(avg(sim), 6) AS ay FROM (
+      |    SELECT y_id, sim,
+      |      ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
+      |    FROM s) WHERE r <= $k GROUP BY y_id),
+      |m AS (
+      |  SELECT s.x_id, s.y_id, s.sim,
+      |    round(s.sim / ((ax.ax + ay.ay) / 2.0::DOUBLE), 6) AS margin
+      |  FROM s JOIN ax USING (x_id) JOIN ay USING (y_id))
+      |SELECT x_id AS src_id, y_id AS tgt_id, round(sim, 6) AS sim, margin
+      |FROM (SELECT *,
+      |        ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk
+      |      FROM m)
+      |WHERE rk = 1 ORDER BY src_id""".stripMargin
 }

@@ -112,6 +112,48 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall $recall below floor")
   }
 
+  test("q142 bitext mining: margins recompute driver-side; mined pair is the argmax") {
+    val t = sf0001
+    val langOf = t.documents.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      if (aa == 0 || bb == 0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val src = embs.filter(e => langOf(e._1) == "en").sortBy(_._1)
+    val tgt = embs.filter(e => langOf(e._1) == "fr").sortBy(_._1)
+    val sims = (for { (x, ex) <- src; (y, ey) <- tgt } yield ((x, y), cos(ex, ey))).toMap
+    val ax = src.map { case (x, _) =>
+      x -> r6(tgt.map { case (y, _) => (y, sims((x, y))) }
+        .sortBy { case (y, s) => (-s, y) }.take(4).map(_._2).sum / 4)
+    }.toMap
+    val ay = tgt.map { case (y, _) =>
+      y -> r6(src.map { case (x, _) => (x, sims((x, y))) }
+        .sortBy { case (x, s) => (-s, x) }.take(4).map(_._2).sum / 4)
+    }.toMap
+    val got = Similarity.qBitextMine(t).collect()
+    assert(got.length == src.length)
+    got.foreach { r =>
+      val (x, y, margin) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val expMargin = r6(sims((x, y)) / ((ax(x) + ay(y)) / 2.0))
+      assert(math.abs(margin - expMargin) < 2e-6,
+        s"margin ($x,$y): got $margin want $expMargin")
+      // argmax: no other candidate for x has a strictly larger margin
+      tgt.map(_._1).foreach { y2 =>
+        val m2 = r6(sims((x, y2)) / ((ax(x) + ay(y2)) / 2.0))
+        assert(m2 <= margin + 2e-6, s"pair ($x,$y2) margin $m2 beats chosen $margin")
+      }
+    }
+  }
+
   test("srp buckets are deterministic across evaluations") {
     def run() = sf0001.embeddings.select(col("vec_id"),
       Similarity.srpBucketsUdf(6, 4)(col("embedding")).as("b")).collect()
