@@ -1315,6 +1315,50 @@ object TextAnalysis {
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
 
+  /** Q143: cross-document duplicated token spans — the fixed-width
+    * relaxation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": their suffix-array
+    * finds MAXIMAL duplicated substrings; the distributed equivalent
+    * fingerprints every `w`-token window and groups, trading maximality
+    * for one linear pass — the same trade q92 makes at passage
+    * granularity). Emits every span occurring in ≥ `minDocs` distinct
+    * documents with its document and occurrence counts, keyed by a 16-hex
+    * md5 prefix (the span text never shuffles — the q92 hash-at-scale
+    * contract).
+    *
+    * Scale shape: one explode O(tokens·1), one hash aggregate keyed by
+    * span hash (countDistinct's expand doubles rows — bounded ×2, no
+    * sketch mixing); the HAVING prunes to the duplicated tail. At 100 TB
+    * this is the span-level dedup candidate generator; the removal step
+    * composes with q92's passage rewrite. */
+  def qDupSpans(t: Tables, w: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    t.fanout(t.documents).select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(text.ngrams(col("toks"), w)).as("span"))
+      .groupBy(substring(md5(col("span")), 1, 16).as("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("span_hash"))
+  }
+
+  def qDupSpansSql(w: Int = 8, minDocs: Int = 2): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(len(toks) - $w + 1),
+       |      i -> array_to_string(toks[i+1:i+$w], ' '))) AS span
+       |  FROM tok WHERE len(toks) >= $w)
+       |SELECT substr(md5(span), 1, 16) AS span_hash,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*)::BIGINT AS n_occ,
+       |  MIN(doc_id) AS first_doc
+       |FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |ORDER BY span_hash""".stripMargin
+
   /** Q140: within-document repetition filters (Rae et al. 2021 "Gopher",
     * table A1: fraction of characters in the most common 2/3/4-gram;
     * fraction of characters in duplicated 5..10-grams) — the repetition

@@ -122,6 +122,33 @@ class QualityPipelineSpec extends SparkSpec {
     assert(fusedIds.exists(dense.contains), "no dense doc in fused top-k")
   }
 
+  test("q143 duplicated spans match a full driver-side recompute") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq)
+    val w = 8
+    val spans = docs.flatMap { case (id, tk) =>
+      if (tk.length < w) Seq.empty
+      else tk.sliding(w).map(s => (s.mkString(" "), id)).toSeq
+    }
+    val expect = spans.groupBy(_._1)
+      .map { case (s, occ) => s -> (occ.map(_._2).distinct.size.toLong,
+        occ.size.toLong, occ.map(_._2).min) }
+      .filter(_._2._1 >= 2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val expectByHash = expect.map { case (s, v) => h16(s) -> v }
+    val got = TextAnalysis.qDupSpans(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty && got.size == expectByHash.size,
+      s"got ${got.size} spans want ${expectByHash.size}")
+    expectByHash.foreach { case (hsh, v) =>
+      assert(got(hsh) == v, s"span $hsh: got ${got(hsh)} want $v")
+    }
+  }
+
   test("q140 repetition filter: fractions recompute driver-side; rule discriminates at every n") {
     val t = sf0001
     val got = TextAnalysis.qRepetitionFilter(t).collect()
