@@ -112,12 +112,12 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** q27 oracle: per-row int-division doubles are IEEE-exact (no aggregation
-    * order involved), so the raw ratio columns hash-match across engines;
-    * the composite score replays the identical expression tree. */
-  val qQualityScoreSql: String = {
+  /** The q27 feature+score CTE chain ending in
+    * `scored(doc_id, n_tokens, …, quality_score)`, shared verbatim between
+    * the q27 oracle and the q144 budget-selection oracle. */
+  private val qualityScoreCtes: String = {
     val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH f AS (
+    s"""f AS (
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
        |  FROM documents),
@@ -132,15 +132,23 @@ object TextAnalysis {
        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE)
        |      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio
-       |  FROM f)
-       |SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio, punct_ratio,
-       |  CASE WHEN n_tokens < 5 THEN 0.0 ELSE
-       |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
-       |    + (1.0 - least(stopword_ratio * 2.0, 1.0)) * 0.2
-       |    + alpha_ratio * 0.3
-       |    + least(mean_token_len / 8.0, 1.0) * 0.2 END AS quality_score
-       |FROM feats ORDER BY doc_id""".stripMargin
+       |  FROM f),
+       |scored AS (
+       |  SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio, punct_ratio,
+       |    CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |      + (1.0 - least(stopword_ratio * 2.0, 1.0)) * 0.2
+       |      + alpha_ratio * 0.3
+       |      + least(mean_token_len / 8.0, 1.0) * 0.2 END AS quality_score
+       |  FROM feats)""".stripMargin
   }
+
+  /** q27 oracle: per-row int-division doubles are IEEE-exact (no aggregation
+    * order involved), so the raw ratio columns hash-match across engines;
+    * the composite score replays the identical expression tree. */
+  val qQualityScoreSql: String =
+    s"""WITH $qualityScoreCtes
+       |SELECT * FROM scored ORDER BY doc_id""".stripMargin
 
   /** Language ID vs the table's labeled lang column — emits doc_id, the
     * predicted language and the label; spec asserts accuracy on 'zh' rows
@@ -1314,6 +1322,67 @@ object TextAnalysis {
       |  doc_id, rrf_score, rank_sparse, rank_dense
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
+
+  /** Q144: token-budget-constrained corpus selection — keep the best
+    * documents by quality score until a token budget is exhausted (the
+    * data-selection step when compute, not data, is the binding
+    * constraint; cf. Hoffmann et al. 2022 "Chinchilla" token budgets).
+    * Greedy prefix of the (quality desc, doc_id) order by cumulative
+    * token count ≤ `budget`.
+    *
+    * Scale shape: a naive global cumulative window is a single-partition
+    * sort — the classic scale-killer. This plan is the distributed
+    * two-phase prefix: (1) docs bucket by floor(quality·100) (quality
+    * order is bucket-monotone, ties share a bucket); (2) per-bucket token
+    * sums ride the driver (≤101 rows — the bounded-fetch contract) and
+    * prefix offsets come back as a broadcast join; (3) buckets whose
+    * offset already exceeds the budget are PRUNED before the window, and
+    * the intra-bucket cumulative sum runs partitioned BY BUCKET — bounded
+    * partitions, no global sort. The concatenated (bucket desc, quality
+    * desc, doc_id) order equals the global order exactly, so cum_tokens
+    * is the true global prefix sum. All-integer cumulation; quality is
+    * the q27 per-row IEEE-exact double — emitted raw. */
+  def qBudgetSelect(t: Tables, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val q = qQualityScore(t)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("bucket",
+        least(floor(col("quality_score") * lit(100.0)), lit(100.0)).cast("int"))
+    val sums = q.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("btok"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (sums.isEmpty)
+      return Tables.emptyFrame(spark, "doc_id" -> LongType,
+        "n_tokens" -> LongType, "quality_score" -> DoubleType,
+        "cum_tokens" -> LongType)
+    var acc = 0L
+    val offsets = sums.sortBy(-_._1).map { case (b, s) =>
+      val o = (b, acc); acc += s; o
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "offset"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.join(offDf, Seq("bucket"))
+      .filter(col("offset") <= budget) // prune hopeless buckets pre-window
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"), col("doc_id"))
+  }
+
+  /** q144 oracle: the shared q27 chain + one global window (fine for the
+    * oracle; the Spark plan does the distributed two-phase instead). */
+  def qBudgetSelectSql(budget: Long = 10000L): String =
+    s"""WITH $qualityScoreCtes,
+       |c AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS BIGINT) AS cum_tokens
+       |  FROM scored)
+       |SELECT doc_id, n_tokens, quality_score, cum_tokens
+       |FROM c WHERE cum_tokens <= $budget ORDER BY cum_tokens, doc_id""".stripMargin
 
   /** Q143: cross-document duplicated token spans — the fixed-width
     * relaxation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating

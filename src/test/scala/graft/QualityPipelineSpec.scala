@@ -122,6 +122,28 @@ class QualityPipelineSpec extends SparkSpec {
     assert(fusedIds.exists(dense.contains), "no dense doc in fused top-k")
   }
 
+  test("q144 budget selection is the exact maximal greedy prefix") {
+    val t = sf0001
+    val budget = 10000L
+    val all = TextAnalysis.qQualityScore(t)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val expect = all.takeWhile { case (_, n, _) => cum += n; cum <= budget }
+    val got = TextAnalysis.qBudgetSelect(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.nonEmpty && got.length == expect.length,
+      s"kept ${got.length} docs, greedy prefix has ${expect.length}")
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq, "kept set differs")
+    // cum_tokens is the true running sum, ends ≤ budget, next doc would exceed
+    var run = 0L
+    got.foreach { case (_, n, c) => run += n; assert(c == run) }
+    assert(run <= budget)
+    if (expect.length < all.length)
+      assert(run + all(expect.length)._2 > budget, "prefix not maximal")
+  }
+
   test("q143 duplicated spans match a full driver-side recompute") {
     val t = sf0001
     val docs = t.documents.select("doc_id", "text").collect()
