@@ -1323,6 +1323,50 @@ object TextAnalysis {
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
 
+  /** Q145: deterministic weighted mixture schedule — the training-order
+    * interleave that realizes q122's mixture weights as a SEQUENCE:
+    * stride scheduling (Waldspurger & Weihl 1995), emission key
+    * (rank_in_source − 0.5) / weight, so any prefix of the schedule
+    * contains each source in proportion to its weight (the property a
+    * data-mixing loader needs; shuffling-by-hash gives it only in
+    * expectation). Weights mirror q122's derivation (even source id → 3,
+    * odd → 1). Emits the first `topN` scheduled positions.
+    *
+    * Scale shape: per-source rank is one partitioned window (bounded by
+    * the source's docs); the schedule head is orderBy+limit →
+    * TakeOrderedAndProject (no global sort); the position stamp is a
+    * post-limit ≤topN-row window (bounded by construction). The stride
+    * key is one IEEE division of exact integers — emitted raw. */
+  def qMixtureSchedule(t: Tables, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = when(expr("substring(source, 4)").cast("long") % 2 === 0, 3.0)
+      .otherwise(1.0)
+    t.fanout(t.documents).select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .withColumn("stride_key",
+        (col("src_rank").cast("double") - lit(0.5)) / w)
+      .orderBy(col("stride_key"), col("source"), col("src_rank")).limit(topN)
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("stride_key"), col("source"), col("src_rank"))).cast("long"))
+      .select(col("position"), col("doc_id"), col("source"),
+        col("src_rank"), col("stride_key"))
+      .orderBy(col("position"))
+  }
+
+  def qMixtureScheduleSql(topN: Int = 200): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS src_rank,
+       |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 THEN 3.0::DOUBLE ELSE 1.0::DOUBLE END AS w
+       |  FROM documents)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY stride_key, source, src_rank) AS BIGINT) AS position,
+       |  doc_id, source, src_rank, stride_key
+       |FROM (SELECT doc_id, source, src_rank,
+       |        (CAST(src_rank AS DOUBLE) - 0.5::DOUBLE) / w AS stride_key
+       |      FROM d ORDER BY stride_key, source, src_rank LIMIT $topN)
+       |ORDER BY position""".stripMargin
+
   /** Q144: token-budget-constrained corpus selection — keep the best
     * documents by quality score until a token budget is exhausted (the
     * data-selection step when compute, not data, is the binding

@@ -122,6 +122,37 @@ class QualityPipelineSpec extends SparkSpec {
     assert(fusedIds.exists(dense.contains), "no dense doc in fused top-k")
   }
 
+  test("q145 mixture schedule: exact stride interleave; prefixes stay weight-proportional") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def weight(src: String): Double = if (src.drop(3).toLong % 2 == 0) 3.0 else 1.0
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        (((i + 1).toDouble - 0.5) / weight(src), src, (i + 1).toLong, id)
+      }
+    }.sortBy { case (k, s, r, _) => (k, s, r) }.take(200)
+    val got = TextAnalysis.qMixtureSchedule(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case (((pos, id, src), (_, esrc, _, eid)), i) =>
+      assert(pos == i + 1 && id == eid && src == esrc,
+        s"position ${i + 1}: got ($id,$src) want ($eid,$esrc)")
+    }
+    // proportionality: in any prefix, each source's share tracks its weight
+    val srcW = docs.map(_._2).distinct.map(s => s -> weight(s)).toMap
+    val sumW = srcW.values.sum
+    for (prefix <- Seq(50, 100, 200)) {
+      val counts = got.take(prefix).groupBy(_._3).map { case (s, v) => s -> v.length }
+      srcW.foreach { case (s, w) =>
+        val exp = prefix * w / sumW
+        val c = counts.getOrElse(s, 0)
+        assert(math.abs(c - exp) <= 2.0,
+          s"prefix $prefix source $s: count $c expected ~$exp")
+      }
+    }
+  }
+
   test("q144 budget selection is the exact maximal greedy prefix") {
     val t = sf0001
     val budget = 10000L
