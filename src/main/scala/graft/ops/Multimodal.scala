@@ -214,6 +214,40 @@ object Multimodal {
       } catch { case _: Exception => (0, 0) }
     }
 
+    /** Parse the movi frame chunks of an uncompressed AVI: (offset, length)
+      * per '00db' frame in stream order — the frame-extraction half of the
+      * decodeVideo chunk walk. Nil for malformed payloads. */
+    def aviFrameChunks(payload: Array[Byte]): Seq[(Int, Int)] = {
+      try {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+        if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+          return Nil
+        var off = 12
+        while (off + 8 <= payload.length) {
+          val id = fourcc(off)
+          val size = bb.getInt(off + 4)
+          if (size < 0) return Nil
+          if (id == "LIST" && off + 12 <= payload.length && fourcc(off + 8) == "movi") {
+            val out = Seq.newBuilder[(Int, Int)]
+            var o = off + 12
+            val end = math.min(off + 8 + size, payload.length)
+            while (o + 8 <= end) {
+              val csz = bb.getInt(o + 4)
+              if (csz < 0) return out.result()
+              if (fourcc(o) == "00db" && o + 8 + csz <= payload.length)
+                out += ((o + 8, csz))
+              o += 8 + csz + (csz & 1)
+            }
+            return out.result()
+          }
+          off += 8 + size + (size & 1)
+        }
+        Nil
+      } catch { case _: Exception => Nil }
+    }
+
     /** Resize-to-thumbnail: aspect-preserving fit into 128×128. */
     def thumbDims(w: Int, h: Int): (Int, Int) = {
       val scale = 128.0 / math.max(w, h)
@@ -402,4 +436,72 @@ object Multimodal {
       |             ELSE 0 END AS n_frames
       |      FROM documents)
       |GROUP BY kind ORDER BY kind""".stripMargin
+
+  // ---------------------------------------------------- frame sampling
+
+  private val frameSampleUdf = udf(
+    (id: Long, w: Int, h: Int, nf: Int, k: Int) => {
+      val payload = Codecs.synthesizeAvi(id, w, h, nf)
+      val chunks = Codecs.aviFrameChunks(payload)
+      val idxs = Codecs.sampleFrames(chunks.length, k)
+      val crcs = idxs.map { i =>
+        val (o, len) = chunks(i)
+        val c = new java.util.zip.CRC32()
+        c.update(payload, o, len)
+        (i, len, c.getValue)
+      }
+      // sampled frames must checksum nonzero and pairwise distinct (the
+      // splitmix64 frame streams never repeat) — the q130 envelope trick:
+      // the boolean is the driver-checkable face of the unreplayable CRCs
+      val ok = crcs.nonEmpty && crcs.forall(_._3 != 0L) &&
+        crcs.map(_._3).distinct.size == crcs.size
+      crcs.map { case (i, len, _) => (i, len, ok) }
+    })
+
+  /** Q146: video frame sampling — the frame-sample step of a multimodal
+    * pipeline (every k-th frame up to `k` frames per video), against REAL
+    * container payloads: per-row AVI synthesis (frame count 3..8 derived
+    * from doc fields), movi chunk walk (Codecs.aviFrameChunks), CRC32 per
+    * sampled frame. Emits (media_id, frame_idx, frame_len, crc_ok).
+    *
+    * Oracle: frame_idx and frame_len replay EXACTLY from the documents
+    * table (the sampling stride and DIB row padding are integer
+    * arithmetic); the CRCs fold into crc_ok — nonzero + pairwise-distinct
+    * — asserted TRUE by the oracle, so a chunk-walk regression (wrong
+    * offsets → repeated/zero checksums, wrong lengths → hash mismatch)
+    * fails the driver compare.
+    *
+    * Scale shape: one scan of the fanned-out video slice, per-row bounded
+    * work (≤8 frames × small DIBs), explode factor ≤ k — linear; payloads
+    * never shuffle (synthesized and parsed inside one task, the q72
+    * fanout-first invariant). */
+  def qFrameSample(t: Tables, k: Int = 4): DataFrame =
+    t.fanout(t.documents).filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"),
+        ((col("n_chars") % 128 + 32) % 32 + 8).cast("int").as("vw"),
+        ((col("n_chars") % 96 + 16) % 24 + 6).cast("int").as("vh"),
+        (col("doc_id") % 6 + 3).cast("int").as("nf"))
+      .select(col("media_id"),
+        explode(frameSampleUdf(col("media_id"), col("vw"), col("vh"),
+          col("nf"), lit(k))).as("fr"))
+      .select(col("media_id"), col("fr._1").as("frame_idx"),
+        col("fr._2").as("frame_len"), col("fr._3").as("crc_ok"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** q146 oracle: stride sampling replayed as list_slice(range(0, nf,
+    * step)); frame_len = padded DIB row length × height. */
+  def qFrameSampleSql(k: Int = 4): String =
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id,
+       |    (n_chars % 128 + 32) % 32 + 8 AS vw,
+       |    (n_chars % 96 + 16) % 24 + 6 AS vh,
+       |    doc_id % 6 + 3 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2)
+       |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(((vw * 3 + 3) // 4) * 4 * vh AS INT) AS frame_len,
+       |  TRUE AS crc_ok
+       |FROM (SELECT media_id, vw, vh,
+       |        unnest(list_slice(range(0, CAST(nf AS INT), greatest(CAST(nf // $k AS INT), 1)), 1, $k)) AS frame_idx
+       |      FROM v)
+       |ORDER BY media_id, frame_idx""".stripMargin
 }

@@ -84,6 +84,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q146 frame chunks golden: synthesized AVI parses back to exact frames") {
+    import Multimodal.Codecs
+    val payload = Codecs.synthesizeAvi(7L, 10, 6, nFrames = 5)
+    val chunks = Codecs.aviFrameChunks(payload)
+    val rowLen = ((10 * 3 + 3) / 4) * 4
+    assert(chunks.length == 5)
+    assert(chunks.forall(_._2 == rowLen * 6), s"frame lens ${chunks.map(_._2)}")
+    // frame bytes are splitmix64 streams: distinct nonzero CRCs
+    val crcs = chunks.map { case (o, len) =>
+      val c = new java.util.zip.CRC32(); c.update(payload, o, len); c.getValue
+    }
+    assert(crcs.distinct.size == 5 && crcs.forall(_ != 0L))
+    // malformed payloads parse to no frames
+    assert(Codecs.aviFrameChunks(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Codecs.aviFrameChunks(payload.take(40).toArray).isEmpty)
+    // the query face: every emitted row passes the CRC envelope and
+    // sampling matches Codecs.sampleFrames on the declared frame count
+    val rows = Multimodal.qFrameSample(sf0001).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)))
+    val byMedia = rows.groupBy(_.getLong(0))
+    byMedia.foreach { case (id, rs) =>
+      val nf = (id % 6 + 3).toInt
+      assert(rs.map(_.getInt(1)).toSeq.sorted == Codecs.sampleFrames(nf, 4).sorted,
+        s"media $id sampled ${rs.map(_.getInt(1)).toSeq} for nf=$nf")
+    }
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val plan = Multimodal.qMediaMetadata(sf0001)
       .queryExecution.executedPlan.toString
