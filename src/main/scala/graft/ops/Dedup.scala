@@ -651,13 +651,49 @@ object Dedup {
     t.documents.select(col("doc_id"))
       .join(roots, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("label"))
-      .withColumn("bucket",
-        expr("conv(substring(md5(cast(label as string)), 1, 4), 16, 10)").cast("long"))
-      .withColumn("split",
-        when(col("bucket") < 52429L, "train")
-          .when(col("bucket") < 58982L, "val").otherwise("test"))
+      .withColumn("bucket", md5Bucket(col("label")))
+      .withColumn("split", splitOf(col("bucket")))
       .orderBy(col("doc_id"))
   }
+
+  /** Q147: split-contamination audit — the driver-visible proof of WHY
+    * q141 hashes the component, not the document: count fuzzy near-dup
+    * pairs whose endpoints land in different splits under (a) naive
+    * per-document hashing and (b) q141's component hashing. (b) is zero
+    * BY CONSTRUCTION (split is a function of the shared component label);
+    * (a) leaks ~1/3 of pairs across boundaries (P(two hashes differ) with
+    * 80/10/10 shares). The q95/q121 audit pattern: the invariant the spec
+    * asserts becomes a gated output row.
+    *
+    * Scale shape: the pair graph and contraction are q32/q37's plans; the
+    * two split assignments are scan-stage expressions; the audit is two
+    * equi-joins of the pair list against a 2-column split table + one
+    * aggregate each — no new shuffle class. */
+  def qSplitContamination(t: Tables): DataFrame = {
+    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val naive = t.documents.select(col("doc_id"),
+      splitOf(md5Bucket(col("doc_id"))).as("split"))
+    val safe = qLeakSafeSplit(t).select(col("doc_id"), col("split"))
+    def audit(split: DataFrame, name: String): DataFrame =
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("cross_split_pairs"))
+        .select(lit(name).as("method"), col("n_pairs"), col("cross_split_pairs"),
+          (col("cross_split_pairs") === 0L).as("leak_free"))
+    audit(naive, "doc_hash").unionAll(audit(safe, "component_hash"))
+      .orderBy(col("method"))
+  }
+
+  /** md5-hex → 16-bit integer bucket (q122/q125 parity arithmetic),
+    * shared by q141 and q147. */
+  private def md5Bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+
+  private def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 52429L, "train").when(bucket < 58982L, "val").otherwise("test")
 
   /** q141 oracle: the shared q37 closure chain + the same md5-hex bucket
     * arithmetic (DuckDB CAST('0x…'), Spark conv — q125 parity). */
@@ -671,6 +707,31 @@ object Dedup {
       |         THEN 'val'
       |       ELSE 'test' END AS split
       |FROM rep ORDER BY doc_id""".stripMargin
+
+  /** q147 oracle: both split assignments + the shared pair CTE, the same
+    * cross-split count. */
+  val qSplitContaminationSql: String = {
+    def splitCase(key: String): String =
+      s"""CASE WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 4) AS BIGINT) < 52429
+         |         THEN 'train'
+         |       WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 4) AS BIGINT) < 58982
+         |         THEN 'val'
+         |       ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |naive AS (SELECT doc_id, ${splitCase("doc_id")} AS split FROM documents),
+      |safe AS (SELECT id AS doc_id, ${splitCase("keep_id")} AS split FROM rep),
+      |a1 AS (
+      |  SELECT 'component_hash' AS method, COUNT(*)::BIGINT AS n_pairs,
+      |    CAST(COALESCE(SUM(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+      |  FROM pairs p JOIN safe sa ON sa.doc_id = p.a JOIN safe sb ON sb.doc_id = p.b),
+      |a2 AS (
+      |  SELECT 'doc_hash' AS method, COUNT(*)::BIGINT AS n_pairs,
+      |    CAST(COALESCE(SUM(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+      |  FROM pairs p JOIN naive sa ON sa.doc_id = p.a JOIN naive sb ON sb.doc_id = p.b)
+      |SELECT method, n_pairs, cross_split_pairs, cross_split_pairs = 0 AS leak_free
+      |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+      |ORDER BY method""".stripMargin
+  }
 
   /** Q115: quality-preferred canonical selection — near-dup components keep
     * the HIGHEST-QUALITY member, not the min id. This is what production

@@ -26,6 +26,16 @@ class DedupSpec extends SparkSpec {
     assert(shares.getOrElse("val", 0.0) > 0.0 && shares.getOrElse("test", 0.0) > 0.0)
   }
 
+  test("q147 contamination audit: component hashing is leak-free, doc hashing is not") {
+    val rows = Dedup.qSplitContamination(sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val (nS, crossS, freeS) = rows("component_hash")
+    val (nN, crossN, freeN) = rows("doc_hash")
+    assert(nS == nN && nS > 0, "pair counts differ or empty")
+    assert(crossS == 0 && freeS, "component hashing leaked pairs")
+    assert(crossN > 0 && !freeN, "doc hashing shows no leakage — audit inert")
+  }
+
   test("q128 gated LSH candidates cover the exact near-dup pairs") {
     val t = sf0001
     val rows = graft.ops.Dedup.qLshCandidatesGate(t).collect()
