@@ -52,6 +52,19 @@ class EmptyInputSpec extends SparkSpec {
     assert(Layout.q93PartitionPrune(et).collect().isEmpty)
   }
 
+  test("round-6 additions return empty results on empty sources") {
+    assert(TextAnalysis.qRepetitionFilter(et).collect().isEmpty)
+    assert(TextAnalysis.qDupSpans(et).collect().isEmpty)
+    assert(TextAnalysis.qMixtureSchedule(et).collect().isEmpty)
+    assert(TextAnalysis.qBudgetSelect(et).collect().isEmpty)
+    assert(graft.ops.Dedup.qLeakSafeSplit(et).collect().isEmpty)
+    assert(Similarity.qBitextMine(et).collect().isEmpty)
+    assert(graft.ops.Multimodal.qFrameSample(et).collect().isEmpty)
+    // the contamination audit keeps its two method rows with zero counts
+    val audit = graft.ops.Dedup.qSplitContamination(et).collect()
+    assert(audit.length == 2 && audit.forall(_.getLong(1) == 0L))
+  }
+
   test("composed pipeline returns an empty summary table") {
     val docs = et.documents
       .selectExpr("doc_id as id", "substring(text, 1, 40) as title", "text")
