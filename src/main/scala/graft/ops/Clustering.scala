@@ -523,4 +523,96 @@ object Clustering {
       .select(col("topic"), col("keywords"))
       .orderBy(col("topic"))
   }
+
+  // ------------------------------------------------- PCA power iteration
+
+  /** Q148: top principal direction of the embedding matrix by fixed-round
+    * power iteration on the (uncentered) second-moment matrix — the
+    * whitening/dimensionality step an embedding pipeline runs before
+    * IVF/SemDeDup (ABTT "all-but-the-top", Mu & Viswanath 2018, removes
+    * exactly such directions). v₀ = 1/8 per dim (= 1/√64, exactly binary);
+    * each round: s = round₆(avg(x·(xᵀv))) per dim (ONE scan, 64 map-side
+    * aggregates sharing one dot column), then v' = s/‖s‖ and the Rayleigh
+    * quotient λ = Σ vⱼsⱼ ride the driver (64-double bounded fetch, the
+    * k-means-centroid contract).
+    *
+    * Determinism: the per-row dot is a LEFT-TO-RIGHT 64-term product sum
+    * written identically in both engines (no rounding needed — same IEEE
+    * sequence); only the row-order-dependent avg gets round(6); the norm,
+    * division, and λ are exact ops on rounded values. The oracle unrolls
+    * rounds as MATERIALIZED CTEs (the q139 lesson).
+    *
+    * Scale shape: one linear scan per round, 64 combinable aggregates,
+    * nothing shuffles but 64 doubles — textbook distributed power
+    * iteration at any corpus size. */
+  def qPcaPower(t: Tables, rounds: Int = 3, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.embeddings.sparkSession
+    var v = Array.fill(dim)(0.125)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Double)]
+    var r = 1
+    var nonEmpty = true
+    while (r <= rounds && nonEmpty) {
+      val dot = (1 to dim).map(j =>
+        element_at(col("embedding"), j).cast("double") * lit(v(j - 1)))
+        .reduceLeft(_ + _)
+      val withDot = t.embeddings.withColumn("dot", dot)
+      val aggs = (1 to dim).map(j =>
+        round(avg(element_at(col("embedding"), j).cast("double") * col("dot")), 6))
+      val row = withDot.agg(aggs.head, aggs.tail: _*).collect()(0)
+      if (row.isNullAt(0)) nonEmpty = false
+      else {
+        val s = Array.tabulate(dim)(j => row.getDouble(j))
+        val lambda = (0 until dim).map(j => v(j) * s(j)).reduceLeft(_ + _)
+        val norm = math.sqrt(s.map(x => x * x).reduceLeft(_ + _))
+        v = s.map(_ / norm)
+        (0 until dim).foreach(j => out += ((r.toLong, j + 1, v(j), lambda)))
+        r += 1
+      }
+    }
+    if (out.isEmpty)
+      return graft.Tables.emptyFrame(spark, "round" -> LongType,
+        "dim" -> IntegerType, "v" -> DoubleType, "lambda" -> DoubleType)
+    import spark.implicits._
+    out.toSeq.toDF("round", "dim", "v", "lambda")
+      .orderBy(col("round"), col("dim"))
+  }
+
+  /** q148 oracle: per round, a MATERIALIZED pass CTE with the shared dot
+    * subquery and 64 round(6) averages, then a normalize CTE with the
+    * identical left-to-right norm/λ expressions. */
+  def qPcaPowerSql(rounds: Int = 3, dim: Int = 64): String = {
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += """emb AS MATERIALIZED (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
+    // v0 as a single-row CTE of 64 columns
+    ctes += s"""v0 AS (SELECT ${(1 to dim).map(j => s"0.125::DOUBLE AS v$j").mkString(", ")})"""
+    for (r <- 1 to rounds) {
+      val dotExpr = (1 to dim).map(j => s"e[$j] * w.v$j").mkString(" + ")
+      val sCols = (1 to dim).map(j =>
+        s"round(avg(e[$j] * dot), 6) AS s$j").mkString(",\n    ")
+      ctes += s"""p$r AS MATERIALIZED (
+         |  SELECT $sCols
+         |  FROM (SELECT e, $dotExpr AS dot FROM emb, v${r - 1} w))""".stripMargin
+      val normExpr = (1 to dim).map(j => s"s$j * s$j").mkString(" + ")
+      val vCols = (1 to dim).map(j => s"s$j / nrm AS v$j").mkString(", ")
+      ctes += s"""v$r AS MATERIALIZED (
+         |  SELECT $vCols
+         |  FROM (SELECT *, sqrt($normExpr) AS nrm FROM p$r))""".stripMargin
+    }
+    val rows = (1 to rounds).map { r =>
+      val lamExpr = (1 to dim).map(j => s"w.v$j * p.s$j").mkString(" + ")
+      val vals = (1 to dim).map(j =>
+        s"SELECT ${r}::BIGINT AS round, $j AS dim, n.v$j AS v, n.lam AS lambda FROM nrm$r n")
+      s"""nrm$r AS (
+         |  SELECT n.*, ($lamExpr) AS lam
+         |  FROM v$r n, p$r p, v${r - 1} w)""".stripMargin -> vals
+    }
+    ctes ++= rows.map(_._1)
+    val selects = rows.flatMap(_._2)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT * FROM (
+       |${selects.mkString("\nUNION ALL\n")}
+       |) ORDER BY round, dim""".stripMargin
+  }
 }

@@ -184,6 +184,35 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("q148 PCA power iteration: unit vector, nondecreasing Rayleigh, matches numpy-style recompute") {
+    val t = sf0001
+    val rows = Clustering.qPcaPower(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 3 * 64)
+    val byRound = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    // v is unit-norm each round; lambda never decreases (power iteration)
+    val lambdas = byRound.map(_._2.head._4)
+    byRound.foreach { case (r, rs) =>
+      val norm = math.sqrt(rs.map(_._3).map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"round $r ‖v‖ = $norm")
+    }
+    lambdas.sliding(2).foreach(p => assert(p(1) >= p(0) - 1e-9,
+      s"Rayleigh decreased: $lambdas"))
+    // driver recompute of round 1 from raw embeddings (v0 = 0.125)
+    val embs = t.embeddings.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val s = Array.tabulate(64) { j =>
+      val vals = embs.map(e => e(j) * e.map(_ * 0.125).sum)
+      BigDecimal(vals.sum / vals.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val norm1 = math.sqrt(s.map(x => x * x).sum)
+    val v1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    s.map(_ / norm1).zip(v1).zipWithIndex.foreach { case ((e, g), j) =>
+      assert(math.abs(e - g) < 1e-5, s"dim ${j + 1}: recompute $e vs $g")
+    }
+  }
+
   test("q132 NMF step: positive factors, differentiated topics, error decreases") {
     val t = sf0001
     val out = Clustering.qNmfStep(t).collect()
