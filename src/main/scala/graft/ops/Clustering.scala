@@ -545,11 +545,12 @@ object Clustering {
     * Scale shape: one linear scan per round, 64 combinable aggregates,
     * nothing shuffles but 64 doubles — textbook distributed power
     * iteration at any corpus size. */
-  def qPcaPower(t: Tables, rounds: Int = 3, dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.types._
-    val spark = t.embeddings.sparkSession
+  /** The q148 iteration body, shared with q149: per-round (v, λ) history,
+    * empty if the corpus is. */
+  private[graft] def pcaPowerRounds(t: Tables, rounds: Int,
+      dim: Int): Seq[(Int, Array[Double], Double)] = {
     var v = Array.fill(dim)(0.125)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Double)]
+    val hist = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double], Double)]
     var r = 1
     var nonEmpty = true
     while (r <= rounds && nonEmpty) {
@@ -566,9 +567,18 @@ object Clustering {
         val lambda = (0 until dim).map(j => v(j) * s(j)).reduceLeft(_ + _)
         val norm = math.sqrt(s.map(x => x * x).reduceLeft(_ + _))
         v = s.map(_ / norm)
-        (0 until dim).foreach(j => out += ((r.toLong, j + 1, v(j), lambda)))
+        hist += ((r, v, lambda))
         r += 1
       }
+    }
+    hist.toSeq
+  }
+
+  def qPcaPower(t: Tables, rounds: Int = 3, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.embeddings.sparkSession
+    val out = pcaPowerRounds(t, rounds, dim).flatMap { case (r, v, lambda) =>
+      (0 until dim).map(j => (r.toLong, j + 1, v(j), lambda))
     }
     if (out.isEmpty)
       return graft.Tables.emptyFrame(spark, "round" -> LongType,
@@ -578,13 +588,12 @@ object Clustering {
       .orderBy(col("round"), col("dim"))
   }
 
-  /** q148 oracle: per round, a MATERIALIZED pass CTE with the shared dot
-    * subquery and 64 round(6) averages, then a normalize CTE with the
-    * identical left-to-right norm/λ expressions. */
-  def qPcaPowerSql(rounds: Int = 3, dim: Int = 64): String = {
+  /** The q148 CTE core (emb, v0, p1..pR, v1..vR), shared with the q149
+    * ABTT oracle. */
+  private def pcaCoreCtes(rounds: Int, dim: Int): Seq[String] = {
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
     ctes += """emb AS MATERIALIZED (
-      |  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin
     // v0 as a single-row CTE of 64 columns
     ctes += s"""v0 AS (SELECT ${(1 to dim).map(j => s"0.125::DOUBLE AS v$j").mkString(", ")})"""
     for (r <- 1 to rounds) {
@@ -600,6 +609,15 @@ object Clustering {
          |  SELECT $vCols
          |  FROM (SELECT *, sqrt($normExpr) AS nrm FROM p$r))""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  /** q148 oracle: per round, a MATERIALIZED pass CTE with the shared dot
+    * subquery and 64 round(6) averages, then a normalize CTE with the
+    * identical left-to-right norm/λ expressions. */
+  def qPcaPowerSql(rounds: Int = 3, dim: Int = 64): String = {
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes ++= pcaCoreCtes(rounds, dim)
     val rows = (1 to rounds).map { r =>
       val lamExpr = (1 to dim).map(j => s"w.v$j * p.s$j").mkString(" + ")
       val vals = (1 to dim).map(j =>
@@ -614,5 +632,49 @@ object Clustering {
        |SELECT * FROM (
        |${selects.mkString("\nUNION ALL\n")}
        |) ORDER BY round, dim""".stripMargin
+  }
+
+  /** Q149: all-but-the-top correction stats (Mu & Viswanath 2018) — the
+    * post-processing that composes on q148: per embedding, its projection
+    * onto the learned top direction and the residual energy after removal;
+    * emits the `topK` most-affected vectors (largest |projection| — the
+    * rows ABTT changes most). Per-row math is ALL exact cross-engine: the
+    * projection and squared norm are the same left-to-right 64-term
+    * sums, resid = norm² − proj² a single subtraction — no rounding
+    * anywhere; the direction itself is the q148-verified v.
+    *
+    * Scale shape: one scan-stage projection + TakeOrdered — the
+    * correction at 100 TB is the same scan writing x − proj·v. */
+  def qAbttTop(t: Tables, rounds: Int = 3, dim: Int = 64, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.embeddings.sparkSession
+    val hist = pcaPowerRounds(t, rounds, dim)
+    if (hist.isEmpty)
+      return graft.Tables.emptyFrame(spark, "vec_id" -> LongType,
+        "proj" -> DoubleType, "norm_sq" -> DoubleType, "resid_sq" -> DoubleType)
+    val v = hist.last._2
+    val proj = (1 to dim).map(j =>
+      element_at(col("embedding"), j).cast("double") * lit(v(j - 1)))
+      .reduceLeft(_ + _)
+    val normSq = (1 to dim).map { j =>
+      val e = element_at(col("embedding"), j).cast("double"); e * e
+    }.reduceLeft(_ + _)
+    t.embeddings
+      .select(col("vec_id"), proj.as("proj"), normSq.as("norm_sq"))
+      .withColumn("resid_sq", col("norm_sq") - col("proj") * col("proj"))
+      .orderBy(abs(col("proj")).desc, col("vec_id")).limit(topK)
+      .orderBy(abs(col("proj")).desc, col("vec_id"))
+  }
+
+  /** q149 oracle: the shared PCA core chain + the identical projection /
+    * norm expressions against v{rounds}. */
+  def qAbttTopSql(rounds: Int = 3, dim: Int = 64, topK: Int = 20): String = {
+    val projExpr = (1 to dim).map(j => s"e[$j] * w.v$j").mkString(" + ")
+    val normExpr = (1 to dim).map(j => s"e[$j] * e[$j]").mkString(" + ")
+    s"""WITH ${pcaCoreCtes(rounds, dim).mkString(",\n")}
+       |SELECT vec_id, proj, norm_sq, norm_sq - proj * proj AS resid_sq
+       |FROM (SELECT vec_id, ($projExpr) AS proj, ($normExpr) AS norm_sq
+       |      FROM emb, v$rounds w)
+       |ORDER BY abs(proj) DESC, vec_id LIMIT $topK""".stripMargin
   }
 }

@@ -213,6 +213,18 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("q149 ABTT: residual energy = norm² − proj², ordered by |proj|, removal reduces energy") {
+    val rows = Clustering.qAbttTop(sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (id, proj, normSq, residSq) =>
+      assert(math.abs(residSq - (normSq - proj * proj)) < 1e-12, s"vec $id")
+      assert(residSq >= 0 && residSq < normSq, s"vec $id energy not reduced")
+    }
+    val absProj = rows.map(r => math.abs(r._2))
+    absProj.sliding(2).foreach(p => assert(p(1) <= p(0) + 1e-12, "not |proj|-ordered"))
+  }
+
   test("q132 NMF step: positive factors, differentiated topics, error decreases") {
     val t = sf0001
     val out = Clustering.qNmfStep(t).collect()
