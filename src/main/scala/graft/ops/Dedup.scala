@@ -708,6 +708,39 @@ object Dedup {
       |       ELSE 'test' END AS split
       |FROM rep ORDER BY doc_id""".stripMargin
 
+  /** Q150: near-dup graph degree histogram — the shape diagnostic run
+    * before choosing a dedup strategy (a heavy-tailed degree distribution
+    * means giant components → star contraction; near-uniform degree ≈
+    * pairwise dups → greedy keep-first suffices). Emits (degree, n_docs)
+    * including degree 0 (docs untouched by any near-dup pair).
+    *
+    * Scale shape: the pair list is q32's blocked join; degrees are one
+    * count over the symmetrized edge list + a left join back to the doc
+    * ids; the histogram is a second tiny aggregate — all map-side
+    * combinable, O(pairs + docs). */
+  def qDegreeHistogram(t: Tables): DataFrame = {
+    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val ends = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+    val deg = t.documents.select(col("doc_id").as("id"))
+      .join(ends.groupBy(col("id")).agg(count(lit(1)).as("degree")), Seq("id"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+    deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree"))
+  }
+
+  /** q150 oracle: shared pair CTE, same symmetrize-count-histogram. */
+  val qDegreeHistogramSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |ends AS (SELECT a AS id FROM pairs UNION ALL SELECT b AS id FROM pairs),
+      |deg AS (
+      |  SELECT COALESCE(d.degree, 0) AS degree
+      |  FROM documents v LEFT JOIN (
+      |    SELECT id, COUNT(*)::BIGINT AS degree FROM ends GROUP BY id) d
+      |    ON d.id = v.doc_id)
+      |SELECT degree, COUNT(*)::BIGINT AS n_docs
+      |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
   /** q147 oracle: both split assignments + the shared pair CTE, the same
     * cross-split count. */
   val qSplitContaminationSql: String = {

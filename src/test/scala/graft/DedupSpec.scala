@@ -26,6 +26,18 @@ class DedupSpec extends SparkSpec {
     assert(shares.getOrElse("val", 0.0) > 0.0 && shares.getOrElse("test", 0.0) > 0.0)
   }
 
+  test("q150 degree histogram: masses add up to the corpus and the edge count") {
+    val t = sf0001
+    val hist = Dedup.qDegreeHistogram(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nDocs = t.documents.count()
+    val nPairs = Dedup.qFuzzyPairs(t).count()
+    assert(hist.map(_._2).sum == nDocs, "histogram mass != doc count")
+    assert(hist.map { case (d, n) => d * n }.sum == 2 * nPairs,
+      "sum of degrees != 2·|pairs|")
+    assert(hist.exists(_._1 == 0L) && hist.exists(_._1 > 0L), "degenerate histogram")
+  }
+
   test("q147 contamination audit: component hashing is leak-free, doc hashing is not") {
     val rows = Dedup.qSplitContamination(sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
