@@ -741,6 +741,55 @@ object Dedup {
       |SELECT degree, COUNT(*)::BIGINT AS n_docs
       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Q151: contrastive training-pair generation — the data-gen step for
+    * embedding-model training (SimCSE/E5-style): anchors and positives are
+    * the near-dup pairs (documents known to be semantically equivalent),
+    * negatives are hash-derived pseudo-random documents (Knuth
+    * multiplicative hash mod corpus size — deterministic, no RNG state),
+    * rejected if they collide with the anchor, the positive, or any true
+    * neighbor of the anchor (a false negative would poison the loss).
+    *
+    * Scale shape: positives are q32's blocked join; the negative pick is
+    * a scan-stage expression (corpus size is a one-long bounded fetch);
+    * the false-negative rejection is one left-anti join against the
+    * symmetrized edge list — O(pairs), no corpus-squared anything. */
+  def qContrastivePairs(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val n = t.documents.count() // bounded one-long fetch (doc_ids are 0..n-1)
+    if (n == 0)
+      return Tables.emptyFrame(spark, "anchor_id" -> LongType,
+        "positive_id" -> LongType, "negative_id" -> LongType)
+    val cand = pairs.withColumn("neg_id",
+      pmod(col("id_a") * lit(2654435761L), lit(n)))
+    val neighbors = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+      .unionAll(pairs.select(col("id_b").as("x"), col("id_a").as("y")))
+    cand.filter(col("neg_id") =!= col("id_a") && col("neg_id") =!= col("id_b"))
+      .join(neighbors,
+        cand("id_a") === neighbors("x") && cand("neg_id") === neighbors("y"),
+        "left_anti")
+      .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
+        col("neg_id").as("negative_id"))
+      .orderBy(col("anchor_id"), col("positive_id"))
+  }
+
+  /** q151 oracle: shared pair CTE + the identical integer hash pick and
+    * NOT EXISTS rejection. */
+  val qContrastivePairsSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |st AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+      |cand AS (
+      |  SELECT p.a AS id_a, p.b AS id_b,
+      |    ((p.a * 2654435761) % st.n + st.n) % st.n AS neg_id
+      |  FROM pairs p, st),
+      |nb AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs)
+      |SELECT id_a AS anchor_id, id_b AS positive_id, neg_id AS negative_id
+      |FROM cand c
+      |WHERE c.neg_id != c.id_a AND c.neg_id != c.id_b
+      |  AND NOT EXISTS (SELECT 1 FROM nb WHERE nb.x = c.id_a AND nb.y = c.neg_id)
+      |ORDER BY anchor_id, positive_id""".stripMargin
+
   /** q147 oracle: both split assignments + the shared pair CTE, the same
     * cross-split count. */
   val qSplitContaminationSql: String = {

@@ -38,6 +38,25 @@ class DedupSpec extends SparkSpec {
     assert(hist.exists(_._1 == 0L) && hist.exists(_._1 > 0L), "degenerate histogram")
   }
 
+  test("q151 contrastive pairs: negatives are never anchors, positives, or true neighbors") {
+    val t = sf0001
+    val rows = Dedup.qContrastivePairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val neighbors = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val n = t.documents.count()
+    rows.foreach { case (a, p, neg) =>
+      assert(neighbors((a, p)), s"($a,$p) is not a true near-dup pair")
+      assert(neg != a && neg != p && !neighbors((a, neg)),
+        s"negative $neg collides for anchor $a")
+      assert(neg >= 0 && neg < n, s"negative $neg out of id range")
+      assert(neg == java.lang.Math.floorMod(a * 2654435761L, n),
+        s"negative $neg not the deterministic hash pick for $a")
+    }
+  }
+
   test("q147 contamination audit: component hashing is leak-free, doc hashing is not") {
     val rows = Dedup.qSplitContamination(sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
