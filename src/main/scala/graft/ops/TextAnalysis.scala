@@ -1846,4 +1846,81 @@ object TextAnalysis {
        |  round(SUM(CAST(feat.c AS DOUBLE) * model.lr), 6) > 0.0 AS selected
        |FROM feat JOIN model USING (b)
        |GROUP BY feat.doc_id ORDER BY feat.doc_id""".stripMargin
+
+  /** Q152: bigram-LM perplexity scoring — the CCNet/KenLM-style quality
+    * filter: train an add-1-smoothed bigram language model ON the corpus
+    * itself (one pass), then score every document by its mean per-bigram
+    * negative log-likelihood. High avg-NLL = improbable word sequences =
+    * boilerplate/garbage; the `keep` flag is the filter decision a
+    * training-data pipeline would apply.
+    *
+    * Scale shape: the LM IS two hash aggregates — bigram counts
+    * O(distinct bigrams) and unigram counts O(|vocab|). Scoring re-joins
+    * the per-token bigram stream to the count tables: the bigram join is
+    * shuffle-equi on (a,b) (both sides corpus-derived), the unigram side
+    * is broadcast (|vocab| ≪ corpus at any scale). Per-doc reduction is a
+    * map-side-combinable aggregate. No driver loops; the single fetch is
+    * |vocab| (a count — the BM25 two-scalar contract).
+    *
+    * Oracle-exactness: p = (c+1)/(f+V) is ONE IEEE division (correctly
+    * rounded, bit-identical cross-engine), ln() matches per the q102
+    * precedent, per-token NLL is round(6) then DECIMAL-summed (exact,
+    * associative — the q01 money pattern) so the partial-aggregate tree
+    * cannot drift from DuckDB's sequential sum. Docs with <2 tokens have
+    * no bigrams and are omitted by both engines. */
+  def qBigramLm(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (t.documents.isEmpty)
+      return graft.Tables.emptyFrame(t.spark, "doc_id" -> LongType,
+        "n_bigrams" -> LongType, "avg_nll" -> DoubleType,
+        "keep" -> BooleanType)
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    val uf = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val v = uf.count()
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bf = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    bi.join(bf, Seq("a", "b"))
+      .join(broadcast(uf.withColumnRenamed("w", "a").withColumnRenamed("f", "fa")), Seq("a"))
+      .withColumn("nll", round(-log((col("c").cast("double") + lit(1.0)) /
+        (col("fa").cast("double") + lit(v.toDouble))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast(DecimalType(28, 6))).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", round(col("sum_nll") / col("n_bigrams").cast("double"), 6))
+      .withColumn("keep", col("avg_nll") < lit(10.0))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |      x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |uf AS (SELECT w, COUNT(*)::BIGINT AS f
+      |       FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+      |v AS (SELECT COUNT(*)::BIGINT AS v FROM uf),
+      |bi AS (SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+      |       FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+      |bf AS (SELECT a, b, COUNT(*)::BIGINT AS c FROM bi GROUP BY a, b),
+      |nll AS (
+      |  SELECT bi.doc_id,
+      |    round(-ln((CAST(bf.c AS DOUBLE) + 1.0)
+      |              / (CAST(uf.f AS DOUBLE) + CAST(v.v AS DOUBLE))), 6) AS nll
+      |  FROM bi JOIN bf USING (a, b) JOIN uf ON bi.a = uf.w, v),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) AS sum_nll
+      |  FROM nll GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  round(sum_nll / CAST(n_bigrams AS DOUBLE), 6) AS avg_nll,
+      |  round(sum_nll / CAST(n_bigrams AS DOUBLE), 6) < 10.0 AS keep
+      |FROM agg ORDER BY doc_id""".stripMargin
 }

@@ -493,4 +493,38 @@ class QualityPipelineSpec extends SparkSpec {
     // selected ⇔ logw > 0, bit-consistent with the emitted score
     got.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0.0)))
   }
+
+  test("q152 bigram LM: matches a sequential in-memory recompute exactly") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tok(s: String): Array[String] =
+      s.toLowerCase.split("[^\\p{L}\\p{N}']+").filter(_.nonEmpty)
+    val toks = docs.map { case (id, s) => (id, tok(s)) }
+    val uf = toks.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val v = uf.size.toLong
+    val bis = toks.filter(_._2.length >= 2)
+      .map { case (id, tk) => (id, tk.sliding(2).map(p => (p(0), p(1))).toSeq) }
+    val bf = bis.flatMap(_._2).groupBy(identity).map { case (b, bs) => b -> bs.length.toLong }
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = bis.map { case (id, bb) =>
+      val nlls = bb.map { case (a, b) =>
+        r6(-math.log((bf((a, b)) + 1.0) / (uf(a) + v.toDouble)))
+      }
+      val sum = nlls.map(BigDecimal(_)).sum.toDouble
+      (id, bb.length.toLong, r6(sum / bb.length))
+    }.sortBy(_._1)
+    val got = TextAnalysis.qBigramLm(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case ((gid, gn, gs, gk), (eid, en, es)) =>
+      assert(gid == eid && gn == en, s"doc $gid: n_bigrams $gn want $en")
+      assert(gs == es, s"doc $gid: avg_nll $gs want $es")
+      assert(gk == (gs < 10.0), s"doc $gid: keep flag inconsistent")
+    }
+    // the score must separate real prose from improbable sequences: docs
+    // whose bigrams are all corpus-frequent score lower than the corpus max
+    assert(got.map(_._3).distinct.length > 1, "degenerate constant score")
+  }
 }
