@@ -677,4 +677,94 @@ object Clustering {
        |      FROM emb, v$rounds w)
        |ORDER BY abs(proj) DESC, vec_id LIMIT $topK""".stripMargin
   }
+
+  /** Q153: greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal) over the embeddings — the diversity-maximizing
+    * data-selection pass a training pipeline runs to pick a small cover
+    * of the corpus (coreset for active learning / dedup seeding).
+    *
+    * Deterministic contract (both engines replay it exactly):
+    *  - center 1 = smallest vec_id;
+    *  - coverage(p) = max over selected centers of round(cosine(p, c), 6)
+    *    (round(6) per term BEFORE the max — the q119 argmax discipline, so
+    *    a near-tie inside float noise cannot flip the pick cross-engine);
+    *  - next center = the point with MINIMUM coverage (farthest from the
+    *    selected set), ties → smaller vec_id; k centers total;
+    *  - final assignment: each point → its max-coverage center, ties →
+    *    earlier-selected center.
+    *
+    * Scale shape: per selection round ONE job — k·dims doubles broadcast
+    * against the streamed corpus, map-side round(6) cosine + max, then a
+    * TakeOrdered(1) argmin (no global sort, no shuffle of the vectors).
+    * The picked center rides the driver between rounds (dims doubles —
+    * the q119 bounded parameter fetch). The recomputed max-over-centers
+    * equals the incremental greatest() the DuckDB oracle chains, because
+    * every term is rounded before the max. */
+  def qKcenter(t: Tables, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    import spark.implicits._
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .cache()
+    val first = emb.orderBy(col("vec_id")).limit(1).collect().headOption
+    if (first.isEmpty)
+      return Tables.emptyFrame(spark, "vec_id" -> LongType,
+        "center" -> LongType, "center_rank" -> LongType, "sim" -> DoubleType)
+    var centers: Seq[(Long, Long, Seq[Double])] =
+      Seq((1L, first.get.getLong(0), first.get.getSeq[Double](1)))
+    def covered(cs: Seq[(Long, Long, Seq[Double])]): DataFrame = {
+      val cdf = cs.toDF("rank", "cid", "c")
+      emb.crossJoin(broadcast(cdf))
+        .withColumn("s", round(graft.plans.CosineSim.cosineD(col("e"), col("c")), 6))
+    }
+    for (r <- 2L to k.toLong) {
+      val next = covered(centers)
+        .groupBy(col("vec_id"), col("e")).agg(max(col("s")).as("cov"))
+        .orderBy(col("cov").asc, col("vec_id").asc).limit(1)
+        .collect().head
+      centers = centers :+ ((r, next.getLong(0), next.getSeq[Double](1)))
+    }
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("rank").asc)
+    covered(centers)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("center"),
+        col("rank").as("center_rank"), col("s").as("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q153 oracle: the same greedy traversal as chained CTEs — s1 = min
+    * vec_id, dN = incremental greatest(round(6) cosine) coverage, sN =
+    * argmin-coverage pick. MATERIALIZED per the >5-round CTE invariant. */
+  def qKcenterSql(k: Int = 8): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = r - 1
+      s"""d$prev AS MATERIALIZED (
+         |  SELECT d.vec_id, d.e,
+         |    ${if (prev == 1) "round(list_cosine_similarity(d.e, s.c), 6)"
+             else "greatest(d.cov, round(list_cosine_similarity(d.e, s.c), 6))"} AS cov
+         |  FROM ${if (prev == 1) "emb" else s"d${prev - 1}"} d, s$prev s),
+         |s$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS rank, vec_id AS cid, e AS c
+         |  FROM d$prev ORDER BY cov ASC, vec_id ASC LIMIT 1)""".stripMargin
+    }
+    val centerList = (1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |s1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS rank, vec_id AS cid, e AS c
+       |  FROM emb ORDER BY vec_id LIMIT 1),
+       |${rounds.mkString(",\n")},
+       |centers AS MATERIALIZED ($centerList)
+       |SELECT vec_id, cid AS center, rank AS center_rank, s AS sim FROM (
+       |  SELECT emb.vec_id, c.cid, c.rank,
+       |    round(list_cosine_similarity(emb.e, c.c), 6) AS s,
+       |    ROW_NUMBER() OVER (PARTITION BY emb.vec_id
+       |      ORDER BY round(list_cosine_similarity(emb.e, c.c), 6) DESC,
+       |               c.rank ASC) AS rn
+       |  FROM emb CROSS JOIN centers c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
 }
