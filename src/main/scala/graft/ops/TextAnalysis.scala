@@ -1866,8 +1866,10 @@ object TextAnalysis {
     * rounded, bit-identical cross-engine), ln() matches per the q102
     * precedent, per-token NLL is round(6) then DECIMAL-summed (exact,
     * associative — the q01 money pattern) so the partial-aggregate tree
-    * cannot drift from DuckDB's sequential sum. Docs with <2 tokens have
-    * no bigrams and are omitted by both engines. */
+    * cannot drift from DuckDB's sequential sum. The per-doc mean is then
+    * ONE IEEE division on identical inputs → emitted RAW (round(6) on it
+    * hit the .5-boundary cross-engine round divergence at sf0.1). Docs
+    * with <2 tokens have no bigrams and are omitted by both engines. */
   def qBigramLm(t: Tables): DataFrame = {
     import org.apache.spark.sql.types._
     if (t.documents.isEmpty)
@@ -1892,7 +1894,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll").cast(DecimalType(28, 6))).cast("double").as("sum_nll"))
-      .withColumn("avg_nll", round(col("sum_nll") / col("n_bigrams").cast("double"), 6))
+      .withColumn("avg_nll", col("sum_nll") / col("n_bigrams").cast("double"))
       .withColumn("keep", col("avg_nll") < lit(10.0))
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"), col("keep"))
       .orderBy(col("doc_id"))
@@ -1920,7 +1922,7 @@ object TextAnalysis {
       |    CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) AS sum_nll
       |  FROM nll GROUP BY doc_id)
       |SELECT doc_id, n_bigrams,
-      |  round(sum_nll / CAST(n_bigrams AS DOUBLE), 6) AS avg_nll,
-      |  round(sum_nll / CAST(n_bigrams AS DOUBLE), 6) < 10.0 AS keep
+      |  sum_nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+      |  sum_nll / CAST(n_bigrams AS DOUBLE) < 10.0 AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 }

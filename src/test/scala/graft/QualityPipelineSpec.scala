@@ -513,7 +513,9 @@ class QualityPipelineSpec extends SparkSpec {
         r6(-math.log((bf((a, b)) + 1.0) / (uf(a) + v.toDouble)))
       }
       val sum = nlls.map(BigDecimal(_)).sum.toDouble
-      (id, bb.length.toLong, r6(sum / bb.length))
+      // the mean is ONE IEEE division on the exact decimal sum — emitted
+      // RAW (round(6) on it diverges cross-engine at .5 boundaries)
+      (id, bb.length.toLong, sum / bb.length)
     }.sortBy(_._1)
     val got = TextAnalysis.qBigramLm(t).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
