@@ -165,4 +165,121 @@ object Layout {
       |FROM documents WHERE lang IN ('en', 'de')
       |GROUP BY lang, source
       |ORDER BY lang, source""".stripMargin
+
+  /** Q154: Z-order layout skipping audit — the third storage-layout
+    * technique after bucketing (q91) and hive partitioning (q93):
+    * MULTI-dimensional clustering for min/max file skipping (the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` idea; Morton 1966). Orders are
+    * mapped to a 2-D Morton curve over (o_custkey, order day): each dim
+    * is value-bucketed to 16 bits against its min/max range, the buckets
+    * bit-interleaved into a 32-bit z-value, and the top 6 z-bits name the
+    * target file (≤64 files) — a pure scan-stage expression, NO global
+    * sort (range-partitioning by z-prefix is exactly how a distributed
+    * writer lays the curve out; at 100 TB the file assignment stays
+    * embarrassingly parallel). The audit compares per-file min/max spans
+    * and probe-hit counts against a LINEAR (date-only) layout: linear
+    * gives perfect date spans but every file spans the full custkey
+    * range; z-order shrinks BOTH dims ~√files, so a point query on
+    * EITHER dim skips most files. Output: one verdict row per layout
+    * (the q95/q121 audit pattern) — all columns exact BIGINT arithmetic
+    * (bit ops per the q131 precedent, floor-div bucketing on positive
+    * ints), so the whole audit is hash-gated.
+    *
+    * Scale shape: one 4-long stats fetch (the BM25 bounded-parameter
+    * contract), one scan computing both file ids map-side, ONE shuffle of
+    * 2·n tagged rows into the per-(layout, file) aggregate, then an
+    * O(files) second aggregate. */
+  def q154ZorderLayout(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    val o = t.orders.select(
+      col("o_custkey").cast("long").as("ck"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("dd"))
+    val st = o.agg(min(col("ck")), max(col("ck")), min(col("dd")), max(col("dd")))
+      .collect().head
+    if (st.isNullAt(0))
+      return Tables.emptyFrame(spark, "layout" -> StringType,
+        "n_files" -> LongType, "n_rows" -> LongType,
+        "sum_ck_span" -> LongType, "sum_d_span" -> LongType,
+        "files_hit_ck" -> LongType, "files_hit_d" -> LongType)
+    val (ckLo, ckHi, ddLo, ddHi) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+    // probes: each dim's midpoint — the representative point query
+    val ckP = (ckLo + ckHi) / 2
+    val ddP = (ddLo + ddHi) / 2
+    val b = o
+      .withColumn("bck", expr(s"((ck - ${ckLo}L) * 65536L) div ${ckHi - ckLo + 1}L"))
+      .withColumn("bdd", expr(s"((dd - ${ddLo}L) * 65536L) div ${ddHi - ddLo + 1}L"))
+    // Morton interleave: 32 fixed integer terms (even bits ← custkey,
+    // odd bits ← day) — identical >>/&/<< arithmetic in the oracle
+    val zval = (0 until 16).map { i =>
+      shiftleft(shiftright(col("bck"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(col("bdd"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    val tagged = b
+      .withColumn("zf", shiftright(zval, 26))
+      .withColumn("lf", shiftright(col("bdd"), 10))
+      .select(explode(array(
+        struct(lit("linear").as("layout"), col("lf").as("f"), col("ck"), col("dd")),
+        struct(lit("zorder").as("layout"), col("zf").as("f"), col("ck"), col("dd")))).as("r"))
+      .select(col("r.layout").as("layout"), col("r.f").as("f"),
+        col("r.ck").as("ck"), col("r.dd").as("dd"))
+    tagged
+      .groupBy(col("layout"), col("f"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ck")).as("fcklo"), max(col("ck")).as("fckhi"),
+        min(col("dd")).as("fddlo"), max(col("dd")).as("fddhi"))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n")).as("n_rows"),
+        sum(col("fckhi") - col("fcklo")).as("sum_ck_span"),
+        sum(col("fddhi") - col("fddlo")).as("sum_d_span"),
+        sum(when(col("fcklo") <= ckP && col("fckhi") >= ckP, 1L).otherwise(0L))
+          .as("files_hit_ck"),
+        sum(when(col("fddlo") <= ddP && col("fddhi") >= ddP, 1L).otherwise(0L))
+          .as("files_hit_d"))
+      .orderBy(col("layout"))
+  }
+
+  /** q154 oracle: the identical integer program — `//` floor-div matches
+    * Spark's `div` on these non-negative values, `>>`/`&`/`<<` match
+    * shiftright/bitwiseAND/shiftleft on BIGINT (the q131 precedent). */
+  val q154Sql: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((bck >> $i) & 1) << ${2 * i}) + (((bdd >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH o AS (
+       |  SELECT CAST(o_custkey AS BIGINT) AS ck,
+       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dd
+       |  FROM orders),
+       |st AS (SELECT min(ck) AS cklo, max(ck) AS ckhi,
+       |              min(dd) AS ddlo, max(dd) AS ddhi,
+       |              (min(ck) + max(ck)) // 2 AS ckp,
+       |              (min(dd) + max(dd)) // 2 AS ddp FROM o),
+       |b AS (
+       |  SELECT ck, dd,
+       |    ((ck - cklo) * 65536) // (ckhi - cklo + 1) AS bck,
+       |    ((dd - ddlo) * 65536) // (ddhi - ddlo + 1) AS bdd
+       |  FROM o, st),
+       |z AS (SELECT ck, dd, bdd, ($terms) AS zval FROM b),
+       |tagged AS (
+       |  SELECT 'linear' AS layout, bdd >> 10 AS f, ck, dd FROM z
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout, zval >> 26 AS f, ck, dd FROM z),
+       |pf AS (
+       |  SELECT layout, f, COUNT(*)::BIGINT AS n,
+       |    min(ck) AS fcklo, max(ck) AS fckhi,
+       |    min(dd) AS fddlo, max(dd) AS fddhi
+       |  FROM tagged GROUP BY layout, f)
+       |SELECT layout, COUNT(*)::BIGINT AS n_files,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  CAST(SUM(fckhi - fcklo) AS BIGINT) AS sum_ck_span,
+       |  CAST(SUM(fddhi - fddlo) AS BIGINT) AS sum_d_span,
+       |  CAST(SUM(CASE WHEN fcklo <= st.ckp AND fckhi >= st.ckp
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_ck,
+       |  CAST(SUM(CASE WHEN fddlo <= st.ddp AND fddhi >= st.ddp
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS files_hit_d
+       |FROM pf, st
+       |GROUP BY layout ORDER BY layout""".stripMargin
+  }
 }

@@ -77,6 +77,33 @@ class BucketingSpec extends SparkSpec {
     assert(read.count() == expected && expected > 0)
   }
 
+  test("q154: z-order layout shrinks both dims' file spans vs linear") {
+    val t = sf001
+    val rows = ops.Layout.q154ZorderLayout(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = rows("linear"); val zo = rows("zorder")
+    // both layouts place every order exactly once
+    val n = t.orders.count()
+    assert(lin.getLong(2) == n && zo.getLong(2) == n)
+    // linear (date-only) layout: every file spans ~the full custkey range,
+    // so the custkey point probe hits EVERY file (and the date probe
+    // exactly one — the one thing linear is good at)
+    assert(lin.getLong(5) == lin.getLong(1),
+      s"linear files_hit_ck ${lin.getLong(5)} != n_files ${lin.getLong(1)}")
+    assert(lin.getLong(6) == 1L, s"linear files_hit_d ${lin.getLong(6)}")
+    // z-order: the custkey probe skips most files (hits ≤ half), while
+    // the date probe also skips most — multi-dim skipping, the point of
+    // the curve
+    assert(zo.getLong(5) * 2 <= zo.getLong(1),
+      s"zorder files_hit_ck ${zo.getLong(5)} of ${zo.getLong(1)}")
+    assert(zo.getLong(6) * 2 <= zo.getLong(1),
+      s"zorder files_hit_d ${zo.getLong(6)} of ${zo.getLong(1)}")
+    // z-order's total custkey span is far below linear's (which is
+    // ~n_files × full range)
+    assert(zo.getLong(3) * 2 < lin.getLong(3),
+      s"zorder sum_ck_span ${zo.getLong(3)} vs linear ${lin.getLong(3)}")
+  }
+
   test("q92: passage dedup keeps exactly the distinct passages, null on empty") {
     val t = sf0001
     val out = ops.TextAnalysis.qPassageDedup(t).cache()

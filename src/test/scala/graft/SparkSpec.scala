@@ -15,4 +15,5 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   lazy val sf0001: Tables = Tables(spark, "/root/testdata/sf0.001")
+  lazy val sf001: Tables = Tables(spark, "/root/testdata/sf0.01")
 }
