@@ -241,6 +241,64 @@ object Layout {
       .orderBy(col("layout"))
   }
 
+  /** Q155: compaction planner — the small-files fix every 100 TB lake
+    * runs nightly (Delta OPTIMIZE / Iceberg rewrite_data_files): pack
+    * documents in doc_id (write) order into target-size output files of
+    * `target` chars, and emit the per-file manifest (doc range, size).
+    * File assignment is floor(exclusive-prefix-chars / target) — the
+    * deterministic bin layout a compactor materializes.
+    *
+    * Scale shape: the global prefix sum uses the q144 two-phase
+    * distributed form, NOT a single-partition window: doc_ids bucket by
+    * range into ≤256 value-monotone buckets (width from a min/max fetch
+    * — scale-independent), per-bucket char sums ride the driver, offsets
+    * broadcast back, and the cumulative window runs partitioned BY
+    * BUCKET. Concatenated (bucket, doc_id) order equals the global
+    * doc_id order, so the prefix — and every file boundary — is exact.
+    * All-BIGINT arithmetic; the oracle replays it with a naive global
+    * window (plans differ, results hash-equal — the q144 contract). */
+  def q155CompactionPlan(t: Tables, target: Long = 65536L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    val d = t.documents.select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+    val st = d.agg(min(col("doc_id")), max(col("doc_id"))).collect().head
+    if (st.isNullAt(0))
+      return Tables.emptyFrame(spark, "file_id" -> LongType,
+        "n_docs" -> LongType, "sum_chars" -> LongType,
+        "first_doc" -> LongType, "last_doc" -> LongType)
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    val width = (hi - lo + 256L) / 256L // ≤256 buckets at any scale
+    val b = d.withColumn("bucket", ((col("doc_id") - lit(lo)) / lit(width)).cast("long"))
+    val sums = b.groupBy(col("bucket")).agg(sum(col("nc")).as("bchars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (bk, s) => val o = (bk, acc); acc += s; o }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "offset"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offDf, Seq("bucket"))
+      .withColumn("cum_before", col("offset") + sum(col("nc")).over(w) - col("nc"))
+      .withColumn("file_id", expr(s"cum_before div ${target}L"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("file_id"))
+  }
+
+  def q155Sql(target: Long = 65536L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+       |    COALESCE(CAST(SUM(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM documents)
+       |SELECT cum_before // $target AS file_id,
+       |  COUNT(*)::BIGINT AS n_docs, CAST(SUM(nc) AS BIGINT) AS sum_chars,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM d GROUP BY file_id ORDER BY file_id""".stripMargin
+
   /** q154 oracle: the identical integer program — `//` floor-div matches
     * Spark's `div` on these non-negative values, `>>`/`&`/`<<` match
     * shiftright/bitwiseAND/shiftleft on BIGINT (the q131 precedent). */

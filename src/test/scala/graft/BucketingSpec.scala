@@ -104,6 +104,28 @@ class BucketingSpec extends SparkSpec {
       s"zorder sum_ck_span ${zo.getLong(3)} vs linear ${lin.getLong(3)}")
   }
 
+  test("q155: compaction plan preserves every char in contiguous bounded files") {
+    val t = sf001
+    val target = 65536L
+    val files = ops.Layout.q155CompactionPlan(t, target).collect()
+    val totalChars = t.documents.agg(sum(col("n_chars"))).head.getLong(0)
+    val maxDoc = t.documents.agg(max(col("n_chars"))).head.getLong(0)
+    // nothing lost, file ids contiguous from 0
+    assert(files.map(_.getLong(2)).sum == totalChars)
+    assert(files.map(_.getLong(0)).toSeq == (0L until files.length).toSeq)
+    // each file holds the docs whose prefix START falls in its [kT,(k+1)T)
+    // stripe, so its size is < target + one straddling doc
+    files.foreach { f =>
+      assert(f.getLong(2) < target + maxDoc, s"file ${f.getLong(0)} oversize")
+    }
+    // doc ranges are disjoint and ordered (the manifest is a valid plan)
+    files.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3))
+      case _ =>
+    }
+    assert(files.length >= (totalChars / (target + maxDoc)).toInt)
+  }
+
   test("q92: passage dedup keeps exactly the distinct passages, null on empty") {
     val t = sf0001
     val out = ops.TextAnalysis.qPassageDedup(t).cache()
