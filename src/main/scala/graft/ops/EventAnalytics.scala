@@ -287,4 +287,69 @@ object EventAnalytics {
       |FROM (SELECT DISTINCT f.cohort, ev.d, ev.user_id
       |      FROM ev JOIN first f ON ev.user_id = f.user_id)
       |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin
+
+  /** Q156: count-min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) — the streaming frequency-summary every event pipeline keeps
+    * when the key domain is too wide for an exact groupBy. Unlike the HLL
+    * and t-digest sketches (engine-specific internals → envelope-gated,
+    * q23/q60/q109), THIS sketch is built from deterministic md5-derived
+    * hash rows (the q128 band-key recipe), so the entire structure —
+    * d×w counter matrix, point-query minimum, the one-sided overcount —
+    * is exact integer arithmetic both engines replay: the sketch itself
+    * is under the hash gate, not just an error envelope.
+    *
+    * Scale shape: the counter build is ONE map-side-combinable aggregate
+    * over a ×d explode — the shuffle carries ≤ d·w cells per partition,
+    * NEVER the key domain (the whole point vs q103's exact groupBy). The
+    * top-k probe side is bounded (k keys × d lookups against the ≤ d·w
+    * cell table). The exact counts ride along as ground truth, making
+    * the CMS guarantee est ≥ exact a driver-checked column. */
+  def qCmsFreq(t: Tables, d: Int = 4, w: Int = 64, topK: Int = 10): DataFrame = {
+    val spark = t.spark
+    val ev = t.events.select(col("user_id"))
+    val js = array((0 until d).map(lit): _*)
+    def bucket(j: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(j.cast("string"), lit(":"), key.cast("string"))), 1, 8),
+        16, 10).cast("long") % w
+    val counters = ev.select(col("user_id"), explode(js).as("j"))
+      .withColumn("b", bucket(col("j"), col("user_id")))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("user_id")).limit(topK)
+    val probed = exact.select(col("user_id"), col("exact"), explode(js).as("j"))
+      .withColumn("b", bucket(col("j"), col("user_id")))
+      .join(counters, Seq("j", "b"))
+      .groupBy(col("user_id"), col("exact")).agg(min(col("c")).as("cms_est"))
+    probed
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("exact").desc, col("user_id"))).cast("long"))
+      .withColumn("overcount", col("cms_est") - col("exact"))
+      .withColumn("guarantee", col("cms_est") >= col("exact"))
+      .select(col("rank"), col("user_id"), col("exact"), col("cms_est"),
+        col("overcount"), col("guarantee"))
+      .orderBy(col("rank"))
+  }
+
+  def qCmsFreqSql(d: Int = 4, w: Int = 64, topK: Int = 10): String =
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |js AS (SELECT unnest(range(0, $d)) AS j),
+       |cnt AS (
+       |  SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+       |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % $w AS b,
+       |    COUNT(*)::BIGINT AS c
+       |  FROM ev, js GROUP BY j, b),
+       |exact AS (
+       |  SELECT user_id, COUNT(*)::BIGINT AS exact FROM ev
+       |  GROUP BY user_id ORDER BY exact DESC, user_id LIMIT $topK),
+       |probed AS (
+       |  SELECT e.user_id, e.exact, min(c.c) AS cms_est
+       |  FROM exact e, js
+       |  JOIN cnt c ON c.j = js.j
+       |    AND c.b = CAST('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' ||
+       |      CAST(e.user_id AS VARCHAR)), 1, 8) AS BIGINT) % $w
+       |  GROUP BY e.user_id, e.exact)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact DESC, user_id) AS BIGINT) AS rank,
+       |  user_id, exact, cms_est, cms_est - exact AS overcount,
+       |  cms_est >= exact AS guarantee
+       |FROM probed ORDER BY rank""".stripMargin
 }
