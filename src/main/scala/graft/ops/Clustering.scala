@@ -678,6 +678,80 @@ object Clustering {
        |ORDER BY abs(proj) DESC, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** Q157: cosine silhouette score per label (Rousseeuw 1987, the
+    * centroid/"simplified" silhouette variant spark.ml's evaluator also
+    * uses) — the clustering-quality eval a pipeline runs after any
+    * grouping step: a(v) = cosine distance to the OWN label centroid,
+    * b(v) = distance to the nearest OTHER centroid, s = (b−a)/max(a,b)
+    * ∈ [−1, 1]; per-label mean tells which classes are compact vs bleeding
+    * into a neighbor. Centroid silhouette is O(n·k), not the O(n²)
+    * pairwise original — the only form that survives 100 TB.
+    *
+    * Determinism: centroids are round(6) per-dim means (the q119
+    * discipline) so every downstream per-row value — the sequential-
+    * double cosine, a, b, s — is the same IEEE program in both engines;
+    * s is round(6) (its inputs are already identical; the rounding just
+    * pins the emitted column), per-label mean = DECIMAL sum / count
+    * emitted RAW (the q152 lesson).
+    *
+    * Scale shape: one posexplode two-phase avg (shuffle carries
+    * labels·dims partials), one broadcast-k·dims scan for a/b (map-side
+    * min per the q119 assignment contract), one O(labels) aggregate. */
+  def qSilhouette(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    if (t.embeddings.isEmpty)
+      return Tables.emptyFrame(spark, "label" -> IntegerType,
+        "n_vectors" -> LongType, "mean_sil" -> DoubleType)
+    val emb = t.embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val cents = emb
+      .select(col("label").as("clabel"), posexplode(col("e")).as(Seq("d", "v")))
+      .groupBy(col("clabel"), col("d")).agg(round(avg(col("v")), 6).as("m"))
+      .groupBy(col("clabel"))
+      .agg(collect_list(struct(col("d"), col("m"))).as("dm"))
+      .select(col("clabel"), expr("transform(array_sort(dm), x -> x.m)").as("c"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", lit(1.0) - graft.plans.CosineSim.cosineD(col("e"), col("c")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(when(col("label") === col("clabel"), col("dist"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("dist"))).as("b"))
+      .filter(col("b").isNotNull)
+      .withColumn("s", round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("s").cast(DecimalType(28, 6))).cast("double").as("sum_s"))
+      .withColumn("mean_sil", col("sum_s") / col("n_vectors").cast("double"))
+      .select(col("label"), col("n_vectors"), col("mean_sil"))
+      .orderBy(col("label"))
+  }
+
+  val qSilhouetteSql: String =
+    """WITH emb AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cd AS (
+      |  SELECT clabel, idx, round(avg(v), 6) AS m
+      |  FROM (SELECT label AS clabel, unnest(e) AS v,
+      |          generate_subscripts(e, 1) AS idx FROM emb)
+      |  GROUP BY clabel, idx),
+      |cents AS (SELECT clabel, list(m ORDER BY idx) AS c FROM cd GROUP BY clabel),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    min(CASE WHEN label = clabel THEN dist END) AS a,
+      |    min(CASE WHEN label <> clabel THEN dist END) AS b
+      |  FROM (SELECT emb.vec_id, emb.label, cents.clabel,
+      |          1.0 - list_cosine_similarity(emb.e, cents.c) AS dist
+      |        FROM emb CROSS JOIN cents)
+      |  GROUP BY vec_id, label),
+      |s AS (
+      |  SELECT label, round((b - a) / greatest(a, b), 6) AS s
+      |  FROM ab WHERE b IS NOT NULL)
+      |SELECT label, COUNT(*)::BIGINT AS n_vectors,
+      |  CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_sil
+      |FROM s GROUP BY label ORDER BY label""".stripMargin
+
   /** Q153: greedy k-center coreset selection (Gonzalez 1985 farthest-point
     * traversal) over the embeddings — the diversity-maximizing
     * data-selection pass a training pipeline runs to pick a small cover

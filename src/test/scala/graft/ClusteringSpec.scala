@@ -247,6 +247,36 @@ class ClusteringSpec extends SparkSpec {
     assert(e2 < e0, s"reconstruction error did not decrease: $e0 -> $e2")
   }
 
+  test("q157 silhouette matches a from-scratch centroid-silhouette recompute") {
+    val t = sf0001
+    val got = Clustering.qSilhouette(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val rows = t.embeddings.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    assert(got.map(_._2).sum == rows.length)
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = rows.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._3.length) { d => r6(vs.map(_._3(d)).sum / vs.length) }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ip = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { ip += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      ip / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = rows.map { case (_, l, e) =>
+      val a = 1.0 - cos(e, cents(l))
+      val b = cents.filter(_._1 != l).values.map(c => 1.0 - cos(e, c)).min
+      (l, r6((b - a) / math.max(a, b)))
+    }.groupBy(_._1).map { case (l, ss) =>
+      l -> ss.map(s => BigDecimal(s._2)).sum.toDouble / ss.length
+    }
+    got.foreach { case (l, _, ms) =>
+      assert(math.abs(ms - expect(l)) < 1e-12, s"label $l: $ms vs ${expect(l)}")
+      assert(ms >= -1.0 && ms <= 1.0)
+    }
+  }
+
   test("joined summaries are rank-ordered concatenations") {
     val sents = sf0001.documents.filter(col("doc_id") < 50)
       .select(col("source"), col("doc_id"), col("text"))
