@@ -43,7 +43,7 @@ object Bench {
     // q138/q139 embed data-dependent literals (probe vector, GD weights):
     // an sf0.001 warmup compiles DIFFERENT plans, so warm them at the timed SF
     val timedSfWarm = Set("q128", "q131", "q132", "q134", "q135", "q136", "q137",
-      "q138", "q139", "q148", "q149", "q152", "q153", "q154")
+      "q138", "q139", "q148", "q149", "q152", "q153", "q154", "q155", "q156")
     // Touch every TIMED-dir table once before the timed loop: footer reads,
     // page-cache population and vectorized-reader JIT at the larger batch
     // size otherwise land on whichever query the map happens to order
