@@ -1227,6 +1227,67 @@ object Relational {
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q158: snapshot diff — the CDC/table-versioning face completing the
+    * q89 (merge) / q124 (SCD2) / q127 (incremental maintenance) family:
+    * given two table versions, classify every key as added / removed /
+    * changed / unchanged and emit per-class counts plus an order-
+    * independent key checksum (bit_xor over md5-derived integers — the
+    * commutative fold that audits WHICH keys changed, not just how
+    * many; xor per the ANSI-overflow invariant). Snapshots are derived
+    * deterministically from orders (the q89 recipe) so both engines see
+    * identical inputs; `changed` compares the columns NUMERICALLY (the
+    * +10.0 restatement is the same IEEE op both sides — no double→string
+    * formatting, which diverges cross-engine).
+    *
+    * Scale shape: ONE co-partitioned full-outer shuffle on the key (zero
+    * with bucketed storage, q91) + an O(4) aggregate — at 100 TB this is
+    * the nightly snapshot-reconciliation pass, never a row-by-row
+    * driver compare. */
+  def q158SnapshotDiff(t: Tables): DataFrame = {
+    val v1 = t.orders.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"),
+        col("o_orderstatus").as("s1"))
+    val v2 = t.orders.filter(col("o_orderkey") % 89 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("p2"),
+        col("o_orderstatus").as("s2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .withColumn("change_type",
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("p1") =!= col("p2") || col("s1") =!= col("s2"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("khash", conv(substring(
+        md5(coalesce(col("k1"), col("k2")).cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(khash)").as("key_xor"))
+      .orderBy(col("change_type"))
+  }
+
+  val q158Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k1, o_totalprice AS p1, o_orderstatus AS s1
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |v2 AS (
+      |  SELECT o_orderkey AS k2,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+      |         ELSE o_totalprice END AS p2,
+      |    o_orderstatus AS s2
+      |  FROM orders WHERE o_orderkey % 89 <> 0),
+      |d AS (
+      |  SELECT CASE WHEN k1 IS NULL THEN 'added'
+      |              WHEN k2 IS NULL THEN 'removed'
+      |              WHEN p1 <> p2 OR s1 <> s2 THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |    COALESCE(k1, k2) AS key
+      |  FROM v1 FULL OUTER JOIN v2 ON k1 = k2)
+      |SELECT change_type, COUNT(*)::BIGINT AS n,
+      |  CAST(bit_xor(CAST('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15)
+      |    AS BIGINT)) AS BIGINT) AS key_xor
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
   val q89Sql: String =
     """WITH snap AS (
       |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer),

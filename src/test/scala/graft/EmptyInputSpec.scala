@@ -68,6 +68,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.Layout.q155CompactionPlan(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qCmsFreq(et).collect().isEmpty)
     assert(Clustering.qSilhouette(et).collect().isEmpty)
+    assert(graft.ops.Relational.q158SnapshotDiff(et).collect().isEmpty)
     // the contamination audit keeps its two method rows with zero counts
     val audit = graft.ops.Dedup.qSplitContamination(et).collect()
     assert(audit.length == 2 && audit.forall(_.getLong(1) == 0L))

@@ -35,6 +35,24 @@ class ProfilingSpec extends SparkSpec {
     assert(results.distinct.size == 1, "merge result depends on the split point")
   }
 
+  test("q158: snapshot diff classes partition the key universe with exact counts") {
+    val t = sf0001
+    val out = ops.Relational.q158SnapshotDiff(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = t.orders.select("o_orderkey").collect().map(_.getLong(0))
+    def cnt(p: Long => Boolean) = keys.count(p).toLong
+    // v1 = %97 survivors, v2 = %89 survivors; changed ⇔ in both ∧ %7=0
+    assert(out("added")._1 == cnt(k => k % 97 == 0 && k % 89 != 0))
+    assert(out("removed")._1 == cnt(k => k % 97 != 0 && k % 89 == 0))
+    assert(out("changed")._1 == cnt(k => k % 97 != 0 && k % 89 != 0 && k % 7 == 0))
+    assert(out("unchanged")._1 == cnt(k => k % 97 != 0 && k % 89 != 0 && k % 7 != 0))
+    // the xor checksums of disjoint classes fold to the xor over the union
+    val allXor = out.values.map(_._2).reduce(_ ^ _)
+    val direct = ops.Relational.q158SnapshotDiff(t)
+      .agg(expr("bit_xor(key_xor)")).head.getLong(0)
+    assert(allXor == direct)
+  }
+
   test("q94: per-column stats are consistent with direct queries") {
     val t = sf0001
     val out = ops.Profiling.q94Profile(t).collect()
