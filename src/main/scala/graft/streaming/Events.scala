@@ -295,6 +295,75 @@ object Events {
     * the streaming job must reproduce it row-for-row. */
   val qStreamJoinSql: String = graft.ops.AsOf.qRangeJoinSql
 
+  /** Q159: lambda-architecture unified view — the batch-plus-speed-layer
+    * serving shape (Marz 2011): history partials from the BATCH path
+    * (ts < cutoff), tail partials from a REAL Structured Streaming job
+    * (file source, complete-mode aggregation, AvailableNow pass) over
+    * ts ≥ cutoff, merged with the q127 mergeable-monoid discipline
+    * (count + exact long cents — order-independent, so the merge is
+    * deterministic). The ORACLE is the plain batch aggregate over ALL
+    * events: the hash compare IS the lambda claim
+    * batch(history) ⊕ stream(tail) ≡ batch(everything).
+    *
+    * Scale shape: the streaming aggregation's state is |event_type| rows
+    * (complete mode over a low-cardinality key); the merge is a
+    * tiny full-outer join. At 100 TB the history side is the nightly
+    * compaction output and the tail is the day's stream — this query is
+    * the serving-layer read that stitches them. */
+  def q159LambdaView(t: Tables): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    val cutoff = "2024-01-24 00:00:00"
+    val cents = sum(expr("cast(round(value * 100) as bigint)"))
+    val hist = t.events.filter(col("ts") < lit(cutoff).cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("h_n"), cents.as("h_cents"))
+    val path = s"${t.sfDir}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-lambda")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val tail =
+      try {
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        val ev = spark.readStream.schema(schema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val agg = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("t_n"), cents.as("t_cents"))
+        val qname = "graft_lambda_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val sq = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        val result = spark.table(qname)
+        val collected = spark.createDataFrame(result.collectAsList(), result.schema)
+        spark.catalog.dropTempView(qname)
+        collected
+      } finally {
+        java.nio.file.Files.deleteIfExists(link)
+        deleteRecursively(dir)
+      }
+    hist.join(tail, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("h_n"), lit(0L)) + coalesce(col("t_n"), lit(0L)))
+          .as("n_events"),
+        ((coalesce(col("h_cents"), lit(0L)) + coalesce(col("t_cents"), lit(0L)))
+          .cast("double") / 100.0).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q159 oracle: the full-batch recompute — the unified view must be
+    * indistinguishable from rescanning everything (the q127 contract
+    * applied across the batch/stream boundary). */
+  val q159LambdaViewSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+      |    AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q74 oracle: the final arbitrary-state totals ARE a batch aggregate —
     * count + exact cents sum (values are 2-decimal money doubles; both
     * engines compute round(v*100) on the same IEEE product, and the long
