@@ -330,6 +330,60 @@ object EventAnalytics {
       .orderBy(col("rank"))
   }
 
+  /** Q160: per-type daily volume trend — closed-form OLS over (day
+    * offset, daily count), the drift/trend detector a monitoring pipeline
+    * pairs with q107's anomaly z-scores: slope = events/day drift,
+    * intercept = the fitted day-0 volume. All four OLS sums (Σx, Σy,
+    * Σxy, Σx²) are EXACT BIGINTs over integer day offsets and counts, so
+    * the regression — normally a float-fragile operation — is two IEEE
+    * divisions on identical integers: fully hash-gated with RAW doubles
+    * (the q152 discipline).
+    *
+    * Scale shape: one (type, day) count aggregate (map-side combinable),
+    * one O(types·days) second aggregate — the classic two-level rollup;
+    * nothing driver-side. */
+  def qDailyTrend(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n_days").cast("double"))
+      .select(col("event_type"), col("n_days"), col("slope"), col("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDailyTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY event_type),
+      |fit AS (
+      |  SELECT event_type, n_days,
+      |    CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+      |    sx, sy
+      |  FROM s)
+      |SELECT event_type, n_days, slope,
+      |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |    / CAST(n_days AS DOUBLE) AS intercept
+      |FROM fit ORDER BY event_type""".stripMargin
+
   def qCmsFreqSql(d: Int = 4, w: Int = 64, topK: Int = 10): String =
     s"""WITH ev AS (SELECT user_id FROM events),
        |js AS (SELECT unnest(range(0, $d)) AS j),

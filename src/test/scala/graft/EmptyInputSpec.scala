@@ -70,6 +70,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Clustering.qSilhouette(et).collect().isEmpty)
     assert(graft.ops.Relational.q158SnapshotDiff(et).collect().isEmpty)
     assert(graft.streaming.Events.q159LambdaView(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qDailyTrend(et).collect().isEmpty)
     // the contamination audit keeps its two method rows with zero counts
     val audit = graft.ops.Dedup.qSplitContamination(et).collect()
     assert(audit.length == 2 && audit.forall(_.getLong(1) == 0L))

@@ -114,6 +114,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(psi < 0.1, s"unexpected drift: PSI=$psi")
   }
 
+  test("q160: OLS trend equals a from-scratch normal-equation recompute") {
+    val t = sf0001
+    val got = EventAnalytics.qDailyTrend(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    val daily = t.events
+      .select(col("event_type"), datediff(col("ts").cast("date"), lit("2024-01-01")).as("x"))
+      .groupBy("event_type", "x").count().collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(r => r._2 * r._3).sum
+      val sxx = rows.map(r => r._2 * r._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      val (gn, gs, gi) = got(et)
+      assert(gn == n && gs == slope && gi == icept, s"$et: ($gn,$gs,$gi) vs ($n,$slope,$icept)")
+      // fitted line must reproduce the mean point (an OLS identity)
+      assert(math.abs(gs * (sx.toDouble / n) + gi - sy.toDouble / n) < 1e-9)
+    }
+  }
+
   test("q105: day-0 rows conserve users and activity never exceeds cohort size") {
     val t = sf0001
     val rows = EventAnalytics.qRetention(t).collect()
