@@ -384,6 +384,69 @@ object EventAnalytics {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM fit ORDER BY event_type""".stripMargin
 
+  /** Q161: MAD-based robust anomaly detection on daily volumes — the
+    * median-absolute-deviation companion to q107's z-scores (Hampel's
+    * robust filter): a volume spike cannot poison its own threshold the
+    * way it inflates a mean/σ. Medians are exact linear-interpolation
+    * percentiles (the q51 precedent: Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); on integer daily counts every median/deviation is
+    * an exact .0/.5 double, so the whole chain is emitted RAW. The
+    * 1.4826 normal-consistency constant is a single parsed literal —
+    * identical in both engines (the q139 hazard is REPEATED derived
+    * constants, not one parse).
+    *
+    * Scale shape: the daily rollup is one map-side-combinable aggregate;
+    * it is localCheckpoint'd because THREE consumers read it (med, dev,
+    * anomaly count) — without it each consumer re-scans the event lake
+    * (the q142 multi-consumer rule). Everything after operates on
+    * |types·days| rows with broadcast joins of |types|-row tables. */
+  def qMadAnomaly(t: Tables, kSigma: Double = 3.0): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("y"))
+    if (t.events.isEmpty)
+      return daily.select(col("event_type"), lit(0L).as("n_days"),
+        lit(0.0).as("med"), lit(0.0).as("mad"), lit(0L).as("n_anomalies"))
+        .limit(0)
+    val d = daily.localCheckpoint()
+    val med = d.groupBy(col("event_type"))
+      .agg(expr("percentile(y, 0.5D)").as("med"))
+    val dev = d.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("y").cast("double") - col("med")))
+      .localCheckpoint()
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(kSigma) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMadAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, quantile_cont(y, 0.5) AS med
+      |  FROM daily GROUP BY event_type),
+      |dev AS (
+      |  SELECT d.event_type, d.y, m.med,
+      |    abs(CAST(d.y AS DOUBLE) - m.med) AS adev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, COUNT(*)::BIGINT AS n_days,
+      |  min(d.med) AS med, min(m.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   def qCmsFreqSql(d: Int = 4, w: Int = 64, topK: Int = 10): String =
     s"""WITH ev AS (SELECT user_id FROM events),
        |js AS (SELECT unnest(range(0, $d)) AS j),

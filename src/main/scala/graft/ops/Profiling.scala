@@ -379,4 +379,51 @@ object Profiling {
       |        * ln(((CAST(n2 AS DOUBLE) + 0.5) / (SUM(CAST(n2 AS DOUBLE)) OVER () + 5.0))
       |             / ((CAST(n1 AS DOUBLE) + 0.5) / (SUM(CAST(n1 AS DOUBLE)) OVER () + 5.0))), 6) AS psi_term
       |FROM j ORDER BY dec""".stripMargin
+
+  /** Q162: functional-dependency discovery — the schema-inference pass of
+    * a data profiler (Deequ/Metanome class): a candidate A → B holds iff
+    * |distinct(A)| = |distinct(A,B)|; the gap counts determinant values
+    * with >1 dependent (the violation witness). Candidates span true key
+    * FDs (nationkey → regionkey, orderkey → custkey) and attribute pairs
+    * that genuinely fail in the data — a useful profiler must report
+    * both. Each check is one exact two-countDistinct aggregate (bounded
+    * ×2 distinct-rewrite expand — the q143 note; never a sketch mix);
+    * checks on different tables union at O(1) rows each.
+    *
+    * At 100 TB this is how a lakehouse catalog discovers undeclared
+    * keys/hierarchies for optimizer constraints (join elimination,
+    * grouping pushdown). */
+  def q162FdDiscovery(t: Tables): DataFrame = {
+    def check(df: DataFrame, table: String, det: String, dep: String): DataFrame =
+      df.agg(countDistinct(col(det)).as("nd_det"),
+        countDistinct(col(det), col(dep)).as("nd_pair"))
+        .select(lit(table).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("nd_det"), col("nd_pair"),
+          (col("nd_det") === col("nd_pair")).as("is_fd"),
+          (col("nd_pair") - col("nd_det")).as("violations"))
+    check(t.nation, "nation", "n_nationkey", "n_regionkey")
+      .unionAll(check(t.orders, "orders", "o_orderkey", "o_custkey"))
+      .unionAll(check(t.customer, "customer", "c_nationkey", "c_mktsegment"))
+      .unionAll(check(t.part, "part", "p_brand", "p_type"))
+      .unionAll(check(t.lineitem, "lineitem", "l_orderkey", "l_returnflag"))
+      .orderBy(col("table_name"), col("determinant"))
+  }
+
+  val q162Sql: String = {
+    def check(table: String, det: String, dep: String): String =
+      s"""SELECT '$table' AS table_name, '$det' AS determinant,
+         |  '$dep' AS dependent,
+         |  COUNT(DISTINCT $det)::BIGINT AS nd_det,
+         |  COUNT(DISTINCT ($det, $dep))::BIGINT AS nd_pair,
+         |  COUNT(DISTINCT $det) = COUNT(DISTINCT ($det, $dep)) AS is_fd,
+         |  COUNT(DISTINCT ($det, $dep))::BIGINT
+         |    - COUNT(DISTINCT $det)::BIGINT AS violations
+         |FROM $table""".stripMargin
+    Seq(check("nation", "n_nationkey", "n_regionkey"),
+      check("orders", "o_orderkey", "o_custkey"),
+      check("customer", "c_nationkey", "c_mktsegment"),
+      check("part", "p_brand", "p_type"),
+      check("lineitem", "l_orderkey", "l_returnflag"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant")
+  }
 }

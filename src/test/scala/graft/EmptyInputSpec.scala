@@ -71,6 +71,11 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.Relational.q158SnapshotDiff(et).collect().isEmpty)
     assert(graft.streaming.Events.q159LambdaView(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qDailyTrend(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qMadAnomaly(et).collect().isEmpty)
+    // FD discovery keeps its 5 candidate rows with zero counts (the
+    // qSplitContamination precedent: vacuous FDs hold on empty input)
+    val fd = Profiling.q162FdDiscovery(et).collect()
+    assert(fd.length == 5 && fd.forall(r => r.getLong(3) == 0L && r.getBoolean(5)))
     // the contamination audit keeps its two method rows with zero counts
     val audit = graft.ops.Dedup.qSplitContamination(et).collect()
     assert(audit.length == 2 && audit.forall(_.getLong(1) == 0L))

@@ -137,6 +137,35 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q161: MAD stats equal a from-scratch robust recompute") {
+    val t = sf0001
+    val got = EventAnalytics.qMadAnomaly(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(got.nonEmpty)
+    val daily = t.events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day")).count()
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      // linear-interpolation percentile at p=0.5 (the percentile/
+      // quantile_cont definition): index (n-1)/2
+      val idx = (n - 1) * 0.5
+      val lo = s(idx.toInt)
+      if (idx == idx.floor) lo else lo + (idx - idx.floor) * (s(idx.toInt + 1) - lo)
+    }
+    daily.groupBy(_._1).foreach { case (et, rows) =>
+      val ys = rows.map(_._2.toDouble).toSeq
+      val med = medianOf(ys)
+      val adevs = ys.map(y => math.abs(y - med))
+      val mad = medianOf(adevs)
+      val nAnom = adevs.count(_ > 3.0 * 1.4826 * mad).toLong
+      val (gn, gmed, gmad, ga) = got(et)
+      assert(gn == ys.length && gmed == med && gmad == mad && ga == nAnom,
+        s"$et: ($gn,$gmed,$gmad,$ga) vs (${ys.length},$med,$mad,$nAnom)")
+    }
+  }
+
   test("q105: day-0 rows conserve users and activity never exceeds cohort size") {
     val t = sf0001
     val rows = EventAnalytics.qRetention(t).collect()

@@ -53,6 +53,24 @@ class ProfilingSpec extends SparkSpec {
     assert(allXor == direct)
   }
 
+  test("q162: FD verdicts agree with direct distinct-count probes") {
+    val t = sf0001
+    val out = ops.Profiling.q162FdDiscovery(t).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(3) == r.getLong(4)))
+      assert(r.getLong(6) == r.getLong(4) - r.getLong(3) && r.getLong(6) >= 0)
+    }
+    // key-determined FDs must hold; the nationkey → mktsegment attribute
+    // pair must fail on any data with >1 segment per nation
+    val byDet = out.map(r => r.getString(1) -> r.getBoolean(5)).toMap
+    assert(byDet("n_nationkey") && byDet("o_orderkey"))
+    val segs = t.customer.groupBy("c_nationkey")
+      .agg(countDistinct("c_mktsegment").as("s"))
+      .agg(max("s")).head.getLong(0)
+    assert(byDet("c_nationkey") == (segs <= 1))
+  }
+
   test("q94: per-column stats are consistent with direct queries") {
     val t = sf0001
     val out = ops.Profiling.q94Profile(t).collect()
