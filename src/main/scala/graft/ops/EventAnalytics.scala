@@ -384,6 +384,116 @@ object EventAnalytics {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM fit ORDER BY event_type""".stripMargin
 
+  /** Q163: time-series gap repair — the FIX to q118's gap report: rebuild
+    * each type's dense hourly spine (explode(sequence)) and forward-fill
+    * missing hours with the last observed count (the resample().ffill()
+    * every monitoring/feature pipeline runs before a model sees the
+    * series). `was_gap` keeps the repair auditable. All-integer values;
+    * the fill is `last(_, ignoreNulls)` over a per-type ordered window ≡
+    * DuckDB's last_value(... IGNORE NULLS) — exact both engines.
+    *
+    * Scale shape: windows partition BY TYPE (bounded partitions, no
+    * global sort); the spine join is equi on (type, hr). First-hours
+    * before any observation cannot exist (spines start at each type's
+    * own min), so the fill is total. */
+  def qGapFill(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = t.events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("y"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("filled", last(col("y"), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("y").isNull)
+      .select(col("event_type"), col("hr"), col("filled"), col("was_gap"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val qGapFillSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS hr,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi)) AS hr
+      |  FROM (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+      |        FROM hourly GROUP BY event_type))
+      |SELECT s.event_type, s.hr,
+      |  last_value(h.y IGNORE NULLS) OVER (PARTITION BY s.event_type
+      |    ORDER BY s.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS filled,
+      |  h.y IS NULL AS was_gap
+      |FROM spine s LEFT JOIN hourly h
+      |  ON h.event_type = s.event_type AND h.hr = s.hr
+      |ORDER BY s.event_type, s.hr""".stripMargin
+
+  /** Q164: event-type co-occurrence mining — frequent-itemset support and
+    * lift over (user, day) baskets (the market-basket pass a feature
+    * pipeline runs to find behavior bundles). Pair support counts are
+    * exact integers from a per-basket self-join (distinct types per
+    * basket ≤ |event types|, so pairs-per-basket is bounded — linear in
+    * baskets at 100 TB, never corpus²); lift = support·n/(sup_a·sup_b)
+    * is one IEEE expression over exact BIGINTs — emitted RAW.
+    *
+    * Scale shape: one distinct, one bounded self-join on the basket key,
+    * two tiny broadcast joins for the marginals. */
+  def qCoOccurrence(t: Tables, minSupport: Long = 2L): DataFrame = {
+    val items = t.events
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
+      .distinct()
+    val nBaskets = items.select(col("user_id"), col("day")).distinct().count()
+    if (nBaskets == 0L) {
+      import org.apache.spark.sql.types._
+      return Tables.emptyFrame(t.spark, "item_a" -> StringType,
+        "item_b" -> StringType, "support" -> LongType,
+        "sup_a" -> LongType, "sup_b" -> LongType, "lift" -> DoubleType)
+    }
+    val marg = items.groupBy(col("event_type")).agg(count(lit(1)).as("sup"))
+    val l = items.select(col("user_id"), col("day"), col("event_type").as("item_a"))
+    val r = items.select(col("user_id"), col("day"), col("event_type").as("item_b"))
+    l.join(r, Seq("user_id", "day")).filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(broadcast(marg.select(col("event_type").as("item_a"), col("sup").as("sup_a"))), Seq("item_a"))
+      .join(broadcast(marg.select(col("event_type").as("item_b"), col("sup").as("sup_b"))), Seq("item_b"))
+      .withColumn("lift",
+        (col("support") * lit(nBaskets)).cast("double") /
+          (col("sup_a") * col("sup_b")).cast("double"))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("sup_a"), col("sup_b"), col("lift"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  def qCoOccurrenceSql(minSupport: Long = 2L): String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    event_type
+       |  FROM events),
+       |nb AS (SELECT COUNT(*)::BIGINT AS n
+       |       FROM (SELECT DISTINCT user_id, day FROM items)),
+       |marg AS (SELECT event_type, COUNT(*)::BIGINT AS sup
+       |         FROM items GROUP BY event_type),
+       |pairs AS (
+       |  SELECT l.event_type AS item_a, r.event_type AS item_b,
+       |    COUNT(*)::BIGINT AS support
+       |  FROM items l JOIN items r
+       |    ON l.user_id = r.user_id AND l.day = r.day
+       |    AND l.event_type < r.event_type
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $minSupport)
+       |SELECT p.item_a, p.item_b, p.support, ma.sup AS sup_a, mb.sup AS sup_b,
+       |  CAST(p.support * nb.n AS DOUBLE)
+       |    / CAST(ma.sup * mb.sup AS DOUBLE) AS lift
+       |FROM pairs p
+       |JOIN marg ma ON ma.event_type = p.item_a
+       |JOIN marg mb ON mb.event_type = p.item_b, nb
+       |ORDER BY p.item_a, p.item_b""".stripMargin
+
   /** Q161: MAD-based robust anomaly detection on daily volumes — the
     * median-absolute-deviation companion to q107's z-scores (Hampel's
     * robust filter): a volume spike cannot poison its own threshold the

@@ -72,6 +72,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.streaming.Events.q159LambdaView(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qDailyTrend(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qMadAnomaly(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qGapFill(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qCoOccurrence(et).collect().isEmpty)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

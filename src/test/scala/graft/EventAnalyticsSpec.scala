@@ -137,6 +137,43 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q163: gap fill yields a dense spine whose non-gap rows match the raw counts") {
+    val t = sf0001
+    val out = EventAnalytics.qGapFill(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // dense: per type, hours are contiguous lo..hi
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val hrs = rows.map(_._2).sorted
+      assert(hrs.zip(hrs.head to hrs.last).forall { case (a, b) => a == b })
+    }
+    // non-gap rows carry the true hourly count; gap rows repeat the last one
+    val truth = t.events.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out.foreach { case (et, hr, filled, gap) =>
+      if (!gap) assert(truth((et, hr)) == filled)
+      else {
+        assert(!truth.contains((et, hr)))
+        val prev = out.filter(r => r._1 == et && r._2 < hr && !r._4)
+        assert(filled == truth((et, prev.map(_._2).max)))
+      }
+    }
+  }
+
+  test("q164: pair supports are bounded by marginals and lift recomputes") {
+    val t = sf0001
+    val rows = EventAnalytics.qCoOccurrence(t).collect()
+    assert(rows.nonEmpty)
+    val nb = t.events.select(col("user_id"), col("ts").cast("date")).distinct().count()
+    rows.foreach { r =>
+      val (sup, sa, sb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sup <= math.min(sa, sb) && sa <= nb && sb <= nb)
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(5) == (sup * nb).toDouble / (sa * sb).toDouble)
+    }
+  }
+
   test("q161: MAD stats equal a from-scratch robust recompute") {
     val t = sf0001
     val got = EventAnalytics.qMadAnomaly(t).collect()
