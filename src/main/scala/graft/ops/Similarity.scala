@@ -713,6 +713,141 @@ object Similarity {
     per.unionAll(overall).orderBy(col("method"))
   }
 
+  /** Q166: binary sign-hash ANN — the 5th rung of the ANN ladder
+    * (SRP-LSH / IVF / SQ8 / PQ / binary codes) and the only one FULLY
+    * under the hash gate: per-dim median thresholds (exact interpolated
+    * percentile, q51 precedent) → 1 bit per dim → ONE 64-bit code per
+    * vector (64× smaller than float32), ranked by Hamming distance
+    * (bit_count(xor) — exact integer, q131 precedent). Every stage is
+    * deterministic in both engines, so unlike the seeded-model rungs
+    * (rows-only + recall floors) the CODES, the RANKING and the RECALL
+    * all hash-compare. This is the sign-random-projection idea with a
+    * data-dependent learned threshold (median ⇒ balanced bits, cf. ITQ /
+    * spectral hashing's balance constraint).
+    *
+    * Scale shape: thresholds are a 64-row aggregate; packing is an
+    * order-independent integer SUM over the exploded (vec, dim) stream —
+    * no driver fetch, no UDF; the scan side stores 8 bytes/vector and the
+    * probe side broadcasts (q38 contract). The Hamming first pass keeps
+    * `rerank` candidates per probe and only THOSE rows touch raw floats
+    * for the exact-cosine rerank (the PQ/SQ8 discipline — but here even
+    * the rerank ordering is the gated q38 program, so recall stays under
+    * the hash compare; measured ≈0.5 vs 0.12 without rerank). */
+  def qKnnBinary(t: Tables, k: Int = 10, rerank: Int = 80): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    if (t.embeddings.isEmpty)
+      return graft.Tables.emptyFrame(spark, "probe_id" -> LongType,
+        "rank" -> IntegerType, "neighbor_id" -> LongType,
+        "hamming" -> LongType, "recall_at_k" -> DoubleType)
+    val med = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(expr("percentile(cast(v as double), 0.5D)").as("m"))
+    // two 32-bit words: bit 63 of a single BIGINT word overflows DuckDB's
+    // checked `<<` (and is the multi-word layout any dim > 64 needs anyway)
+    val codes = t.embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .join(broadcast(med), Seq("d"))
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("sum(case when d < 32 and cast(v as double) > m then shiftleft(1L, d) else 0L end)")
+          .as("lo"),
+        expr("sum(case when d >= 32 and cast(v as double) > m then shiftleft(1L, d - 32) else 0L end)")
+          .as("hi"))
+    val p = codes.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("lo").as("plo"), col("hi").as("phi"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    val cand = codes.select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(p))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        expr("bit_count(lo ^ plo) + bit_count(hi ^ phi)").cast("long"))
+      .withColumn("hrank", row_number().over(w))
+      .filter(col("hrank") <= rerank)
+      .select(col("probe_id"), col("neighbor_id"), col("hamming"))
+    val pemb = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("emb_p"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val ann = cand
+      .join(broadcast(pemb), Seq("probe_id"))
+      .join(t.embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_n")), Seq("neighbor_id"))
+      .withColumn("sim", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_n")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+    val exact = bruteForceTopK(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 10), k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("is_hit"))
+    val wp = Window.partitionBy(col("probe_id"))
+    ann.join(exact, Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("recall_at_k",
+        round(sum(coalesce(col("is_hit"), lit(0))).over(wp) / k.toDouble, 2))
+      .select(col("probe_id"), col("rank").cast("int").as("rank"),
+        col("neighbor_id"), col("hamming"), round(col("sim"), 6).as("sim"),
+        col("recall_at_k"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  def qKnnBinarySql(k: Int = 10, rerank: Int = 80): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, unnest(e) AS v,
+       |    CAST(generate_subscripts(e, 1) - 1 AS INT) AS d FROM emb),
+       |med AS (SELECT d, quantile_cont(v, 0.5) AS m FROM ex GROUP BY d),
+       |codes AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN ex.d < 32 AND ex.v > med.m
+       |             THEN (CAST(1 AS BIGINT) << ex.d) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN ex.d >= 32 AND ex.v > med.m
+       |             THEN (CAST(1 AS BIGINT) << (ex.d - 32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM ex JOIN med USING (d) GROUP BY vec_id),
+       |ham AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(c.lo, p.lo)) + bit_count(xor(c.hi, p.hi))
+       |      AS BIGINT) AS hamming
+       |  FROM (SELECT * FROM codes WHERE vec_id < 10) p
+       |  JOIN codes c ON c.vec_id <> p.vec_id),
+       |cand AS (
+       |  SELECT probe_id, neighbor_id, hamming FROM (
+       |    SELECT probe_id, neighbor_id, hamming,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY hamming ASC, neighbor_id) AS hrank
+       |    FROM ham) WHERE hrank <= $rerank),
+       |reranked AS (
+       |  SELECT c.probe_id, c.neighbor_id, c.hamming,
+       |    list_cosine_similarity(pe.e, ne.e) AS sim
+       |  FROM cand c
+       |  JOIN emb pe ON pe.vec_id = c.probe_id
+       |  JOIN emb ne ON ne.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, hamming, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM reranked),
+       |truth AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+       |        ORDER BY list_cosine_similarity(p.e, n.e) DESC, n.vec_id) AS xr
+       |    FROM (SELECT * FROM emb WHERE vec_id < 10) p
+       |    JOIN emb n ON p.vec_id != n.vec_id)
+       |  WHERE xr <= $k),
+       |hits AS (
+       |  SELECT r.probe_id, r.rank, r.neighbor_id, r.hamming, r.sim,
+       |    CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS is_hit
+       |  FROM ranked r LEFT JOIN truth t
+       |    ON t.probe_id = r.probe_id AND t.neighbor_id = r.neighbor_id
+       |  WHERE r.rank <= $k)
+       |SELECT probe_id, CAST(rank AS INT) AS rank, neighbor_id, hamming,
+       |  round(sim, 6) AS sim,
+       |  round(SUM(is_hit) OVER (PARTITION BY probe_id) / ${k}.0, 2)
+       |    AS recall_at_k
+       |FROM hits ORDER BY probe_id, rank""".stripMargin
+
   /** Per-label embedding centroid (mean-pool) — the class-centroid /
     * pooled-representation operation of a training pipeline, expressed
     * relationally: posexplode to (label, dim, value), two-phase avg per

@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "q134_semdedup",        // composes the q119 Lloyd assignment stage
     "q137_knn_pq",          // ADC scan: codes × broadcast probes (q38 contract)
     "q153_kcenter",         // Gonzalez coverage IS corpus × broadcast centers (k rows)
-    "q157_silhouette")      // a/b distances ARE corpus × broadcast centroids (k rows)
+    "q157_silhouette",      // a/b distances ARE corpus × broadcast centroids (k rows)
+    "q166_knn_binary")      // Hamming scan: codes × broadcast probes (q38 contract)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -87,6 +87,22 @@ class SimilaritySpec extends SparkSpec {
       s"emitted recall column $emitted far from measured $recall")
   }
 
+  test("binary sign-hash ANN recall beats the PQ-class floor, codes balanced") {
+    val t = sf0001
+    val exact = Similarity.qKnnBruteForce(t).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bin = Similarity.qKnnBinary(t).collect()
+    val got = bin.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    // 64-bit codes + 8× rerank: the PQ-class floor (measured ≈0.44-0.5)
+    assert(recall >= 0.3, s"binary recall $recall below 0.3")
+    // median thresholds ⇒ near-balanced bits ⇒ inter-point Hamming
+    // distances concentrate near 32 (never degenerate 0/64)
+    val hams = bin.map(_.getLong(3))
+    assert(hams.forall(h => h >= 0 && h <= 64))
+    assert(hams.max > 5, "Hamming distances degenerate — codes collapsed")
+  }
+
   test("IVF top-k recall beats the random-cells floor") {
     val exact = Similarity.qKnnBruteForce(sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
