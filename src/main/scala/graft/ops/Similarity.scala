@@ -791,8 +791,11 @@ object Similarity {
       .orderBy(col("probe_id"), col("rank"))
   }
 
-  def qKnnBinarySql(k: Int = 10, rerank: Int = 80): String =
-    s"""WITH emb AS (
+  /** The q166 pipeline as a reusable WITH-body (shared with the q165
+    * metrics oracle): emb → ex → med → codes → ham → cand → reranked →
+    * ranked (binary top-k) and truth (exact top-k with rank `xr`). */
+  private def binaryCtes(k: Int, rerank: Int): String =
+    s"""emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |ex AS (
        |  SELECT vec_id, unnest(e) AS v,
@@ -829,13 +832,16 @@ object Similarity {
        |      ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM reranked),
        |truth AS (
-       |  SELECT probe_id, neighbor_id FROM (
+       |  SELECT probe_id, neighbor_id, xr FROM (
        |    SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
        |        ORDER BY list_cosine_similarity(p.e, n.e) DESC, n.vec_id) AS xr
        |    FROM (SELECT * FROM emb WHERE vec_id < 10) p
        |    JOIN emb n ON p.vec_id != n.vec_id)
-       |  WHERE xr <= $k),
+       |  WHERE xr <= $k)""".stripMargin
+
+  def qKnnBinarySql(k: Int = 10, rerank: Int = 80): String =
+    s"""WITH ${binaryCtes(k, rerank)},
        |hits AS (
        |  SELECT r.probe_id, r.rank, r.neighbor_id, r.hamming, r.sim,
        |    CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS is_hit
@@ -847,6 +853,72 @@ object Similarity {
        |  round(SUM(is_hit) OVER (PARTITION BY probe_id) / ${k}.0, 2)
        |    AS recall_at_k
        |FROM hits ORDER BY probe_id, rank""".stripMargin
+
+  /** Q165: rank-aware retrieval evaluation — MRR and nDCG@k of the q166
+    * binary-ANN rung against the exact-cosine ground truth, per probe
+    * (the evaluation harness a retrieval pipeline runs on every index
+    * build; recall@k — q121 — is rank-blind, these are not). Graded
+    * relevance = k+1 − exact_rank. Only the fully-deterministic binary
+    * rung can carry these metrics under the HASH GATE (the seeded rungs
+    * are rows-only by nature — their recalls live in q121).
+    *
+    * Float discipline: each DCG term rel·ln2/ln(rank+1) is an
+    * integer-argument-ln IEEE program (identical both engines), round(6)
+    * then DECIMAL-summed; the per-probe IDCG is the SAME window sum over
+    * the probe's own rows (ideal rel = k+1 − rank — a function of row
+    * rank, so no 1-row scalar join: the q114 hazard); nDCG = one raw
+    * division; MRR = max over exact rationals 1/rank. */
+  def qRetrievalMetrics(t: Tables, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    if (t.embeddings.isEmpty)
+      return graft.Tables.emptyFrame(spark, "probe_id" -> LongType,
+        "n_rel_found" -> LongType, "mrr" -> DoubleType, "ndcg" -> DoubleType)
+    val ann = qKnnBinary(t, k).select(col("probe_id"), col("rank"), col("neighbor_id"))
+    val exact = bruteForceTopK(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 10), k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("xr"))
+    ann.join(exact, Seq("probe_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(lit(k + 1) - col("xr"), lit(0)))
+      .withColumn("dterm", round(col("rel").cast("double") * log(lit(2.0))
+        / log(col("rank").cast("double") + lit(1.0)), 6))
+      .withColumn("iterm", round((lit(k + 1) - col("rank")).cast("double") * log(lit(2.0))
+        / log(col("rank").cast("double") + lit(1.0)), 6))
+      .withColumn("rr", when(col("rel") > 0,
+        lit(1.0) / col("rank").cast("double")).otherwise(lit(0.0)))
+      .groupBy(col("probe_id"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_found"),
+        max(col("rr")).as("mrr"),
+        sum(col("dterm").cast(DecimalType(28, 6))).cast("double").as("dcg"),
+        sum(col("iterm").cast(DecimalType(28, 6))).cast("double").as("idcg"))
+      .withColumn("ndcg", col("dcg") / col("idcg"))
+      .select(col("probe_id"), col("n_rel_found"), col("mrr"), col("ndcg"))
+      .orderBy(col("probe_id"))
+  }
+
+  def qRetrievalMetricsSql(k: Int = 10): String =
+    s"""WITH ${binaryCtes(k, 80)},
+       |ann AS (SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= $k),
+       |m AS (
+       |  SELECT a.probe_id, a.rank,
+       |    COALESCE(${k + 1} - t.xr, 0) AS rel
+       |  FROM ann a LEFT JOIN truth t
+       |    ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id),
+       |terms AS (
+       |  SELECT probe_id, rank, rel,
+       |    round(CAST(rel AS DOUBLE) * ln(2.0)
+       |      / ln(CAST(rank AS DOUBLE) + 1.0), 6) AS dterm,
+       |    round(CAST(${k + 1} - rank AS DOUBLE) * ln(2.0)
+       |      / ln(CAST(rank AS DOUBLE) + 1.0), 6) AS iterm,
+       |    CASE WHEN rel > 0 THEN 1.0 / CAST(rank AS DOUBLE)
+       |         ELSE 0.0 END AS rr
+       |  FROM m)
+       |SELECT probe_id,
+       |  CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_found,
+       |  max(rr) AS mrr,
+       |  CAST(SUM(CAST(dterm AS DECIMAL(28,6))) AS DOUBLE)
+       |    / CAST(SUM(CAST(iterm AS DECIMAL(28,6))) AS DOUBLE) AS ndcg
+       |FROM terms GROUP BY probe_id ORDER BY probe_id""".stripMargin
 
   /** Per-label embedding centroid (mean-pool) — the class-centroid /
     * pooled-representation operation of a training pipeline, expressed

@@ -75,6 +75,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.EventAnalytics.qGapFill(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qCoOccurrence(et).collect().isEmpty)
     assert(Similarity.qKnnBinary(et).collect().isEmpty)
+    assert(Similarity.qRetrievalMetrics(et).collect().isEmpty)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

@@ -103,6 +103,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hams.max > 5, "Hamming distances degenerate — codes collapsed")
   }
 
+  test("q165 retrieval metrics: bounded, consistent with the binary rung's hits") {
+    val t = sf0001
+    val m = Similarity.qRetrievalMetrics(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(m.length == 10)
+    val hits = Similarity.qKnnBinary(t).collect()
+      .groupBy(_.getLong(0)).map { case (p, rs) =>
+        p -> math.round(rs.head.getDouble(5) * 10).toInt }
+    m.foreach { case (p, nRel, mrr, ndcg) =>
+      assert(nRel >= 0 && nRel <= 10 && nRel == hits(p))
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"probe $p ndcg $ndcg")
+      assert(if (nRel > 0) mrr >= 0.1 && mrr <= 1.0 else mrr == 0.0)
+      // an empty hit set forces both rank metrics to zero together
+      if (nRel == 0) assert(ndcg == 0.0)
+    }
+    // the metrics must discriminate: not all probes identical on noise
+    assert(m.map(_._4).distinct.length > 1)
+  }
+
   test("IVF top-k recall beats the random-cells floor") {
     val exact = Similarity.qKnnBruteForce(sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
