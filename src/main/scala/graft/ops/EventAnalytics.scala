@@ -384,6 +384,123 @@ object EventAnalytics {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM fit ORDER BY event_type""".stripMargin
 
+  /** Q167: TTL retention plan — the data-lifecycle pass a 100 TB lake
+    * runs nightly: given a retention cutoff, classify each (type, day)
+    * partition as DROP (every row expired — file-level delete, no
+    * rewrite), KEEP (nothing expired), or REWRITE (mixed — the only
+    * class that costs IO). On a date-partitioned layout (q93) the whole
+    * plan is computable from partition stats alone; here it derives from
+    * one (type, day) aggregate, then rolls up to a per-type verdict row
+    * with droppable/rewrite row counts — all exact integers.
+    *
+    * Cutoff is a fixed date literal (the deterministic stand-in for
+    * `now() - INTERVAL`: wall-clock in a query breaks replay — both
+    * engines must see the same constant). */
+  def qTtlPlan(t: Tables, cutoff: String = "2024-01-15"): DataFrame = {
+    val parts = t.events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ts").cast("date") < lit(cutoff).cast("date"), 1L)
+          .otherwise(0L)).as("n_expired"))
+      .withColumn("cls",
+        when(col("n_expired") === col("n"), "drop")
+          .when(col("n_expired") === 0L, "keep")
+          .otherwise("rewrite"))
+    parts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_partitions"),
+        sum(when(col("cls") === "drop", 1L).otherwise(0L)).as("n_drop"),
+        sum(when(col("cls") === "rewrite", 1L).otherwise(0L)).as("n_rewrite"),
+        sum(when(col("cls") === "drop", col("n")).otherwise(0L)).as("rows_dropped_free"),
+        sum(when(col("cls") === "rewrite", col("n_expired")).otherwise(0L))
+          .as("rows_needing_rewrite"))
+      .orderBy(col("event_type"))
+  }
+
+  def qTtlPlanSql(cutoff: String = "2024-01-15"): String =
+    s"""WITH parts AS (
+       |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |    COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+       |        < DATE '$cutoff' THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+       |  FROM events GROUP BY 1, 2),
+       |cls AS (
+       |  SELECT *, CASE WHEN n_expired = n THEN 'drop'
+       |                 WHEN n_expired = 0 THEN 'keep'
+       |                 ELSE 'rewrite' END AS cls
+       |  FROM parts)
+       |SELECT event_type, COUNT(*)::BIGINT AS n_partitions,
+       |  CAST(SUM(CASE WHEN cls = 'drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+       |  CAST(SUM(CASE WHEN cls = 'rewrite' THEN 1 ELSE 0 END) AS BIGINT) AS n_rewrite,
+       |  CAST(SUM(CASE WHEN cls = 'drop' THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_dropped_free,
+       |  CAST(SUM(CASE WHEN cls = 'rewrite' THEN n_expired ELSE 0 END) AS BIGINT)
+       |    AS rows_needing_rewrite
+       |FROM cls GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q168: pseudonymization audit — the GDPR/privacy remap a pipeline
+    * applies before data leaves the trust boundary: user ids are
+    * replaced by a deterministic keyed pseudonym (md5-derived integer —
+    * the q63/q100 hash discipline), and the audit PROVES the remap
+    * preserved join structure: per event type, distinct users, total
+    * events and the per-user activity multiset fingerprint are identical
+    * before and after (a bijection preserves all three; a collision
+    * breaks the distinct count). One verdict row per type, all exact.
+    *
+    * The multiset fingerprint is a bit_xor over md5-ints of per-user
+    * counts — order-independent and collision-auditable (the q158
+    * checksum pattern). */
+  def qPseudonymize(t: Tables, salt: String = "graft-v1"): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("event_type"))
+    def pseud(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(salt), lit(":"), c.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    def profile(df: DataFrame, keyCol: String): DataFrame =
+      df.groupBy(col("event_type"), col(keyCol))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+          expr("bit_xor(cast(conv(substring(md5(cast(c as string)), 1, 15), 16, 10) as long))")
+            .as("activity_fp"))
+    val before = profile(ev, "user_id")
+    val after = profile(ev.withColumn("pid", pseud(col("user_id"))), "pid")
+    before.join(after.select(col("event_type"),
+        col("n_users").as("p_users"), col("n_events").as("p_events"),
+        col("activity_fp").as("p_fp")), Seq("event_type"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (col("n_users") === col("p_users")).as("users_preserved"),
+        (col("n_events") === col("p_events")).as("events_preserved"),
+        (col("activity_fp") === col("p_fp")).as("activity_preserved"))
+      .orderBy(col("event_type"))
+  }
+
+  def qPseudonymizeSql(salt: String = "graft-v1"): String =
+    s"""WITH ev AS (SELECT user_id, event_type FROM events),
+       |before_p AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n_users,
+       |    CAST(SUM(c) AS BIGINT) AS n_events,
+       |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15)
+       |      AS BIGINT)) AS BIGINT) AS fp
+       |  FROM (SELECT event_type, user_id, COUNT(*)::BIGINT AS c
+       |        FROM ev GROUP BY 1, 2)
+       |  GROUP BY event_type),
+       |after_p AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n_users,
+       |    CAST(SUM(c) AS BIGINT) AS n_events,
+       |    CAST(bit_xor(CAST('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15)
+       |      AS BIGINT)) AS BIGINT) AS fp
+       |  FROM (SELECT event_type,
+       |          CAST('0x' || substr(md5('$salt' || ':' ||
+       |            CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS pid,
+       |          COUNT(*)::BIGINT AS c
+       |        FROM ev GROUP BY 1, 2)
+       |  GROUP BY event_type)
+       |SELECT b.event_type, b.n_users, b.n_events,
+       |  b.n_users = a.n_users AS users_preserved,
+       |  b.n_events = a.n_events AS events_preserved,
+       |  b.fp = a.fp AS activity_preserved
+       |FROM before_p b JOIN after_p a USING (event_type)
+       |ORDER BY b.event_type""".stripMargin
+
   /** Q163: time-series gap repair — the FIX to q118's gap report: rebuild
     * each type's dense hourly spine (explode(sequence)) and forward-fill
     * missing hours with the last observed count (the resample().ffill()

@@ -76,6 +76,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.EventAnalytics.qCoOccurrence(et).collect().isEmpty)
     assert(Similarity.qKnnBinary(et).collect().isEmpty)
     assert(Similarity.qRetrievalMetrics(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qTtlPlan(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qPseudonymize(et).collect().isEmpty)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

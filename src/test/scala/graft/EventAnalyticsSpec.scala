@@ -137,6 +137,40 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q167: TTL classes partition rows and agree with a direct recount") {
+    val t = sf0001
+    val out = EventAnalytics.qTtlPlan(t).collect()
+    assert(out.nonEmpty)
+    val cutoff = java.sql.Date.valueOf("2024-01-15")
+    val direct = t.events.select(col("event_type"), col("ts").cast("date").as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1)))
+    out.foreach { r =>
+      val et = r.getString(0)
+      val rows = direct.filter(_._1 == et)
+      val byDay = rows.groupBy(_._2)
+      assert(r.getLong(1) == byDay.size)
+      val drop = byDay.filter(_._1.before(cutoff))
+      // daily partitions are either fully expired or fully live — the
+      // mixed class can only appear on a sub-day cutoff
+      assert(r.getLong(2) == drop.size && r.getLong(3) == 0L)
+      assert(r.getLong(4) == drop.values.map(_.length.toLong).sum)
+      assert(r.getLong(5) == 0L)
+    }
+  }
+
+  test("q168: pseudonymization preserves the join structure on every type") {
+    val out = EventAnalytics.qPseudonymize(sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+        s"${r.getString(0)}: remap broke structure")
+    }
+    // and a salt change yields different pseudonyms but the same verdicts
+    val other = EventAnalytics.qPseudonymize(sf0001, salt = "other")
+      .collect()
+    assert(other.forall(r => r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)))
+  }
+
   test("q163: gap fill yields a dense spine whose non-gap rows match the raw counts") {
     val t = sf0001
     val out = EventAnalytics.qGapFill(t).collect()
