@@ -384,6 +384,82 @@ object EventAnalytics {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM fit ORDER BY event_type""".stripMargin
 
+  /** Q170: A/B experiment readout — hash-split users into two arms (the
+    * q63 md5 assignment discipline: deterministic, partition-independent,
+    * exactly what an experimentation platform does), measure per-arm
+    * conversion (did the user purchase), and compute the two-proportion
+    * z statistic. Every input to the float program is an exact BIGINT
+    * (arm sizes, conversion counts), and the z expression is written as
+    * the IDENTICAL IEEE tree in both engines — a significance test with
+    * zero float fragility, emitted RAW.
+    *
+    * Scale shape: one per-user aggregate (conversion flag), one 2-row
+    * arm aggregate, one 1-row readout aggregate ON TOP of the 2-row
+    * frame (aggregate-of-aggregate — never the q114 1-row scalar
+    * join). */
+  def qAbTest(t: Tables, salt: String = "exp1"): DataFrame = {
+    // conversion = purchased within the first two days — "ever purchased"
+    // saturates to 1.0 on a month of synthetic activity, which degenerates
+    // the z denominator to 0 (ANSI double-divide throws; also guarded
+    // below with nullif for genuinely degenerate inputs)
+    val users = t.events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("ts").cast("date") < lit("2024-01-03").cast("date"), 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("arm",
+        conv(substring(md5(concat(lit(salt), lit(":"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+    arms.agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p_pool", (col("conv_a") + col("conv_b")).cast("double")
+        / (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z", (col("rate_b") - col("rate_a"))
+        / nullif(sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+          * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))),
+          lit(0.0)))
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        col("rate_a"), col("rate_b"), col("z"))
+  }
+
+  def qAbTestSql(salt: String = "exp1"): String =
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase'
+       |             AND CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-03'
+       |             THEN 1 ELSE 0 END)::BIGINT AS converted,
+       |    CAST('0x' || substr(md5('$salt' || ':' ||
+       |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |arms AS (
+       |  SELECT arm, COUNT(*)::BIGINT AS n, CAST(SUM(converted) AS BIGINT) AS c
+       |  FROM users GROUP BY arm),
+       |flat AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM arms),
+       |rates AS (
+       |  SELECT *,
+       |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+       |  FROM flat)
+       |SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+       |  (rate_b - rate_a)
+       |    / nullif(sqrt(p_pool * (1.0 - p_pool)
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0) AS z
+       |FROM rates""".stripMargin
+
   /** Q167: TTL retention plan — the data-lifecycle pass a 100 TB lake
     * runs nightly: given a retention cutoff, classify each (type, day)
     * partition as DROP (every row expired — file-level delete, no

@@ -1428,6 +1428,66 @@ object TextAnalysis {
        |SELECT doc_id, n_tokens, quality_score, cum_tokens
        |FROM c WHERE cum_tokens <= $budget ORDER BY cum_tokens, doc_id""".stripMargin
 
+  /** Q169: Pareto frontier (skyline) of the corpus on (quality ↑,
+    * length ↓) — multi-objective data selection: the documents no other
+    * document beats on BOTH axes, i.e. the efficient frontier a curation
+    * pass picks from when quality and token cost trade off. A document
+    * survives iff its token count is strictly below the minimum over
+    * every strictly-preceding row of the (quality desc, tokens asc,
+    * doc_id) order — which makes the 2-D skyline ONE exclusive
+    * prefix-MIN, not a quadratic dominance join (duplicate (q, t) points
+    * keep their min-doc_id representative).
+    *
+    * Scale shape: the prefix-MIN is the q144 two-phase distributed form
+    * with MIN replacing SUM — the bucket-prefix idiom works for ANY
+    * associative op: quality buckets (≤101), per-bucket minima ride the
+    * driver, exclusive cross-bucket offsets broadcast back, the window
+    * runs partitioned BY BUCKET. Provably equal to the oracle's global
+    * window. All-integer comparisons; quality is the q27 raw double. */
+  def qParetoFrontier(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val q = qQualityScore(t)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("bucket",
+        least(floor(col("quality_score") * lit(100.0)), lit(100.0)).cast("int"))
+    val mins = q.groupBy(col("bucket")).agg(min(col("n_tokens")).as("bmin"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (mins.isEmpty)
+      return Tables.emptyFrame(spark, "doc_id" -> LongType,
+        "n_tokens" -> LongType, "quality_score" -> DoubleType)
+    var acc = Long.MaxValue
+    val offsets = mins.sortBy(-_._1).map { case (b, m) =>
+      val o = (b, acc); acc = math.min(acc, m); o
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "offmin"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("quality_score").desc, col("n_tokens").asc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    q.join(offDf, Seq("bucket"))
+      .withColumn("pm", least(
+        coalesce(min(col("n_tokens")).over(w), lit(Long.MaxValue)), col("offmin")))
+      .filter(col("n_tokens") < col("pm"))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+  }
+
+  /** q169 oracle: the same frontier via the naive single global window
+    * (plans differ, results hash-equal — the q144 contract). */
+  val qParetoFrontierSql: String =
+    s"""WITH $qualityScoreCtes,
+       |sky AS (
+       |  SELECT doc_id, n_tokens, quality_score,
+       |    MIN(n_tokens) OVER (
+       |      ORDER BY quality_score DESC, n_tokens ASC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM scored)
+       |SELECT doc_id, n_tokens, quality_score FROM sky
+       |WHERE pm IS NULL OR n_tokens < pm
+       |ORDER BY quality_score DESC, doc_id""".stripMargin
+
   /** Q143: cross-document duplicated token spans — the fixed-width
     * relaxation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": their suffix-array

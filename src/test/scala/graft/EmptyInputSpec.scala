@@ -78,6 +78,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.qRetrievalMetrics(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qTtlPlan(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qPseudonymize(et).collect().isEmpty)
+    assert(TextAnalysis.qParetoFrontier(et).collect().isEmpty)
+    // the A/B readout keeps its single row (null stats) on empty input
+    assert(graft.ops.EventAnalytics.qAbTest(et).collect().length == 1)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

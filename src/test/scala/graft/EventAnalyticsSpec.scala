@@ -137,6 +137,24 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q170: A/B readout recomputes from a driver-side two-proportion test") {
+    val t = sf0001
+    val r = EventAnalytics.qAbTest(t).collect().head
+    val (na, nb, ca, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // arms partition the user population; conversions bounded by arms
+    assert(na + nb == t.events.select("user_id").distinct().count())
+    assert(ca <= na && cb <= nb && na > 0 && nb > 0)
+    // the hash split must be roughly balanced (binomial tail bound — the
+    // sf0.001 population is ~50 users, so the noise floor is wide)
+    assert(math.abs(na - nb).toDouble / (na + nb) <= 0.3)
+    val (ra, rb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (rb - ra) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(r.getDouble(4) == ra && r.getDouble(5) == rb && r.getDouble(6) == z)
+    // a null-effect split of the SAME metric should not be wildly significant
+    assert(math.abs(z) < 5.0, s"hash split shows |z| = $z — assignment is biased")
+  }
+
   test("q167: TTL classes partition rows and agree with a direct recount") {
     val t = sf0001
     val out = EventAnalytics.qTtlPlan(t).collect()

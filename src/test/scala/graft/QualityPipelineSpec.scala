@@ -494,6 +494,30 @@ class QualityPipelineSpec extends SparkSpec {
     got.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0.0)))
   }
 
+  test("q169 Pareto frontier equals the quadratic dominance recompute") {
+    val t = sf0001
+    val all = TextAnalysis.qQualityScore(t)
+      .select("doc_id", "n_tokens", "quality_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force skyline: d survives iff nothing dominates it, and it is
+    // the min-doc_id representative of its (q, t) point
+    val expect = all.filter { case (id, tk, q) =>
+      !all.exists { case (id2, tk2, q2) =>
+        (q2 > q && tk2 <= tk) || (q2 >= q && tk2 < tk) ||
+          (q2 == q && tk2 == tk && id2 < id)
+      }
+    }.sortBy(d => (-d._3, d._1))
+    val got = TextAnalysis.qParetoFrontier(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expect.toSeq,
+      s"frontier mismatch: got ${got.length}, want ${expect.length}")
+    // the frontier is strictly monotone: quality desc ⇒ tokens strictly desc
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 < a._2)
+      case _ =>
+    }
+  }
+
   test("q152 bigram LM: matches a sequential in-memory recompute exactly") {
     val t = sf0001
     val docs = t.documents.select("doc_id", "text").collect()
