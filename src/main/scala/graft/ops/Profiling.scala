@@ -380,6 +380,65 @@ object Profiling {
       |             / ((CAST(n1 AS DOUBLE) + 0.5) / (SUM(CAST(n1 AS DOUBLE)) OVER () + 5.0))), 6) AS psi_term
       |FROM j ORDER BY dec""".stripMargin
 
+  /** Q171: referential-integrity graph audit — orphan analysis over the
+    * schema's full FK graph (lineitem→orders, lineitem→part,
+    * lineitem→supplier, orders→customer, customer→nation,
+    * supplier→nation, nation→region): one row per edge with child
+    * cardinality, orphan count (children whose parent key is missing)
+    * and unreferenced-parent count (parents no child points at). The
+    * catalog-wide extension of q126's single-pair check — what a
+    * lakehouse runs before declaring constraints the optimizer can use
+    * (join elimination needs PROVEN referential integrity).
+    *
+    * Scale shape: each edge is one left-anti-style aggregate pair — a
+    * co-partitioned join on the key with the parent side distinct
+    * (broadcastable for dims); edges union at O(1) rows each. */
+  def q171FkAudit(t: Tables): DataFrame = {
+    def edge(child: DataFrame, childTable: String, fk: String,
+        parent: DataFrame, parentTable: String, pk: String): DataFrame = {
+      val c = child.select(col(fk).as("k"))
+      val p = parent.select(col(pk).as("k")).distinct()
+      val orphans = c.join(p, Seq("k"), "left_anti").count()
+      val unref = p.join(c.distinct(), Seq("k"), "left_anti").count()
+      val n = c.count()
+      val spark = child.sparkSession
+      import spark.implicits._
+      Seq((s"$childTable.$fk", s"$parentTable.$pk", n, orphans, unref,
+        orphans == 0L))
+        .toDF("fk_edge", "pk_side", "n_children", "n_orphans",
+          "n_unreferenced_parents", "integrity_ok")
+    }
+    edge(t.lineitem, "lineitem", "l_orderkey", t.orders, "orders", "o_orderkey")
+      .unionAll(edge(t.lineitem, "lineitem", "l_partkey", t.part, "part", "p_partkey"))
+      .unionAll(edge(t.lineitem, "lineitem", "l_suppkey", t.supplier, "supplier", "s_suppkey"))
+      .unionAll(edge(t.orders, "orders", "o_custkey", t.customer, "customer", "c_custkey"))
+      .unionAll(edge(t.customer, "customer", "c_nationkey", t.nation, "nation", "n_nationkey"))
+      .unionAll(edge(t.supplier, "supplier", "s_nationkey", t.nation, "nation", "n_nationkey"))
+      .unionAll(edge(t.nation, "nation", "n_regionkey", t.region, "region", "r_regionkey"))
+      .orderBy(col("fk_edge"))
+  }
+
+  val q171Sql: String = {
+    def edge(ct: String, fk: String, pt: String, pk: String): String =
+      s"""SELECT '$ct.$fk' AS fk_edge, '$pt.$pk' AS pk_side,
+         |  (SELECT COUNT(*) FROM $ct)::BIGINT AS n_children,
+         |  (SELECT COUNT(*) FROM $ct
+         |   WHERE $fk NOT IN (SELECT $pk FROM $pt))::BIGINT AS n_orphans,
+         |  (SELECT COUNT(*) FROM (SELECT DISTINCT $pk FROM $pt)
+         |   WHERE $pk NOT IN (SELECT $fk FROM $ct))::BIGINT
+         |    AS n_unreferenced_parents,
+         |  (SELECT COUNT(*) FROM $ct
+         |   WHERE $fk NOT IN (SELECT $pk FROM $pt)) = 0 AS integrity_ok""".stripMargin
+    Seq(edge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   /** Q162: functional-dependency discovery — the schema-inference pass of
     * a data profiler (Deequ/Metanome class): a candidate A → B holds iff
     * |distinct(A)| = |distinct(A,B)|; the gap counts determinant values

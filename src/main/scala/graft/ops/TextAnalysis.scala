@@ -1532,6 +1532,56 @@ object TextAnalysis {
        |FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $minDocs
        |ORDER BY span_hash""".stripMargin
 
+  /** Q172: n-gram novelty score — the per-document memorization-risk
+    * readout composing q143's span table (Lee et al. 2022: text whose
+    * windows recur across documents is what models memorize): for every
+    * document, the fraction of its `w`-token windows that appear in at
+    * least one OTHER document (shared) vs nowhere else (novel). The
+    * curation pass reads novelty directly as "how much of this document
+    * is boilerplate the corpus already has".
+    *
+    * Scale shape: one explode + one per-hash aggregate (the q143 shape),
+    * one co-partitioned join back on the span hash, one per-doc
+    * aggregate — all linear in total tokens; span text never shuffles
+    * (16-hex md5 keys). novelty = one IEEE division on exact BIGINTs,
+    * emitted RAW. Shared-with-other-docs means n_docs ≥ 2 — a doc
+    * repeating its OWN window stays novel (within-doc repetition is
+    * q140's job). */
+  def qNgramNovelty(t: Tables, w: Int = 8): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    val spans = t.fanout(t.documents).select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(text.ngrams(col("toks"), w)).as("span"))
+      .select(col("doc_id"), substring(md5(col("span")), 1, 16).as("h"))
+    val spanDocs = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    spans.join(spanDocs, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty", lit(1.0) -
+        col("n_shared").cast("double") / col("n_windows").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qNgramNoveltySql(w: Int = 8): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, substr(md5(span), 1, 16) AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(len(toks) - $w + 1),
+       |        i -> array_to_string(toks[i+1:i+$w], ' '))) AS span
+       |    FROM tok WHERE len(toks) >= $w)),
+       |sd AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+       |       FROM sp GROUP BY h)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_windows,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  1.0 - CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM sp JOIN sd USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Q140: within-document repetition filters (Rae et al. 2021 "Gopher",
     * table A1: fraction of characters in the most common 2/3/4-gram;
     * fraction of characters in duplicated 5..10-grams) — the repetition

@@ -81,6 +81,10 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextAnalysis.qParetoFrontier(et).collect().isEmpty)
     // the A/B readout keeps its single row (null stats) on empty input
     assert(graft.ops.EventAnalytics.qAbTest(et).collect().length == 1)
+    assert(TextAnalysis.qNgramNovelty(et).collect().isEmpty)
+    // FK audit keeps its 7 edge rows (vacuous integrity on empty tables)
+    val fk = Profiling.q171FkAudit(et).collect()
+    assert(fk.length == 7 && fk.forall(r => r.getLong(3) == 0L && r.getBoolean(5)))
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

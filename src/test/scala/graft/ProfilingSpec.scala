@@ -53,6 +53,22 @@ class ProfilingSpec extends SparkSpec {
     assert(allXor == direct)
   }
 
+  test("q171: FK audit edges agree with direct anti-join probes") {
+    val t = sf0001
+    val out = ops.Profiling.q171FkAudit(t).collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r.getBoolean(5) == (r.getLong(3) == 0L))
+      assert(r.getLong(3) >= 0 && r.getLong(4) >= 0 && r.getLong(2) > 0)
+    }
+    // spot-check one edge against a direct computation
+    val li = out.find(_.getString(0) == "lineitem.l_orderkey").get
+    val orphans = t.lineitem.join(
+      t.orders.select(col("o_orderkey").as("l_orderkey")).distinct(),
+      Seq("l_orderkey"), "left_anti").count()
+    assert(li.getLong(3) == orphans && li.getLong(2) == t.lineitem.count())
+  }
+
   test("q162: FD verdicts agree with direct distinct-count probes") {
     val t = sf0001
     val out = ops.Profiling.q162FdDiscovery(t).collect()

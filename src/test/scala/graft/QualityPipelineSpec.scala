@@ -494,6 +494,21 @@ class QualityPipelineSpec extends SparkSpec {
     got.foreach(r => assert(r.getBoolean(3) == (r.getDouble(2) > 0.0)))
   }
 
+  test("q172 novelty: shared counts tie out against the q143 span table") {
+    val t = sf0001
+    val out = TextAnalysis.qNgramNovelty(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, nw, ns, nov) =>
+      assert(ns <= nw && nov >= 0.0 && nov <= 1.0)
+      assert(nov == 1.0 - ns.toDouble / nw.toDouble)
+    }
+    // total shared instances = occurrences of cross-doc spans (q143 view)
+    val dupOcc = TextAnalysis.qDupSpans(t).agg(sum(col("n_occ")))
+      .head.getLong(0)
+    assert(out.map(_._3).sum == dupOcc)
+  }
+
   test("q169 Pareto frontier equals the quadratic dominance recompute") {
     val t = sf0001
     val all = TextAnalysis.qQualityScore(t)
