@@ -380,6 +380,103 @@ object Profiling {
       |             / ((CAST(n1 AS DOUBLE) + 0.5) / (SUM(CAST(n1 AS DOUBLE)) OVER () + 5.0))), 6) AS psi_term
       |FROM j ORDER BY dec""".stripMargin
 
+  /** Q173: chi-square test of independence on the (source, lang)
+    * contingency table — the categorical-association audit a corpus
+    * monitor runs ("did the crawler's language mix shift per source?"),
+    * the categorical sibling of q108's numeric PSI. Observed counts are
+    * exact BIGINTs; expected = row_total·col_total/N and each cell's
+    * (o−e)²/e are the IDENTICAL IEEE tree in both engines; the statistic
+    * is the round(6)+DECIMAL sum of cell terms (cross-partition
+    * aggregation order — the established discipline), dof exact.
+    *
+    * Scale shape: one (source, lang) count aggregate; marginals via two
+    * windows over the |sources|·|langs| cell table — nothing driver-side,
+    * no scalar joins. */
+  def q173ChiSquare(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val cells = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("o"))
+    val bySrc = Window.partitionBy(col("source"))
+    val byLang = Window.partitionBy(col("lang"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("rt", sum(col("o")).over(bySrc))
+      .withColumn("ct", sum(col("o")).over(byLang))
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+      .withColumn("term", round(
+        (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e"))
+          / col("e"), 6))
+      .agg(
+        sum(col("term").cast(DecimalType(28, 6))).cast("double").as("chi2"),
+        ((countDistinct(col("source")) - 1) * (countDistinct(col("lang")) - 1))
+          .as("dof"),
+        max(col("n")).as("n"))
+      .select(col("chi2"), col("dof"), col("n"))
+  }
+
+  val q173Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, COUNT(*)::BIGINT AS o
+      |  FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT *,
+      |    SUM(o) OVER (PARTITION BY source) AS rt,
+      |    SUM(o) OVER (PARTITION BY lang) AS ct,
+      |    SUM(o) OVER () AS n
+      |  FROM cells),
+      |terms AS (
+      |  SELECT *,
+      |    round((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS term
+      |  FROM m)
+      |SELECT CAST(SUM(CAST(term AS DECIMAL(28,6))) AS DOUBLE) AS chi2,
+      |  CAST((COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS BIGINT)
+      |    AS dof,
+      |  CAST(MAX(n) AS BIGINT) AS n
+      |FROM terms""".stripMargin
+
+  /** Q174: Benford first-digit audit on order totals — the forensic
+    * data-quality screen (synthetic or fabricated numeric columns
+    * diverge from Benford's log distribution; a generator that samples
+    * uniformly FAILS it, which is itself a useful fact about test data).
+    * The first digit comes from the BIGINT cents value's STRING form —
+    * integer-to-string is identical cross-engine, unlike double
+    * formatting; expected Benford mass ln(1+1/d)/ln(10) and the
+    * per-digit deviation are identical IEEE trees over exact counts.
+    *
+    * Scale shape: one map-side digit extraction + 9-row aggregate. */
+  def q174Benford(t: Tables): DataFrame = {
+    val digits = t.orders
+      .select(expr("cast(substring(cast(cast(round(o_totalprice * 100) as bigint) as string), 1, 1) as bigint)")
+        .as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    digits
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("observed", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("expected",
+        log(lit(1.0) + lit(1.0) / col("d").cast("double")) / log(lit(10.0)))
+      .withColumn("abs_dev", abs(col("observed") - col("expected")))
+      .select(col("d"), col("n"), col("observed"), col("expected"), col("abs_dev"))
+      .orderBy(col("d"))
+  }
+
+  val q174Sql: String =
+    """WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS d,
+      |    COUNT(*)::BIGINT AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT d, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS observed,
+      |  ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) AS expected,
+      |  abs(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+      |      - ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0)) AS abs_dev
+      |FROM digits ORDER BY d""".stripMargin
+
   /** Q171: referential-integrity graph audit — orphan analysis over the
     * schema's full FK graph (lineitem→orders, lineitem→part,
     * lineitem→supplier, orders→customer, customer→nation,

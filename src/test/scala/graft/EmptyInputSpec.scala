@@ -85,6 +85,9 @@ class EmptyInputSpec extends SparkSpec {
     // FK audit keeps its 7 edge rows (vacuous integrity on empty tables)
     val fk = Profiling.q171FkAudit(et).collect()
     assert(fk.length == 7 && fk.forall(r => r.getLong(3) == 0L && r.getBoolean(5)))
+    // chi-square keeps its single (null-stat) readout row; Benford empties
+    assert(Profiling.q173ChiSquare(et).collect().length == 1)
+    assert(Profiling.q174Benford(et).collect().isEmpty)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

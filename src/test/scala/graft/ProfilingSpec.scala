@@ -53,6 +53,32 @@ class ProfilingSpec extends SparkSpec {
     assert(allXor == direct)
   }
 
+  test("q173/q174: chi-square and Benford recompute from first principles") {
+    val t = sf0001
+    val chi = ops.Profiling.q173ChiSquare(t).collect().head
+    val cells = t.documents.groupBy("source", "lang").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = cells.map { case ((s, l), o) =>
+      val e = (rt(s) * ct(l)).toDouble / n
+      BigDecimal(r6((o - e) * (o - e) / e))
+    }
+    assert(chi.getDouble(0) == terms.sum.toDouble)
+    assert(chi.getLong(1) == (rt.size - 1).toLong * (ct.size - 1))
+    assert(chi.getLong(2) == n.toLong)
+    val ben = ops.Profiling.q174Benford(t).collect()
+    assert(ben.nonEmpty && ben.map(_.getLong(1)).sum == t.orders.count())
+    // probability masses each sum to ~1 over the digits present
+    assert(math.abs(ben.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    ben.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 9)
+      assert(r.getDouble(4) == math.abs(r.getDouble(2) - r.getDouble(3)))
+    }
+  }
+
   test("q171: FK audit edges agree with direct anti-join probes") {
     val t = sf0001
     val out = ops.Profiling.q171FkAudit(t).collect()
