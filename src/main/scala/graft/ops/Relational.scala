@@ -1227,6 +1227,55 @@ object Relational {
       |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q175: exact weighted median of extended price, weighted by quantity,
+    * per return flag — the robust-aggregation primitive (weighted
+    * p50 resists outlier line items the way the mean cannot; quantity
+    * weighting answers "the median DOLLAR-VOLUME-weighted price").
+    * Values pre-aggregate by (flag, price) so lineitem's LACK of a
+    * unique key is irrelevant — the cumulative walk is over distinct
+    * prices, totally ordered. The pick is the smallest value whose
+    * doubled cumulative weight reaches the total (the lower weighted
+    * median — integer comparisons only, no interpolation float).
+    *
+    * Scale shape: one (flag, price) aggregate, a per-flag window over
+    * distinct prices (bounded partitions), one final aggregate. All
+    * DECIMAL/BIGINT exact. */
+  def q175WeightedMedian(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = t.lineitem
+      .groupBy(col("l_returnflag"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val byFlag = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    grouped
+      .withColumn("cw", sum(col("w")).over(byFlag))
+      .withColumn("tw", sum(col("w")).over(tot))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).cast("double").as("weighted_median"),
+        max(col("tw")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q175Sql: String =
+    """WITH grouped AS (
+      |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |walked AS (
+      |  SELECT l_returnflag, v, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM grouped)
+      |SELECT l_returnflag,
+      |  CAST(MIN(v) AS DOUBLE) AS weighted_median,
+      |  CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM walked WHERE cw * 2 >= tw
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Q158: snapshot diff — the CDC/table-versioning face completing the
     * q89 (merge) / q124 (SCD2) / q127 (incremental maintenance) family:
     * given two table versions, classify every key as added / removed /

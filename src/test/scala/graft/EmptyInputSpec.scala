@@ -88,6 +88,7 @@ class EmptyInputSpec extends SparkSpec {
     // chi-square keeps its single (null-stat) readout row; Benford empties
     assert(Profiling.q173ChiSquare(et).collect().length == 1)
     assert(Profiling.q174Benford(et).collect().isEmpty)
+    assert(graft.ops.Relational.q175WeightedMedian(et).collect().isEmpty)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

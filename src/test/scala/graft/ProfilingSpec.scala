@@ -53,6 +53,28 @@ class ProfilingSpec extends SparkSpec {
     assert(allXor == direct)
   }
 
+  test("q175: weighted median satisfies the defining mass inequalities") {
+    val t = sf0001
+    val rows = ops.Relational.q175WeightedMedian(t).collect()
+    assert(rows.nonEmpty)
+    val li = t.lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        r.getLong(2)))
+    rows.foreach { r =>
+      val (flag, m, tw) = (r.getString(0), BigDecimal(r.getDouble(1)), r.getLong(2))
+      val grp = li.filter(_._1 == flag)
+      assert(tw == grp.map(_._3).sum)
+      // defining property of the lower weighted median
+      val below = grp.filter(_._2 < m).map(_._3).sum
+      val upto = grp.filter(_._2 <= m).map(_._3).sum
+      assert(below * 2 < tw, s"$flag: too much mass strictly below $m")
+      assert(upto * 2 >= tw, s"$flag: mass up to $m doesn't reach half")
+    }
+  }
+
   test("q173/q174: chi-square and Benford recompute from first principles") {
     val t = sf0001
     val chi = ops.Profiling.q173ChiSquare(t).collect().head
