@@ -1276,6 +1276,78 @@ object Relational {
       |FROM walked WHERE cw * 2 >= tw
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Q176: Pearson correlation matrix over lineitem's numeric columns
+    * (quantity, price, discount, tax) — the feature-screening pass a
+    * modeling pipeline runs before training. Normally float-fragile;
+    * here EVERY sufficient statistic (Σx, Σxy for all pairs) is an EXACT
+    * DECIMAL sum (all four columns are ≤2-decimal money-class doubles,
+    * so products are exact DECIMAL(·,4)), and each r is one identical
+    * IEEE tree over the casted sums. r carries round(6): the sums' cast
+    * to double is NOT identical cross-engine once the decimal mantissa
+    * exceeds 2^53 (DuckDB's int128→double path vs Spark's correctly
+    * rounded BigDecimal — a last-ulp input difference at sf0.1), the
+    * established rounding case.
+    *
+    * Scale shape: ONE aggregate computes all 14 sufficient statistics in
+    * a single pass (map-side combinable — the textbook one-scan moment
+    * matrix); the 6 pair rows unpivot from the 1-row result (the q94
+    * pattern). */
+  def q176Correlation(t: Tables): DataFrame = {
+    def dec(c: String) = col(c).cast(DecimalType(18, 2))
+    val names = Seq("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "d", "l_tax" -> "x")
+    val sums = names.map { case (c, a) => sum(dec(c)).as(s"s_$a") } ++
+      (for { i <- names.indices; j <- i until names.length } yield {
+        val (ci, ai) = names(i); val (cj, aj) = names(j)
+        sum(dec(ci) * dec(cj)).as(s"s_$ai$aj")
+      }) :+ count(lit(1)).as("n")
+    val wide = t.lineitem.agg(sums.head, sums.tail: _*)
+    def dd(name: String) = col(name).cast("double")
+    def r(a: String, b: String) = {
+      val n = col("n").cast("double")
+      (n * dd(s"s_$a$b") - dd(s"s_$a") * dd(s"s_$b")) /
+        sqrt((n * dd(s"s_$a$a") - dd(s"s_$a") * dd(s"s_$a")) *
+          (n * dd(s"s_$b$b") - dd(s"s_$b") * dd(s"s_$b")))
+    }
+    val pairs = Seq(("q", "p", "quantity_price"), ("q", "d", "quantity_discount"),
+      ("q", "x", "quantity_tax"), ("p", "d", "price_discount"),
+      ("p", "x", "price_tax"), ("d", "x", "discount_tax"))
+    wide.select(explode(array(pairs.map { case (a, b, nm) =>
+        struct(lit(nm).as("pair"), col("n").as("n"), round(r(a, b), 6).as("r"))
+      }: _*)).as("s"))
+      .select(col("s.pair").as("pair"), col("s.n").as("n"), col("s.r").as("r"))
+      .orderBy(col("pair"))
+  }
+
+  val q176Sql: String = {
+    val cols = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "x" -> "l_tax")
+    val singles = cols.map { case (a, c) =>
+      s"SUM(CAST($c AS DECIMAL(18,2))) AS s_$a" }
+    val products = for { i <- cols.indices; j <- i until cols.length } yield {
+      val (ai, ci) = cols(i); val (aj, cj) = cols(j)
+      s"SUM(CAST($ci AS DECIMAL(18,2)) * CAST($cj AS DECIMAL(18,2))) AS s_$ai$aj"
+    }
+    def r(a: String, b: String) =
+      s"""(CAST(n AS DOUBLE) * CAST(s_$a$b AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |    / sqrt((CAST(n AS DOUBLE) * CAST(s_$a$a AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(s_$b$b AS DOUBLE)
+         |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))""".stripMargin
+    val pairs = Seq(("q", "p", "quantity_price"), ("q", "d", "quantity_discount"),
+      ("q", "x", "quantity_tax"), ("p", "d", "price_discount"),
+      ("p", "x", "price_tax"), ("d", "x", "discount_tax"))
+    val arms = pairs.map { case (a, b, nm) =>
+      s"SELECT '$nm' AS pair, n, round(${r(a, b)}, 6) AS r FROM wide" }
+    s"""WITH wide AS (
+       |  SELECT ${(singles ++ products).mkString(",\n    ")},
+       |    COUNT(*)::BIGINT AS n
+       |  FROM lineitem)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY pair""".stripMargin
+  }
+
   /** Q158: snapshot diff — the CDC/table-versioning face completing the
     * q89 (merge) / q124 (SCD2) / q127 (incremental maintenance) family:
     * given two table versions, classify every key as added / removed /

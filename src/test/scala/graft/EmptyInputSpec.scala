@@ -89,6 +89,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Profiling.q173ChiSquare(et).collect().length == 1)
     assert(Profiling.q174Benford(et).collect().isEmpty)
     assert(graft.ops.Relational.q175WeightedMedian(et).collect().isEmpty)
+    // the correlation matrix keeps its 6 (null-r) pair rows on empty input
+    assert(graft.ops.Relational.q176Correlation(et).collect().length == 6)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

@@ -53,6 +53,20 @@ class ProfilingSpec extends SparkSpec {
     assert(allXor == direct)
   }
 
+  test("q176: correlation matrix is bounded and matches Spark's own corr()") {
+    val t = sf0001
+    val out = ops.Relational.q176Correlation(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.size == 6)
+    out.values.foreach(r => assert(r >= -1.0 && r <= 1.0))
+    // cross-check two pairs against the built-in (floating) estimator
+    val ref = t.lineitem.agg(
+      corr(col("l_quantity"), col("l_extendedprice")),
+      corr(col("l_discount"), col("l_tax"))).head
+    assert(math.abs(out("quantity_price") - ref.getDouble(0)) < 1e-6)
+    assert(math.abs(out("discount_tax") - ref.getDouble(1)) < 1e-6)
+  }
+
   test("q175: weighted median satisfies the defining mass inequalities") {
     val t = sf0001
     val rows = ops.Relational.q175WeightedMedian(t).collect()
