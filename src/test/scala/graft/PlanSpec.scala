@@ -21,6 +21,29 @@ class PlanSpec extends SparkSpec {
       s"scan reads pruned columns: $readSchema")
   }
 
+  test("q154/q155: layout queries prune their scans to the key columns") {
+    // z-order audit reads ONLY (custkey, orderdate) — the Morton math is
+    // scan-stage expressions, never a wide row
+    val p154 = plan(ops.Layout.q154ZorderLayout(sf0001))
+    val rs154 = p154.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs154.contains("o_totalprice") && !rs154.contains("o_orderpriority"),
+      s"q154 scan reads pruned columns: $rs154")
+    // compaction planner reads ONLY (doc_id, n_chars) — never the text
+    val p155 = plan(ops.Layout.q155CompactionPlan(sf0001))
+    val rs155 = p155.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs155.contains("text"), s"q155 scan reads text: $rs155")
+  }
+
+  test("q176: the moment matrix is ONE two-phase aggregate, no join") {
+    val p = plan(Relational.q176Correlation(sf0001))
+    // partial-aggregate before the single exchange; no join of any kind
+    assert(p.contains("HashAggregate"), p.take(500))
+    assert(!p.contains("Join"), "correlation matrix should not plan a join")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("ReusedExchange"))
+    assert(exchanges <= 2, s"too many exchanges ($exchanges) for a 1-row aggregate")
+  }
+
   test("q03: dimension joins broadcast; fact join shuffles") {
     val p = plan(Relational.q03StarJoinRevenue(sf0001))
     assert(p.contains("BroadcastHashJoin"), "no broadcast join in star query")
