@@ -678,6 +678,66 @@ object Clustering {
        |ORDER BY abs(proj) DESC, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** Q178: embedding drift monitor — per-label centroid shift between
+    * the first and second half of the corpus (vec_id order = ingestion
+    * order): the embedding-space analog of q108's PSI, the check an
+    * ML-ops pipeline runs before refreshing an index or classifier on a
+    * new embedding batch ("did the encoder or the data move?"). Each
+    * half's centroid is the round(6) per-dim mean (q119 discipline), so
+    * the shift cosine is the same IEEE sequential program both engines;
+    * emitted raw with the q157 half-counts.
+    *
+    * Scale shape: one posexplode two-phase avg keyed by (label, half,
+    * dim) — shuffle carries labels·2·dims partials; the cosine joins two
+    * |labels|-row tables. */
+  def qEmbeddingDrift(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    if (t.embeddings.isEmpty)
+      return Tables.emptyFrame(spark, "label" -> IntegerType,
+        "n_first" -> LongType, "n_second" -> LongType,
+        "drift_cosine" -> DoubleType)
+    val st = t.embeddings.agg(min(col("vec_id")), max(col("vec_id"))).collect().head
+    val mid = (st.getLong(0) + st.getLong(1)) / 2
+    val halves = t.embeddings
+      .select(col("label"), (col("vec_id") <= mid).as("first_half"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("first_half"), col("d"))
+      .agg(round(avg(col("v")), 6).as("m"), count(lit(1)).as("n"))
+      .groupBy(col("label"), col("first_half"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), x -> x.m)").as("c"),
+        max(col("n")).as("n"))
+    val a = halves.filter(col("first_half"))
+      .select(col("label"), col("c").as("ca"), col("n").as("n_first"))
+    val b = halves.filter(!col("first_half"))
+      .select(col("label"), col("c").as("cb"), col("n").as("n_second"))
+    a.join(b, Seq("label"))
+      .withColumn("drift_cosine", graft.plans.CosineSim.cosineD(col("ca"), col("cb")))
+      .select(col("label"), col("n_first"), col("n_second"), col("drift_cosine"))
+      .orderBy(col("label"))
+  }
+
+  val qEmbeddingDriftSql: String =
+    """WITH st AS (
+      |  SELECT (MIN(vec_id) + MAX(vec_id)) // 2 AS mid FROM embeddings),
+      |ex AS (
+      |  SELECT label, vec_id <= st.mid AS first_half,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d
+      |  FROM embeddings, st),
+      |cd AS (
+      |  SELECT label, first_half, d, round(avg(v), 6) AS m,
+      |    COUNT(*)::BIGINT AS n
+      |  FROM ex GROUP BY 1, 2, 3),
+      |cents AS (
+      |  SELECT label, first_half, list(m ORDER BY d) AS c, MAX(n) AS n
+      |  FROM cd GROUP BY 1, 2)
+      |SELECT a.label, a.n AS n_first, b.n AS n_second,
+      |  list_cosine_similarity(a.c, b.c) AS drift_cosine
+      |FROM cents a JOIN cents b
+      |  ON a.label = b.label AND a.first_half AND NOT b.first_half
+      |ORDER BY a.label""".stripMargin
+
   /** Q157: cosine silhouette score per label (Rousseeuw 1987, the
     * centroid/"simplified" silhouette variant spark.ml's evaluator also
     * uses) — the clustering-quality eval a pipeline runs after any

@@ -460,6 +460,49 @@ object EventAnalytics {
        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 0.0) AS z
        |FROM rates""".stripMargin
 
+  /** Q177: rolling 7-day active users per event type — the WAU/rolling-
+    * retention monitor. An EXACT sliding distinct cannot ride a window
+    * frame (distinct isn't frame-mergeable); the scalable relational
+    * form: reduce to distinct (type, user, day) once, explode each row
+    * to the ≤7 window-end days it contributes to, and count DISTINCT
+    * users per (type, window_end) — linear ×7, one hash aggregate, no
+    * per-window rescans. Windows are anchored to calendar days present
+    * in the data; all integer/date-exact.
+    *
+    * At 100 TB this beats 7 self-joins (the naive form) and is the shape
+    * a metrics store materializes daily. */
+  def qRollingActive(t: Tables, windowDays: Int = 7): DataFrame = {
+    val days = t.events
+      .select(col("event_type"), col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+    val ends = days.select(col("event_type"), col("d").as("window_end")).distinct()
+    days
+      .select(col("event_type"), col("user_id"),
+        explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("window_end"))
+      .join(ends, Seq("event_type", "window_end")) // only ends that exist
+      .groupBy(col("event_type"), col("window_end"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("event_type"), col("window_end"))
+  }
+
+  def qRollingActiveSql(windowDays: Int = 7): String =
+    s"""WITH days AS (
+       |  SELECT DISTINCT event_type, user_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+       |  FROM events),
+       |ends AS (SELECT DISTINCT event_type, d AS window_end FROM days),
+       |contrib AS (
+       |  SELECT days.event_type, days.user_id,
+       |    unnest(generate_series(d, d + INTERVAL ${windowDays - 1} DAY,
+       |      INTERVAL 1 DAY))::DATE AS window_end
+       |  FROM days)
+       |SELECT c.event_type, c.window_end,
+       |  CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
+       |FROM contrib c JOIN ends e
+       |  ON e.event_type = c.event_type AND e.window_end = c.window_end
+       |GROUP BY c.event_type, c.window_end
+       |ORDER BY c.event_type, c.window_end""".stripMargin
+
   /** Q167: TTL retention plan — the data-lifecycle pass a 100 TB lake
     * runs nightly: given a retention cutoff, classify each (type, day)
     * partition as DROP (every row expired — file-level delete, no

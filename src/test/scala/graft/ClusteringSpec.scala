@@ -247,6 +247,21 @@ class ClusteringSpec extends SparkSpec {
     assert(e2 < e0, s"reconstruction error did not decrease: $e0 -> $e2")
   }
 
+  test("q178 drift: halves partition each label; same-half drift is 1") {
+    val t = sf0001
+    val out = Clustering.qEmbeddingDrift(t).collect()
+    assert(out.nonEmpty)
+    val perLabel = t.embeddings.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == perLabel(r.getInt(0)))
+      // random-noise halves still point the same general way (positive,
+      // well below 1); identical halves would give exactly 1
+      val c = r.getDouble(3)
+      assert(c > -1.0 && c < 1.0)
+    }
+  }
+
   test("q157 silhouette matches a from-scratch centroid-silhouette recompute") {
     val t = sf0001
     val got = Clustering.qSilhouette(t).collect()

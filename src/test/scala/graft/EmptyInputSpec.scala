@@ -91,6 +91,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.Relational.q175WeightedMedian(et).collect().isEmpty)
     // the correlation matrix keeps its 6 (null-r) pair rows on empty input
     assert(graft.ops.Relational.q176Correlation(et).collect().length == 6)
+    assert(graft.ops.EventAnalytics.qRollingActive(et).collect().isEmpty)
+    assert(Clustering.qEmbeddingDrift(et).collect().isEmpty)
     // FD discovery keeps its 5 candidate rows with zero counts (the
     // qSplitContamination precedent: vacuous FDs hold on empty input)
     val fd = Profiling.q162FdDiscovery(et).collect()

@@ -137,6 +137,25 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q177: rolling 7-day actives equal a brute-force per-window recount") {
+    val t = sf0001
+    val got = EventAnalytics.qRollingActive(t).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val days = t.events
+      .select(col("event_type"), col("user_id"), col("ts").cast("date"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toLocalDate))
+    got.foreach { case (et, end, n) =>
+      val expect = days.filter { case (e, _, d) =>
+        e == et && !d.isAfter(end) && d.isAfter(end.minusDays(7))
+      }.map(_._2).distinct.length.toLong
+      assert(n == expect, s"$et @ $end: $n vs $expect")
+    }
+    // every (type, day-with-activity) has a window row
+    assert(got.length == days.map(d => (d._1, d._3)).distinct.length)
+  }
+
   test("q170: A/B readout recomputes from a driver-side two-proportion test") {
     val t = sf0001
     val r = EventAnalytics.qAbTest(t).collect().head
