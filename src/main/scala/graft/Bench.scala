@@ -9,7 +9,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // ignored by Spark 4.1.2 (ts read dispatch: Tables.normalizeEventTs); kept for older runtimes
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,6 +50,12 @@ object Bench {
           System.err.println(s"[bench] warmup $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
+    // Drop the warm pass's .cache()'d intermediates before timing: the timed
+    // loop then pays each query's own caching work (part of its real cost)
+    // instead of timing against a storage-memory-pressured heap (ADVICE r7).
+    // Fitted index structures (Similarity.indexCache) stay warm by design —
+    // warm-RUN semantics, recorded in BENCH_NOTES.md.
+    spark.catalog.clearCache()
     // A failed query must be VISIBLE (stderr), not bench at ~0 s and
     // silently flatter the total (VERDICT r2 item 4).
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -70,10 +76,16 @@ object Bench {
     // queries as fit a 1500-char budget (the slow tail is the part a judge
     // compares round-over-round; the sub-second bulk lives in the file).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/root/repo/BENCH_FULL.json")
+    // env-controlled paths must be JSON-escaped or a quote/backslash in them
+    // invalidates both output lines (ADVICE r7)
+    def jq(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":$fullQs,"sf":"${jq(sfDir)}"}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(fullLine) finally w.close()
@@ -81,14 +93,20 @@ object Bench {
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
     val budget = 1500
-    val sb = new StringBuilder(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"full":"$fullPath","queries":{""")
-    val closing = s"""},"sf":"$sfDir"}"""
+    val sb = new StringBuilder(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"full":"${jq(fullPath)}","queries":{""")
+    val closing = s"""},"sf":"${jq(sfDir)}"}"""
+    // stop at the FIRST entry that doesn't fit, so the stdout map is exactly
+    // the top-N slowest — continuing would let a later short-named entry
+    // displace a slower one (ADVICE r7); the full map lives in the file
     var first = true
-    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+    var fits = true
+    val sorted = results.toSeq.sortBy(-_._2).iterator
+    while (fits && sorted.hasNext) {
+      val (k, v) = sorted.next()
       val entry = (if (first) "" else ",") + "\"" + k + "\":" + f3(v)
       if (sb.length + entry.length + closing.length <= budget) {
         sb.append(entry); first = false
-      }
+      } else fits = false
     }
     sb.append(closing)
     spark.stop()

@@ -13,20 +13,6 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
-    * reader rejects; read nanos as long and truncate to microsecond
-    * timestamps (what the DuckDB oracle sees after CAST(ts AS TIMESTAMP)).
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the SESSION
-    * (set by the Verify/Bench/spec builders — a table loader must not
-    * mutate shared session conf; VERDICT r2 item 5). Fails fast with a
-    * pointer at the conf if the session lacks it. */
-  private def eventsRaw: DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench builders)")
-    t("events")
-  }
-
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")
@@ -34,9 +20,16 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
+  /** events.parquet's `ts` column has shifted physical/read types across
+    * driver and Spark versions (TIMESTAMP(NANOS) read as long under the
+    * legacy `nanosAsLong` conf; Spark 4.1.2 ignores that conf and reads
+    * nanos/micros NTZ natively — VERDICT r7). Dispatch on the type the
+    * reader ACTUALLY produced, never on conf presence; all branches land on
+    * the same microsecond TimestampType instant the DuckDB oracle sees via
+    * CAST(ts AS TIMESTAMP). */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.col
+    Tables.normalizeEventTs(t("events"))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
   }
@@ -55,6 +48,32 @@ final case class Tables(spark: SparkSession, sfDir: String) {
 }
 
 object Tables {
+  /** Normalize an events frame's `ts` column to session-zone TimestampType
+    * (microsecond instants), dispatching on the type the parquet reader
+    * actually produced:
+    *  - LongType — legacy `nanosAsLong` read of TIMESTAMP(NANOS): integer-
+    *    divide nanos to micros (truncation, matching DuckDB's NS→US cast);
+    *  - TimestampNTZType — Spark ≥4.1 native read (nanos already micros-
+    *    truncated, or a plain micros NTZ file): cast to TimestampType;
+    *    sessions run UTC, so the NTZ wall-clock IS the UTC instant;
+    *  - TimestampType — already normalized.
+    * Every consumer — batch (`events`) AND streaming (Events.scala,
+    * StreamingSpec) — must route ts through here; hand-rolled per-site
+    * conversions are how q101 silently divided twice (VERDICT r7 item 2). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — extend Tables.normalizeEventTs")
+    }
+  }
+
   /** A 0-row frame with the given columns — the empty-input result for
     * spark.ml-fit wrappers (KMeans/LDA/CountVectorizer throw on an empty
     * corpus; a library query should return an empty result instead). */

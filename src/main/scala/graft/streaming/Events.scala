@@ -243,16 +243,16 @@ object Events {
     val link = dir.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
     try {
-      // nanos-as-long schema + the same ts conversion Tables.events applies
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
+      // stream schema comes from the batch footer — NEVER hand-rolled: a
+      // hard-coded LongType ts double-divided after the Spark 4.1.2 type
+      // shift and silently widened the join window 1000× (VERDICT r7).
+      // Ts normalization is the same shared dispatch Tables.events uses.
+      val schema = spark.read.parquet(path).schema
       // one source definition shared by both branches (self-join on a
       // streaming DF is supported; measured equal to two sources — the
       // query's cost is join state-store tasks, not the file scan)
-      val ev = spark.readStream.schema(schema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
         .withWatermark("click_ts", "1 hour")
@@ -325,12 +325,11 @@ object Events {
     java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
     val tail =
       try {
-        val schema = StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType)))
-        val ev = spark.readStream.schema(schema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // batch-footer schema + shared ts dispatch (same contract as
+        // qStreamJoin — see the VERDICT r7 note there)
+        val schema = spark.read.parquet(path).schema
+        val ev = Tables.normalizeEventTs(
+          spark.readStream.schema(schema).parquet(dir.toString))
         val agg = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("t_n"), cents.as("t_cents"))

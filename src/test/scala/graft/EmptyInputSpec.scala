@@ -18,8 +18,8 @@ class EmptyInputSpec extends SparkSpec {
 
   private lazy val emptyDir: String = {
     val dir = Files.createTempDirectory("graft-empty-sf").toString
-    // events.parquet must keep its long (nanos) ts column, so copy the
-    // RAW schema via a bare read — the session has nanosAsLong=true
+    // copy each table's RAW schema via a bare read — whatever type the
+    // reader gives events.ts, Tables.normalizeEventTs dispatches on it
     val names = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     names.foreach { n =>

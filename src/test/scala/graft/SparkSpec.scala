@@ -10,7 +10,7 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-spec")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // ignored by Spark 4.1.2 (ts read dispatch: Tables.normalizeEventTs); kept for older runtimes
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
