@@ -78,6 +78,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.qRetrievalMetrics(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qTtlPlan(et).collect().isEmpty)
     assert(graft.ops.EventAnalytics.qPseudonymize(et).collect().isEmpty)
+    assert(graft.ops.Affinity.qAffinityProp(et).collect().isEmpty)
+    assert(graft.ops.Affinity.qAgglomerative(et).collect().isEmpty)
     assert(TextAnalysis.qParetoFrontier(et).collect().isEmpty)
     // the A/B readout keeps its single row (null stats) on empty input
     assert(graft.ops.EventAnalytics.qAbTest(et).collect().length == 1)
