@@ -81,10 +81,10 @@ object Affinity {
     * exemplar emerged), and the exemplar count. */
   private[graft] def apKernel(ids: Array[Long], vecs: Array[Array[Double]],
       preference: Double, damping: Double, rounds: Int)
-      : Array[(Long, Double, Long, Long)] = {
+      : Array[(Long, Double, Long, Long, Double)] = {
     val n = ids.length
     if (n == 0) return Array.empty
-    if (n == 1) return Array((ids(0), 0.0, ids(0), 1L))
+    if (n == 1) return Array((ids(0), 0.0, ids(0), 1L, 1.0))
     val u = vecs.map(unitize)
     val s = Array.tabulate(n, n) { (i, k) =>
       if (i == k) preference else roundMicro(2.0 * dot(u(i), u(k)) - 2.0)
@@ -140,14 +140,20 @@ object Affinity {
     val crit = Array.tabulate(n)(k => r(k)(k) + a(k)(k))
     val ex = (0 until n).filter(crit(_) > 0.0).toArray
     Array.tabulate(n) { i =>
-      val cluster =
-        if (ex.isEmpty || crit(i) > 0.0) ids(i)
+      val clusterIdx =
+        if (ex.isEmpty || crit(i) > 0.0) i
         else {
           var bs = Double.NegativeInfinity
           ex.foreach(k => if (s(i)(k) > bs) bs = s(i)(k))
-          ids(ex.filter(k => s(i)(k) == bs).min)
+          ex.filter(k => s(i)(k) == bs).min
         }
-      (ids(i), crit(i), cluster, ex.length.toLong)
+      // member cosine to the exemplar, recovered exactly from the grid
+      // similarity: s = 2·cos − 2 ⇒ cos = (s + 2)/2 (one add + one divide
+      // on a grid value — RAW, replayable). Exemplars score 1.0. This is
+      // the ref's member ranking input (cluster.py:73-76, W4).
+      val cos =
+        if (clusterIdx == i) 1.0 else (s(i)(clusterIdx) + 2.0) / 2.0
+      (ids(i), crit(i), ids(clusterIdx), ex.length.toLong, cos)
     }
   }
 
@@ -165,9 +171,32 @@ object Affinity {
         val rows = iter.toArray.sortBy(_._2)
         apKernel(rows.map(_._2), rows.map(_._3.toArray.map(_.toDouble)),
           preference, damping, rounds)
-          .iterator.map { case (id, c, cl, ne) => (grp, id, c, cl, ne) }
+          .iterator.map { case (id, c, cl, ne, cos) => (grp, id, c, cl, ne, cos) }
       }
-      .toDF(groupCol, idCol, "crit", "cluster", "n_exemplars")
+      .toDF(groupCol, idCol, "crit", "cluster", "n_exemplars", "exemplar_cos")
+  }
+
+  /** The reference's AP cluster-assembly gate (cluster.py:80-93, the P10/W4
+    * composition): keep only clusters with ≥ `minMembers` members whose
+    * cosine to the exemplar exceeds `simThreshold` (ref constants 3 / .55),
+    * and rank members by that similarity (desc, id tiebreak) — the
+    * similarity-ordered cluster view the ref serves. One window over the
+    * bounded AP output. */
+  def apClusters(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, preference: Double = -4.0, damping: Double = 0.7,
+      rounds: Int = 15, simThreshold: Double = 0.55,
+      minMembers: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ap = apGrouped(df, groupCol, idCol, vecCol, preference, damping, rounds)
+    val byCluster = Window.partitionBy(col(groupCol), col("cluster"))
+    ap.withColumn("n_close",
+        sum(when(col("exemplar_cos") > simThreshold, 1L).otherwise(0L))
+          .over(byCluster))
+      .filter(col("n_close") >= minMembers)
+      .withColumn("member_rank", row_number().over(
+        byCluster.orderBy(col("exemplar_cos").desc, col(idCol))))
+      .select(col(groupCol), col("cluster"), col("member_rank"), col(idCol),
+        col("exemplar_cos"))
   }
 
   /** Q179: M3 under the hash gate — AP over the `n` lowest vec_ids. */
@@ -176,7 +205,8 @@ object Affinity {
     val sub = t.embeddings.orderBy(col("vec_id")).limit(n)
       .select(lit("all").as("g"), col("vec_id"), col("embedding"))
     apGrouped(sub, "g", "vec_id", "embedding", preference, damping, rounds)
-      .select(col("vec_id"), col("crit"), col("cluster"), col("n_exemplars"))
+      .select(col("vec_id"), col("crit"), col("cluster"), col("n_exemplars"),
+        col("exemplar_cos"))
       .orderBy(col("vec_id"))
   }
 
@@ -237,13 +267,19 @@ object Affinity {
     s"""WITH ${ctes.mkString(",\n")},
        |diag AS (SELECT i AS k, r + a AS crit FROM m$rounds WHERE i = k),
        |ex AS (SELECT k FROM diag WHERE crit > 0.0::DOUBLE),
-       |nex AS (SELECT COUNT(*) AS n FROM ex)
-       |SELECT d.k AS vec_id, d.crit,
-       |  CASE WHEN (SELECT n FROM nex) = 0 OR d.crit > 0.0::DOUBLE THEN d.k
-       |       ELSE (SELECT m.k FROM m$rounds m JOIN ex e ON m.k = e.k
-       |             WHERE m.i = d.k ORDER BY m.s DESC, m.k LIMIT 1) END AS cluster,
-       |  CAST((SELECT n FROM nex) AS BIGINT) AS n_exemplars
-       |FROM diag d ORDER BY d.k""".stripMargin
+       |nex AS (SELECT COUNT(*) AS n FROM ex),
+       |assign AS (
+       |  SELECT d.k AS vec_id, d.crit,
+       |    CASE WHEN (SELECT n FROM nex) = 0 OR d.crit > 0.0::DOUBLE THEN d.k
+       |         ELSE (SELECT m.k FROM m$rounds m JOIN ex e ON m.k = e.k
+       |               WHERE m.i = d.k ORDER BY m.s DESC, m.k LIMIT 1) END AS cluster,
+       |    CAST((SELECT n FROM nex) AS BIGINT) AS n_exemplars
+       |  FROM diag d)
+       |SELECT a.vec_id, a.crit, a.cluster, a.n_exemplars,
+       |  CASE WHEN a.cluster = a.vec_id THEN 1.0::DOUBLE
+       |       ELSE (s.s + 2.0::DOUBLE) / 2.0::DOUBLE END AS exemplar_cos
+       |FROM assign a JOIN m$rounds s ON s.i = a.vec_id AND s.k = a.cluster
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   // ------------------------------------------------------------------ M4

@@ -83,6 +83,26 @@ class AffinitySpec extends SparkSpec {
     }
   }
 
+  test("apClusters applies the ref's >=3-members-above-.55 gate, sim-ordered") {
+    import spark.implicits._
+    val df = toyVecs.toSeq.map { case (id, v) => ("t", id, v.map(_.toFloat).toSeq) }
+      .toDF("g", "vec_id", "embedding")
+    val out = Affinity.apClusters(df, "g", "vec_id", "embedding", rounds = 30)
+      .collect()
+    // all three tight toy clusters survive the gate with all 4 members
+    val byCluster = out.groupBy(_.getLong(1))
+    assert(byCluster.size == 3 && byCluster.values.forall(_.length == 4))
+    byCluster.values.foreach { rows =>
+      val ranked = rows.sortBy(_.getInt(2))
+      assert(ranked.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4))
+      // rank 1 is the exemplar at cosine exactly 1.0; ranks descend in sim
+      assert(ranked.head.getDouble(4) == 1.0)
+      assert(ranked.head.getLong(3) == ranked.head.getLong(1))
+      val sims = ranked.map(_.getDouble(4)).toSeq
+      assert(sims == sims.sorted.reverse && sims.forall(_ > 0.55))
+    }
+  }
+
   test("gate queries are deterministic across runs") {
     val a1 = graft.ops.Affinity.qAffinityProp(sf0001).collect().toSeq
     val a2 = graft.ops.Affinity.qAffinityProp(sf0001).collect().toSeq
