@@ -1488,6 +1488,87 @@ object TextAnalysis {
        |WHERE pm IS NULL OR n_tokens < pm
        |ORDER BY quality_score DESC, doc_id""".stripMargin
 
+  /** Q181: GPT-style concat-and-chunk sequence packing (Brown et al.
+    * 2020 §2.3 — training examples are the corpus concatenated in a fixed
+    * document order and cut every `capacity` tokens, no padding): maps
+    * every document's token span [start, start+n) onto its chunk range
+    * and reports the packing layout per chunk — documents touching it,
+    * documents STARTING in it, id range, and the exact token fill (full
+    * `capacity` everywhere but the tail chunk). The operational
+    * complement of q116: q116 prices padding waste under per-example
+    * layouts; this is the layout that eliminates it.
+    *
+    * Scale shape: `start` is a global exclusive prefix sum over the
+    * doc_id order — computed as the q144 two-phase bucket prefix
+    * (doc_id-range buckets are value-monotone; per-bucket sums ride the
+    * driver, offsets broadcast back, the window runs partitioned BY
+    * BUCKET — no global sort). The chunk fan-out per document is
+    * ⌈n/capacity⌉+1 rows, and the final aggregate shuffles by chunk_id.
+    * All-integer arithmetic end to end — exact on both engines. */
+  def qConcatChunks(t: Tables, capacity: Long = 512L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val d = t.fanout(t.documents)
+      .select(col("doc_id"),
+        size(text.tokenize(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket", expr("doc_id div 64"))
+    val sums = d.groupBy(col("bucket")).agg(sum(col("n")).as("btok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (sums.isEmpty)
+      return Tables.emptyFrame(spark, "chunk_id" -> LongType,
+        "n_docs" -> LongType, "n_starting" -> LongType,
+        "first_doc" -> LongType, "last_doc" -> LongType,
+        "fill_tokens" -> LongType)
+    var acc = 0L
+    val offsets = sums.sortBy(_._1).map { case (b, s) =>
+      val o = (b, acc); acc += s; o
+    }
+    import spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "offset"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(offDf, Seq("bucket"))
+      .withColumn("start", col("offset") + sum(col("n")).over(w) - col("n"))
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"start div $capacity"),
+          expr(s"(start + n - 1) div $capacity"))))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"start div $capacity") === col("chunk_id"), 1L)
+          .otherwise(0L)).as("n_starting"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least(col("start") + col("n"), (col("chunk_id") + 1) * capacity)
+          - greatest(col("start"), col("chunk_id") * capacity))
+          .as("fill_tokens"))
+      .orderBy(col("chunk_id"))
+  }
+
+  /** q181 oracle: the same layout via the naive global window (plans
+    * differ, results hash-equal — the q144 contract). */
+  def qConcatChunksSql(capacity: Long = 512L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |         x -> len(x) > 0)) AS BIGINT) AS n
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, n,
+       |    CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS start
+       |  FROM d WHERE n > 0),
+       |e AS (
+       |  SELECT doc_id, n, start,
+       |    unnest(range(start // $capacity, (start + n - 1) // $capacity + 1)) AS chunk_id
+       |  FROM p)
+       |SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN start // $capacity = chunk_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  CAST(SUM(least(start + n, (chunk_id + 1) * $capacity)
+       |           - greatest(start, chunk_id * $capacity)) AS BIGINT) AS fill_tokens
+       |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
   /** Q143: cross-document duplicated token spans — the fixed-width
     * relaxation of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better": their suffix-array

@@ -80,6 +80,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.EventAnalytics.qPseudonymize(et).collect().isEmpty)
     assert(graft.ops.Affinity.qAffinityProp(et).collect().isEmpty)
     assert(graft.ops.Affinity.qAgglomerative(et).collect().isEmpty)
+    assert(TextAnalysis.qConcatChunks(et).collect().isEmpty)
     assert(TextAnalysis.qParetoFrontier(et).collect().isEmpty)
     // the A/B readout keeps its single row (null stats) on empty input
     assert(graft.ops.EventAnalytics.qAbTest(et).collect().length == 1)

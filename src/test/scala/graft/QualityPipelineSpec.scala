@@ -175,6 +175,35 @@ class QualityPipelineSpec extends SparkSpec {
       assert(run + all(expect.length)._2 > budget, "prefix not maximal")
   }
 
+  test("q181 concat-chunk packing: contiguous full chunks, conserved tokens") {
+    val t = sf0001
+    val cap = 512L
+    val chunks = TextAnalysis.qConcatChunks(t, cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(chunks.nonEmpty)
+    // chunk ids are 0..max contiguous
+    assert(chunks.map(_._1).toSeq == (0L until chunks.length.toLong).toSeq)
+    // every chunk but the tail is exactly full; the tail is ≤ capacity
+    chunks.init.foreach { case (id, _, _, fill) =>
+      assert(fill == cap, s"chunk $id fill $fill")
+    }
+    assert(chunks.last._4 > 0 && chunks.last._4 <= cap)
+    // token conservation: fills sum to the corpus token total
+    val total = t.documents
+      .select(size(graft.functions.text.tokenize(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(chunks.map(_._4).sum == total)
+    // every doc starts in exactly one chunk; at most one doc carries in
+    val nDocs = t.documents
+      .filter(size(graft.functions.text.tokenize(col("text"))) > 0).count()
+    assert(chunks.map(_._3).sum == nDocs)
+    chunks.foreach { case (id, n, st, _) =>
+      val carry = n - st
+      assert(carry >= 0 && carry <= 1 && (id != 0L || carry == 0L),
+        s"chunk $id docs $n starting $st")
+    }
+  }
+
   test("q143 duplicated spans match a full driver-side recompute") {
     val t = sf0001
     val docs = t.documents.select("doc_id", "text").collect()
