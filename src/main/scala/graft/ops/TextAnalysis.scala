@@ -1509,18 +1509,26 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val d = t.fanout(t.documents)
+    val base = t.fanout(t.documents)
       .select(col("doc_id"),
         size(text.tokenize(col("text"))).cast("long").as("n"))
       .filter(col("n") > 0)
-      .withColumn("bucket", expr("doc_id div 64"))
-    val sums = d.groupBy(col("bucket")).agg(sum(col("n")).as("btok"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    if (sums.isEmpty)
+    // bucket width from the id RANGE, not a fixed divisor: with arbitrary
+    // (sparse) ids a fixed `div 64` yields O(n) buckets and the driver
+    // fetch stops being bounded — range/256 caps the bucket table at
+    // ≤257 rows for ANY id distribution (scalar-first, the qRecentWindow
+    // precedent: one tiny min/max job, then a literal in the plan)
+    val bounds = base.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (bounds.isNullAt(0))
       return Tables.emptyFrame(spark, "chunk_id" -> LongType,
         "n_docs" -> LongType, "n_starting" -> LongType,
         "first_doc" -> LongType, "last_doc" -> LongType,
         "fill_tokens" -> LongType)
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (mx - mn) / 256L + 1L)
+    val d = base.withColumn("bucket", expr(s"(doc_id - $mn) div $width"))
+    val sums = d.groupBy(col("bucket")).agg(sum(col("n")).as("btok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
     var acc = 0L
     val offsets = sums.sortBy(_._1).map { case (b, s) =>
       val o = (b, acc); acc += s; o
