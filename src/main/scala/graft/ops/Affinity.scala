@@ -145,7 +145,10 @@ object Affinity {
         else {
           var bs = Double.NegativeInfinity
           ex.foreach(k => if (s(i)(k) > bs) bs = s(i)(k))
-          ex.filter(k => s(i)(k) == bs).min
+          val ties = ex.filter(k => s(i)(k) == bs)
+          // NaN similarities (a zero-norm vector) match no exemplar —
+          // degrade to a singleton instead of crashing on empty .min
+          if (ties.isEmpty) i else ties.min
         }
       // member cosine to the exemplar, recovered exactly from the grid
       // similarity: s = 2·cos − 2 ⇒ cos = (s + 2)/2 (one add + one divide
@@ -156,6 +159,13 @@ object Affinity {
       (ids(i), crit(i), ids(clusterIdx), ex.length.toLong, cos)
     }
   }
+
+  /** Oracle-contract note (q179/q180): the generated SQL unrolls a FIXED
+    * round count derived from the subset parameter `n`, while the kernels
+    * adapt to the actual group size — the replay is exact only when the
+    * embeddings table has ≥ n rows (true at every shipped SF, asserted by
+    * AffinitySpec). Groups smaller than n (incl. the n==1 AP fast path)
+    * are kernel-only territory: correct, spec-covered, not oracle-backed. */
 
   /** AP per bounded group — the scale face. One shuffle (groupByKey),
     * each group runs the kernel in its task. */
@@ -308,7 +318,8 @@ object Affinity {
     }
     val lbl = ids.clone()
     var merges = math.max(0, n - math.max(1, nClusters))
-    while (merges > 0) {
+    var mergeable = true
+    while (merges > 0 && mergeable) {
       // complete linkage per live cluster pair = max base distance
       val links = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
       var x = 0
@@ -324,10 +335,16 @@ object Affinity {
         }
         x += 1
       }
-      val ((ca, cb), _) = links.minBy { case ((a, b), v) => (v, a, b) }
-      var z = 0
-      while (z < n) { if (lbl(z) == cb) lbl(z) = ca; z += 1 }
-      merges -= 1
+      // NaN distances (zero-norm vectors) enter no link (NaN > x is
+      // false); an empty link table means nothing mergeable — stop
+      // instead of crashing on minBy
+      if (links.isEmpty) mergeable = false
+      else {
+        val ((ca, cb), _) = links.minBy { case ((a, b), v) => (v, a, b) }
+        var z = 0
+        while (z < n) { if (lbl(z) == cb) lbl(z) = ca; z += 1 }
+        merges -= 1
+      }
     }
     val sizes = lbl.groupBy(identity).map { case (c, m) => c -> m.length.toLong }
     Array.tabulate(n)(i => (ids(i), lbl(i), sizes(lbl(i))))

@@ -1509,10 +1509,15 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
+    // localCheckpoint: the tokenize-dominated scan feeds THREE consumers
+    // (min/max job, per-bucket sums, final aggregate) — checkpoint the
+    // narrow (doc_id, n) result once instead of re-tokenizing per action
+    // (the round-5 idiom; measured 1.4 s → ~0.5 s at sf0.1)
     val base = t.fanout(t.documents)
       .select(col("doc_id"),
         size(text.tokenize(col("text"))).cast("long").as("n"))
       .filter(col("n") > 0)
+      .localCheckpoint()
     // bucket width from the id RANGE, not a fixed divisor: with arbitrary
     // (sparse) ids a fixed `div 64` yields O(n) buckets and the driver
     // fetch stops being bounded — range/256 caps the bucket table at

@@ -113,6 +113,30 @@ class AffinitySpec extends SparkSpec {
     assert(a1.nonEmpty && g1.nonEmpty)
   }
 
+  test("oracle contract: every SF has at least the q179/q180 subset sizes") {
+    // the generated oracles unroll a FIXED round count from the subset
+    // parameter; the replay is exact only when the table has >= n rows
+    // (Affinity.scala scaladoc) — pin that precondition per SF
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val n = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet").count()
+      assert(n >= 24, s"$sf has $n embeddings — q179/q180 oracles need >= 24")
+    }
+  }
+
+  test("kernels degrade gracefully on zero-norm vectors (NaN distances)") {
+    val ids = Array(1L, 2L, 3L, 4L)
+    val vecs = Array(Array(1.0, 0.0), Array(0.9, 0.1),
+      Array(0.0, 0.0), Array(0.0, 0.0)) // two zero vectors → NaN distances
+    val hc = Affinity.aggloKernel(ids, vecs, nClusters = 1)
+    // the two real vectors merge; zero vectors stay singletons, no crash
+    assert(hc.length == 4)
+    assert(hc.find(_._1 == 2L).get._2 == 1L)
+    assert(hc.find(_._1 == 3L).get._2 == 3L && hc.find(_._1 == 4L).get._2 == 4L)
+    val ap = Affinity.apKernel(ids, vecs, preference = -4.0, damping = 0.7,
+      rounds = 10)
+    assert(ap.length == 4) // no crash; assignments defined for every row
+  }
+
   test("roundMicro matches DuckDB round-on-the-product semantics") {
     // boundary products: the damped recurrence lands on x.5 micros
     assert(Affinity.roundMicro(-0.10469149999999999) == -0.104692) // m = -104691.5 exactly
