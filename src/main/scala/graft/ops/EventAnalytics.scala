@@ -815,4 +815,91 @@ object EventAnalytics {
        |  user_id, exact, cms_est, cms_est - exact AS overcount,
        |  cms_est >= exact AS guarantee
        |FROM probed ORDER BY rank""".stripMargin
+
+  /** Q182: audience-overlap matrix — pairwise user-set intersection /
+    * union between event types, EXACT alongside the HLL sketch estimates
+    * (Flajolet et al. 2007; inclusion–exclusion for the intersection).
+    * This is the overlap-planning primitive at 100 TB: before merging two
+    * event streams or corpus snapshots you want |A∩B| without shuffling
+    * every key — mergeable HLL sketches are the scan-side answer, and the
+    * exact side here exists to exhibit the error envelope (the q23/q109
+    * discipline: oracled columns are exact, the engine-specific estimate
+    * folds into envelope booleans the oracle asserts TRUE).
+    *
+    * Scale shape: ONE distinct (type,user) shuffle feeds everything; the
+    * pair fan-out is a pure projection (literal type→pairs map + explode —
+    * no non-equi join of tiny aggregates, the q114 BNLJ trap); the exact
+    * intersection is one equi self-join on user_id; per-type counts and
+    * sketches broadcast into the pair rows. Output rows = pairs sharing
+    * ≥1 user (both engines derive the pair set from the same inner join).
+    */
+  def qAudienceOverlap(t: Tables, rsd: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.events.sparkSession
+    val tu = t.events.select(col("event_type"), col("user_id")).distinct()
+    // scalar-first: the distinct type list is tiny and bounded — drive the
+    // pair map from it (a literal in the plan, not a join)
+    val types = tu.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (types.length < 2)
+      return Tables.emptyFrame(spark, "type_a" -> StringType,
+        "type_b" -> StringType, "exact_a" -> LongType, "exact_b" -> LongType,
+        "exact_inter" -> LongType, "exact_union" -> LongType,
+        "union_ok" -> BooleanType, "inter_ok" -> BooleanType)
+    val pairsOf: Map[String, Seq[(String, String)]] = types.map { ty =>
+      ty -> (for (a <- types; b <- types if a < b && (a == ty || b == ty))
+        yield (a, b)).toSeq
+    }.toMap
+    val pairCol = map(types.flatMap { ty =>
+      Seq(lit(ty), array(pairsOf(ty).map { case (a, b) =>
+        struct(lit(a).as("a"), lit(b).as("b"))
+      }: _*))
+    }: _*)
+    val tagged = tu.withColumn("p", explode(element_at(pairCol, col("event_type"))))
+    val unionEst = tagged.groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("hll_union"))
+    val perTypeEst = tu.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("hll_n"),
+        count(lit(1)).as("exact_n"))
+    val inter = tu.as("x").join(tu.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val ea = perTypeEst.select(col("event_type").as("type_a"),
+      col("exact_n").as("exact_a"), col("hll_n").as("hll_a"))
+    val eb = perTypeEst.select(col("event_type").as("type_b"),
+      col("exact_n").as("exact_b"), col("hll_n").as("hll_b"))
+    inter
+      .join(broadcast(ea), Seq("type_a")).join(broadcast(eb), Seq("type_b"))
+      .join(broadcast(unionEst), Seq("type_a", "type_b"))
+      .withColumn("exact_union", col("exact_a") + col("exact_b") - col("exact_inter"))
+      .withColumn("hll_inter", col("hll_a") + col("hll_b") - col("hll_union"))
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        col("exact_inter"), col("exact_union"),
+        (abs(col("hll_union").cast("double") - col("exact_union").cast("double"))
+          <= col("exact_union").cast("double") * 0.05).as("union_ok"),
+        // inclusion-exclusion compounds three estimates: envelope base is
+        // |A|+|B|, not the (possibly tiny) intersection itself
+        (abs(col("hll_inter").cast("double") - col("exact_inter").cast("double"))
+          <= (col("exact_a") + col("exact_b")).cast("double") * 0.05).as("inter_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** q182 oracle: the exact sets by definition; the sketch facts enter as
+    * the envelope booleans asserted TRUE. */
+  val qAudienceOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type),
+      |iv AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+      |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT iv.type_a, iv.type_b, pa.n AS exact_a, pb.n AS exact_b,
+      |  iv.exact_inter, pa.n + pb.n - iv.exact_inter AS exact_union,
+      |  TRUE AS union_ok, TRUE AS inter_ok
+      |FROM iv JOIN pt pa ON pa.event_type = iv.type_a
+      |        JOIN pt pb ON pb.event_type = iv.type_b
+      |ORDER BY iv.type_a, iv.type_b""".stripMargin
 }

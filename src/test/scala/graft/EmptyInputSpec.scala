@@ -81,6 +81,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.ops.Affinity.qAffinityProp(et).collect().isEmpty)
     assert(graft.ops.Affinity.qAgglomerative(et).collect().isEmpty)
     assert(TextAnalysis.qConcatChunks(et).collect().isEmpty)
+    assert(graft.ops.EventAnalytics.qAudienceOverlap(et).collect().isEmpty)
     assert(TextAnalysis.qParetoFrontier(et).collect().isEmpty)
     // the A/B readout keeps its single row (null stats) on empty input
     assert(graft.ops.EventAnalytics.qAbTest(et).collect().length == 1)

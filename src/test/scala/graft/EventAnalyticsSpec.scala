@@ -291,4 +291,29 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getLong(2) <= day0(r.getDate(0)))
     }
   }
+
+  test("q182 overlap matrix: set algebra invariants + sketch envelopes hold") {
+    val t = sf0001
+    val rows = EventAnalytics.qAudienceOverlap(t).collect()
+    assert(rows.nonEmpty)
+    // exact set algebra: inter ≤ min(a,b), union ≥ max(a,b), inclusion-exclusion
+    rows.foreach { r =>
+      val (a, b, inter, union) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(inter <= math.min(a, b) && union >= math.max(a, b))
+      assert(union == a + b - inter)
+      assert(r.getBoolean(6) && r.getBoolean(7), s"envelope violated: $r")
+    }
+    // pairs are canonically ordered and unique
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.forall { case (x, y) => x < y })
+    assert(pairs.distinct.length == pairs.length)
+    // exact intersection spot-check against a driver recompute
+    val byType = t.events.select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    rows.foreach { r =>
+      val want = (byType(r.getString(0)) intersect byType(r.getString(1))).size.toLong
+      assert(r.getLong(4) == want)
+    }
+  }
 }
