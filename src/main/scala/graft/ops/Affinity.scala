@@ -160,12 +160,17 @@ object Affinity {
     }
   }
 
-  /** Oracle-contract note (q179/q180): the generated SQL unrolls a FIXED
-    * round count derived from the subset parameter `n`, while the kernels
-    * adapt to the actual group size — the replay is exact only when the
-    * embeddings table has ≥ n rows (true at every shipped SF, asserted by
-    * AffinitySpec). Groups smaller than n (incl. the n==1 AP fast path)
-    * are kernel-only territory: correct, spec-covered, not oracle-backed. */
+  /** Oracle-contract note (q179/q180/q183/q184): the generated SQL unrolls
+    * a FIXED round count derived from the subset parameter `n`, while the
+    * kernels adapt to the actual group size — the replay is exact only when
+    * the embeddings table has ≥ n rows (true at every shipped SF, asserted
+    * by AffinitySpec, which also asserts non-zero norms over the first
+    * max(n) vec_ids so the kernels' NaN degrade paths stay out of oracled
+    * territory — ADVICE r8). q183/q184 gate the SMALL-subset regime
+    * (n = 6 / 8, below the q179/q180 defaults), so bounded groups smaller
+    * than the default subset are oracle-backed too (VERDICT r9 item 4);
+    * only the n==1 AP fast path remains kernel-only (its SQL replay
+    * degenerates: m2 is NULL with a single candidate), spec-covered. */
 
   /** AP per bounded group — the scale face. One shuffle (groupByKey),
     * each group runs the kernel in its task. */
@@ -292,6 +297,12 @@ object Affinity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Q183: the small-group AP gate — same kernel and oracle generator as
+    * q179 at n=6 (below the default subset), so the bounded-group regime
+    * the grouped operators actually see (story/feed buckets of a handful
+    * of members) is hash-oracled, not just spec-covered. */
+  def qAffinityPropSmall(t: Tables): DataFrame = qAffinityProp(t, n = 6)
+
   // ------------------------------------------------------------------ M4
 
   /** Agglomerative clustering on one group (the reference's sklearn call at
@@ -376,6 +387,11 @@ object Affinity {
       .select(col("vec_id"), col("cluster"), col("cluster_size"))
       .orderBy(col("vec_id"))
   }
+
+  /** Q184: the small-group agglomerative gate — q180's kernel and oracle
+    * generator at n=8, k=3 (5 merge rounds). Together with q183 this
+    * hash-gates the below-default-subset territory. */
+  def qAgglomerativeSmall(t: Tables): DataFrame = qAgglomerative(t, n = 8, k = 3)
 
   /** q180 oracle: n−k merge rounds unrolled; each round joins the base
     * pair-distance matrix to the live labels, takes the min

@@ -108,10 +108,20 @@ object Profiling {
     * integer MICROSECONDS ((min+max)/2 — exact both engines). p's are
     * ratios of exact ints with +0.5/+5 smoothing (no empty-decile infs);
     * psi_term = (p2−p1)·ln(p2/p1) round(6).
-    * Scale note: the global NTILE sorts one half in a single task — at
-    * 100 TB swap the exact decile bounds for approx_percentile cut points
-    * (one pass, no global sort); kept exact here so the oracle replays
-    * bit-identical membership. */
+    * Scale shape (r9): the reference deciles are EXACT ntile(10) over
+    * (value, event_id), but computed as the q144 two-phase bucket prefix
+    * instead of a global window: (1) rows bucket by a value-range grid
+    * (256 cells; bucket is value-monotone, so bucket asc then (value,
+    * event_id) asc IS the global order); (2) per-bucket counts ride the
+    * driver (<=257 rows, bounded fetch) and come back as broadcast rank
+    * offsets; (3) global rank = offset + row_number partitioned BY BUCKET
+    * (bounded partitions, no single-task sort), and the ntile decile
+    * falls out of integer math on (rank, N): the first N%10 deciles take
+    * floor(N/10)+1 rows, the rest floor(N/10) — provably identical
+    * membership to ntile(10), so the NTILE oracle replays bit-identical.
+    * Bucket assignment uses double arithmetic, but it only PLACES a row's
+    * rank computation — membership derives from the exact (value,
+    * event_id) order, so float bucketing cannot shift the result. */
   def qDriftPsi(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t.events.select(col("event_id"), col("value"),
@@ -127,8 +137,51 @@ object Profiling {
           StructField("n2", LongType), StructField("psi_term", DoubleType))))
     }
     val mid = (mm.getLong(0) + mm.getLong(1)) / 2
-    val h1 = ev.filter(col("us") < mid)
-      .withColumn("dec", ntile(10).over(Window.orderBy(col("value"), col("event_id"))))
+    val h1v = ev.filter(col("us") < mid)
+    val vr = h1v.agg(min(col("value")), max(col("value")), count(lit(1))).head()
+    // all-events-in-one-instant guard (min==max ts => empty first half):
+    // the old plan emitted 0 rows (empty p1 left-joined); keep that contract
+    if (vr.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      return t.spark.createDataFrame(
+        t.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("dec", LongType), StructField("n1", LongType),
+          StructField("n2", LongType), StructField("psi_term", DoubleType))))
+    }
+    val (vmin, vmax, n) = (vr.getDouble(0), vr.getDouble(1), vr.getLong(2))
+    val nBuckets = 256
+    val width = (vmax - vmin) / nBuckets
+    val bucketCol =
+      if (width > 0)
+        least(floor((col("value") - lit(vmin)) / lit(width)), lit(nBuckets - 1L))
+          .cast("int")
+      else lit(0) // degenerate constant-value half: one bucket
+    val hb = h1v.withColumn("bkt", bucketCol)
+    val offsets = {
+      val cnts = hb.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      cnts.map { case (b, c) => val o = (b, acc); acc += c; o }
+    }
+    import t.spark.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("bkt", "off"))
+    // ntile(10) closed form on the 1-based global rank: deciles 1..rem hold
+    // big = floor(N/10)+1 rows, deciles rem+1..10 hold floor(N/10)
+    val qsz = n / 10
+    val rem = n % 10
+    val big = qsz + 1
+    val cut = rem * big // global rank of the last row in the big deciles
+    val rn = Window.partitionBy(col("bkt"))
+      .orderBy(col("value"), col("event_id"))
+    // integer ceil-division via floor((r + b - 1)/b): ranks < 2^53, exact
+    val h1 = hb.join(offDf, Seq("bkt"))
+      .withColumn("rank", col("off") + row_number().over(rn))
+      .withColumn("dec",
+        when(col("rank") <= cut, floor((col("rank") + lit(big - 1)) / lit(big)))
+          .otherwise(lit(rem) +
+            floor((col("rank") - lit(cut) + lit(math.max(qsz, 1L) - 1)) /
+              lit(math.max(qsz, 1L))))
+          .cast("int"))
     val bounds = h1.groupBy(col("dec")).agg(max(col("value")).as("hi"))
       .orderBy(col("dec")).collect().map(r => (r.getInt(0), r.getDouble(1)))
     val p1 = h1.groupBy(col("dec")).agg(count(lit(1)).as("n1"))
@@ -137,16 +190,22 @@ object Profiling {
     }
     // foldRight builds when(<=hi1,1).otherwise(when(<=hi2,2)...(10)) — the
     // arms must test ascending bounds first, which foldRight preserves
-    val p2 = ev.filter(col("us") >= mid)
-      .withColumn("dec", decCase)
-      .groupBy(col("dec")).agg(count(lit(1)).as("n2"))
-    val all = Window.partitionBy()
+    val h2 = ev.filter(col("us") >= mid).withColumn("dec", decCase)
+    val p2 = h2.groupBy(col("dec")).agg(count(lit(1)).as("n2"))
+    // Smoothing denominators WITHOUT the unpartitioned window the old plan
+    // used (it warned single-partition even on this 10-row frame): the
+    // post-join totals are exact driver scalars — Σn1 = |h1| = n, and Σn2 =
+    // the second-half rows whose decile exists in p1 (all of them when
+    // n ≥ 10; the decCase '10' arm is unmatched when h1 spans fewer
+    // deciles). Both are integer-valued ≤ 2^53, so lit(total + 5.0) is the
+    // IDENTICAL double the oracle's SUM(...) OVER () + 5.0 produces.
+    val n2total = h2.filter(col("dec") <= math.min(n, 10L)).count()
     p1.join(p2, Seq("dec"), "left")
       .withColumn("n2", coalesce(col("n2"), lit(0L)))
       .withColumn("p1s", (col("n1").cast("double") + 0.5) /
-        (sum(col("n1")).over(all).cast("double") + 5.0))
+        lit(n.toDouble + 5.0))
       .withColumn("p2s", (col("n2").cast("double") + 0.5) /
-        (sum(col("n2")).over(all).cast("double") + 5.0))
+        lit(n2total.toDouble + 5.0))
       .select(col("dec").cast("long").as("dec"), col("n1"), col("n2"),
         round((col("p2s") - col("p1s")) * log(col("p2s") / col("p1s")), 6)
           .as("psi_term"))

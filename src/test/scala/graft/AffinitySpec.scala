@@ -116,10 +116,22 @@ class AffinitySpec extends SparkSpec {
   test("oracle contract: every SF has at least the q179/q180 subset sizes") {
     // the generated oracles unroll a FIXED round count from the subset
     // parameter; the replay is exact only when the table has >= n rows
-    // (Affinity.scala scaladoc) — pin that precondition per SF
+    // (Affinity.scala scaladoc) — pin that precondition per SF. ADVICE r8:
+    // the kernels degrade NaN (zero-norm) vectors to singletons but the
+    // DuckDB replay has no counterpart (1/0 → Inf, NULL comparison
+    // semantics), so a zero-norm embedding among the oracled subset would
+    // DIVERGE the gate rather than fail cleanly — assert every embedding
+    // among the first max(n)=24 vec_ids has a non-zero norm too.
     Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
-      val n = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet").count()
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val n = emb.count()
       assert(n >= 24, s"$sf has $n embeddings — q179/q180 oracles need >= 24")
+      val zeroNorm = emb.orderBy(col("vec_id")).limit(24)
+        .select(col("vec_id"),
+          expr("aggregate(embedding, 0D, (acc, e) -> acc + CAST(e AS DOUBLE) * CAST(e AS DOUBLE))").as("sq"))
+        .filter(col("sq") <= 0.0).collect()
+      assert(zeroNorm.isEmpty,
+        s"$sf zero-norm embeddings in oracled subset: ${zeroNorm.mkString(",")}")
     }
   }
 
