@@ -275,25 +275,21 @@ object text {
 
   // ---------------------------------------------------------- POS filter
 
-  /** Heuristic POS-filtered tokens (SURVEY F6/P6; reference lda.py:13-29
-    * keeps tokens tagged NNP or NNS, len > 2, not in the query). No JVM
-    * NLTK exists, so the tagger is a documented approximation of the
-    * averaged-perceptron on the two tags the reference uses:
-    * NNP ≈ capitalized token; NNS ≈ lowercase plural (-s, not -ss/-us/-is).
-    * Tokens are stemmed after filtering, as the reference does. */
+  /** POS-filtered tokens (SURVEY F6/P6; reference lda.py:13-29 keeps
+    * tokens tagged NNP or NNS, len > 2, not in the query). The tagger is
+    * a real averaged perceptron (PerceptronPos — Collins 2002 / Honnibal
+    * 2013, the algorithm behind NLTK's pos_tag) trained in-process from
+    * an embedded news-domain seed corpus; the whole input is tagged as
+    * one sequence so the context features see the sentence, THEN the
+    * NNP/NNS filter applies. Tokens are lowercased and stemmed after
+    * filtering, as the reference does. */
   def posFilterTokens(textStr: String, queryTokens: Set[String]): Seq[String] = {
     if (textStr == null) return Nil
-    textStr.split("[^\\p{L}\\p{N}']+").toSeq
-      .filter(_.length > 2)
-      .filter { w =>
-        val lw = w.toLowerCase
-        // function words are DT/IN/... even when capitalized
-        val isNNP = w.head.isUpper && !stopwords.contains(lw)
-        val isNNS = !w.head.isUpper && lw.endsWith("s") && !lw.endsWith("ss") &&
-          !lw.endsWith("us") && !lw.endsWith("is")
-        isNNP || isNNS
+    val words = textStr.split("[^\\p{L}\\p{N}']+").toSeq.filter(_.nonEmpty)
+    PerceptronPos.tag(words)
+      .collect { case (w, t) if (t == "NNP" || t == "NNS") && w.length > 2 =>
+        w.toLowerCase
       }
-      .map(_.toLowerCase)
       .filterNot(queryTokens.contains)
       .map(porterStem)
   }
