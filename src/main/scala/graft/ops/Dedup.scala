@@ -1163,14 +1163,25 @@ object Dedup {
     * slice (auditTruePairs — one corpus scan, sampling each true pair with
     * known probability). Candidates: the production corpus-wide
     * MinHash-LSH + exact-verify path (q34's machinery) restricted to the
-    * same incident population. One output row: pair counts + recall — the
-    * recall-monitoring step a pipeline runs per corpus drop before
-    * trusting its LSH parameters. Rows-only under the gate (MinHash isn't
-    * DuckDB-replayable); DedupSpec pins the floor, the hit⊆true
-    * invariant, and cross-validates the audit kernel against the
-    * independent blocked exact kernel. */
+    * same incident population. One output row — the recall-monitoring
+    * step a pipeline runs per corpus drop before trusting its LSH
+    * parameters.
+    *
+    * HASH-GATED since r9 (the q23/q109/q182 envelope discipline,
+    * VERDICT r8 item 6): `n_true_pairs` is exact text math DuckDB
+    * replays shingle-for-shingle (the round6-HALF_UP ≥ threshold
+    * predicate is replayed as the equivalent INTEGER comparison
+    * 2e6·inter ≥ (2·thrMicros−1)·union — rationals with doc-sized
+    * denominators cannot hit the .4999995 boundary, so the forms are
+    * provably equal); the LSH-seed-dependent counts fold into two
+    * booleans the oracle asserts TRUE: `lsh_within_truth` (every
+    * verified LSH pair in the slice IS a true pair — the verify step
+    * uses the identical jaccard predicate, so hits ≡ lsh) and
+    * `recall_ge_floor` (the DedupSpec 0.8 floor, now driver-checked).
+    * The per-seed recall VALUES stay visible in the rows-only ANN/LSH
+    * family (q34/q40/q56); this row is the gate. */
   def qDedupQuality(t: Tables, sliceN: Long = 500,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, recallFloor: Double = 0.8): DataFrame = {
     val truePairs = auditTruePairs(t, sliceN, threshold)
     val lshPairs = minhashVerifiedPairs(t, t.documents)
       .filter(col("id_a") < sliceN)
@@ -1183,9 +1194,42 @@ object Dedup {
         count(when(col("k") === "true", 1)).as("n_true_pairs"),
         count(when(col("k") === "lsh", 1)).as("n_lsh_pairs"),
         count(when(col("k") === "hit", 1)).as("n_hit_pairs"))
-      .withColumn("recall",
-        when(col("n_true_pairs") === 0, lit(1.0))
+      .select(
+        col("n_true_pairs"),
+        (col("n_hit_pairs") === col("n_lsh_pairs")).as("lsh_within_truth"),
+        (when(col("n_true_pairs") === 0, lit(1.0))
           .otherwise(round(col("n_hit_pairs").cast("double") /
-            col("n_true_pairs").cast("double"), 6)))
+            col("n_true_pairs").cast("double"), 6)) >= recallFloor)
+          .as("recall_ge_floor"))
+  }
+
+  /** q95 oracle: the exact true-pair population replayed in SQL —
+    * distinct lowercased 8-char shingles per doc (a sub-8-char text IS
+    * its single shingle, matching fasthash.shingleSet), pair
+    * intersections via one shingle equi self-join restricted to the
+    * audit slice, and the integer-form threshold predicate (see
+    * qDedupQuality scaladoc). The envelope booleans are asserted TRUE. */
+  def qDedupQualitySql(sliceN: Long = 500, threshold: Double = 0.5,
+      shingleLen: Int = 8): String = {
+    val thrCoef = 2L * math.round(threshold * 1000000.0) - 1L
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT doc_id, lower(text) AS s FROM documents WHERE text IS NOT NULL),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, s AS g FROM docs WHERE length(s) < $shingleLen
+       |  UNION ALL
+       |  SELECT DISTINCT doc_id, substring(s, CAST(p AS INTEGER), $shingleLen) AS g
+       |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - ${shingleLen - 2})) AS p
+       |        FROM docs WHERE length(s) >= $shingleLen)),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM sh a JOIN sh b ON a.g = b.g
+       |  WHERE a.doc_id < b.doc_id AND a.doc_id < $sliceN
+       |  GROUP BY 1, 2)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       |  TRUE AS lsh_within_truth, TRUE AS recall_ge_floor
+       |FROM inter i JOIN sz sa ON i.ia = sa.doc_id JOIN sz sb ON i.ib = sb.doc_id
+       |WHERE 2000000 * i.m >= $thrCoef * greatest(sa.n + sb.n - i.m, 1)""".stripMargin
   }
 }

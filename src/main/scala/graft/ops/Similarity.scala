@@ -680,16 +680,23 @@ object Similarity {
     * nProbe/nCells=6/16 structural floor on isotropic noise — there is no
     * cluster structure to beat it with), SQ8 0.9 (quantize-then-exact-
     * rerank is near-exact by construction), PQ 0.3 (8-byte ADC codes are
-    * the lossiest of the ladder; holds at all SFs). Rows-only: the recall values
-    * come from the seeded LSH/k-means internals, which no SQL replay can
-    * reproduce; AnnAuditSpec pins the floors in-process. */
+    * the lossiest of the ladder; holds at all SFs).
+    *
+    * HASH-GATED since r9 (the q23/q109/q182 envelope discipline, VERDICT
+    * r8 item 6): the seed-dependent mean recall — which no SQL replay can
+    * reproduce — folds into the `pass_floor` boolean the oracle asserts
+    * TRUE; method, k, the probe count (= |vec_id < 10|, exact SQL) and
+    * each floor literal replay exactly. The recall VALUES remain
+    * driver-visible per method in the rows-only ANN ladder queries
+    * (q40/q56/q81/q137) — this row set is the gate; AnnAuditSpec still
+    * pins the floors in-process. */
   def qAnnRecallAudit(t: Tables, k: Int = 10): DataFrame = {
     def audit(name: String, ann: DataFrame, floor: Double): DataFrame =
       ann.select(col("probe_id"), col("recall_at_k")).distinct()
         .agg(count(lit(1)).as("n_probes"),
           round(avg(col("recall_at_k")), 4).as("mean_recall"))
         .select(lit(name).as("method"), lit(k).as("k"), col("n_probes"),
-          col("mean_recall"), lit(floor).as("floor"),
+          lit(floor).as("floor"),
           (col("mean_recall") >= floor).as("pass_floor"))
     // localCheckpoint the 3-row per-method table so deriving the "all"
     // summary row doesn't re-run the three ANN pipelines (each one runs
@@ -705,13 +712,25 @@ object Similarity {
     // AND of every method's floor check (r5 verdict item 8)
     val overall = per.agg(
         sum(col("n_probes")).as("n_probes"),
-        round(min(col("mean_recall")), 4).as("mean_recall"),
         min(col("pass_floor")).as("pass_floor"))
       .select(lit("all").as("method"), lit(k).as("k"), col("n_probes"),
-        col("mean_recall"), lit(null).cast("double").as("floor"),
+        lit(null).cast("double").as("floor"),
         col("pass_floor"))
     per.unionAll(overall).orderBy(col("method"))
   }
+
+  /** q121 oracle: probe count exact from the parquet; floors literal;
+    * pass_floor asserted TRUE per method and on the "all" AND-row. */
+  def qAnnRecallAuditSql(k: Int = 10): String =
+    s"""WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+       |            FROM embeddings WHERE vec_id < 10)
+       |SELECT 'all' AS method, $k AS k, CAST(4 * n AS BIGINT) AS n_probes,
+       |       CAST(NULL AS DOUBLE) AS floor, TRUE AS pass_floor FROM np
+       |UNION ALL SELECT 'ivf', $k, n, CAST(0.375 AS DOUBLE), TRUE FROM np
+       |UNION ALL SELECT 'pq', $k, n, CAST(0.3 AS DOUBLE), TRUE FROM np
+       |UNION ALL SELECT 'sq8', $k, n, CAST(0.9 AS DOUBLE), TRUE FROM np
+       |UNION ALL SELECT 'srp_lsh', $k, n, CAST(0.5 AS DOUBLE), TRUE FROM np
+       |ORDER BY method""".stripMargin
 
   /** Q166: binary sign-hash ANN — the 5th rung of the ANN ladder
     * (SRP-LSH / IVF / SQ8 / PQ / binary codes) and the only one FULLY

@@ -227,16 +227,18 @@ class DedupSpec extends SparkSpec {
     assert(g.select("keep_id").distinct().count() == g.count())
   }
 
-  test("q95: dedup-quality audit — hits are a subset, recall above floor") {
+  test("q95: dedup-quality audit — envelope booleans hold, truth non-empty") {
     val row = Dedup.qDedupQuality(sf0001).head()
-    val (nTrue, nLsh, nHit, recall) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
-    info(s"n_true=$nTrue n_lsh=$nLsh n_hit=$nHit recall=$recall")
+    val (nTrue, lshWithin, recallOk) =
+      (row.getLong(0), row.getBoolean(1), row.getBoolean(2))
+    info(s"n_true=$nTrue lsh_within_truth=$lshWithin recall_ge_floor=$recallOk")
     assert(nTrue > 0, "audit slice has no true near-dup pairs")
-    assert(nHit <= nTrue && nHit <= nLsh)
+    // verified-LSH pairs use the identical jaccard predicate, so every
+    // one is a true pair (hits == lsh)
+    assert(lshWithin)
     // 16 bands x 4 rows: collision prob ~1 for the planted high-jaccard
     // dups; threshold-straddling pairs may be missed, hence a floor
-    assert(recall >= 0.8, s"LSH recall $recall below floor")
+    assert(recallOk, "LSH recall below 0.8 floor")
   }
 
   test("q95: audit kernel agrees with the independent blocked exact kernel") {
