@@ -15,8 +15,22 @@ import org.apache.spark.sql.functions._
   *    vec_id/user_id) shifts by copy*100M, keeping FK joins consistent
   *    within each copy and ids globally unique;
   *  - tiny dims (region, nation) are copied as-is, like TPC-H;
-  *  - document text gets a per-copy suffix (a verbatim copy would triple
-  *    the exact-dup population and distort dedup timings);
+  *  - document text: copy 0 is verbatim; copy i>0 gets a PER-(doc,copy)
+  *    SEEDED WORD SHUFFLE (sort words by xxhash64(word, position, doc_id,
+  *    copy)). Why this exact shape — both naive alternatives measurably
+  *    distort the near-dup family, whose cost is ∝ candidate-pair count:
+  *    (a) verbatim/suffixed copies plant K−1 near-dups per doc, so
+  *    in-bucket pairs grow K² (measured: q34 12.7× at K=3) — no real
+  *    corpus's duplication density grows with corpus size; (b) shared
+  *    permutations are worse: sorted-word copies all start with the same
+  *    common words and share vocabulary-driven shingles, colliding the
+  *    whole copy into a handful of LSH/blocking buckets (measured: q34
+  *    87×, q33 54×). A seeded shuffle keeps each copy-doc's token
+  *    multiset (token counts, lengths, vocabulary — the text-analysis
+  *    family sees honest 3× data) while randomizing adjacencies, so
+  *    char-shingle similarity to the original, to other docs, and to the
+  *    same doc's other copies all stay below threshold: candidate-pair
+  *    density stays ~constant, the realistic scaling shape;
   *  - embeddings rotate by copy index (distinct vectors, identical norms);
   *  - events keep their timestamps: K× event density per window is the
   *    realistic scaling shape for a stream table.
@@ -36,7 +50,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, k)
+    spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     def read(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
 
     // Write as a single parquet FILE named <name>.parquet (driver layout):
@@ -74,8 +92,12 @@ object ScaleUp {
     writeFile(shifted(read("events"), Seq("event_id", "user_id"))(identityExtra), "events")
     writeFile(shifted(read("documents"), Seq("doc_id")) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" v$i")))
-        .withColumn("n_chars", col("n_chars") + lit(3L))
+      else d.withColumn("text", expr(
+        s"""concat_ws(' ', transform(
+           |  array_sort(transform(split(text, ' '),
+           |    (w, p) -> struct(xxhash64(w, p, doc_id, $i) AS h, w AS w))),
+           |  s -> s.w))""".stripMargin))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
     writeFile(shifted(read("embeddings"), Seq("vec_id")) { (d, i) =>
       if (i == 0) d
@@ -83,7 +105,5 @@ object ScaleUp {
         concat(slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
           slice(col("embedding"), lit(1), lit(i))))
     }, "embeddings")
-
-    spark.stop()
   }
 }
