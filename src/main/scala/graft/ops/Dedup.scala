@@ -302,7 +302,11 @@ object Dedup {
     * never n². The pigeonhole guarantee (hamming ≤ 3 over 4 chunks ⇒
     * some chunk equal) makes the equi-join lossless for the emitted
     * distance, so this IS the exact hamming-≤3 pair set. */
-  def qSimhashGate(t: Tables, maxHamming: Int = 3): DataFrame = {
+  /** The oracle-replayable SimHash band rows shared by q131/q185:
+    * (doc_id, cv0..cv3, chunk, cv) — one 64-column signature aggregate,
+    * then a single projection + explode for the 4 band rows per doc
+    * (q128: a 4-way union of selects recomputes the pipeline per branch). */
+  private def simhashBands(t: Tables): DataFrame = {
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
@@ -320,15 +324,17 @@ object Dedup {
         .reduce(_ + _).as(s"cv$c")
     }
     val sigs = sums.select(col("doc_id") +: cvs: _*)
-    // single projection + explode for the band rows (q128: a 4-way union
-    // of selects recomputes the signature pipeline per branch)
     val bandStructs = (0 until 4).map(c =>
       struct(lit(c).as("chunk"), col(s"cv$c").as("cv")))
     val bandCols = Seq(col("doc_id")) ++ (0 until 4).map(c => col(s"cv$c")) ++
       Seq(col("bk.chunk").as("chunk"), col("bk.cv").as("cv"))
-    val bands = sigs
+    sigs
       .withColumn("bk", explode(array(bandStructs: _*)))
       .select(bandCols: _*)
+  }
+
+  def qSimhashGate(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val bands = simhashBands(t)
     def side(tag: String): DataFrame =
       bands.select(Seq(col("chunk"), col("cv"), col("doc_id").as(s"id_$tag")) ++
         (0 until 4).map(c => col(s"cv$c").as(s"$tag$c")): _*)
@@ -346,7 +352,9 @@ object Dedup {
   /** q131 oracle: the identical relational program — DuckDB's >>, &,
     * xor() and bit_count are exact on BIGINT, and the md5-nibble chunk
     * hashes replay via CAST('0x…' AS BIGINT). */
-  def qSimhashGateSql(maxHamming: Int = 3): String = {
+  /** Shared DuckDB CTE block producing the `bands` relation of
+    * simhashBands (q131/q185 oracles). */
+  private def simhashBandsCtes: String = {
     val hashCols = (0 until 4).map(c =>
       s"CAST('0x' || substr(md5(term), ${1 + 4 * c}, 4) AS BIGINT) AS h$c")
       .mkString(",\n      |    ")
@@ -360,7 +368,7 @@ object Dedup {
     val bandSelects = (0 until 4).map(c =>
       s"SELECT doc_id, cv0, cv1, cv2, cv3, $c AS chunk, cv$c AS cv FROM sigs")
       .mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, term, COUNT(*)::BIGINT AS cnt FROM (
       |    SELECT doc_id,
       |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
@@ -380,7 +388,11 @@ object Dedup {
       |    $cvExprs
       |  FROM sums),
       |bands AS (
-      |  $bandSelects),
+      |  $bandSelects)""".stripMargin
+  }
+
+  def qSimhashGateSql(maxHamming: Int = 3): String = {
+    s"""WITH $simhashBandsCtes,
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    CAST(MAX(bit_count(xor(a.cv0, b.cv0)) + bit_count(xor(a.cv1, b.cv1))
@@ -393,6 +405,59 @@ object Dedup {
       |SELECT id_a, id_b, hamming, n_chunks FROM pairs
       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Q185: LSH bucket-size governor — the skew audit a banded candidate
+    * generator runs BEFORE its bucket self-join at scale. A banded join's
+    * cost is Σ c·(c−1)/2 over bucket sizes c: one pathological bucket
+    * dominates the whole stage (measured while building the r9 scaling
+    * dataset: a shared word permutation collapsed one document copy into
+    * a few buckets and took the q34-family from ~5× to 87× — BENCH_NOTES
+    * r9). Production pipelines therefore CAP bucket size, skipping (or
+    * sub-sharding) buckets above the cap and accepting the documented
+    * recall loss. This query is that decision's evidence, per band:
+    * bucket counts, the size of the skew tail above `cap`, and the exact
+    * candidate-pair population with and without the cap — all integers
+    * over the q131 SimHash bands, so the whole audit is hash-gated.
+    *
+    * Scale shape: O(n·4) band rows → one (chunk, cv) count aggregate →
+    * one per-chunk aggregate. No join at all — the audit costs less than
+    * the stage it governs by construction; the bands are 4 longs per doc
+    * on the exchange. */
+  def qBucketGovernor(t: Tables, cap: Int = 16): DataFrame = {
+    val buckets = simhashBands(t)
+      .groupBy(col("chunk"), col("cv"))
+      .agg(count(lit(1)).as("c"))
+    buckets.groupBy(col("chunk")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_pair_buckets"),
+        sum(when(col("c") > cap, 1L).otherwise(0L)).as("n_governed"),
+        sum(when(col("c") > cap, col("c")).otherwise(0L)).as("governed_docs"),
+        max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pairs_raw"),
+        sum(when(col("c") <= cap, expr("c * (c - 1) div 2"))
+          .otherwise(0L)).as("pairs_capped"))
+      .select(col("chunk").cast("long").as("chunk"), col("n_buckets"),
+        col("n_pair_buckets"), col("n_governed"), col("governed_docs"),
+        col("max_bucket"), col("pairs_raw"), col("pairs_capped"))
+      .orderBy(col("chunk"))
+  }
+
+  /** q185 oracle: the q131 band CTEs + the same two-level integer
+    * aggregate. c·(c−1)/2 on BIGINT is exact in both engines. */
+  def qBucketGovernorSql(cap: Int = 16): String =
+    s"""WITH $simhashBandsCtes,
+      |buckets AS (
+      |  SELECT chunk, cv, COUNT(*)::BIGINT AS c
+      |  FROM bands GROUP BY chunk, cv)
+      |SELECT CAST(chunk AS BIGINT) AS chunk,
+      |  COUNT(*)::BIGINT AS n_buckets,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_buckets,
+      |  CAST(SUM(CASE WHEN c > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_governed,
+      |  CAST(SUM(CASE WHEN c > $cap THEN c ELSE 0 END) AS BIGINT) AS governed_docs,
+      |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+      |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pairs_raw,
+      |  CAST(SUM(CASE WHEN c <= $cap THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_capped
+      |FROM buckets GROUP BY chunk ORDER BY chunk""".stripMargin
 
   // ------------------------------------------------- greedy (ref parity)
 

@@ -136,6 +136,34 @@ class DedupSpec extends SparkSpec {
       "no gated simhash pair confirmed by exact jaccard")
   }
 
+  test("q185 bucket governor: pair math matches an actual banded self-join") {
+    val t = sf0001
+    val cap = 16
+    val gov = Dedup.qBucketGovernor(t, cap).collect()
+    assert(gov.length == 4, "one row per SimHash band")
+    gov.foreach { r =>
+      val Seq(chunk, nBuckets, nPairBuckets, nGoverned, governedDocs,
+        maxBucket, pairsRaw, pairsCapped) = (0 until 8).map(r.getLong)
+      assert(chunk >= 0 && chunk <= 3)
+      assert(nPairBuckets <= nBuckets && nGoverned <= nPairBuckets)
+      assert(pairsCapped <= pairsRaw)
+      // every governed bucket holds > cap docs
+      assert(governedDocs >= nGoverned * (cap + 1))
+      assert(maxBucket >= 1)
+      if (nGoverned == 0) assert(pairsCapped == pairsRaw && maxBucket <= cap)
+    }
+    // pairs_raw per chunk must equal the banded self-join's matches — the
+    // exact cost the governor predicts for the stage it audits (q131's
+    // pre-dedup join). Independent recompute via a real join:
+    val gate = Dedup.qSimhashGate(t, maxHamming = 64)
+    // qSimhashGate dedupes pairs across chunks (n_chunks counts matches),
+    // so Σ n_chunks over ALL pairs (hamming unrestricted) = Σ per-chunk
+    // in-bucket pairs = Σ pairs_raw
+    val joinMatches = gate.agg(sum(col("n_chunks"))).head().getLong(0)
+    assert(joinMatches == gov.map(_.getLong(6)).sum,
+      "governor pair math disagrees with the banded join it audits")
+  }
+
   test("componentsMinId converges on a chain longer than any fixed cap") {
     // a 30-edge path graph takes 30 rounds under naive min-label
     // propagation — star contraction must handle it in a handful
