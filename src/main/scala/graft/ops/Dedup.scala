@@ -459,6 +459,68 @@ object Dedup {
       |  CAST(SUM(CASE WHEN c <= $cap THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_capped
       |FROM buckets GROUP BY chunk ORDER BY chunk""".stripMargin
 
+  /** Q186: governed candidate generation — q185's cap ENFORCED. The
+    * banded self-join runs over ungoverned buckets only (size ≤ cap);
+    * pairs whose every agreeing chunk lands in a governed bucket are
+    * dropped. The recall contract is exact and documented rather than
+    * heuristic: a hamming-≤3 pair is emitted unless ALL of its agreeing
+    * chunks (≥1 by pigeonhole) are governed — so outside the skew tail
+    * the output equals q131, and the only loss is inside buckets the
+    * q185 audit already priced (at the synthetic sf0.3's worst band,
+    * 98.5% of raw pairs sat in governed buckets; at the shipped SFs the
+    * tail is small and recall is near-total). `n_chunks` counts only
+    * ungoverned matches — the pair's surviving evidence.
+    *
+    * Scale shape: the bucket-count aggregate is O(n·4); the join cost is
+    * exactly q185's `pairs_capped` — bounded by cap²/2 per bucket, so no
+    * task can be dominated by one pathological key (the AQE-proof way to
+    * run banded LSH on skewed corpora). */
+  def qGovernedPairs(t: Tables, cap: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val bands = simhashBands(t)
+    // bucket sizes via aggregate + equi-join, NOT a count window: a window
+    // partitioned by bucket sorts a degenerate mega-bucket in one task,
+    // while the hash join streams it and the filter drops it immediately
+    // (and AQE can skew-split the join if it must)
+    val keep = bands.groupBy(col("chunk"), col("cv"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap)
+      .select(col("chunk"), col("cv"))
+    val small = bands.join(keep, Seq("chunk", "cv"))
+    def side(tag: String): DataFrame =
+      small.select(Seq(col("chunk"), col("cv"), col("doc_id").as(s"id_$tag")) ++
+        (0 until 4).map(c => col(s"cv$c").as(s"$tag$c")): _*)
+    side("a").join(side("b"), Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", (0 until 4)
+        .map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
+        .reduce(_ + _).cast("long"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("hamming")).as("hamming"), count(lit(1)).as("n_chunks"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q186 oracle: band CTEs + the same windowed bucket-size filter and
+    * join. */
+  def qGovernedPairsSql(cap: Int = 16, maxHamming: Int = 3): String =
+    s"""WITH $simhashBandsCtes,
+      |small AS (
+      |  SELECT * FROM (
+      |    SELECT bands.*, COUNT(*) OVER (PARTITION BY chunk, cv) AS bucket_n
+      |    FROM bands)
+      |  WHERE bucket_n <= $cap),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(MAX(bit_count(xor(a.cv0, b.cv0)) + bit_count(xor(a.cv1, b.cv1))
+      |           + bit_count(xor(a.cv2, b.cv2)) + bit_count(xor(a.cv3, b.cv3))
+      |         ) AS BIGINT) AS hamming,
+      |    COUNT(*)::BIGINT AS n_chunks
+      |  FROM small a JOIN small b ON a.chunk = b.chunk AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, hamming, n_chunks FROM pairs
+      |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------- greedy (ref parity)
 
   /** The reference's greedy keep-first fuzzy dedup (pipeline.py:27-35):

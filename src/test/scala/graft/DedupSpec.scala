@@ -164,6 +164,20 @@ class DedupSpec extends SparkSpec {
       "governor pair math disagrees with the banded join it audits")
   }
 
+  test("q186 governed pairs: subset of q131, equal when the cap is infinite") {
+    val t = sf0001
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = pairSet(Dedup.qSimhashGate(t))
+    val governed = pairSet(Dedup.qGovernedPairs(t, cap = 16))
+    // enforcement only ever DROPS candidates, never invents or rescores
+    assert(governed.subsetOf(full),
+      "governed pairs not a subset of the ungoverned gate")
+    // with the cap above any bucket size, enforcement is a no-op
+    val uncapped = pairSet(Dedup.qGovernedPairs(t, cap = Int.MaxValue))
+    assert(uncapped == full, "infinite cap must reproduce q131 exactly")
+  }
+
   test("componentsMinId converges on a chain longer than any fixed cap") {
     // a 30-edge path graph takes 30 rounds under naive min-label
     // propagation — star contraction must handle it in a handful
