@@ -293,6 +293,32 @@ object fasthash {
     inter.toDouble / math.max(uni, 1).toDouble
   }
 
+  /** Word-3-gram set sizes + intersection for a candidate pair, one JVM
+    * pass: [|A|, |B|, |A∩B|]. Same gram/tokenizer definition as
+    * distinctNgrams(_, 3) and the DuckDB oracles' list_distinct 3-gram
+    * CTEs. Asymmetric containment C(A,B) = |A∩B|/|A| and Jaccard both
+    * derive from these integers in exact column arithmetic — the kernel
+    * returns only integers so the similarity math stays in the plan. */
+  def containment3(a: String, b: String): Array[Long] = {
+    def gramSet(s: String): java.util.HashSet[String] = {
+      val set = new java.util.HashSet[String]()
+      val t = tokens(s)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 3 <= t.length) {
+        sb.setLength(0)
+        sb.append(t(i)).append(' ').append(t(i + 1)).append(' ').append(t(i + 2))
+        set.add(sb.toString); i += 1
+      }
+      set
+    }
+    val ga = gramSet(a); val gb = gramSet(b)
+    var inter = 0L
+    val it = ga.iterator()
+    while (it.hasNext) { if (gb.contains(it.next())) inter += 1 }
+    Array(ga.size.toLong, gb.size.toLong, inter)
+  }
+
   // Column-facing UDFs
   def minhashBandKeysUdf(numHashes: Int, bands: Int, shingleLen: Int) =
     udf((text: String) => bandKeys(minhashSignature(text, numHashes, shingleLen), bands))
@@ -317,6 +343,8 @@ object fasthash {
       else java.lang.Long.valueOf(minhashFingerprint(text, shingleLen)))
 
   val jaccard3Udf = udf((a: String, b: String) => jaccard3(a, b))
+
+  val containment3Udf = udf((a: String, b: String) => containment3(a, b))
 
   def shingleSetUdf(shingleLen: Int) = udf((text: String) => shingleSet(text, shingleLen))
 

@@ -521,6 +521,204 @@ object Dedup {
       |SELECT id_a, id_b, hamming, n_chunks FROM pairs
       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
 
+  /** Q191: prefix-filtering containment join (the SSJoin/PPJoin family,
+    * Chaudhuri et al. ICDE 2006 / Xiao et al. WWW 2008) — asymmetric
+    * set-containment C(A,B) = |A∩B|/|A| over word-3-gram sets, at
+    * threshold τ = 1/2. Containment is the dup signal Jaccard
+    * RESEMBLANCE (q33) structurally misses: a short document quoted
+    * inside a long one has high C(A,B) but near-zero Jaccard (the union
+    * is dominated by B), and prefix blocking (q32/q33) misses it unless
+    * the quote happens to lead both texts.
+    *
+    * Candidate generation is exact, not approximate: order all grams by
+    * ascending document frequency (ties by gram — a total order both
+    * engines replay), and index each probe document A by only its
+    * ⌊|A|/2⌋+1 RAREST grams. If |A∩B| ≥ ⌈|A|/2⌉ then B must share at
+    * least one of those (pigeonhole), so joining A-prefix grams against
+    * the full posting list yields a candidate superset — recall is 100%
+    * by construction, unlike LSH. Verification recomputes the exact
+    * intersection per pair with a single JVM kernel AFTER the join on
+    * the raw texts (the q33 lesson: Catalyst re-evaluates deterministic
+    * UDFs inlined through joins, so never ship UDF-built gram arrays
+    * through one). τ compares as 2·|A∩B| ≥ |A| — all-integer, no ceil.
+    *
+    * Scale shape: gram explode is O(n·g); document frequency is one
+    * map-side-combinable aggregate; the prefix rank is a per-doc window
+    * (hash partition by doc_id, ~g rows per group). The candidate join
+    * keys are by construction the RARE grams (a gram enters a prefix
+    * only if few grams in that doc are rarer), so posting lists on the
+    * probe side are short and the join avoids the common-gram skew that
+    * kills naive inverted-index joins; the indexed side's long postings
+    * for common grams never match a probe row. A q185-style governor
+    * caps residual skew at 100 TB. */
+  def qContainmentJoin(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = t.fanout(t.documents).select(col("doc_id"),
+      fasthash.distinctNgramsUdf(3)(col("text")).as("gr"))
+    val e = g.select(col("doc_id"), explode(col("gr")).as("gram"))
+    val dfreq = e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val ranked = e.join(dfreq, Seq("gram"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
+    val sz = g.select(col("doc_id"), size(col("gr")).cast("long").as("sz"))
+    val prefix = ranked.join(sz, Seq("doc_id"))
+      .filter(col("rn") <= expr("sz div 2") + lit(1L))
+      .select(col("doc_id").as("id_a"), col("gram"))
+    val cand = prefix
+      .join(e.select(col("doc_id").as("id_b"), col("gram")), Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val c3 = fasthash.containment3Udf(col("t_a"), col("t_b"))
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        c3.getItem(0).as("size_a"), c3.getItem(1).as("size_b"),
+        c3.getItem(2).as("n_common"))
+      .filter(col("n_common") * 2 >= col("size_a") && col("size_a") > 0)
+      // one IEEE division of exact integers — raw, per the q27 discipline
+      .withColumn("containment",
+        col("n_common").cast("double") / col("size_a").cast("double"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q191 oracle: the same prefix-filter replayed relationally — df CTE,
+    * (df, gram) rank window, ⌊sz/2⌋+1 prefix, posting join, exact
+    * list_intersect verify. All integers until the final division. */
+  val qContainmentJoinSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_aggregate(toks[i:i+2], 'string_agg', ' ')
+      |                   FOR i IN range(1, len(toks)-1)]) AS gr
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                      x -> len(x) > 0) AS toks
+      |        FROM documents)),
+      |e AS (SELECT doc_id, unnest(gr) AS gram FROM g),
+      |dfreq AS (SELECT gram, COUNT(*)::BIGINT AS df FROM e GROUP BY gram),
+      |ranked AS (
+      |  SELECT e.doc_id, e.gram,
+      |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY dfreq.df, e.gram) AS rn
+      |  FROM e JOIN dfreq USING (gram)),
+      |sz AS (SELECT doc_id, len(gr)::BIGINT AS sz FROM g),
+      |prefix AS (
+      |  SELECT r.doc_id AS id_a, r.gram
+      |  FROM ranked r JOIN sz ON r.doc_id = sz.doc_id
+      |  WHERE r.rn <= sz // 2 + 1),
+      |cand AS (
+      |  SELECT DISTINCT p.id_a, e.doc_id AS id_b
+      |  FROM prefix p JOIN e ON p.gram = e.gram AND p.id_a <> e.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    len(a.gr)::BIGINT AS size_a, len(b.gr)::BIGINT AS size_b,
+      |    len(list_intersect(a.gr, b.gr))::BIGINT AS n_common
+      |  FROM cand c
+      |  JOIN g a ON c.id_a = a.doc_id
+      |  JOIN g b ON c.id_b = b.doc_id)
+      |SELECT id_a, id_b, size_a, size_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment
+      |FROM verified
+      |WHERE n_common * 2 >= size_a AND size_a > 0
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Q189: Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * JASA 1969 — the canonical entity-resolution decision model): blocked
+    * candidate pairs are scored by an agreement VECTOR over independent
+    * field comparators, each contributing its log-odds weight
+    * log(m/u) on agreement and log((1−m)/(1−u)) on disagreement, and the
+    * summed score is thresholded into link / possible / non-link (the
+    * clerical-review band). Comparators here: first-8-token exact match,
+    * 3-gram Jaccard content band (the q33 comparator as a binary field),
+    * length-within-10%, and source equality.
+    *
+    * Weights are fixed quarter-grid log-odds points (the operational
+    * Winkler/Link-King practice of tabulated weights rather than per-run
+    * EM): +4.25/−2.0, +3.5/−1.75, +1.5/−1.0, +0.75/−0.25 — all exactly
+    * representable doubles, so the 4-term sum is exact and
+    * order-independent and the whole score is hash-gateable. Thresholds
+    * 6.0 (link) and 1.0 (possible) are exact comparisons.
+    *
+    * Scale shape: identical to q32/q33 — the block key is the shuffle
+    * key, comparators run as pair-level kernels AFTER the join on raw
+    * columns (the Catalyst-inlining lesson), and the quadratic cost is
+    * bounded by block sizes (governed by q185 at 100 TB). EM-estimated
+    * m/u would add two corpus-scale aggregates per iteration, not a new
+    * join — the weights table stays driver-sized either way. */
+  def qRecordLinkage(t: Tables): DataFrame = {
+    def side(tag: String): DataFrame = t.documents.select(
+      col("doc_id").as(s"id_$tag"), col("text").as(s"t_$tag"),
+      col("source").as(s"src_$tag"), col("n_chars").as(s"len_$tag"),
+      substring(col("text"), 1, 10).as("blk"))
+    val pairs = side("a").join(side("b"), Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+    val tok8 = (c: Column) => array_join(slice(text.tokenize(c), 1, 8), " ")
+    val jac = round(fasthash.jaccard3Udf(col("t_a"), col("t_b")), 6)
+    val scored = pairs
+      .withColumn("gamma_prefix",
+        when(tok8(col("t_a")) === tok8(col("t_b")), 1L).otherwise(0L))
+      .withColumn("gamma_content", when(jac >= 0.3, 1L).otherwise(0L))
+      .withColumn("gamma_length",
+        when(abs(col("len_a") - col("len_b")) * 10 <= greatest(col("len_a"), col("len_b")), 1L)
+          .otherwise(0L))
+      .withColumn("gamma_source",
+        when(col("src_a") === col("src_b"), 1L).otherwise(0L))
+      .withColumn("score",
+        when(col("gamma_prefix") === 1L, lit(4.25)).otherwise(lit(-2.0)) +
+        when(col("gamma_content") === 1L, lit(3.5)).otherwise(lit(-1.75)) +
+        when(col("gamma_length") === 1L, lit(1.5)).otherwise(lit(-1.0)) +
+        when(col("gamma_source") === 1L, lit(0.75)).otherwise(lit(-0.25)))
+      .withColumn("decision",
+        when(col("score") >= 6.0, lit("link"))
+          .when(col("score") >= 1.0, lit("possible"))
+          .otherwise(lit("non_link")))
+    scored.filter(col("score") >= 1.0)
+      .select(col("id_a"), col("id_b"), col("gamma_prefix"), col("gamma_content"),
+        col("gamma_length"), col("gamma_source"), col("score"), col("decision"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q189 oracle: the same blocked join and comparators — the Jaccard
+    * comparator is q33's oracle expression verbatim, weights/thresholds
+    * as ::DOUBLE literals in the same summation order. */
+  val qRecordLinkageSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, source, n_chars, substr(text, 1, 10) AS blk,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                x -> len(x) > 0) AS toks,
+      |    list_distinct([list_aggregate(tk[i:i+2], 'string_agg', ' ')
+      |                   FOR i IN range(1, len(tk)-1)]) AS gr
+      |  FROM (SELECT *, string_split(lower(text), ' ') AS tk FROM documents)),
+      |scored AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CASE WHEN array_to_string(a.toks[1:8], ' ')
+      |            = array_to_string(b.toks[1:8], ' ') THEN 1 ELSE 0 END AS gamma_prefix,
+      |    CASE WHEN round(len(list_intersect(a.gr, b.gr))::DOUBLE
+      |                    / greatest(len(list_distinct(a.gr || b.gr)), 1), 6)
+      |              >= 0.3::DOUBLE THEN 1 ELSE 0 END AS gamma_content,
+      |    CASE WHEN abs(a.n_chars - b.n_chars) * 10
+      |              <= greatest(a.n_chars, b.n_chars) THEN 1 ELSE 0 END AS gamma_length,
+      |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS gamma_source
+      |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      |weighted AS (
+      |  SELECT *,
+      |    (CASE WHEN gamma_prefix = 1 THEN 4.25::DOUBLE ELSE -2.0::DOUBLE END)
+      |    + (CASE WHEN gamma_content = 1 THEN 3.5::DOUBLE ELSE -1.75::DOUBLE END)
+      |    + (CASE WHEN gamma_length = 1 THEN 1.5::DOUBLE ELSE -1.0::DOUBLE END)
+      |    + (CASE WHEN gamma_source = 1 THEN 0.75::DOUBLE ELSE -0.25::DOUBLE END) AS score
+      |  FROM scored)
+      |SELECT id_a, id_b,
+      |  CAST(gamma_prefix AS BIGINT) AS gamma_prefix,
+      |  CAST(gamma_content AS BIGINT) AS gamma_content,
+      |  CAST(gamma_length AS BIGINT) AS gamma_length,
+      |  CAST(gamma_source AS BIGINT) AS gamma_source,
+      |  score,
+      |  CASE WHEN score >= 6.0::DOUBLE THEN 'link'
+      |       WHEN score >= 1.0::DOUBLE THEN 'possible'
+      |       ELSE 'non_link' END AS decision
+      |FROM weighted WHERE score >= 1.0::DOUBLE
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------- greedy (ref parity)
 
   /** The reference's greedy keep-first fuzzy dedup (pipeline.py:27-35):

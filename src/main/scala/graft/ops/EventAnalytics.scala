@@ -902,4 +902,220 @@ object EventAnalytics {
       |FROM iv JOIN pt pa ON pa.event_type = iv.type_a
       |        JOIN pt pb ON pb.event_type = iv.type_b
       |ORDER BY iv.type_a, iv.type_b""".stripMargin
+
+  // --------------------------------------- Markov removal-effect attribution
+
+  /** Shared edge construction for q190: sessionize (the q106 30-min-gap
+    * idiom), truncate each session at its FIRST purchase (mapped to the
+    * absorbing state `conv`), and emit first-order transition rows
+    * (from, to, cnt, tot) with `START` openings and `null` endings for
+    * non-converting sessions. All integers. */
+  private[graft] def attributionEdges(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bySess = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessAll = Window.partitionBy(col("user_id"), col("session_id"))
+    val stepped = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("gap", when(
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 1800L * 1000000L, 1).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("gap")).over(byUser))
+      .withColumn("step", row_number().over(bySess))
+      .withColumn("conv_step",
+        min(when(col("event_type") === "purchase", col("step"))).over(sessAll))
+      .withColumn("last_step", max(col("step")).over(sessAll))
+      .filter(col("conv_step").isNull || col("step") <= col("conv_step"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", lit("conv"))
+          .otherwise(col("event_type")))
+    val steps = stepped.select(
+      coalesce(lag(col("state"), 1).over(bySess), lit("START")).as("from"),
+      col("state").as("to"))
+    val ends = stepped
+      .filter(col("step") === coalesce(col("conv_step"), col("last_step"))
+        && col("state") =!= "conv")
+      .select(col("state").as("from"), lit("null").as("to"))
+    val trans = steps.unionByName(ends)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("cnt"))
+    val tot = trans.groupBy(col("from")).agg(sum(col("cnt")).as("tot"))
+    trans.join(tot, Seq("from"))
+  }
+
+  /** Q190: Markov removal-effect attribution (Anderl et al. 2014 — the
+    * data-driven alternative to last-touch): model the session journey as
+    * a first-order Markov chain over channel states with absorbing `conv`
+    * (first purchase) and `null` (session end), estimate transition
+    * probabilities from counts, and attribute conversions to channel c by
+    * its removal effect — how much the START→conv absorption probability
+    * drops when every edge into c is redirected to `null`.
+    *
+    * Absorption probabilities come from K=12 rounds of fixed-point
+    * iteration v ← P·v with v(conv)=1, v(null)=0 — the q119/q120/q139
+    * fixed-round discipline: each round's values live on the 1e-6 grid as
+    * BIGINT micros, per-edge terms are round(p·v·1e6) summed in BIGINT
+    * (order-independent), and both engines replay the identical IEEE
+    * sequence (p = cnt/tot is one division; v = vm/1e6 one division;
+    * literals written ::DOUBLE in the oracle per the q179 rule).
+    *
+    * Scale shape: sessionization + truncation + transition counts are the
+    * distributed part — two windows over the (user, session) hash
+    * partition and one aggregate, all linear in |events|. The chain
+    * itself is |channels+3|² ≤ ~50 integers — the k-means-centroid
+    * bounded-fetch contract — so the 5 scenario solves ride the driver;
+    * at 100 TB the edge aggregate is the same one shuffle and the matrix
+    * is still tiny. */
+  def qMarkovAttribution(t: Tables, rounds: Int = 12): DataFrame = {
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    val edges = attributionEdges(t)
+      .select(col("from"), col("to"), col("cnt").cast("long"), col("tot").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e._1, e._2))
+    val channels = edges.flatMap(e => Seq(e._1, e._2))
+      .filter(s => s != "START" && s != "conv" && s != "null").distinct.sorted
+    // absorption micros from START under edge set `es` after K rounds
+    def solve(es: Array[(String, String, Long, Long)]): Long = {
+      val froms = es.map(_._1).distinct
+      var v = Map("conv" -> 1000000L, "null" -> 0L) ++ froms.map(_ -> 0L)
+      for (_ <- 1 to rounds) {
+        val next = froms.map { f =>
+          var acc = 0L
+          es.foreach { case (ef, et, cnt, tot) =>
+            if (ef == f) {
+              val p = cnt.toDouble / tot.toDouble
+              val tv = v.getOrElse(et, 0L).toDouble / 1000000.0
+              acc += Math.round(p * tv * 1000000.0)
+            }
+          }
+          f -> acc
+        }
+        v = Map("conv" -> 1000000L, "null" -> 0L) ++ next
+      }
+      v.getOrElse("START", 0L)
+    }
+    val baseM = solve(edges)
+    val rows = channels.map { c =>
+      val removed = edges.collect {
+        case (f, tt, cnt, tot) if f != c =>
+          (f, if (tt == c) "null" else tt, cnt, tot)
+      }
+      (c, baseM, solve(removed))
+    }
+    val sumEffM = rows.map { case (_, b, r) => b - r }.sum
+    rows.toSeq.toDF("channel", "base_m", "removed_m")
+      .select(col("channel"),
+        (col("base_m").cast("double") / lit(1000000.0)).as("p_conv_base"),
+        (col("removed_m").cast("double") / lit(1000000.0)).as("p_conv_removed"),
+        ((col("base_m") - col("removed_m")).cast("double") / lit(1000000.0))
+          .as("removal_effect"),
+        (if (sumEffM == 0L) lit(null).cast("double")
+         else (col("base_m") - col("removed_m")).cast("double") / lit(sumEffM.toDouble))
+          .as("attribution"))
+      .orderBy(col("channel"))
+  }
+
+  /** q190 oracle: sessionize/truncate/count in SQL (the q106 window
+    * idiom), then the 5 scenario solves unrolled as chained MATERIALIZED
+    * CTEs — per round one aggregate over the ≤50-row edge table, BIGINT-
+    * micro terms, every literal ::DOUBLE. */
+  def qMarkovAttributionSql(rounds: Int = 12): String = {
+    val head =
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |            THEN 1 ELSE 0 END AS gap
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM flagged),
+        |stepped0 AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS step
+        |  FROM sess),
+        |stepped AS (
+        |  SELECT *,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN step END)
+        |      OVER (PARTITION BY user_id, session_id) AS conv_step,
+        |    MAX(step) OVER (PARTITION BY user_id, session_id) AS last_step
+        |  FROM stepped0),
+        |trunc AS (
+        |  SELECT user_id, session_id, step, conv_step, last_step,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state
+        |  FROM stepped WHERE conv_step IS NULL OR step <= conv_step),
+        |steps AS (
+        |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id, session_id
+        |                                   ORDER BY step), 'START') AS f,
+        |         state AS t
+        |  FROM trunc
+        |  UNION ALL
+        |  SELECT state AS f, 'null' AS t FROM trunc
+        |  WHERE step = COALESCE(conv_step, last_step) AND state <> 'conv'),
+        |trans AS (SELECT f, t, COUNT(*)::BIGINT AS cnt FROM steps GROUP BY f, t),
+        |edges AS MATERIALIZED (
+        |  SELECT f, t, cnt, SUM(cnt) OVER (PARTITION BY f) AS tot FROM trans),
+        |channels AS MATERIALIZED (
+        |  SELECT DISTINCT s AS channel FROM (
+        |    SELECT f AS s FROM edges UNION ALL SELECT t AS s FROM edges)
+        |  WHERE s NOT IN ('START', 'conv', 'null'))""".stripMargin
+    // per-scenario edge CTEs: base keeps edges; removing c drops c's
+    // outgoing edges and redirects edges into c to 'null'
+    val scen = Seq("base", "view", "click", "signup", "error")
+    val scenCtes = scen.map {
+      case "base" => "e_base AS MATERIALIZED (SELECT f, t, cnt, tot FROM edges)"
+      case c =>
+        s"""e_$c AS MATERIALIZED (
+           |  SELECT f, CASE WHEN t = '$c' THEN 'null' ELSE t END AS t, cnt, tot
+           |  FROM edges WHERE f <> '$c')""".stripMargin
+    }
+    val roundCtes = scen.flatMap { s =>
+      (1 to rounds).map { k =>
+        val prev =
+          if (k == 1)
+            // v0: conv=1e6, everything else 0 — a missing row reads as 0
+            s"(SELECT 'conv' AS s, 1000000::BIGINT AS vm)"
+          else s"v_${s}_${k - 1}"
+        s"""v_${s}_$k AS MATERIALIZED (
+           |  SELECT 'conv' AS s, 1000000::BIGINT AS vm
+           |  UNION ALL
+           |  SELECT e.f AS s,
+           |    CAST(SUM(CAST(round(
+           |      (CAST(e.cnt AS DOUBLE) / CAST(e.tot AS DOUBLE))
+           |      * (CAST(COALESCE(v.vm, 0) AS DOUBLE) / 1000000.0::DOUBLE)
+           |      * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS vm
+           |  FROM e_$s e LEFT JOIN $prev v ON v.s = e.t
+           |  GROUP BY e.f)""".stripMargin
+      }
+    }
+    val starts = scen.map { s =>
+      s"""s_$s AS (
+         |  SELECT COALESCE((SELECT vm FROM v_${s}_$rounds WHERE s = 'START'), 0) AS vm)""".stripMargin
+    }
+    val effects = Seq("view", "click", "signup", "error").map { c =>
+      s"SELECT (SELECT vm FROM s_base) - (SELECT vm FROM s_$c) AS eff"
+    }.mkString(" UNION ALL ")
+    s"""$head,
+       |${(scenCtes ++ roundCtes ++ starts).mkString(",\n")},
+       |eff_sum AS (SELECT CAST(SUM(eff) AS BIGINT) AS se FROM ($effects)),
+       |out AS (
+       |  SELECT ch.channel,
+       |    (SELECT vm FROM s_base) AS base_m,
+       |    CASE ch.channel
+       |      WHEN 'view' THEN (SELECT vm FROM s_view)
+       |      WHEN 'click' THEN (SELECT vm FROM s_click)
+       |      WHEN 'signup' THEN (SELECT vm FROM s_signup)
+       |      WHEN 'error' THEN (SELECT vm FROM s_error)
+       |    END AS removed_m
+       |  FROM channels ch)
+       |SELECT channel,
+       |  CAST(base_m AS DOUBLE) / 1000000.0::DOUBLE AS p_conv_base,
+       |  CAST(removed_m AS DOUBLE) / 1000000.0::DOUBLE AS p_conv_removed,
+       |  CAST(base_m - removed_m AS DOUBLE) / 1000000.0::DOUBLE AS removal_effect,
+       |  CASE WHEN (SELECT se FROM eff_sum) = 0 THEN NULL
+       |       ELSE CAST(base_m - removed_m AS DOUBLE)
+       |            / CAST((SELECT se FROM eff_sum) AS DOUBLE) END AS attribution
+       |FROM out ORDER BY channel""".stripMargin
+  }
 }

@@ -1775,9 +1775,9 @@ object TextAnalysis {
     * between rounds (the k-means-centroid bounded-fetch contract, 6
     * doubles). At 100 TB each round is one pass — exactly how distributed
     * full-batch GD is shaped on a cluster. */
-  def qLogitClassifier(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
-    import org.apache.spark.sql.types._
-    val spark = t.documents.sparkSession
+  /** The q139/q188 shared feature frame: Gopher-rule label `y` + the five
+    * per-rule margin features (see qLogitClassifier scaladoc). */
+  private def logitFeatures(t: Tables): DataFrame = {
     val toks = text.tokenize(col("text"))
     val counts = t.fanout(t.documents).select(
       size(toks).cast("long").as("n_tokens"),
@@ -1787,7 +1787,7 @@ object TextAnalysis {
         .cast("long").as("n_stop"),
       size(array_distinct(toks)).cast("long").as("n_distinct"))
     val den = greatest(col("n_tokens"), lit(1L)).cast("double")
-    val feats = counts.select(
+    counts.select(
       when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
         (col("n_tok_chars") >= col("n_tokens") * 4 &&
           col("n_tok_chars") <= col("n_tokens") * 5) &&
@@ -1798,7 +1798,34 @@ object TextAnalysis {
       (col("n_stop").cast("double") * lit(20.0) / den - lit(1.0)).as("f3"),
       (col("n_distinct").cast("double") * lit(2.0) / den - lit(1.0)).as("f4"))
       .withColumn("f5", least(col("f1"), col("f2"), col("f3"), col("f4")))
-      .cache()
+  }
+
+  /** The trained-weight vector after `rounds` full-batch GD updates over
+    * `feats` — the q139 gradient sequence verbatim (round(6) aggregates,
+    * exact power-of-two lr updates). Returns None on an empty corpus. */
+  private def logitTrain(feats: DataFrame, rounds: Int, lr: Double): Option[Array[Double]] = {
+    val dims = 6
+    var w = Array.fill(dims)(0.0)
+    var r = 0
+    while (r < rounds) {
+      val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+        lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val err = p - col("y")
+      val gradCols = round(avg(err), 6) +: (1 until dims).map(j =>
+        round(avg(err * col(s"f$j")), 6))
+      val row = feats.agg(gradCols.head, gradCols.tail: _*).collect()(0)
+      if (row.isNullAt(0)) return None
+      w = Array.tabulate(dims)(j => w(j) - lr * row.getDouble(j))
+      r += 1
+    }
+    Some(w)
+  }
+
+  def qLogitClassifier(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
     val dims = 6 // bias + f1..f5
     var w = Array.fill(dims)(0.0)
     val out = scala.collection.mutable.ArrayBuffer
@@ -1841,8 +1868,32 @@ object TextAnalysis {
     * plus the exact correct-prediction count under the incoming weights;
     * each weights CTE applies w − lr·g. Feature/label expressions are
     * q86's parity pairs verbatim plus the margin rescalings. */
-  def qLogitClassifierSql(rounds: Int = 16, lr: Double = 8.0): String = {
+  /** The q139/q188 shared oracle feature CTEs (c/f0/f) — logitFeatures in
+    * SQL, parity expressions verbatim. */
+  private def logitFeatureCtes: String = {
     val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""c AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT text,
+       |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |        FROM documents)),
+       |f0 AS (
+       |  SELECT CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+       |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+       |      AND (n_stop * 20 >= n_tokens)
+       |      AND (n_distinct * 2 >= n_tokens) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
+       |    1.0::DOUBLE - abs(CAST(n_tokens AS DOUBLE) - 50.0::DOUBLE) / 30.0::DOUBLE AS f1,
+       |    1.0::DOUBLE - abs(CAST(n_tok_chars AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) - 4.5::DOUBLE) * 2.0::DOUBLE AS f2,
+       |    CAST(n_stop AS DOUBLE) * 20.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f3,
+       |    CAST(n_distinct AS DOUBLE) * 2.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f4
+       |  FROM c),
+       |f AS MATERIALIZED (SELECT y, f1, f2, f3, f4, least(f1, f2, f3, f4) AS f5 FROM f0)""".stripMargin
+  }
+
+  def qLogitClassifierSql(rounds: Int = 16, lr: Double = 8.0): String = {
     val dims = 6
     def feat(j: Int): String = if (j == 0) "1.0::DOUBLE" else s"f$j"
     def zExpr: String =
@@ -1876,25 +1927,7 @@ object TextAnalysis {
          |  $from)""".stripMargin
     }
     val ctes = new scala.collection.mutable.ArrayBuffer[String]
-    ctes += s"""c AS (
-       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
-       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
-       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
-       |  FROM (SELECT text,
-       |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
-       |        FROM documents)),
-       |f0 AS (
-       |  SELECT CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
-       |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
-       |      AND (n_stop * 20 >= n_tokens)
-       |      AND (n_distinct * 2 >= n_tokens) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
-       |    1.0::DOUBLE - abs(CAST(n_tokens AS DOUBLE) - 50.0::DOUBLE) / 30.0::DOUBLE AS f1,
-       |    1.0::DOUBLE - abs(CAST(n_tok_chars AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) - 4.5::DOUBLE) * 2.0::DOUBLE AS f2,
-       |    CAST(n_stop AS DOUBLE) * 20.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f3,
-       |    CAST(n_distinct AS DOUBLE) * 2.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f4
-       |  FROM c),
-       |f AS MATERIALIZED (SELECT y, f1, f2, f3, f4, least(f1, f2, f3, f4) AS f5 FROM f0)""".stripMargin
+    ctes += logitFeatureCtes
     var prevW: Option[String] = None
     val rows = new scala.collection.mutable.ArrayBuffer[String]
     for (r <- 0 to rounds) {
@@ -1916,6 +1949,133 @@ object TextAnalysis {
        |SELECT * FROM (
        |${rows.mkString("\nUNION ALL\n")}
        |) ORDER BY round""".stripMargin
+  }
+
+  /** Q188: calibration audit (reliability diagram + ECE, Guo et al. ICML
+    * 2017) of the q139 quality classifier — the audit a production
+    * pipeline runs before using classifier scores as sampling weights or
+    * keep/drop thresholds (a mis-calibrated filter silently skews the
+    * training mix even at high accuracy). Re-trains the identical q139
+    * weight sequence (shared logitTrain — same round(6) gradient
+    * aggregates, so weights are bit-identical to q139's final row), bins
+    * every document by predicted probability into `bins` equal-width bins,
+    * and emits per bin: n, positives, mean confidence, empirical positive
+    * rate, and the |sum_conf − positives| gap; ECE rides every row.
+    *
+    * Hash discipline: per-row confidence enters aggregation as BIGINT
+    * micros — round(p·1e6) is INTEGER rounding, where Spark's BigDecimal
+    * HALF_UP and DuckDB's std::round agree for positive doubles (the
+    * round(x,6) .5-micro-product divergence of CLAUDE.md r8 is specific
+    * to fractional scales: DuckDB's multiply-first path IS the x·1e6
+    * product here). Bin assignment floor(p·10) and all derived ratios are
+    * single fixed IEEE sequences; the ECE numerator Σ|sum_conf_micro −
+    * n_pos·1e6| is an exact BIGINT sum (order-independent).
+    *
+    * Scale shape: training is q139's per-round linear scans; scoring +
+    * binning is one more scan into a ≤`bins`-row aggregate; the ECE
+    * window runs over that bounded aggregate (the post-limit tiny-frame
+    * precedent), never over the corpus. */
+  def qCalibration(t: Tables, rounds: Int = 16, lr: Double = 8.0, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrain(feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "bin" -> LongType, "n" -> LongType,
+            "n_pos" -> LongType, "sum_conf_micro" -> LongType,
+            "mean_conf" -> DoubleType, "frac_pos" -> DoubleType,
+            "gap_micro" -> LongType, "ece" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val binned = feats.select(
+            col("y"),
+            least(floor(p * lit(bins.toDouble)), lit((bins - 1).toDouble))
+              .cast("long").as("bin"),
+            round(p * lit(1000000.0), 0).cast("long").as("conf_micro"))
+          val agg = binned.groupBy(col("bin")).agg(
+            count(lit(1)).as("n"),
+            sum(col("y").cast("long")).as("n_pos"),
+            sum(col("conf_micro")).as("sum_conf_micro"))
+          val all = Window.partitionBy()
+          agg.select(col("bin"), col("n"), col("n_pos"), col("sum_conf_micro"),
+              (col("sum_conf_micro").cast("double") / col("n").cast("double")
+                / lit(1000000.0)).as("mean_conf"),
+              (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"),
+              abs(col("sum_conf_micro") - col("n_pos") * lit(1000000L)).as("gap_micro"))
+            .withColumn("ece",
+              sum(col("gap_micro")).over(all).cast("double")
+                / sum(col("n")).over(all).cast("double") / lit(1000000.0))
+            .orderBy(col("bin"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q188 oracle: the q139 weight chain (gradient-only pass CTEs) to the
+    * final weights, then score/bin/aggregate with the same BIGINT-micro
+    * arithmetic; ECE via window sums over the bounded bin table. */
+  def qCalibrationSql(rounds: Int = 16, lr: Double = 8.0, bins: Int = 10): String = {
+    val dims = 6
+    def zExpr: String =
+      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
+    def passCte(name: String, wFrom: Option[String]): String = {
+      val (z, from) = wFrom match {
+        case Some(src) => (zExpr, s"FROM f, $src w")
+        case None      => ("0.0::DOUBLE", "FROM f")
+      }
+      val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
+      val grads = (0 until dims).map { j =>
+        val term = if (j == 0) s"$p - y" else s"($p - y) * f$j"
+        s"round(avg($term), 6) AS g$j"
+      }.mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $grads
+         |  $from)""".stripMargin
+    }
+    def wCte(name: String, prevW: Option[String], pass: String): String = {
+      val base = prevW match {
+        case Some(pw) => (j: Int) => s"$pw.w$j - $lr::DOUBLE * $pass.g$j"
+        case None     => (j: Int) => s"0.0::DOUBLE - $lr::DOUBLE * $pass.g$j"
+      }
+      val from = prevW.map(pw => s"FROM $pass, $pw").getOrElse(s"FROM $pass")
+      val cols = (0 until dims).map(j => s"${base(j)} AS w$j").mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $cols
+         |  $from)""".stripMargin
+    }
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += logitFeatureCtes
+    var prevW: Option[String] = None
+    for (r <- 0 until rounds) {
+      val pass = s"p$r"
+      ctes += passCte(pass, prevW)
+      val wName = s"w${r + 1}"
+      ctes += wCte(wName, prevW, pass)
+      prevW = Some(wName)
+    }
+    val wFinal = prevW.getOrElse("(SELECT 0.0 AS w0)")
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($zExpr)))"
+    s"""WITH ${ctes.mkString(",\n")},
+       |scored AS (
+       |  SELECT y,
+       |    CAST(least(floor(($p) * ${bins}.0::DOUBLE), ${bins - 1}.0::DOUBLE) AS BIGINT) AS bin,
+       |    CAST(round(($p) * 1000000.0::DOUBLE) AS BIGINT) AS conf_micro
+       |  FROM f, $wFinal w),
+       |agg AS (
+       |  SELECT bin, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |    CAST(SUM(conf_micro) AS BIGINT) AS sum_conf_micro
+       |  FROM scored GROUP BY bin)
+       |SELECT bin, n, n_pos, sum_conf_micro,
+       |  CAST(sum_conf_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0::DOUBLE AS mean_conf,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       |  abs(sum_conf_micro - n_pos * 1000000) AS gap_micro,
+       |  CAST(SUM(abs(sum_conf_micro - n_pos * 1000000)) OVER () AS DOUBLE)
+       |    / CAST(SUM(n) OVER () AS DOUBLE) / 1000000.0::DOUBLE AS ece
+       |FROM agg ORDER BY bin""".stripMargin
   }
 
   /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.

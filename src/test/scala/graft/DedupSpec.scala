@@ -329,4 +329,53 @@ class DedupSpec extends SparkSpec {
     assert(gotDropped == expectDropped,
       s"only-got=${gotDropped -- expectDropped} only-expected=${expectDropped -- gotDropped}")
   }
+
+  test("q191 containment join: prefix filtering loses nothing vs the full quadratic scan") {
+    val t = sf0001
+    val got = Dedup.qContainmentJoin(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // brute-force every ordered pair with the same kernel — the 100%-recall
+    // claim of the prefix filter is exact, not probabilistic
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia != ib
+      c = graft.functions.fasthash.containment3(ta, tb)
+      if c(0) > 0 && 2 * c(2) >= c(0)
+    } yield (ia, ib) -> ((c(0), c(1), c(2)))).toMap
+    assert(got == expect,
+      s"missing=${(expect.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expect.keySet).take(5)}")
+    assert(got.nonEmpty)
+    // containment is the asymmetric signal: every emitted value is exact
+    Dedup.qContainmentJoin(t).collect().foreach { r =>
+      assert(r.getDouble(5) == r.getLong(4).toDouble / r.getLong(2).toDouble)
+      assert(r.getDouble(5) >= 0.5 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("q189 record linkage: scores recompose from gammas; decisions match thresholds") {
+    val t = sf0001
+    val rows = Dedup.qRecordLinkage(t).collect()
+    assert(rows.nonEmpty)
+    val meta = t.documents.select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (ga, gc, gl, gs) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      Seq(ga, gc, gl, gs).foreach(g => assert(g == 0L || g == 1L))
+      val score = (if (ga == 1) 4.25 else -2.0) + (if (gc == 1) 3.5 else -1.75) +
+        (if (gl == 1) 1.5 else -1.0) + (if (gs == 1) 0.75 else -0.25)
+      assert(r.getDouble(6) == score)
+      val want = if (score >= 6.0) "link" else if (score >= 1.0) "possible" else "non_link"
+      assert(r.getString(7) == want && score >= 1.0)
+      // metadata comparators re-derived independently from the table
+      val (sa, la) = meta(r.getLong(0)); val (sb, lb) = meta(r.getLong(1))
+      assert(gs == (if (sa == sb) 1L else 0L))
+      assert(gl == (if (math.abs(la - lb) * 10 <= math.max(la, lb)) 1L else 0L))
+    }
+    // canonical ordering, no dup pairs
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b } && pairs.distinct.length == pairs.length)
+  }
 }

@@ -316,4 +316,46 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getLong(4) == want)
     }
   }
+
+  test("q190 attribution edges: Markov-chain flow conservation laws hold") {
+    val t = sf0001
+    val edges = EventAnalytics.attributionEdges(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(edges.nonEmpty)
+    val outflow = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val inflow = edges.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // absorbing states never emit; START never receives
+    assert(!outflow.contains("conv") && !outflow.contains("null"))
+    assert(!inflow.contains("START"))
+    // every session opens once (START outflow) and closes once (conv+null inflow)
+    assert(outflow("START") == inflow.getOrElse("conv", 0L) + inflow.getOrElse("null", 0L))
+    // transient channels conserve flow: every entry is followed by an exit
+    // (the truncated journey continues until an absorbing state)
+    val channels = (outflow.keySet ++ inflow.keySet) -- Set("START", "conv", "null")
+    channels.foreach { c =>
+      assert(inflow.getOrElse(c, 0L) == outflow.getOrElse(c, 0L),
+        s"flow not conserved at $c")
+    }
+  }
+
+  test("q190 removal effects: non-negative, bounded, attribution sums to 1") {
+    val t = sf0001
+    val rows = EventAnalytics.qMarkovAttribution(t).collect()
+    assert(rows.nonEmpty)
+    val base = rows.head.getDouble(1)
+    assert(base > 0.0 && base <= 1.0)
+    var attrSum = 0.0
+    rows.foreach { r =>
+      assert(r.getDouble(1) == base) // same base on every row
+      val removed = r.getDouble(2)
+      val effect = r.getDouble(3)
+      // removing a channel cannot increase conversion (up to micro rounding
+      // accumulated over 12 fixed-point rounds)
+      assert(removed >= -1e-4 && removed <= base + 1e-4, s"removed=$removed")
+      assert(math.abs(effect - (base - removed)) < 1e-9)
+      assert(effect >= -1e-4, s"negative removal effect: $r")
+      if (!r.isNullAt(4)) attrSum += r.getDouble(4)
+    }
+    assert(math.abs(attrSum - 1.0) < 1e-5, s"attribution sum $attrSum")
+  }
 }

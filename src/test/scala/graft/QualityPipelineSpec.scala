@@ -282,6 +282,30 @@ class QualityPipelineSpec extends SparkSpec {
     assert(rows.map(_.getLong(8)).distinct.length == 1)
   }
 
+  test("q188 calibration: conservation, bin bounds, and ECE recomposes from the bins") {
+    val t = sf0001
+    val rows = TextAnalysis.qCalibration(t).collect()
+    assert(rows.nonEmpty)
+    val nDocs = t.documents.count()
+    assert(rows.map(_.getLong(1)).sum == nDocs) // every doc lands in one bin
+    val ece = rows.head.getDouble(7)
+    rows.foreach { r =>
+      val (bin, n, nPos, sumConf) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bin >= 0 && bin <= 9 && n > 0 && nPos >= 0 && nPos <= n)
+      // mean confidence sits inside its own bin (micro-rounding slack)
+      val mc = r.getDouble(4)
+      assert(mc >= bin / 10.0 - 1e-6 && mc <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin mean_conf $mc")
+      assert(r.getDouble(5) == nPos.toDouble / n.toDouble)
+      assert(r.getLong(6) == math.abs(sumConf - nPos * 1000000L))
+      assert(r.getDouble(7) == ece) // same ECE on every row
+    }
+    // ECE recomposes from the per-bin integers
+    val want = rows.map(_.getLong(6)).sum.toDouble / rows.map(_.getLong(1)).sum.toDouble / 1000000.0
+    assert(ece == want && ece >= 0.0 && ece <= 1.0)
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
