@@ -903,6 +903,98 @@ object EventAnalytics {
       |        JOIN pt pb ON pb.event_type = iv.type_b
       |ORDER BY iv.type_a, iv.type_b""".stripMargin
 
+  /** Q192: seasonal-trend decomposition of the daily event series (the
+    * STL shape, Cleveland et al. 1990, in its moving-average classical
+    * form): per event type, trend = centered 7-day moving average,
+    * seasonal = day-of-week mean of the detrended series, residual =
+    * observed − trend − seasonal, with a seasonality-aware anomaly flag —
+    * the decomposition q107's plain z-score anomaly detector can't do
+    * (a quiet Sunday is NOT an anomaly once the weekly component is out).
+    *
+    * Exactness: everything stays in integers until presentation. The
+    * trend window uses a RANGE frame over day numbers (calendar-correct
+    * under missing days; trend defined only where all 7 days exist);
+    * detrended·7 = 7y − s7 is a BIGINT, so the seasonal mean is
+    * Σ(7y−s7)/(7n) — exact integers into one division; the residual and
+    * the anomaly inequality |resid| > ȳ/2 are cross-multiplied to pure
+    * BIGINT (2·nd·|7n·y − n·s7 − m7| > 7·n·sy) — no float ever decides
+    * the flag. Day-of-week = day_x mod 7 (engine-free).
+    *
+    * Scale shape: the only corpus-scale work is the daily count
+    * aggregate (one shuffle of |events|); every window after it runs on
+    * the |types × days| frame — bounded by the calendar, not the data. */
+  def qSeasonalDecomp(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("day_x"))
+      .agg(count(lit(1)).as("y"))
+    val wRange = Window.partitionBy(col("event_type")).orderBy(col("day_x"))
+      .rangeBetween(-3, 3)
+    val wType = Window.partitionBy(col("event_type"))
+    val withTrend = daily
+      .withColumn("s7", sum(col("y")).over(wRange))
+      .withColumn("c7", count(lit(1)).over(wRange))
+      .withColumn("sy", sum(col("y")).over(wType))
+      .withColumn("nd", count(lit(1)).over(wType))
+      .withColumn("dow", pmod(col("day_x"), lit(7L)))
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    val complete = col("c7") === 7
+    val withSeason = withTrend
+      .withColumn("m7", sum(when(complete, lit(7L) * col("y") - col("s7"))).over(wDow))
+      .withColumn("n", count(when(complete, lit(1))).over(wDow))
+    val haveAll = complete && col("n") > 0
+    withSeason.select(col("event_type"), col("day_x"), col("y"),
+        when(complete, col("s7").cast("double") / lit(7.0)).as("trend"),
+        when(col("n") > 0,
+          col("m7").cast("double") / (lit(7L) * col("n")).cast("double")).as("seasonal"),
+        when(haveAll,
+          col("y").cast("double") - col("s7").cast("double") / lit(7.0)
+            - col("m7").cast("double") / (lit(7L) * col("n")).cast("double")).as("resid"),
+        when(haveAll,
+          lit(2L) * col("nd")
+            * abs(lit(7L) * col("n") * col("y") - col("n") * col("s7") - col("m7"))
+            > lit(7L) * col("n") * col("sy")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day_x"))
+  }
+
+  /** q192 oracle: the same integer program over window functions — RANGE
+    * frame for the trend, dow partition for the seasonal mean, BIGINT
+    * cross-multiplied anomaly test. */
+  val qSeasonalDecompSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT *,
+      |    CAST(SUM(y) OVER w7 AS BIGINT) AS s7,
+      |    CAST(COUNT(*) OVER w7 AS BIGINT) AS c7,
+      |    CAST(SUM(y) OVER wt AS BIGINT) AS sy,
+      |    CAST(COUNT(*) OVER wt AS BIGINT) AS nd,
+      |    day_x % 7 AS dow
+      |  FROM daily
+      |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day_x
+      |                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+      |         wt AS (PARTITION BY event_type)),
+      |se AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN c7 = 7 THEN 7 * y - s7 END) OVER wd AS BIGINT) AS m7,
+      |    CAST(COUNT(CASE WHEN c7 = 7 THEN 1 END) OVER wd AS BIGINT) AS n
+      |  FROM tr
+      |  WINDOW wd AS (PARTITION BY event_type, dow))
+      |SELECT event_type, day_x, y,
+      |  CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0::DOUBLE END AS trend,
+      |  CASE WHEN n > 0 THEN CAST(m7 AS DOUBLE) / CAST(7 * n AS DOUBLE) END AS seasonal,
+      |  CASE WHEN c7 = 7 AND n > 0 THEN
+      |    CAST(y AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0::DOUBLE
+      |      - CAST(m7 AS DOUBLE) / CAST(7 * n AS DOUBLE) END AS resid,
+      |  CASE WHEN c7 = 7 AND n > 0 THEN
+      |    2 * nd * abs(7 * n * y - n * s7 - m7) > 7 * n * sy END AS is_anomaly
+      |FROM se ORDER BY event_type, day_x""".stripMargin
+
   // --------------------------------------- Markov removal-effect attribution
 
   /** Shared edge construction for q190: sessionize (the q106 30-min-gap

@@ -2078,6 +2078,84 @@ object TextAnalysis {
        |FROM agg ORDER BY bin""".stripMargin
   }
 
+  /** Q193: water-filling token-budget allocation across sources — the
+    * optimization form of domain mixing: given per-source token masses
+    * w_i and a total budget B (here 30% of the corpus), find the uniform
+    * cap λ with Σ min(w_i, λ) = B and allocate a_i = min(w_i, λ). This
+    * DERIVES the cap q88 takes as a given: small sources keep everything,
+    * the head is clipped to a common level (the classic fair-allocation /
+    * power-allocation greedy, cf. Boyd & Vandenberghe §5.5).
+    *
+    * Exactness: sort sources ascending by (w, source); source i (with
+    * r_i = N−i+1 sources remaining and prefix p_{i−1}) stays uncapped iff
+    * w_i·r_i ≤ B − p_{i−1} — a pure-BIGINT test, and provably monotone
+    * (once a source is capped all larger ones are), so one window pass
+    * finds the breakpoint. λ = (B − Σ_uncapped w)/n_capped is the only
+    * division, over exact integers — emitted raw.
+    *
+    * Scale shape: the corpus-scale work is the per-source token-mass
+    * aggregate (one shuffle); the sort/prefix windows run on the
+    * |sources| aggregate — the q144 two-phase discipline with the heavy
+    * phase already reduced. */
+  def qWaterFill(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = t.fanout(t.documents)
+      .groupBy(col("source"))
+      .agg(sum(size(text.tokenize(col("text"))).cast("long")).as("w"))
+    val ord = Window.orderBy(col("w"), col("source"))
+    val all = Window.partitionBy()
+    val ranked = mass
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("prefix", sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .withColumn("w_total", sum(col("w")).over(all))
+      .withColumn("budget", expr("(3 * w_total) div 10"))
+      .withColumn("uncapped",
+        col("w") * (col("n_src") - col("rn") + 1) <= col("budget") - (col("prefix") - col("w")))
+    val solved = ranked
+      .withColumn("sum_uncapped", sum(when(col("uncapped"), col("w")).otherwise(0L)).over(all))
+      .withColumn("n_capped", sum(when(col("uncapped"), 0L).otherwise(1L)).over(all))
+      .withColumn("lambda",
+        when(col("n_capped") > 0,
+          (col("budget") - col("sum_uncapped")).cast("double") / col("n_capped").cast("double")))
+    solved.select(col("source"), col("w"), col("budget"), col("uncapped"),
+        col("lambda"),
+        when(col("uncapped"), col("w").cast("double")).otherwise(col("lambda")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** q193 oracle: the identical window program; the uncapped test and all
+    * prefixes stay BIGINT, λ and alloc are single divisions. */
+  val qWaterFillSql: String =
+    """WITH mass AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                             x -> len(x) > 0))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY w, source) AS rn,
+      |    CAST(SUM(w) OVER (ORDER BY w, source
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+      |    CAST(SUM(w) OVER () AS BIGINT) AS w_total
+      |  FROM mass),
+      |flagged AS (
+      |  SELECT *, (3 * w_total) // 10 AS budget,
+      |    w * (n_src - rn + 1) <= (3 * w_total) // 10 - (prefix - w) AS uncapped
+      |  FROM ranked),
+      |solved AS (
+      |  SELECT *,
+      |    CAST(SUM(CASE WHEN uncapped THEN w ELSE 0 END) OVER () AS BIGINT) AS sum_uncapped,
+      |    CAST(SUM(CASE WHEN uncapped THEN 0 ELSE 1 END) OVER () AS BIGINT) AS n_capped
+      |  FROM flagged)
+      |SELECT source, w, budget, uncapped,
+      |  CASE WHEN n_capped > 0 THEN
+      |    CAST(budget - sum_uncapped AS DOUBLE) / CAST(n_capped AS DOUBLE) END AS lambda,
+      |  CASE WHEN uncapped THEN CAST(w AS DOUBLE)
+      |       ELSE CAST(budget - sum_uncapped AS DOUBLE) / CAST(n_capped AS DOUBLE) END AS alloc
+      |FROM solved ORDER BY source""".stripMargin
+
   /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.
     * 2016, "Neural Machine Translation of Rare Words with Subword Units",
     * algorithm 1 step: count adjacent symbol pairs over the word-frequency

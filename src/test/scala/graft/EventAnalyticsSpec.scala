@@ -317,6 +317,38 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q192 seasonal decomposition: identity holds; trend/flag match a driver recompute") {
+    val t = sf0001
+    val rows = EventAnalytics.qSeasonalDecomp(t).collect()
+    assert(rows.nonEmpty)
+    // daily series per type, recomputed directly
+    val daily = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val types = rows.map(_.getString(0)).distinct
+    var sawAnomaly = false
+    rows.foreach { r =>
+      val (tp, x, y) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val window = (x - 3 to x + 3).flatMap(d => daily.get((tp, d)))
+      if (window.length == 7) {
+        assert(!r.isNullAt(3))
+        assert(r.getDouble(3) == window.sum.toDouble / 7.0, s"trend mismatch at ($tp,$x)")
+      } else assert(r.isNullAt(3), s"trend on incomplete window at ($tp,$x)")
+      if (!r.isNullAt(5)) {
+        // decomposition identity: y = trend + seasonal + resid
+        val recomposed = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+        assert(math.abs(recomposed - y.toDouble) < 1e-9, s"identity broken at ($tp,$x)")
+        // flag = |resid| above half the type's daily mean
+        val typeDays = rows.filter(_.getString(0) == tp)
+        val ybar = typeDays.map(_.getLong(2)).sum.toDouble / typeDays.length
+        val want = math.abs(r.getDouble(5)) > 0.5 * ybar
+        assert(r.getBoolean(6) == want, s"flag mismatch at ($tp,$x)")
+        if (r.getBoolean(6)) sawAnomaly = true
+      } else assert(r.isNullAt(6))
+    }
+    // every (type, day) cell appears exactly once
+    assert(rows.length == rows.map(r => (r.getString(0), r.getLong(1))).distinct.length)
+    assert(types.nonEmpty)
+  }
+
   test("q190 attribution edges: Markov-chain flow conservation laws hold") {
     val t = sf0001
     val edges = EventAnalytics.attributionEdges(t).collect()

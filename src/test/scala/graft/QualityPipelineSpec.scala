@@ -306,6 +306,49 @@ class QualityPipelineSpec extends SparkSpec {
     assert(ece == want && ece >= 0.0 && ece <= 1.0)
   }
 
+  test("q193 water-filling: allocation exhausts the budget; cap structure is correct") {
+    val t = sf0001
+    val rows = TextAnalysis.qWaterFill(t).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getLong(2)
+    val wTotal = rows.map(_.getLong(1)).sum
+    assert(budget == 3 * wTotal / 10)
+    val anyCapped = rows.exists(!_.getBoolean(3))
+    val allocSum = rows.map(_.getDouble(5)).sum
+    if (anyCapped) {
+      // Σ min(w, λ) = B up to float assembly of the exact λ
+      assert(math.abs(allocSum - budget.toDouble) < 1e-6 * budget.max(1L),
+        s"allocSum $allocSum vs budget $budget")
+      val lambda = rows.collectFirst { case r if !r.getBoolean(3) => r.getDouble(4) }.get
+      rows.foreach { r =>
+        if (r.getBoolean(3)) {
+          assert(r.getDouble(5) == r.getLong(1).toDouble) // uncapped keeps all
+          assert(r.getLong(1).toDouble <= lambda + 1e-9, s"uncapped above cap: $r")
+        } else {
+          assert(r.getDouble(5) == lambda)
+          assert(r.getLong(1).toDouble >= lambda - 1e-9, s"capped below cap: $r")
+        }
+      }
+      // independent greedy recompute of the breakpoint: scan ascending and
+      // STOP at the first capped source (capped is absorbing — a later
+      // spurious pass would break the uncapped-prefix structure)
+      val ws = rows.map(_.getLong(1)).sorted
+      var (p, k) = (0L, 0)
+      var broke = false
+      ws.zipWithIndex.foreach { case (w, i) =>
+        if (!broke) {
+          val r = ws.length - i
+          if (w * r <= budget - p) { p += w; k += 1 } else broke = true
+        }
+      }
+      val wantLambda = (budget - p).toDouble / (ws.length - k).toDouble
+      assert(lambda == wantLambda)
+      // and λ truly exhausts the budget: Σ min(w, λ) = B
+      val g = ws.map(w => math.min(w.toDouble, wantLambda)).sum
+      assert(math.abs(g - budget.toDouble) < 1e-6 * budget.max(1L))
+    } else assert(allocSum == wTotal.toDouble && wTotal <= budget)
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
