@@ -719,6 +719,99 @@ object Dedup {
       |FROM weighted WHERE score >= 1.0::DOUBLE
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q195: capture–recapture estimate of the near-duplicate population
+    * (Chapman 1951 — mark-recapture from ecology, applied to dedup
+    * auditing): run two INDEPENDENT detectors — method A = the q32
+    * blocked edit-distance pairs, method B = the q131 SimHash hamming≤3
+    * pairs — and treat their catches as two samples of the unknown
+    * true-duplicate-pair population. The Chapman estimator
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (m = pairs both caught) then prices what
+    * NEITHER method found — the question every dedup pipeline owner has
+    * and no single method can answer about itself. Detector overlap
+    * m > 0 with disjoint mechanisms (character edits vs token-hash
+    * sketch) is what makes the estimate meaningful.
+    *
+    * Exactness: both catch sets are replayable integer programs (q32's
+    * levenshtein band, q131's bitwise SimHash), m is an equi-join count,
+    * and N̂/coverages are single divisions over exact integers. The three
+    * counts come from ONE full-outer join + ONE aggregate (the q171
+    * one-plan discipline — no per-branch actions, no 1-row-aggregate
+    * joins that fold to BNLJ).
+    *
+    * Scale shape: method A is the q32 blocked join, method B the q131
+    * banded join — both linear in candidate density; the audit itself
+    * adds one pair-key join and a scalar aggregate. */
+  def qCaptureRecapture(t: Tables): DataFrame = {
+    val a = qFuzzyPairs(t).select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
+    val bBands = simhashBands(t)
+    def side(tag: String): DataFrame =
+      bBands.select(Seq(col("chunk"), col("cv"), col("doc_id").as(s"id_$tag")) ++
+        (0 until 4).map(c => col(s"cv$c").as(s"$tag$c")): _*)
+    val b = side("a").join(side("b"), Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", (0 until 4)
+        .map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
+        .reduce(_ + _).cast("long"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), lit(1L).as("in_b"))
+    val merged = a.join(b, Seq("id_a", "id_b"), "full_outer")
+    val counts = merged.agg(
+      sum(coalesce(col("in_a"), lit(0L))).as("n_a"),
+      sum(coalesce(col("in_b"), lit(0L))).as("n_b"),
+      sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L))).as("n_both"))
+    counts.select(col("n_a"), col("n_b"), col("n_both"),
+        (((col("n_a") + 1) * (col("n_b") + 1)).cast("double")
+          / (col("n_both") + 1).cast("double") - lit(1.0)).as("n_hat"))
+      .select(col("n_a"), col("n_b"), col("n_both"), col("n_hat"),
+        (col("n_a").cast("double") / col("n_hat")).as("coverage_a"),
+        (col("n_b").cast("double") / col("n_hat")).as("coverage_b"),
+        ((col("n_a") + col("n_b") - col("n_both")).cast("double") / col("n_hat"))
+          .as("coverage_union"))
+  }
+
+  /** q195 oracle: the q32 catch verbatim, the q131 band CTEs for the
+    * SimHash catch, one full-outer join, one aggregate, the same division
+    * sequences. */
+  def qCaptureRecaptureSql: String =
+    s"""WITH $simhashBandsCtes,
+      |a AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1::BIGINT AS in_a
+      |  FROM documents a JOIN documents b
+      |    ON substr(a.text,1,10) = substr(b.text,1,10) AND a.doc_id < b.doc_id
+      |  WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE
+      |        / greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) > 0.8),
+      |bp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(MAX(bit_count(xor(a.cv0, b.cv0)) + bit_count(xor(a.cv1, b.cv1))
+      |           + bit_count(xor(a.cv2, b.cv2)) + bit_count(xor(a.cv3, b.cv3))
+      |         ) AS BIGINT) AS hamming
+      |  FROM bands a JOIN bands b ON a.chunk = b.chunk AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |b AS (SELECT id_a, id_b, 1::BIGINT AS in_b FROM bp WHERE hamming <= 3),
+      |merged AS (
+      |  SELECT COALESCE(a.in_a, 0) AS in_a, COALESCE(b.in_b, 0) AS in_b
+      |  FROM a FULL OUTER JOIN b USING (id_a, id_b)),
+      |c AS (
+      |  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a, CAST(SUM(in_b) AS BIGINT) AS n_b,
+      |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      |  FROM merged)
+      |SELECT n_a, n_b, n_both,
+      |  CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / CAST(n_both + 1 AS DOUBLE)
+      |    - 1.0::DOUBLE AS n_hat,
+      |  CAST(n_a AS DOUBLE)
+      |    / (CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / CAST(n_both + 1 AS DOUBLE)
+      |       - 1.0::DOUBLE) AS coverage_a,
+      |  CAST(n_b AS DOUBLE)
+      |    / (CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / CAST(n_both + 1 AS DOUBLE)
+      |       - 1.0::DOUBLE) AS coverage_b,
+      |  CAST(n_a + n_b - n_both AS DOUBLE)
+      |    / (CAST((n_a + 1) * (n_b + 1) AS DOUBLE) / CAST(n_both + 1 AS DOUBLE)
+      |       - 1.0::DOUBLE) AS coverage_union
+      |FROM c""".stripMargin
+
   // ------------------------------------------------- greedy (ref parity)
 
   /** The reference's greedy keep-first fuzzy dedup (pipeline.py:27-35):

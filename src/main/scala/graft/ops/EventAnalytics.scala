@@ -995,6 +995,121 @@ object EventAnalytics {
       |    2 * nd * abs(7 * n * y - n * s7 - m7) > 7 * n * sy END AS is_anomaly
       |FROM se ORDER BY event_type, day_x""".stripMargin
 
+  /** Q194: inter-arrival distribution fit + Kolmogorov–Smirnov
+    * goodness-of-fit per event type — the distribution-level counterpart
+    * to q173's chi-square: fit the exponential MLE λ = n/Σgap to per-user
+    * inter-event gaps and test it with the one-sample KS statistic
+    * D = max_i max(i/n − F(x₍ᵢ₎), F(x₍ᵢ₎) − (i−1)/n) (Massey 1951), with
+    * the 95% asymptotic rejection D·√n > 1.36. A Poisson-process
+    * assumption failing here means session/burst structure — exactly what
+    * q106's sessionization presumes.
+    *
+    * Exactness: gaps are integer micros; λ and the ECDF steps are fixed
+    * IEEE sequences over exact integers; D is a MAX — order-independent
+    * by nature — but libm exp is NOT bit-identical cross-engine (1-ulp
+    * divergence measured at sf0.001), so D carries round(6) and the
+    * rejection flag derives from the rounded statistic (IEEE sqrt IS
+    * correctly rounded, so the flag product is then bit-stable).
+    *
+    * Scale shape: the ECDF needs a per-type global rank — done with the
+    * q108/q144 two-phase bucket prefix (magnitude buckets are monotone in
+    * the gap, per-(type, bucket) counts ride the driver — a bounded
+    * ≤types·64-row fetch — and offsets broadcast back), so no
+    * single-partition sort ever sees the corpus. */
+  def qInterarrivalFit(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = t.events
+      .select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byKey))
+      .filter(col("gap_us").isNotNull)
+    // magnitude bucket: any deterministic monotone function of the gap
+    // partitions the sorted order, so offset + within-bucket row_number is
+    // the exact global rank; ~45 log-buckets keep per-bucket sorts balanced
+    val withB = gaps.withColumn("bkt",
+      floor(log(col("gap_us").cast("double") + lit(2.0))).cast("int"))
+    val offsets = {
+      val cnts = withB.groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      cnts.map { case (tp, b, c) =>
+        val o = acc.getOrElse(tp, 0L)
+        acc(tp) = o + c
+        (tp, b, o)
+      }.toSeq
+    }
+    import t.spark.implicits._
+    val offDf = broadcast(offsets.toDF("event_type", "bkt", "off"))
+    val rn = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("gap_us"), col("user_id"), col("event_id"))
+    val ranked = withB.join(offDf, Seq("event_type", "bkt"))
+      .withColumn("rk", col("off") + row_number().over(rn))
+    val stats = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("sum_us"))
+    val lam = when(col("sum_us") > 0,
+      col("n").cast("double") / (col("sum_us").cast("double") / lit(1000000.0)))
+    val scored = ranked.join(broadcast(stats.withColumn("lam", lam)), Seq("event_type"))
+    val fx = lit(1.0) - exp(-(col("lam") * (col("gap_us").cast("double") / lit(1000000.0))))
+    val d = scored
+      .withColumn("dev", greatest(
+        col("rk").cast("double") / col("n").cast("double") - fx,
+        fx - (col("rk") - lit(1L)).cast("double") / col("n").cast("double")))
+      .groupBy(col("event_type"))
+      // ks_d is round(6)-ed: libm exp differs cross-engine by 1 ulp on some
+      // arguments (measured at sf0.001), and D is otherwise emitted raw —
+      // the CLAUDE.md last-ulp rule; the rejection flag derives from the
+      // ROUNDED statistic so flag and statistic can never disagree
+      .agg(max(col("n")).as("n_gaps"), max(col("sum_us")).as("sum_gap_us"),
+        max(col("lam")).as("lambda_per_s"), round(max(col("dev")), 6).as("ks_d"))
+    d.select(col("event_type"), col("n_gaps"), col("sum_gap_us"),
+        col("lambda_per_s"), col("ks_d"),
+        (col("ks_d") * sqrt(col("n_gaps").cast("double")) > lit(1.36)).as("ks_reject"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q194 oracle: gaps via the same lag window, plain per-type
+    * ROW_NUMBER for the rank (DuckDB replays the exact rank the bucketed
+    * two-phase form computes), identical IEEE sequences for λ, F, D. */
+  val qInterarrivalFitSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g0 AS (
+      |  SELECT event_type, user_id, event_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type, user_id
+      |                                           ORDER BY ts, event_id) AS gap_us
+      |  FROM ev),
+      |g AS (SELECT * FROM g0 WHERE gap_us IS NOT NULL),
+      |st AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n, CAST(SUM(gap_us) AS BIGINT) AS sum_us
+      |  FROM g GROUP BY event_type),
+      |r AS (
+      |  SELECT g.*, ROW_NUMBER() OVER (PARTITION BY event_type
+      |                                 ORDER BY gap_us, user_id, event_id) AS rk
+      |  FROM g),
+      |sc AS (
+      |  SELECT r.event_type, rk, gap_us, st.n, st.sum_us,
+      |    CASE WHEN st.sum_us > 0 THEN
+      |      CAST(st.n AS DOUBLE) / (CAST(st.sum_us AS DOUBLE) / 1000000.0::DOUBLE)
+      |    END AS lam
+      |  FROM r JOIN st USING (event_type)),
+      |d AS (
+      |  SELECT event_type,
+      |    CAST(MAX(n) AS BIGINT) AS n_gaps, CAST(MAX(sum_us) AS BIGINT) AS sum_gap_us,
+      |    MAX(lam) AS lambda_per_s,
+      |    round(MAX(greatest(
+      |      CAST(rk AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (1.0::DOUBLE - exp(-(lam * (CAST(gap_us AS DOUBLE) / 1000000.0::DOUBLE)))),
+      |      (1.0::DOUBLE - exp(-(lam * (CAST(gap_us AS DOUBLE) / 1000000.0::DOUBLE))))
+      |        - CAST(rk - 1 AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS ks_d
+      |  FROM sc GROUP BY event_type)
+      |SELECT event_type, n_gaps, sum_gap_us, lambda_per_s, ks_d,
+      |  ks_d * sqrt(CAST(n_gaps AS DOUBLE)) > 1.36::DOUBLE AS ks_reject
+      |FROM d ORDER BY event_type""".stripMargin
+
   // --------------------------------------- Markov removal-effect attribution
 
   /** Shared edge construction for q190: sessionize (the q106 30-min-gap

@@ -355,6 +355,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q195 capture-recapture: counts tie to the detectors; Chapman estimate recomposes") {
+    val t = sf0001
+    val r = Dedup.qCaptureRecapture(t).head()
+    val (na, nb, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(na == Dedup.qFuzzyPairs(t).count(), "n_a != method A catch")
+    assert(m <= math.min(na, nb) && m >= 0)
+    assert(na > 0 && nb > 0, "a detector caught nothing — the audit is vacuous")
+    assert(m > 0, "no overlap between detectors — Chapman precondition broken")
+    val nHat = (na + 1).toDouble * (nb + 1).toDouble / (m + 1).toDouble - 1.0
+    // impl computes (n_a+1)*(n_b+1) in BIGINT then casts — same value
+    assert(math.abs(r.getDouble(3) - nHat) < 1e-9 * nHat)
+    assert(r.getDouble(4) == na.toDouble / r.getDouble(3))
+    assert(r.getDouble(5) == nb.toDouble / r.getDouble(3))
+    assert(r.getDouble(6) == (na + nb - m).toDouble / r.getDouble(3))
+    // the estimate can never fall below what was directly observed
+    assert(r.getDouble(3) >= (na + nb - m).toDouble - 1.0 - 1e-9)
+  }
+
   test("q189 record linkage: scores recompose from gammas; decisions match thresholds") {
     val t = sf0001
     val rows = Dedup.qRecordLinkage(t).collect()

@@ -349,6 +349,38 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(types.nonEmpty)
   }
 
+  test("q194 interarrival fit: lambda and the KS statistic match a driver recompute") {
+    val t = sf0001
+    val rows = EventAnalytics.qInterarrivalFit(t).collect()
+    assert(rows.nonEmpty)
+    // driver-side gaps per (type, user) at exact µs resolution
+    def micros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    val evs = t.events.select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), micros(r.getTimestamp(3))))
+    val gapsByType = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((tp, _), es) =>
+      es.sortBy(e => (e._4, e._3)).map(_._4).toSeq
+        .sliding(2).collect { case Seq(a, b) => (tp, b - a) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val tp = r.getString(0)
+      val gaps = gapsByType(tp)
+      assert(r.getLong(1) == gaps.length, s"$tp gap count")
+      assert(r.getLong(2) == gaps.sum, s"$tp gap sum")
+      val n = gaps.length
+      val lam = n.toDouble / (gaps.sum.toDouble / 1000000.0)
+      assert(r.getDouble(3) == lam)
+      // full KS recompute over the sorted gaps (tie permutations cannot
+      // change the max: the (rank, value) multiset is order-invariant)
+      val d = BigDecimal(gaps.zipWithIndex.map { case (g, i) =>
+        val fx = 1.0 - math.exp(-(lam * (g.toDouble / 1000000.0)))
+        math.max((i + 1).toDouble / n.toDouble - fx, fx - i.toDouble / n.toDouble)
+      }.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == d, s"$tp ks_d ${r.getDouble(4)} vs $d")
+      assert(r.getBoolean(5) == (d * math.sqrt(n.toDouble) > 1.36))
+    }
+  }
+
   test("q190 attribution edges: Markov-chain flow conservation laws hold") {
     val t = sf0001
     val edges = EventAnalytics.attributionEdges(t).collect()
