@@ -257,6 +257,158 @@ object TextAnalysis {
       |SELECT doc_id, COUNT(h)::BIGINT AS n_windows, MIN(h) AS fingerprint
       |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q196: winnowing fingerprint sets + shared-fingerprint pair mining
+    * (Schleimer–Wilkerson–Aiken, SIGMOD 2003 — the MOSS algorithm): from
+    * each document's rolling 4-token hashes (the q125 base-257 polynomial,
+    * integer-replayable cross-engine), keep the MINIMUM hash of every
+    * window of `w`=8 consecutive positions. The winnowing guarantee: any
+    * shared token run of ≥ w+k−1 tokens yields a shared fingerprint, with
+    * ~2/(w+1) selection density — the local-dedup/plagiarism primitive
+    * that q125's single global min (one fingerprint per doc) cannot
+    * localize. Pairs sharing ≥2 selected fingerprints are emitted with
+    * their overlap fraction.
+    *
+    * Exactness: hashes, window minima, the distinct selection, and all
+    * pair counts are integers; overlap = shared/min(|A|,|B|) is one
+    * division of exact integers, raw. Docs with fewer than w complete
+    * hash windows select nothing (documented contract; q125 covers the
+    * short-doc fingerprint).
+    *
+    * Scale shape: per-doc ROWS-frame minima (hash partition by doc), a
+    * distinct on (doc, fp), and an inverted-index self-join on the
+    * fingerprint value — candidate cost is Σ postings², concentrated on
+    * true shared content by the winnowing guarantee; a q185-style
+    * governor caps boilerplate-fingerprint skew at 100 TB. */
+  def qWinnowing(t: Tables, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val hashes = t.fanout(t.documents)
+      .select(col("doc_id"), posexplode(text.tokenize(col("text"))).as(Seq("pos", "term")))
+      .withColumn("v", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h",
+        col("v") * lit(16974593L) + lead(col("v"), 1).over(byPos) * lit(66049L)
+          + lead(col("v"), 2).over(byPos) * lit(257L) + lead(col("v"), 3).over(byPos))
+      .filter(col("h").isNotNull)
+    val winFrame = byPos.rowsBetween(0, w - 1)
+    val selected = hashes
+      .withColumn("mn", min(col("h")).over(winFrame))
+      .withColumn("cw", count(lit(1)).over(winFrame))
+      .filter(col("cw") === w)
+      .select(col("doc_id"), col("mn").as("fp")).distinct()
+    val perDoc = selected.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val l = selected.select(col("fp"), col("doc_id").as("id_a"))
+    val r = selected.select(col("fp"), col("doc_id").as("id_b"))
+    val shared = l.join(r, Seq("fp")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    shared
+      .join(perDoc.select(col("doc_id").as("id_a"), col("n_fp").as("fp_a")), Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("n_fp").as("fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("fp_a"), col("fp_b"),
+        (col("n_shared").cast("double")
+          / least(col("fp_a"), col("fp_b")).cast("double")).as("overlap"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q196 oracle: the q125 hash CTEs + the same ROWS-frame minima,
+    * distinct selection, and posting self-join. */
+  def qWinnowingSql(w: Int = 8): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term,
+      |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0), 1) AS pos
+      |  FROM documents),
+      |vals AS (
+      |  SELECT doc_id, pos, CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS v
+      |  FROM toks),
+      |wins AS (
+      |  SELECT doc_id, pos,
+      |    v * 16974593 + LEAD(v, 1) OVER wp * 66049
+      |      + LEAD(v, 2) OVER wp * 257 + LEAD(v, 3) OVER wp AS h
+      |  FROM vals WINDOW wp AS (PARTITION BY doc_id ORDER BY pos)),
+      |hs AS (SELECT doc_id, pos, h FROM wins WHERE h IS NOT NULL),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, mn AS fp FROM (
+      |    SELECT doc_id,
+      |      MIN(h) OVER wf AS mn,
+      |      COUNT(*) OVER wf AS cw
+      |    FROM hs
+      |    WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING))
+      |  WHERE cw = $w),
+      |pd AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM sel GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+      |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT s.id_a, s.id_b, s.n_shared, pa.n_fp AS fp_a, pb.n_fp AS fp_b,
+      |  CAST(s.n_shared AS DOUBLE) / CAST(least(pa.n_fp, pb.n_fp) AS DOUBLE) AS overlap
+      |FROM shared s JOIN pd pa ON pa.doc_id = s.id_a JOIN pd pb ON pb.doc_id = s.id_b
+      |WHERE s.n_shared >= 2
+      |ORDER BY s.id_a, s.id_b""".stripMargin
+
+  /** Q197: caliper-matched control sampling (nearest-neighbor matching
+    * with replacement, Rubin 1973 — the observational-comparison
+    * construction): every treated document (here: source `src1`) is
+    * paired with its nearest control by length within the same exact
+    * (lang, length-bin) cell — the caliper — so a downstream metric
+    * comparison reads treatment effect, not covariate drift. Treated
+    * rows with an empty cell surface as unmatched (NULL control) rather
+    * than disappearing — match coverage is part of the answer.
+    *
+    * Exactness: all-integer — the bin, the |Δchars| distance, and the
+    * (delta, c_id) argmin tie-break are exact; no float exists in the
+    * output. NULLS LAST is pinned on both engines (Spark's ASC default
+    * is nulls-FIRST, DuckDB's is nulls-LAST — the one divergence this
+    * query could hit).
+    *
+    * Scale shape: one equi-join on (lang, bin) — cell sizes bound the
+    * candidate fan-out (the caliper is also the skew bound) — and one
+    * per-treated row_number window; both linear shuffles. */
+  def qMatchedSampling(t: Tables, binWidth: Int = 50,
+      treatedSource: String = "src1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t.documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("bin", expr(s"n_chars div $binWidth"))
+    val treated = docs.filter(col("source") === treatedSource)
+      .select(col("doc_id").as("t_id"), col("lang"), col("bin"),
+        col("n_chars").as("t_chars"))
+    val controls = docs.filter(col("source") =!= treatedSource)
+      .select(col("doc_id").as("c_id"), col("lang"), col("bin"),
+        col("n_chars").as("c_chars"))
+    val cand = treated.join(controls, Seq("lang", "bin"), "left")
+      .withColumn("delta", abs(col("c_chars") - col("t_chars")))
+    val wT = Window.partitionBy(col("t_id"))
+      .orderBy(col("delta").asc_nulls_last, col("c_id").asc_nulls_last)
+    cand.withColumn("rn", row_number().over(wT)).filter(col("rn") === 1)
+      .select(col("t_id"), col("lang"), col("bin"), col("t_chars"),
+        col("c_id"), col("c_chars"), col("delta"))
+      .orderBy(col("t_id"))
+  }
+
+  /** q197 oracle: the same cell join + (delta, c_id) argmin window. */
+  def qMatchedSamplingSql(binWidth: Int = 50, treatedSource: String = "src1"): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lang, source, n_chars, n_chars // $binWidth AS bin
+      |  FROM documents),
+      |t AS (SELECT doc_id AS t_id, lang, bin, n_chars AS t_chars
+      |      FROM d WHERE source = '$treatedSource'),
+      |c AS (SELECT doc_id AS c_id, lang, bin, n_chars AS c_chars
+      |      FROM d WHERE source <> '$treatedSource'),
+      |cand AS (
+      |  SELECT t.t_id, t.lang, t.bin, t.t_chars, c.c_id, c.c_chars,
+      |    abs(c.c_chars - t.t_chars) AS delta
+      |  FROM t LEFT JOIN c USING (lang, bin)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+      |    ORDER BY delta ASC NULLS LAST, c_id ASC NULLS LAST) AS rn
+      |  FROM cand)
+      |SELECT t_id, lang, bin, t_chars, c_id, c_chars, delta
+      |FROM r WHERE rn = 1 ORDER BY t_id""".stripMargin
+
   /** N-gram surface (reference utils.py:1-30): distinct word 2-grams per
     * doc count + the reference's n→distinct-ngram map cardinalities. */
   def qNgrams(t: Tables): DataFrame = {

@@ -349,6 +349,76 @@ class QualityPipelineSpec extends SparkSpec {
     } else assert(allocSum == wTotal.toDouble && wTotal <= budget)
   }
 
+  test("q196 winnowing: pair table equals a full driver-side winnow of the corpus") {
+    val t = sf0001
+    val w = 8
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fingerprints(text: String): Set[Long] = {
+      val toks = graft.functions.fasthash.tokens(text)
+      val vs = toks.map { tk =>
+        val hex = md.digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      }
+      val hs = (0 until math.max(vs.length - 3, 0)).map(i =>
+        vs(i) * 16974593L + vs(i + 1) * 66049L + vs(i + 2) * 257L + vs(i + 3))
+      (0 to hs.length - w).map(i => hs.slice(i, i + w).min).toSet
+    }
+    val fps = docs.map { case (id, tx) => id -> fingerprints(tx) }.toMap
+    val expect = (for {
+      (ia, fa) <- fps.toSeq; (ib, fb) <- fps.toSeq
+      if ia < ib
+      shared = (fa intersect fb).size
+      if shared >= 2
+    } yield (ia, ib) -> ((shared.toLong, fa.size.toLong, fb.size.toLong))).toMap
+    val got = TextAnalysis.qWinnowing(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect,
+      s"missing=${(expect.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expect.keySet).take(5)}")
+    assert(got.nonEmpty)
+    // overlap bounds + the winnowing guarantee on exact duplicates
+    TextAnalysis.qWinnowing(t).collect().foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    val byText = docs.groupBy(_._2).values.filter(_.length >= 2)
+    byText.foreach { copies =>
+      val ids = copies.map(_._1).sorted.toSeq
+      if (fps(ids.head).size >= 2)
+        ids.combinations(2).foreach { pair =>
+          val (a, b) = (pair(0), pair(1))
+          val e = got.get((a, b))
+          assert(e.exists(v => v._1 == v._2 && v._2 == v._3),
+            s"exact duplicates ($a,$b) not fully matched: $e")
+        }
+    }
+  }
+
+  test("q197 matched sampling: every match is the cell argmin; coverage is accounted") {
+    val t = sf0001
+    val rows = TextAnalysis.qMatchedSampling(t).collect()
+    val docs = t.documents.select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val treated = docs.filter(_._3 == "src1")
+    assert(rows.length == treated.length, "one row per treated doc")
+    val controls = docs.filter(_._3 != "src1")
+      .groupBy(d => (d._2, d._4 / 50))
+    rows.foreach { r =>
+      val (tid, lang, bin, tchars) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(bin == tchars / 50)
+      controls.get((lang, bin)) match {
+        case None => assert(r.isNullAt(4), s"phantom match for $tid")
+        case Some(cell) =>
+          val best = cell.map(c => (math.abs(c._4 - tchars), c._1)).min
+          assert(r.getLong(4) == best._2 && r.getLong(6) == best._1,
+            s"match for $tid is not the cell argmin")
+      }
+    }
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
