@@ -686,15 +686,20 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
     val tok8 = (c: Column) => array_join(slice(text.tokenize(c), 1, 8), " ")
     val jac = round(fasthash.jaccard3Udf(col("t_a"), col("t_b")), 6)
-    val scored = pairs
-      .withColumn("gamma_prefix",
-        when(tok8(col("t_a")) === tok8(col("t_b")), 1L).otherwise(0L))
-      .withColumn("gamma_content", when(jac >= 0.3, 1L).otherwise(0L))
-      .withColumn("gamma_length",
+    // ONE projection computes every comparator, then a localCheckpoint
+    // barrier: without it, projection collapse inlines gamma_content's
+    // jaccard UDF into score, decision, the filter AND the output column —
+    // re-evaluating the pair kernel up to 5x per row (the q191 lesson;
+    // measured 8.6x wall at the sf0.3 candidate density before the fix)
+    val gammas = pairs
+      .select(col("id_a"), col("id_b"),
+        when(tok8(col("t_a")) === tok8(col("t_b")), 1L).otherwise(0L).as("gamma_prefix"),
+        when(jac >= 0.3, 1L).otherwise(0L).as("gamma_content"),
         when(abs(col("len_a") - col("len_b")) * 10 <= greatest(col("len_a"), col("len_b")), 1L)
-          .otherwise(0L))
-      .withColumn("gamma_source",
-        when(col("src_a") === col("src_b"), 1L).otherwise(0L))
+          .otherwise(0L).as("gamma_length"),
+        when(col("src_a") === col("src_b"), 1L).otherwise(0L).as("gamma_source"))
+      .localCheckpoint()
+    val scored = gammas
       .withColumn("score",
         when(col("gamma_prefix") === 1L, lit(4.25)).otherwise(lit(-2.0)) +
         when(col("gamma_content") === 1L, lit(3.5)).otherwise(lit(-1.75)) +
