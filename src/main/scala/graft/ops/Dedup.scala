@@ -53,8 +53,12 @@ object Dedup {
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(text.levenshteinSim(col("p_a"), col("p_b")), 6))
-      .filter(col("sim") > 0.8)
       .select(col("id_a"), col("id_b"), col("sim"))
+      // barrier before filter + sort: projection collapse otherwise
+      // re-evaluates the similarity in the filter AND the range-partition
+      // sampling re-executes the blocked join (the q191/q189 lesson)
+      .localCheckpoint()
+      .filter(col("sim") > 0.8)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -84,8 +88,15 @@ object Dedup {
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", round(fasthash.jaccard3Udf(col("t_a"), col("t_b")), 6))
-      .filter(col("jaccard") > 0.3)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // one text-kernel eval per blocked pair + no sort-sampling re-run
+      // (in-session A/B at sf0.3: 2.17 s with the barrier vs 3.71 s
+      // without — the q189 inlining postmortem applies to this
+      // filter/sort pair; q34's LSH variant keeps filter-first instead
+      // because its PRE-threshold candidate population is millions of
+      // rows and materializing them costs more than the re-evaluation)
+      .localCheckpoint()
+      .filter(col("jaccard") > 0.3)
       .orderBy(col("id_a"), col("id_b"))
   }
 
