@@ -646,4 +646,70 @@ object Profiling {
       check("lineitem", "l_orderkey", "l_returnflag"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant")
   }
+
+  /** Q199: deletion-cascade impact plan — the right-to-be-forgotten /
+    * retention-enforcement dry run: given a seed deletion predicate
+    * (customers with negative balances), compute exactly what a cascading
+    * FK delete would remove per table BEFORE running it — rows to delete,
+    * table totals, and the fraction — across customer → orders →
+    * lineitem. The operational sibling of q171's integrity audit (which
+    * proves the FKs hold) and q167's TTL planner (which scopes deletion
+    * by age instead of by key).
+    *
+    * Scale shape: one plan, one job (the q171 discipline): each table
+    * contributes one LEFT-JOIN-flag + aggregate branch, the three 1-row
+    * branches union. The seed and the deleted-order key set ride
+    * broadcast joins here (bounded dimension-sized key sets); at 100 TB
+    * the same plan runs them as shuffle equi-joins — the branch shape is
+    * unchanged. All counts integer; fractions are single divisions. */
+  def q199DeletionCascade(t: Tables): DataFrame = {
+    val seed = t.customer.filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("del_cust"))
+    val custBranch = t.customer
+      .agg(sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("n_delete"),
+        count(lit(1)).as("n_total"))
+      .select(lit("customer").as("table_name"), col("n_delete"), col("n_total"))
+    val flaggedOrders = t.orders
+      .join(broadcast(seed), col("o_custkey") === col("del_cust"), "left")
+      .select(col("o_orderkey"),
+        when(col("del_cust").isNotNull, 1L).otherwise(0L).as("del"))
+    val orderBranch = flaggedOrders
+      .agg(sum(col("del")).as("n_delete"), count(lit(1)).as("n_total"))
+      .select(lit("orders").as("table_name"), col("n_delete"), col("n_total"))
+    val delOrders = flaggedOrders.filter(col("del") === 1L)
+      .select(col("o_orderkey").as("del_order"))
+    val lineBranch = t.lineitem
+      .join(broadcast(delOrders), col("l_orderkey") === col("del_order"), "left")
+      .agg(sum(when(col("del_order").isNotNull, 1L).otherwise(0L)).as("n_delete"),
+        count(lit(1)).as("n_total"))
+      .select(lit("lineitem").as("table_name"), col("n_delete"), col("n_total"))
+    custBranch.unionByName(orderBranch).unionByName(lineBranch)
+      .withColumn("frac_deleted",
+        col("n_delete").cast("double") / col("n_total").cast("double"))
+      .orderBy(col("table_name"))
+  }
+
+  /** q199 oracle: the same three flag-join branches unioned. */
+  val q199DeletionCascadeSql: String =
+    """WITH seed AS (SELECT c_custkey AS del_cust FROM customer WHERE c_acctbal < 0),
+      |del_orders AS (
+      |  SELECT o_orderkey FROM orders JOIN seed ON o_custkey = del_cust),
+      |rows_ AS (
+      |  SELECT 'customer' AS table_name,
+      |    CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+      |    COUNT(*)::BIGINT AS n_total
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    CAST(SUM(CASE WHEN s.del_cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*)::BIGINT
+      |  FROM orders LEFT JOIN seed s ON o_custkey = s.del_cust
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    CAST(SUM(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    COUNT(*)::BIGINT
+      |  FROM lineitem LEFT JOIN del_orders d ON l_orderkey = d.o_orderkey)
+      |SELECT table_name, n_delete, n_total,
+      |  CAST(n_delete AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac_deleted
+      |FROM rows_ ORDER BY table_name""".stripMargin
 }

@@ -1927,11 +1927,13 @@ object TextAnalysis {
     * between rounds (the k-means-centroid bounded-fetch contract, 6
     * doubles). At 100 TB each round is one pass — exactly how distributed
     * full-batch GD is shaped on a cluster. */
-  /** The q139/q188 shared feature frame: Gopher-rule label `y` + the five
-    * per-rule margin features (see qLogitClassifier scaladoc). */
+  /** The q139/q188/q198 shared feature frame: Gopher-rule label `y` + the
+    * five per-rule margin features (see qLogitClassifier scaladoc), keyed
+    * by doc_id (ignored by the gradient aggregates; q198 selects on it). */
   private def logitFeatures(t: Tables): DataFrame = {
     val toks = text.tokenize(col("text"))
     val counts = t.fanout(t.documents).select(
+      col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
         .cast("long").as("n_tok_chars"),
@@ -1940,6 +1942,7 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_distinct"))
     val den = greatest(col("n_tokens"), lit(1L)).cast("double")
     counts.select(
+      col("doc_id"),
       when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
         (col("n_tok_chars") >= col("n_tokens") * 4 &&
           col("n_tok_chars") <= col("n_tokens") * 5) &&
@@ -2025,15 +2028,15 @@ object TextAnalysis {
   private def logitFeatureCtes: String = {
     val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
     s"""c AS (
-       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
        |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
-       |  FROM (SELECT text,
+       |  FROM (SELECT doc_id, text,
        |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
        |        FROM documents)),
        |f0 AS (
-       |  SELECT CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+       |  SELECT doc_id, CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
        |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
        |      AND (n_stop * 20 >= n_tokens)
        |      AND (n_distinct * 2 >= n_tokens) THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y,
@@ -2042,7 +2045,7 @@ object TextAnalysis {
        |    CAST(n_stop AS DOUBLE) * 20.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f3,
        |    CAST(n_distinct AS DOUBLE) * 2.0::DOUBLE / CAST(greatest(n_tokens, 1) AS DOUBLE) - 1.0::DOUBLE AS f4
        |  FROM c),
-       |f AS MATERIALIZED (SELECT y, f1, f2, f3, f4, least(f1, f2, f3, f4) AS f5 FROM f0)""".stripMargin
+       |f AS MATERIALIZED (SELECT doc_id, y, f1, f2, f3, f4, least(f1, f2, f3, f4) AS f5 FROM f0)""".stripMargin
   }
 
   def qLogitClassifierSql(rounds: Int = 16, lr: Double = 8.0): String = {
@@ -2307,6 +2310,105 @@ object TextAnalysis {
       |  CASE WHEN uncapped THEN CAST(w AS DOUBLE)
       |       ELSE CAST(budget - sum_uncapped AS DOUBLE) / CAST(n_capped AS DOUBLE) END AS alloc
       |FROM solved ORDER BY source""".stripMargin
+
+  /** Q198: active-learning uncertainty sampling (Lewis & Gale 1994 —
+    * the label-acquisition step that closes the q86→q139→q188 classifier
+    * loop): train the q139 weights, score every document, and select the
+    * `k` docs the model is LEAST sure about (smallest |p − ½|) — the ones
+    * whose human labels buy the most model improvement per annotation
+    * dollar. Emits the selection with confidence, label-under-rule, and
+    * the margin, plus each doc's selection rank.
+    *
+    * Determinism: selection orders by (round(|p−½|, 6), doc_id) — the
+    * margin carries round(6) because its IEEE sequence includes libm exp
+    * (the q194 1-ulp lesson: an UNROUNDED order key could flip the
+    * k-boundary across engines), and the doc_id tie-break is total.
+    *
+    * Scale shape: scoring is one linear scan; selection is
+    * orderBy+limit = TakeOrderedAndProject (per-partition top-k, no
+    * global sort). */
+  def qUncertaintySampling(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrain(feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "rank" -> LongType, "doc_id" -> LongType,
+            "y" -> DoubleType, "conf" -> DoubleType, "margin" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val scored = feats.select(col("doc_id"), col("y"),
+            round(p, 6).as("conf"),
+            round(abs(p - lit(0.5)), 6).as("margin"))
+          val picked = scored.orderBy(col("margin"), col("doc_id")).limit(k)
+          // rank assigned AFTER the top-k: the window runs on ≤k rows
+          picked.withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("margin"), col("doc_id"))).cast("long"))
+            .select(col("rank"), col("doc_id"), col("y"), col("conf"), col("margin"))
+            .orderBy(col("rank"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q198 oracle: the q188 weight chain + the same rounded-margin top-k. */
+  def qUncertaintySamplingSql(rounds: Int = 16, lr: Double = 8.0, k: Int = 25): String = {
+    val dims = 6
+    def zExpr: String =
+      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
+    def passCte(name: String, wFrom: Option[String]): String = {
+      val (z, from) = wFrom match {
+        case Some(src) => (zExpr, s"FROM f, $src w")
+        case None      => ("0.0::DOUBLE", "FROM f")
+      }
+      val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
+      val grads = (0 until dims).map { j =>
+        val term = if (j == 0) s"$p - y" else s"($p - y) * f$j"
+        s"round(avg($term), 6) AS g$j"
+      }.mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $grads
+         |  $from)""".stripMargin
+    }
+    def wCte(name: String, prevW: Option[String], pass: String): String = {
+      val base = prevW match {
+        case Some(pw) => (j: Int) => s"$pw.w$j - $lr::DOUBLE * $pass.g$j"
+        case None     => (j: Int) => s"0.0::DOUBLE - $lr::DOUBLE * $pass.g$j"
+      }
+      val from = prevW.map(pw => s"FROM $pass, $pw").getOrElse(s"FROM $pass")
+      val cols = (0 until dims).map(j => s"${base(j)} AS w$j").mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $cols
+         |  $from)""".stripMargin
+    }
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += logitFeatureCtes
+    var prevW: Option[String] = None
+    for (r <- 0 until rounds) {
+      val pass = s"p$r"
+      ctes += passCte(pass, prevW)
+      val wName = s"w${r + 1}"
+      ctes += wCte(wName, prevW, pass)
+      prevW = Some(wName)
+    }
+    val wFinal = prevW.getOrElse("(SELECT 0.0 AS w0)")
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($zExpr)))"
+    s"""WITH ${ctes.mkString(",\n")},
+       |scored AS (
+       |  SELECT doc_id, y,
+       |    round($p, 6) AS conf,
+       |    round(abs(($p) - 0.5::DOUBLE), 6) AS margin
+       |  FROM f, $wFinal w),
+       |picked AS (
+       |  SELECT * FROM scored ORDER BY margin, doc_id LIMIT $k)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY margin, doc_id) AS BIGINT) AS rank,
+       |  doc_id, y, conf, margin
+       |FROM picked ORDER BY rank""".stripMargin
+  }
 
   /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.
     * 2016, "Neural Machine Translation of Rare Words with Subword Units",

@@ -202,4 +202,26 @@ class ProfilingSpec extends SparkSpec {
     assert(rows("lineitem_orders").getString(6) == "broadcast")
     assert(rows("lineitem_part").getString(6) == "broadcast")
   }
+
+  test("q199 deletion cascade: every count matches an independent semi-join recompute") {
+    val t = sf0001
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Profiling.q199DeletionCascade(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    val seed = t.customer.filter(col("c_acctbal") < 0).select("c_custkey")
+    val delOrders = t.orders.join(seed, col("o_custkey") === col("c_custkey"), "left_semi")
+    val wantCust = (seed.count(), t.customer.count())
+    val wantOrd = (delOrders.count(), t.orders.count())
+    val wantLine = (t.lineitem.join(delOrders.select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count(), t.lineitem.count())
+    Seq("customer" -> wantCust, "orders" -> wantOrd, "lineitem" -> wantLine).foreach {
+      case (tb, (nd, nt)) =>
+        val (gd, gt, fr) = rows(tb)
+        assert((gd, gt) == ((nd, nt)), s"$tb: got ($gd,$gt) want ($nd,$nt)")
+        assert(fr == nd.toDouble / nt.toDouble)
+    }
+    // the cascade actually cascades at this SF
+    assert(rows("customer")._1 > 0 && rows("orders")._1 > 0 && rows("lineitem")._1 > 0)
+  }
 }

@@ -419,6 +419,30 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q198 uncertainty sampling: ranks, margin order, and the conf/margin identity hold") {
+    val t = sf0001
+    val rows = TextAnalysis.qUncertaintySampling(t).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 25L))
+    val margins = rows.map(_.getDouble(4))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b },
+      "selection not margin-ordered")
+    assert(margins.forall(m => m >= 0.0 && m <= 0.5))
+    rows.foreach { r =>
+      // margin ≈ |conf − ½|: both are round(6) images of the same p, but
+      // conf's decimal grid value is not exact binary, so the subtraction
+      // reintroduces ~1e-16 representation error — band, don't equate
+      assert(math.abs(math.abs(r.getDouble(3) - 0.5) - r.getDouble(4)) < 1e-9,
+        s"identity broken: $r")
+      assert(r.getDouble(2) == 0.0 || r.getDouble(2) == 1.0) // y is the rule label
+    }
+    // ties break by doc_id ascending
+    rows.toSeq.groupBy(_.getDouble(4)).values.foreach { g =>
+      val ids = g.sortBy(_.getLong(0)).map(_.getLong(1))
+      assert(ids.sameElements(ids.sorted), "tie-break not doc_id-ordered")
+    }
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
