@@ -2410,6 +2410,142 @@ object TextAnalysis {
        |FROM picked ORDER BY rank""".stripMargin
   }
 
+  /** Q200: ROC-AUC of the quality classifier (Mann–Whitney form:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻), Hanley & McNeil 1982) — the
+    * ranking-quality eval that completes the classifier suite: q139
+    * trains, q188 checks calibration, q198 picks labels, q200 scores how
+    * well the model ORDERS documents regardless of threshold.
+    *
+    * Fully integer-exact — the rare float-free ML metric: scores are the
+    * round(6) confidences (ties therefore well-defined), average ranks
+    * for tie groups are computed in HALF-UNITS (2·avg_rank = 2·prefix +
+    * cnt + 1, a BIGINT), so the positive rank sum and the AUC numerator
+    * rank_sum2 − n⁺(n⁺+1) are exact integers into ONE division. Gini =
+    * 2·AUC − 1 rides along.
+    *
+    * Scale shape: one aggregate per distinct score (map-side
+    * combinable), ranks over score groups via the q108/q194 bucket
+    * prefix (score is on the 1e-6 grid — percent buckets, offsets are a
+    * bounded ≤101-row driver fetch), one final aggregate. No
+    * single-partition sort at any size. */
+  def qRocAuc(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrain(feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "n_pos" -> LongType, "n_neg" -> LongType,
+            "rank_sum2" -> LongType, "auc" -> DoubleType, "gini" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val groups = feats
+            .select(round(p, 6).as("conf"), col("y"))
+            .groupBy(col("conf"))
+            .agg(count(lit(1)).as("cnt"), sum(col("y").cast("long")).as("n_pos_g"))
+          val withB = groups.withColumn("bkt",
+            least(floor(col("conf") * lit(100.0)), lit(99.0)).cast("int"))
+          // per-bucket rank offsets: Σcnt of all LOWER buckets — a bounded
+          // ≤100-row fetch (the q108 idiom); within-bucket prefix by window
+          val offsets = {
+            val cnts = withB.groupBy(col("bkt")).agg(sum(col("cnt")).as("c"))
+              .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+            var acc = 0L
+            cnts.map { case (b, c) => val o = (b, acc); acc += c; o }.toSeq
+          }
+          val offDf = broadcast(offsets.toDF("bkt", "off"))
+          val wB = Window.partitionBy(col("bkt")).orderBy(col("conf"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val ranked = withB.join(offDf, Seq("bkt"))
+            .withColumn("prefix",
+              col("off") + coalesce(sum(col("cnt")).over(wB), lit(0L)))
+            // 2·avg_rank of the tie group, exactly, in BIGINT
+            .withColumn("avg2", lit(2L) * col("prefix") + col("cnt") + lit(1L))
+          ranked.agg(
+              sum(col("n_pos_g")).as("n_pos"),
+              sum(col("cnt") - col("n_pos_g")).as("n_neg"),
+              sum(col("n_pos_g") * col("avg2")).as("rank_sum2"))
+            .select(col("n_pos"), col("n_neg"), col("rank_sum2"),
+              when(col("n_pos") > 0 && col("n_neg") > 0,
+                (col("rank_sum2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+                  / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+            .withColumn("gini", col("auc") * 2.0 - 1.0)
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q200 oracle: the weight chain + plain score-group windows (DuckDB
+    * replays the bucket-prefix rank as one ordered window). */
+  def qRocAucSql(rounds: Int = 16, lr: Double = 8.0): String = {
+    val dims = 6
+    def zExpr: String =
+      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
+    def passCte(name: String, wFrom: Option[String]): String = {
+      val (z, from) = wFrom match {
+        case Some(src) => (zExpr, s"FROM f, $src w")
+        case None      => ("0.0::DOUBLE", "FROM f")
+      }
+      val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
+      val grads = (0 until dims).map { j =>
+        val term = if (j == 0) s"$p - y" else s"($p - y) * f$j"
+        s"round(avg($term), 6) AS g$j"
+      }.mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $grads
+         |  $from)""".stripMargin
+    }
+    def wCte(name: String, prevW: Option[String], pass: String): String = {
+      val base = prevW match {
+        case Some(pw) => (j: Int) => s"$pw.w$j - $lr::DOUBLE * $pass.g$j"
+        case None     => (j: Int) => s"0.0::DOUBLE - $lr::DOUBLE * $pass.g$j"
+      }
+      val from = prevW.map(pw => s"FROM $pass, $pw").getOrElse(s"FROM $pass")
+      val cols = (0 until dims).map(j => s"${base(j)} AS w$j").mkString(",\n    ")
+      s"""$name AS MATERIALIZED (
+         |  SELECT $cols
+         |  $from)""".stripMargin
+    }
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    ctes += logitFeatureCtes
+    var prevW: Option[String] = None
+    for (r <- 0 until rounds) {
+      val pass = s"p$r"
+      ctes += passCte(pass, prevW)
+      val wName = s"w${r + 1}"
+      ctes += wCte(wName, prevW, pass)
+      prevW = Some(wName)
+    }
+    val wFinal = prevW.getOrElse("(SELECT 0.0 AS w0)")
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($zExpr)))"
+    s"""WITH ${ctes.mkString(",\n")},
+       |groups_ AS (
+       |  SELECT round($p, 6) AS conf, COUNT(*)::BIGINT AS cnt,
+       |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos_g
+       |  FROM f, $wFinal w GROUP BY 1),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(COALESCE(SUM(cnt) OVER (ORDER BY conf
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+       |  FROM groups_),
+       |agg AS (
+       |  SELECT CAST(SUM(n_pos_g) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cnt - n_pos_g) AS BIGINT) AS n_neg,
+       |    CAST(SUM(n_pos_g * (2 * prefix + cnt + 1)) AS BIGINT) AS rank_sum2
+       |  FROM ranked)
+       |SELECT n_pos, n_neg, rank_sum2,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc,
+       |  (CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    CAST(rank_sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |      / CAST(2 * n_pos * n_neg AS DOUBLE) END) * 2.0::DOUBLE - 1.0::DOUBLE AS gini
+       |FROM agg""".stripMargin
+  }
+
   /** Q135: one BPE-training iteration's merge-pair count (Sennrich et al.
     * 2016, "Neural Machine Translation of Rare Words with Subword Units",
     * algorithm 1 step: count adjacent symbol pairs over the word-frequency

@@ -443,6 +443,31 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q200 ROC-AUC: equals the brute-force pairwise Mann-Whitney count") {
+    val t = sf0001
+    val r = TextAnalysis.qRocAuc(t).head()
+    val (nPos, nNeg) = (r.getLong(0), r.getLong(1))
+    assert(nPos > 0 && nNeg > 0)
+    assert(nPos + nNeg == t.documents.count())
+    val auc = r.getDouble(3)
+    assert(auc > 0.5 && auc <= 1.0, s"classifier should rank better than chance: $auc")
+    assert(r.getDouble(4) == auc * 2.0 - 1.0)
+    // true brute force: AUC = (#(pos>neg) + #(pos==neg)/2) / (nPos·nNeg)
+    // over the same rounded per-doc confidences, obtained independently
+    // through q198's scoring surface with k = |corpus|
+    val scored = TextAnalysis.qUncertaintySampling(t, k = (nPos + nNeg).toInt)
+      .collect().map(x => (x.getDouble(2), x.getDouble(3))) // (y, conf)
+    assert(scored.length == nPos + nNeg)
+    val pos = scored.filter(_._1 == 1.0).map(_._2)
+    val neg = scored.filter(_._1 == 0.0).map(_._2)
+    var wins2 = 0L // in half-units
+    for (p <- pos; n <- neg) {
+      if (p > n) wins2 += 2 else if (p == n) wins2 += 1
+    }
+    val want = wins2.toDouble / (2L * nPos * nNeg).toDouble
+    assert(auc == want, s"AUC $auc vs brute-force $want")
+  }
+
   test("q86: every rule discriminates (some docs pass, some fail) and keep = AND of rules") {
     val rows = TextAnalysis.qQualityFilter(sf0001).collect()
     assert(rows.length == 500)
