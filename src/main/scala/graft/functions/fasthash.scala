@@ -344,7 +344,11 @@ object fasthash {
 
   val jaccard3Udf = udf((a: String, b: String) => jaccard3(a, b))
 
-  val containment3Udf = udf((a: String, b: String) => containment3(a, b))
+  // NOTE: containment3 (the raw kernel) is exercised only by DedupSpec's
+  // independent brute-force recompute of q191 — production q191 uses the
+  // per-doc gram-hash merge-intersect path instead, so no Column-facing
+  // UDF wrapper exists by design (ADVICE r9: the unused wrapper was dead
+  // code and has been removed).
 
   def shingleSetUdf(shingleLen: Int) = udf((text: String) => shingleSet(text, shingleLen))
 

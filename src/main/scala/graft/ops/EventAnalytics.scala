@@ -974,7 +974,7 @@ object EventAnalytics {
       |    CAST(COUNT(*) OVER w7 AS BIGINT) AS c7,
       |    CAST(SUM(y) OVER wt AS BIGINT) AS sy,
       |    CAST(COUNT(*) OVER wt AS BIGINT) AS nd,
-      |    day_x % 7 AS dow
+      |    ((day_x % 7) + 7) % 7 AS dow
       |  FROM daily
       |  WINDOW w7 AS (PARTITION BY event_type ORDER BY day_x
       |                RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING),
@@ -1173,6 +1173,12 @@ object EventAnalytics {
     * bounded-fetch contract — so the 5 scenario solves ride the driver;
     * at 100 TB the edge aggregate is the same one shuffle and the matrix
     * is still tiny. */
+  /** The non-absorbing channel states q190's oracle unrolls scenario
+    * CTEs for — one source of truth for the Spark-side loud assert and
+    * the SQL generator (ADVICE r9: a new event_type must fail loudly,
+    * not silently hash-mismatch). */
+  private[graft] val markovOracleChannels = Seq("view", "click", "signup", "error")
+
   def qMarkovAttribution(t: Tables, rounds: Int = 12): DataFrame = {
     val spark = t.events.sparkSession
     import spark.implicits._
@@ -1183,6 +1189,15 @@ object EventAnalytics {
       .sortBy(e => (e._1, e._2))
     val channels = edges.flatMap(e => Seq(e._1, e._2))
       .filter(s => s != "START" && s != "conv" && s != "null").distinct.sorted
+    // The oracle's scenario CTEs are unrolled for a FIXED channel list;
+    // if the events table ever gains a new event_type the hash gate would
+    // silently mismatch (ADVICE r9) — fail loudly here instead so the
+    // divergence names itself.
+    if (edges.nonEmpty)
+      require(channels.sameElements(markovOracleChannels.sorted),
+        s"q190: data-derived channel set [${channels.mkString(",")}] diverges " +
+          s"from the oracle scenario list [${markovOracleChannels.mkString(",")}] — " +
+          "regenerate qMarkovAttributionSql's unrolled scenario CTEs")
     // absorption micros from START under edge set `es` after K rounds
     def solve(es: Array[(String, String, Long, Long)]): Long = {
       val froms = es.map(_._1).distinct
@@ -1269,7 +1284,7 @@ object EventAnalytics {
         |  WHERE s NOT IN ('START', 'conv', 'null'))""".stripMargin
     // per-scenario edge CTEs: base keeps edges; removing c drops c's
     // outgoing edges and redirects edges into c to 'null'
-    val scen = Seq("base", "view", "click", "signup", "error")
+    val scen = "base" +: markovOracleChannels
     val scenCtes = scen.map {
       case "base" => "e_base AS MATERIALIZED (SELECT f, t, cnt, tot FROM edges)"
       case c =>
@@ -1300,7 +1315,7 @@ object EventAnalytics {
       s"""s_$s AS (
          |  SELECT COALESCE((SELECT vm FROM v_${s}_$rounds WHERE s = 'START'), 0) AS vm)""".stripMargin
     }
-    val effects = Seq("view", "click", "signup", "error").map { c =>
+    val effects = markovOracleChannels.map { c =>
       s"SELECT (SELECT vm FROM s_base) - (SELECT vm FROM s_$c) AS eff"
     }.mkString(" UNION ALL ")
     s"""$head,
@@ -1310,10 +1325,8 @@ object EventAnalytics {
        |  SELECT ch.channel,
        |    (SELECT vm FROM s_base) AS base_m,
        |    CASE ch.channel
-       |      WHEN 'view' THEN (SELECT vm FROM s_view)
-       |      WHEN 'click' THEN (SELECT vm FROM s_click)
-       |      WHEN 'signup' THEN (SELECT vm FROM s_signup)
-       |      WHEN 'error' THEN (SELECT vm FROM s_error)
+       |${markovOracleChannels.map(c =>
+          s"      WHEN '$c' THEN (SELECT vm FROM s_$c)").mkString("\n")}
        |    END AS removed_m
        |  FROM channels ch)
        |SELECT channel,

@@ -178,6 +178,73 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == full, "infinite cap must reproduce q131 exactly")
   }
 
+  test("q201 prefix governor: pair math matches the blocked join it audits") {
+    val t = sf0001
+    val cap = 16
+    val r = Dedup.qPrefixGovernor(t, cap).head()
+    val Seq(nBlocks, nPairBlocks, nGoverned, governedDocs, maxBlock,
+      pairsRaw, pairsCapped) = (0 until 7).map(r.getLong)
+    assert(nPairBlocks <= nBlocks && nGoverned <= nPairBlocks)
+    assert(pairsCapped <= pairsRaw)
+    assert(governedDocs >= nGoverned * (cap + 1))
+    if (nGoverned == 0) assert(pairsCapped == pairsRaw && maxBlock <= cap)
+    // pairs_raw must equal the candidate population of the join family it
+    // governs (q32/q33/q189 share the substr-10 block). Independent
+    // recompute via an actual blocked self-join, no similarity filter:
+    val d = t.documents.select(col("doc_id"),
+      substring(col("text"), 1, 10).as("blk"))
+    val joinPairs = d.select(col("doc_id").as("id_a"), col("blk"))
+      .join(d.select(col("doc_id").as("id_b"), col("blk")), Seq("blk"))
+      .filter(col("id_a") < col("id_b")).count()
+    assert(joinPairs == pairsRaw,
+      "governor pair math disagrees with the blocked join it audits")
+  }
+
+  test("q202 governed fuzzy: parity with q32 away from the capped tail") {
+    val t = sf0001
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = pairSet(Dedup.qFuzzyPairs(t))
+    val governed = pairSet(Dedup.qGovernedFuzzy(t, cap = 16))
+    // enforcement only ever DROPS candidates, never invents or rescores
+    assert(governed.subsetOf(full), "governed pairs not a subset of q32")
+    // exact recall contract: away from governed blocks the output IS q32.
+    // Recompute the governed block keys independently and restrict q32:
+    val bigBlocks = t.documents
+      .groupBy(substring(col("text"), 1, 10).as("blk")).count()
+      .filter(col("count") > 16).select(col("blk"))
+    val governedIds = t.documents
+      .join(bigBlocks, substring(col("text"), 1, 10) === bigBlocks("blk"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected = full.filter { case (a, b, _) =>
+      !governedIds.contains(a) && !governedIds.contains(b) }
+    assert(governed == expected,
+      "governed output must equal q32 restricted to ungoverned blocks")
+    // with the cap above any block size, enforcement is a no-op
+    assert(pairSet(Dedup.qGovernedFuzzy(t, cap = Int.MaxValue)) == full,
+      "infinite cap must reproduce q32 exactly")
+  }
+
+  test("q191: gram-hash join drops the broadcast hint above the row threshold") {
+    val t = sf0001
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast so the ONLY broadcasts are the explicit hints
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = Dedup.containmentScored(t, broadcastRows = Long.MaxValue)
+      val sharded = Dedup.containmentScored(t, broadcastRows = 0L)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "below the threshold the gram-hash sides must broadcast")
+      assert(!sharded.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "above the threshold no broadcast may survive (driver-OOM class at 100 TB)")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(rows(hinted) == rows(sharded),
+        "shuffle and broadcast paths must produce identical containment pairs")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("componentsMinId converges on a chain longer than any fixed cap") {
     // a 30-edge path graph takes 30 rounds under naive min-label
     // propagation — star contraction must handle it in a handful
