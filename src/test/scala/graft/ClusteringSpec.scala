@@ -300,4 +300,71 @@ class ClusteringSpec extends SparkSpec {
     assert(joined.nonEmpty)
     joined.foreach(r => assert(r.getString(1).nonEmpty))
   }
+
+  test("q120 oracle contract: no pair cosine sits on the 0.1 edge threshold") {
+    // The kernel sums cosine terms in HashMap iteration order while the
+    // oracle's dots CTE aggregates in its own order — the edge set (and
+    // so the whole hash gate) is stable ONLY when no pair's similarity
+    // lies within float-reassociation distance of the threshold. Pin
+    // that precondition with an independent recompute of the oracle's
+    // tf-idf/dots/norms pipeline (q120 runs stem=false).
+    Seq(sf0001, sf001).foreach { t =>
+      val toks = t.documents.select(col("source").as("grp"),
+          col("doc_id").as("sid"),
+          explode(graft.functions.text.removeStopwords(
+            graft.functions.text.tokenize(col("text")))).as("term"))
+      val tf = toks.groupBy("grp", "sid", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val nd = t.documents.groupBy(col("source").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      val dfc = tf.groupBy("grp", "term").agg(count(lit(1)).as("df"))
+      val w = tf.join(dfc, Seq("grp", "term")).join(nd, Seq("grp"))
+        .select(col("grp"), col("sid"), col("term"),
+          (col("tf") * (log((col("n") + 1).cast("double") /
+            (col("df") + 1).cast("double")) + lit(1.0))).as("w"))
+      val norms = w.groupBy("grp", "sid")
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val dots = w.select(col("grp"), col("sid").as("a"), col("term"), col("w").as("wa"))
+        .join(w.select(col("grp"), col("sid").as("b"), col("term"), col("w").as("wb")),
+          Seq("grp", "term"))
+        .filter(col("a") < col("b"))
+        .groupBy("grp", "a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      val minGap = dots
+        .join(norms.select(col("grp"), col("sid").as("a"), col("nrm").as("na")), Seq("grp", "a"))
+        .join(norms.select(col("grp"), col("sid").as("b"), col("nrm").as("nb")), Seq("grp", "b"))
+        .select(abs(col("dot") / (col("na") * col("nb")) - lit(0.1)).as("gap"))
+        .agg(min(col("gap"))).head().getDouble(0)
+      assert(minGap > 1e-9,
+        s"${t.sfDir}: a pair cosine sits $minGap from the 0.1 threshold — " +
+          "the q120 edge set is no longer float-order-robust")
+    }
+  }
+
+  test("q153 oracle contract: non-zero norms; center cosines off the .5-micro boundary") {
+    // q153's cross-engine determinism = round(6) per cosine BEFORE max.
+    // Two unstated preconditions (the AffinitySpec recipe): (1) no
+    // zero-norm embedding — cosine would be NaN and NaN ordering
+    // diverges between Spark and DuckDB; (2) no point-center cosine
+    // exactly on a .5-micro rounding boundary, where round() itself
+    // diverges (the q152/q176 invariant).
+    Seq(sf0001, sf001).foreach { t =>
+      val emb = t.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val zeroNorm = emb.select(col("vec_id"),
+          expr("aggregate(e, 0D, (acc, x) -> acc + x * x)").as("sq"))
+        .filter(col("sq") <= 0.0).count()
+      assert(zeroNorm == 0L, s"${t.sfDir}: zero-norm embeddings break q153's cosine")
+      val centers = Clustering.qKcenter(t)
+        .select(col("center")).distinct()
+        .join(emb.withColumnRenamed("vec_id", "center"), Seq("center"))
+        .select(col("e").as("c"))
+      val boundaryDist = emb.crossJoin(broadcast(centers))
+        .select((graft.plans.CosineSim.cosineD(col("e"), col("c")) * 1e6).as("m"))
+        .select(abs(col("m") - floor(col("m")) - lit(0.5)).as("d"))
+        .agg(min(col("d"))).head().getDouble(0)
+      assert(boundaryDist > 1e-6,
+        s"${t.sfDir}: a center cosine sits $boundaryDist micro-units from a " +
+          ".5 rounding boundary — round(6) could diverge cross-engine")
+    }
+  }
 }

@@ -422,4 +422,30 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     assert(math.abs(attrSum - 1.0) < 1e-5, s"attribution sum $attrSum")
   }
+
+  test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
+    // Three unstated preconditions behind q190's driver-side chain solve
+    // (the AffinitySpec precedent): the edge table must stay inside the
+    // bounded-fetch contract (≤ 50 rows — it is |states|² at worst), every
+    // from-state total must be positive (p = cnt/tot is the only division),
+    // and the data-derived channel set must equal the oracle's unrolled
+    // scenario list (the in-code require turns divergence into a loud
+    // failure; this spec pins the precondition per SF).
+    Seq(sf0001, sf001).foreach { t =>
+      val edges = EventAnalytics.attributionEdges(t)
+        .select(col("from"), col("to"), col("cnt").cast("long"), col("tot").cast("long"))
+        .collect()
+      assert(edges.length <= 50,
+        s"${t.sfDir}: edge table ${edges.length} rows — outside the bounded-fetch contract")
+      edges.foreach { r =>
+        assert(r.getLong(3) > 0L && r.getLong(2) <= r.getLong(3),
+          s"${t.sfDir}: degenerate transition row $r")
+      }
+      val channels = edges.flatMap(r => Seq(r.getString(0), r.getString(1)))
+        .filter(s => s != "START" && s != "conv" && s != "null").distinct.sorted
+      assert(channels.sameElements(EventAnalytics.markovOracleChannels.sorted),
+        s"${t.sfDir}: channel set [${channels.mkString(",")}] diverges from the " +
+          "oracle scenario list — qMarkovAttributionSql must be regenerated")
+    }
+  }
 }
