@@ -931,6 +931,137 @@ object TextAnalysis {
       |  round((sy - slope_raw * sx) / CAST(n_ranked AS DOUBLE), 6) AS intercept
       |FROM fit""".stripMargin
 
+  /** Q203: Heaps'-law vocabulary-growth fit V(n) ≈ K·n^β (Heaps 1978;
+    * Baeza-Yates & Ribeiro-Neto ch.6) — the corpus-statistics complement
+    * of q117's Zipf fit: how fast does the vocabulary grow as the corpus
+    * streams in doc_id order? A training pipeline reads β to forecast
+    * tokenizer/vocab pressure at 100 TB from a small prefix.
+    *
+    * Exactness: doc rank, cumulative token count T(r) and cumulative
+    * vocabulary V(r) (= #terms whose FIRST occurrence has rank ≤ r) are
+    * pure BIGINTs; ln goes through the micro grid (round(ln·1e6) — the
+    * r9 exp/log invariant) so the OLS moments are exact BIGINT sums and
+    * β is ONE division of exact integers (emitted raw); K re-enters libm
+    * via exp and carries round(6).
+    *
+    * Scale shape: the cumulative prefix is the q144 two-phase bucket
+    * idiom on doc_id percent-buckets — per-bucket (count, Σtok, Σnew
+    * terms) ride the driver (≤101 rows), exclusive offsets broadcast
+    * back, windows run partitioned BY BUCKET. First occurrences are one
+    * min-aggregate over the exploded terms (map-side combinable); the
+    * OLS runs on the ≤`points`-row checkpoint frame (post-filter tiny-
+    * frame window precedent). No global sort at any size. */
+  def qHeapsFit(t: Tables, points: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    import spark.implicits._
+    val docs = t.fanout(t.documents).select(col("doc_id"),
+      size(text.tokenize(col("text"))).cast("long").as("ntok"))
+    val rng = docs.agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    val empty = Tables.emptyFrame(spark, "rank" -> LongType,
+      "cum_tokens" -> LongType, "vocab" -> LongType,
+      "ln_t_micro" -> LongType, "ln_v_micro" -> LongType,
+      "beta" -> DoubleType, "k" -> DoubleType)
+    if (rng.isNullAt(0)) return empty
+    val (minId, maxId, n) = (rng.getLong(0), rng.getLong(1), rng.getLong(2))
+    val span = maxId - minId + 1
+    val terms = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val nv = terms.groupBy(col("term")).agg(min(col("doc_id")).as("fo"))
+      .groupBy(col("fo").as("doc_id")).agg(count(lit(1)).as("nv"))
+    val base = docs.join(nv, Seq("doc_id"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+      .withColumn("bucket", expr(s"((doc_id - ${minId}L) * 101L) div ${span}L"))
+    // per-bucket masses ride the driver (≤101 rows — bounded fetch)
+    val sums = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"), sum(col("ntok")).as("bt"), sum(col("nv")).as("bv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var accN = 0L; var accT = 0L; var accV = 0L
+    val offs = sums.map { case (b, bn, bt, bv) =>
+      val o = (b, accN, accT, accV); accN += bn; accT += bt; accV += bv; o
+    }
+    val offDf = broadcast(offs.toSeq.toDF("bucket", "offN", "offT", "offV"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = base.join(offDf, Seq("bucket"))
+      .withColumn("rank", col("offN") + count(lit(1)).over(w))
+      .withColumn("cum_tokens", col("offT") + sum(col("ntok")).over(w))
+      .withColumn("vocab", col("offV") + sum(col("nv")).over(w))
+    val cpRanks = (1 to points).map(k => (n * k + points - 1) / points)
+      .distinct.filter(_ >= 1L)
+    val cp = ranked.filter(col("rank").isInCollection(cpRanks))
+      .select(col("rank"), col("cum_tokens"), col("vocab"),
+        round(log(greatest(col("cum_tokens"), lit(1L)).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("ln_t_micro"),
+        round(log(greatest(col("vocab"), lit(1L)).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("ln_v_micro"))
+    val all = Window.partitionBy()
+    val den = (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+    cp.withColumn("np", count(lit(1)).over(all))
+      .withColumn("sx", sum(col("ln_t_micro")).over(all))
+      .withColumn("sy", sum(col("ln_v_micro")).over(all))
+      .withColumn("sxx", sum(col("ln_t_micro") * col("ln_t_micro")).over(all))
+      .withColumn("sxy", sum(col("ln_t_micro") * col("ln_v_micro")).over(all))
+      .withColumn("beta",
+        (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          when(den === 0.0, lit(null)).otherwise(den))
+      .withColumn("k", round(exp(
+        (col("sy").cast("double") - col("beta") * col("sx").cast("double")) /
+          (col("np").cast("double") * lit(1000000.0))), 6))
+      .select(col("rank"), col("cum_tokens"), col("vocab"),
+        col("ln_t_micro"), col("ln_v_micro"), col("beta"), col("k"))
+      .orderBy(col("rank"))
+  }
+
+  /** q203 oracle: global windows replace the two-phase prefix (fine in
+    * DuckDB); checkpoint ranks re-derived as ⌈n·k/points⌉ in exact
+    * integer math; β/K re-expressed with the identical IEEE sequences. */
+  def qHeapsFitSql(points: Int = 10): String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |nv AS (
+      |  SELECT fo AS doc_id, COUNT(*)::BIGINT AS nv FROM (
+      |    SELECT term, MIN(doc_id) AS fo FROM (
+      |      SELECT doc_id, unnest(toks) AS term FROM d) GROUP BY term)
+      |  GROUP BY fo),
+      |ranked AS (
+      |  SELECT d.doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY d.doc_id) AS BIGINT) AS rank,
+      |    CAST(SUM(len(d.toks)) OVER (ORDER BY d.doc_id) AS BIGINT) AS cum_tokens,
+      |    CAST(SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY d.doc_id) AS BIGINT) AS vocab
+      |  FROM d LEFT JOIN nv USING (doc_id)),
+      |nn AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+      |cps AS (
+      |  SELECT DISTINCT (n * k + ${points - 1}) // $points AS r
+      |  FROM nn, range(1, ${points + 1}) t(k)
+      |  WHERE (n * k + ${points - 1}) // $points >= 1),
+      |cp AS (
+      |  SELECT rank, cum_tokens, vocab,
+      |    CAST(round(ln(CAST(greatest(cum_tokens, 1) AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS ln_t_micro,
+      |    CAST(round(ln(CAST(greatest(vocab, 1) AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS ln_v_micro
+      |  FROM ranked WHERE rank IN (SELECT r FROM cps)),
+      |s AS (
+      |  SELECT COUNT(*)::BIGINT AS np,
+      |    CAST(SUM(ln_t_micro) AS BIGINT) AS sx,
+      |    CAST(SUM(ln_v_micro) AS BIGINT) AS sy,
+      |    CAST(SUM(ln_t_micro * ln_t_micro) AS BIGINT) AS sxx,
+      |    CAST(SUM(ln_t_micro * ln_v_micro) AS BIGINT) AS sxy
+      |  FROM cp)
+      |SELECT cp.rank, cp.cum_tokens, cp.vocab, cp.ln_t_micro, cp.ln_v_micro,
+      |  CAST(s.np * s.sxy - s.sx * s.sy AS DOUBLE)
+      |    / nullif(CAST(s.np * s.sxx - s.sx * s.sx AS DOUBLE), 0.0) AS beta,
+      |  round(exp((CAST(s.sy AS DOUBLE)
+      |      - (CAST(s.np * s.sxy - s.sx * s.sy AS DOUBLE)
+      |         / nullif(CAST(s.np * s.sxx - s.sx * s.sx AS DOUBLE), 0.0))
+      |        * CAST(s.sx AS DOUBLE))
+      |    / (CAST(s.np AS DOUBLE) * 1000000.0::DOUBLE)), 6) AS k
+      |FROM cp, s ORDER BY rank""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint
@@ -2204,13 +2335,21 @@ object TextAnalysis {
   /** q188 oracle: the q139 weight chain (gradient-only pass CTEs) to the
     * final weights, then score/bin/aggregate with the same BIGINT-micro
     * arithmetic; ECE via window sums over the bounded bin table. */
-  def qCalibrationSql(rounds: Int = 16, lr: Double = 8.0, bins: Int = 10): String = {
+  /** The z-score expression over the final-weights CTE alias `w`, shared
+    * by every logit-family oracle. */
+  private val logitZExpr: String =
+    "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
+
+  /** The shared logit-oracle scaffold (q188/q198/q200/q205): the feature
+    * CTEs plus `rounds` unrolled (gradient-pass, weights) CTE pairs —
+    * returns (cte list joined with ",\n", final-weights CTE name).
+    * q139's builder stays inline: its pass CTEs also track per-round
+    * accuracy. MATERIALIZED per the >5-round CTE-inlining invariant. */
+  private def logitChainCtes(rounds: Int, lr: Double): (String, String) = {
     val dims = 6
-    def zExpr: String =
-      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
     def passCte(name: String, wFrom: Option[String]): String = {
       val (z, from) = wFrom match {
-        case Some(src) => (zExpr, s"FROM f, $src w")
+        case Some(src) => (logitZExpr, s"FROM f, $src w")
         case None      => ("0.0::DOUBLE", "FROM f")
       }
       val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
@@ -2243,9 +2382,13 @@ object TextAnalysis {
       ctes += wCte(wName, prevW, pass)
       prevW = Some(wName)
     }
-    val wFinal = prevW.getOrElse("(SELECT 0.0 AS w0)")
-    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($zExpr)))"
-    s"""WITH ${ctes.mkString(",\n")},
+    (ctes.mkString(",\n"), prevW.getOrElse("(SELECT 0.0 AS w0)"))
+  }
+
+  def qCalibrationSql(rounds: Int = 16, lr: Double = 8.0, bins: Int = 10): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
        |scored0 AS (
        |  SELECT y,
        |    CAST(round(($p) * 1000000.0::DOUBLE) AS BIGINT) AS conf_micro
@@ -2392,47 +2535,9 @@ object TextAnalysis {
 
   /** q198 oracle: the q188 weight chain + the same rounded-margin top-k. */
   def qUncertaintySamplingSql(rounds: Int = 16, lr: Double = 8.0, k: Int = 25): String = {
-    val dims = 6
-    def zExpr: String =
-      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
-    def passCte(name: String, wFrom: Option[String]): String = {
-      val (z, from) = wFrom match {
-        case Some(src) => (zExpr, s"FROM f, $src w")
-        case None      => ("0.0::DOUBLE", "FROM f")
-      }
-      val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
-      val grads = (0 until dims).map { j =>
-        val term = if (j == 0) s"$p - y" else s"($p - y) * f$j"
-        s"round(avg($term), 6) AS g$j"
-      }.mkString(",\n    ")
-      s"""$name AS MATERIALIZED (
-         |  SELECT $grads
-         |  $from)""".stripMargin
-    }
-    def wCte(name: String, prevW: Option[String], pass: String): String = {
-      val base = prevW match {
-        case Some(pw) => (j: Int) => s"$pw.w$j - $lr::DOUBLE * $pass.g$j"
-        case None     => (j: Int) => s"0.0::DOUBLE - $lr::DOUBLE * $pass.g$j"
-      }
-      val from = prevW.map(pw => s"FROM $pass, $pw").getOrElse(s"FROM $pass")
-      val cols = (0 until dims).map(j => s"${base(j)} AS w$j").mkString(",\n    ")
-      s"""$name AS MATERIALIZED (
-         |  SELECT $cols
-         |  $from)""".stripMargin
-    }
-    val ctes = new scala.collection.mutable.ArrayBuffer[String]
-    ctes += logitFeatureCtes
-    var prevW: Option[String] = None
-    for (r <- 0 until rounds) {
-      val pass = s"p$r"
-      ctes += passCte(pass, prevW)
-      val wName = s"w${r + 1}"
-      ctes += wCte(wName, prevW, pass)
-      prevW = Some(wName)
-    }
-    val wFinal = prevW.getOrElse("(SELECT 0.0 AS w0)")
-    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($zExpr)))"
-    s"""WITH ${ctes.mkString(",\n")},
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
        |scored AS (
        |  SELECT doc_id, y,
        |    round($p, 6) AS conf,
@@ -2516,47 +2621,9 @@ object TextAnalysis {
   /** q200 oracle: the weight chain + plain score-group windows (DuckDB
     * replays the bucket-prefix rank as one ordered window). */
   def qRocAucSql(rounds: Int = 16, lr: Double = 8.0): String = {
-    val dims = 6
-    def zExpr: String =
-      "w.w0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3 + w.w4 * f4 + w.w5 * f5"
-    def passCte(name: String, wFrom: Option[String]): String = {
-      val (z, from) = wFrom match {
-        case Some(src) => (zExpr, s"FROM f, $src w")
-        case None      => ("0.0::DOUBLE", "FROM f")
-      }
-      val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($z)))"
-      val grads = (0 until dims).map { j =>
-        val term = if (j == 0) s"$p - y" else s"($p - y) * f$j"
-        s"round(avg($term), 6) AS g$j"
-      }.mkString(",\n    ")
-      s"""$name AS MATERIALIZED (
-         |  SELECT $grads
-         |  $from)""".stripMargin
-    }
-    def wCte(name: String, prevW: Option[String], pass: String): String = {
-      val base = prevW match {
-        case Some(pw) => (j: Int) => s"$pw.w$j - $lr::DOUBLE * $pass.g$j"
-        case None     => (j: Int) => s"0.0::DOUBLE - $lr::DOUBLE * $pass.g$j"
-      }
-      val from = prevW.map(pw => s"FROM $pass, $pw").getOrElse(s"FROM $pass")
-      val cols = (0 until dims).map(j => s"${base(j)} AS w$j").mkString(",\n    ")
-      s"""$name AS MATERIALIZED (
-         |  SELECT $cols
-         |  $from)""".stripMargin
-    }
-    val ctes = new scala.collection.mutable.ArrayBuffer[String]
-    ctes += logitFeatureCtes
-    var prevW: Option[String] = None
-    for (r <- 0 until rounds) {
-      val pass = s"p$r"
-      ctes += passCte(pass, prevW)
-      val wName = s"w${r + 1}"
-      ctes += wCte(wName, prevW, pass)
-      prevW = Some(wName)
-    }
-    val wFinal = prevW.getOrElse("(SELECT 0.0 AS w0)")
-    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($zExpr)))"
-    s"""WITH ${ctes.mkString(",\n")},
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
        |groups_ AS (
        |  SELECT round($p, 6) AS conf, COUNT(*)::BIGINT AS cnt,
        |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos_g
