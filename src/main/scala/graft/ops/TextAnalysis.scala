@@ -1062,6 +1062,187 @@ object TextAnalysis {
       |    / (CAST(s.np AS DOUBLE) * 1000000.0::DOUBLE)), 6) AS k
       |FROM cp, s ORDER BY rank""".stripMargin
 
+  /** Q204: mutual information I(source; quality-bucket) — the dependence
+    * audit between a corpus facet and the quality signal (does quality
+    * vary by source, and by how many nats?). Complements q173's
+    * chi-square independence TEST with the information-theoretic effect
+    * SIZE (Cover & Thomas ch.2): I = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))).
+    *
+    * Exactness: the contingency table is pure counts; the bucket derives
+    * from the micro-rounded quality score with BIGINT math (the q188
+    * one-rounded-quantity rule — floor on the raw double could bin a
+    * boundary doc differently cross-engine); each cell's MI term goes
+    * through ln once and lands on the micro grid (round·1e6 — the r9
+    * exp/log invariant), so the total is an order-independent BIGINT
+    * sum. round() at 0 dp is half-away-from-zero for BOTH signs in both
+    * engines (BigDecimal HALF_UP ≡ std::round), so negative cell terms
+    * are safe.
+    *
+    * Scale shape: one corpus-scale count aggregate (map-side
+    * combinable); marginals + the MI sum are windows over the bounded
+    * |sources|·bins cell table (post-aggregate tiny-frame precedent). */
+  def qMutualInfo(t: Tables, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qQualityScore(t).select(col("doc_id"), col("quality_score"))
+    val cells = q
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"),
+        round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
+      .select(col("source"),
+        expr(s"least((qm * $bins) div 1000000, ${(bins - 1).toLong}L)").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_xy"))
+    val wx = Window.partitionBy(col("source"))
+    val wy = Window.partitionBy(col("bin"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("c_x", sum(col("c_xy")).over(wx))
+      .withColumn("c_y", sum(col("c_xy")).over(wy))
+      .withColumn("n", sum(col("c_xy")).over(all))
+      .withColumn("term_micro", round(
+        (col("c_xy").cast("double") / col("n").cast("double")) *
+          log(col("c_xy").cast("double") * col("n").cast("double") /
+            (col("c_x").cast("double") * col("c_y").cast("double"))) *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("mi_micro", sum(col("term_micro")).over(all))
+      .select(col("source"), col("bin"), col("c_xy"), col("c_x"), col("c_y"),
+        col("term_micro"), col("mi_micro"),
+        (col("mi_micro").cast("double") / lit(1000000.0)).as("mi_nats"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** q204 oracle: the shared q27 score chain + the same BIGINT bucket and
+    * micro-grid cell terms; windows over the bounded cell table. */
+  def qMutualInfoSql(bins: Int = 10): String =
+    s"""WITH $qualityScoreCtes,
+      |cells AS (
+      |  SELECT d.source,
+      |    least((CAST(round(s.quality_score * 1000000.0::DOUBLE) AS BIGINT)
+      |           * $bins) // 1000000, ${bins - 1}) AS bin,
+      |    COUNT(*)::BIGINT AS c_xy
+      |  FROM scored s JOIN documents d USING (doc_id)
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, bin, c_xy,
+      |    CAST(SUM(c_xy) OVER (PARTITION BY source) AS BIGINT) AS c_x,
+      |    CAST(SUM(c_xy) OVER (PARTITION BY bin) AS BIGINT) AS c_y,
+      |    CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |tm AS (
+      |  SELECT *, CAST(round(
+      |    (CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+      |           / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS term_micro
+      |  FROM m)
+      |SELECT source, bin, c_xy, c_x, c_y, term_micro,
+      |  CAST(SUM(term_micro) OVER () AS BIGINT) AS mi_micro,
+      |  CAST(SUM(term_micro) OVER () AS DOUBLE) / 1000000.0::DOUBLE AS mi_nats
+      |FROM tm ORDER BY source, bin""".stripMargin
+
+  /** The q205 distributed ranking primitive (the q144/q203 prefix idiom
+    * specialized to ranks): global rank of each row
+    * under (microCol, tie-keys) order WITHOUT a global sort — the value-
+    * monotone micro column buckets rows (101 buckets), per-bucket counts
+    * ride the driver (bounded fetch), exclusive offsets broadcast back,
+    * and the row_number window runs partitioned BY BUCKET. Provably equal
+    * to the global ROW_NUMBER because the bucket key is monotone in the
+    * leading sort key. `span` = exclusive upper bound of microCol. */
+  private def bucketRank(df: DataFrame, microCol: String, span: Long,
+      orderCols: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = df.withColumn("bkt", expr(s"($microCol * 101L) div ${span}L"))
+    val sums = b.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = sums.map { case (k, c) => val o = (k, acc); acc += c; o }
+    val offDf = broadcast(offs.toSeq.toDF("bkt", "off"))
+    val w = Window.partitionBy(col("bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offDf, Seq("bkt"))
+      .withColumn(out, col("off") + count(lit(1)).over(w))
+      .drop("bkt", "off")
+  }
+
+  /** Q205: Spearman rank correlation between classifier confidence and
+    * document length — the length-bias audit of the q139 model (a
+    * quality classifier that secretly ranks by length is a known failure
+    * mode of trained data filters; cf. the length-prior critiques of
+    * reward models). ρ = 1 − 6·Σd²/(n(n²−1)) over tie-broken permutation
+    * ranks: rank_x by (n_chars, doc_id), rank_y by (conf_micro, doc_id).
+    *
+    * Exactness: both rankings are permutations (doc_id breaks every
+    * tie), so Σd² is an exact BIGINT and ρ is one division of exact
+    * integers (raw). Confidence is the micro-rounded sigmoid (the q188
+    * discipline — raw p has a libm-exp ulp). Σd² ≤ n³/3 stays in BIGINT
+    * to n ≈ 3·10⁶ rows; past that the audit runs per-stratum or on a
+    * hash sample (the q63 idiom), like any exact-rank statistic.
+    *
+    * Scale shape: scoring is one linear scan; both rankings use the
+    * bucketRank two-phase prefix (no single-partition sort); one equi
+    * join on doc_id + one aggregate. Reuses the session weight cache —
+    * the fifth consumer of one training. */
+  def qSpearman(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "n" -> LongType, "sum_d2" -> LongType,
+            "rho" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val conf = feats.select(col("doc_id"),
+            round(p * lit(1000000.0), 0).cast("long").as("cm"))
+          val docs = t.documents.select(col("doc_id"),
+            col("n_chars").cast("long").as("nc"))
+          val mx = docs.agg(max(col("nc"))).head().getLong(0)
+          val rx = bucketRank(docs, "nc", mx + 1,
+            Seq(col("nc"), col("doc_id")), "rx").select("doc_id", "rx")
+          val ry = bucketRank(conf, "cm", 1000001L,
+            Seq(col("cm"), col("doc_id")), "ry").select("doc_id", "ry")
+          val d2 = rx.join(ry, Seq("doc_id"))
+            .select(((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+          val nd = col("n").cast("double")
+          val den = nd * (nd * nd - lit(1.0))
+          d2.agg(count(lit(1)).as("n"),
+              coalesce(sum(col("d2")), lit(0L)).as("sum_d2"))
+            .select(col("n"), col("sum_d2"),
+              (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
+                when(den === 0.0, lit(null)).otherwise(den)).as("rho"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q205 oracle: the shared weight chain + global ROW_NUMBERs (the
+    * two-phase prefix is a Spark-side execution detail). */
+  def qSpearmanSql(rounds: Int = 16, lr: Double = 8.0): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
+       |conf AS (
+       |  SELECT doc_id, CAST(round(($p) * 1000000.0::DOUBLE) AS BIGINT) AS cm
+       |  FROM f, $wFinal w),
+       |rx AS (SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rx
+       |       FROM documents),
+       |ry AS (SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY cm, doc_id) AS BIGINT) AS ry
+       |       FROM conf),
+       |j AS (SELECT rx.rx - ry.ry AS d FROM rx JOIN ry USING (doc_id))
+       |SELECT COUNT(*)::BIGINT AS n,
+       |  CAST(COALESCE(SUM(d * d), 0) AS BIGINT) AS sum_d2,
+       |  1.0::DOUBLE - 6.0::DOUBLE * CAST(SUM(d * d) AS DOUBLE)
+       |    / nullif(CAST(COUNT(*) AS DOUBLE)
+       |             * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+       |                - 1.0::DOUBLE), 0.0) AS rho
+       |FROM j""".stripMargin
+  }
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

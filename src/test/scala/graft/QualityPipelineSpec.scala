@@ -783,4 +783,91 @@ class QualityPipelineSpec extends SparkSpec {
     // whose bigrams are all corpus-frequent score lower than the corpus max
     assert(got.map(_._3).distinct.length > 1, "degenerate constant score")
   }
+
+  test("q203 Heaps fit: prefix counts recompute sequentially; beta in (0,1)") {
+    val t = sf0001
+    val rows = TextAnalysis.qHeapsFit(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.length == 10)
+    // independent sequential recompute of T(rank) and V(rank)
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var cumT = 0L
+    val seq = docs.zipWithIndex.map { case ((_, text), i) =>
+      val tk = tok(text); cumT += tk.length
+      tk.foreach(seen += _)
+      (i + 1L, cumT, seen.size.toLong)
+    }.map { case (r, ct, v) => r -> (ct, v) }.toMap
+    rows.foreach { case (rank, ct, v, _) =>
+      val (ect, ev) = seq(rank)
+      assert(ct == ect && v == ev, s"rank $rank: ($ct,$v) want ($ect,$ev)")
+    }
+    // vocabulary growth is sublinear: beta in [0,1). The synthetic corpus
+    // draws from a ~31-token template pool, so V saturates inside the
+    // first checkpoint and beta is exactly 0 — assert the fit DETECTS
+    // that (beta > 0 iff the checkpoints saw growth).
+    val beta = rows.head._4
+    assert(beta >= 0.0 && beta < 1.0, s"beta $beta outside [0,1)")
+    val vocabGrew = rows.map(_._3).distinct.length > 1
+    assert((beta > 0.0) == vocabGrew,
+      s"beta $beta inconsistent with vocab growth $vocabGrew")
+    // same beta on every checkpoint row
+    assert(rows.map(_._4).distinct.length == 1)
+  }
+
+  test("q204 mutual info: marginals tie out; MI nonnegative and <= min(H)") {
+    val t = sf0001
+    val rows = TextAnalysis.qMutualInfo(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val n = t.documents.count()
+    assert(rows.map(_._3).sum == n, "cell counts must cover the corpus")
+    // marginals recompute from the cells themselves
+    val byX = rows.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val byY = rows.groupBy(_._2).map { case (b, g) => b -> g.map(_._3).sum }
+    rows.foreach { case (s, b, _, cx, cy, _, _) =>
+      assert(cx == byX(s) && cy == byY(b))
+    }
+    // MI bounds: >= 0 (up to micro-rounding of cell terms), <= min(H_x, H_y)
+    val mi = rows.head._7.toDouble / 1e6
+    assert(rows.map(_._7).distinct.length == 1)
+    assert(mi >= -rows.length.toDouble * 1e-6, s"MI $mi below rounding floor")
+    def entropy(counts: Iterable[Long]): Double = {
+      val tot = counts.sum.toDouble
+      -counts.map(c => c / tot * math.log(c / tot)).sum
+    }
+    assert(mi <= math.min(entropy(byX.values), entropy(byY.values)) + 1e-3,
+      s"MI $mi exceeds the marginal entropy bound")
+  }
+
+  test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
+    val t = sf0001
+    val row = TextAnalysis.qSpearman(t).head()
+    val (n, sumD2, rho) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(n == t.documents.count())
+    // independent recompute: rank n_chars and the micro-rounded confidence
+    // (rebuilt from q198's conf output, which is round(p, 6)) by the same
+    // tie-broken orders
+    val nc = t.documents.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rx = nc.sortBy { case (id, c) => (c, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // q198 with k = corpus size exposes every doc's rounded confidence
+    val conf = TextAnalysis.qUncertaintySampling(t, k = n.toInt).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e6)))
+    assert(conf.length == n.toInt)
+    val ry = conf.sortBy { case (id, c) => (c, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expD2 = nc.map { case (id, _) =>
+      val d = rx(id) - ry(id); d * d
+    }.sum
+    assert(sumD2 == expD2, s"sum_d2 $sumD2 want $expD2")
+    val nd = n.toDouble
+    assert(rho == 1.0 - 6.0 * sumD2.toDouble / (nd * (nd * nd - 1.0)))
+    assert(rho >= -1.0 && rho <= 1.0)
+  }
 }
