@@ -1243,6 +1243,135 @@ object TextAnalysis {
        |FROM j""".stripMargin
   }
 
+  /** Q206: precision–recall curve summary — average precision (the PR
+    * analogue of q200's ROC-AUC; Manning et al. IR ch.8) plus the best-F1
+    * operating point and its threshold. AUC says how well the model
+    * orders; AP and best-F1 say how it behaves where the POSITIVE class
+    * lives — the metric pair that matters when the filter keeps a small
+    * fraction of the corpus.
+    *
+    * Conventions (exact, tie-safe): the sweep descends over DISTINCT
+    * round(6) confidences, each tie group enters at once; precision_g =
+    * cumPos/cumAll and F1_g = 2·cumPos/(cumAll+n_pos) are evaluated at
+    * the group boundary; AP = Σ_g pos_g·precision_g / n_pos. Per-group
+    * terms land on the micro grid and sum as BIGINT (order-independent);
+    * the argmax operating point is max over the ENCODED integer
+    * f1_micro·1000001 + conf_micro — one integer MAX with the (F1, then
+    * higher threshold) tie-break built into the encoding, replayed
+    * verbatim by DuckDB's // and %.
+    *
+    * Scale shape: q200's exact scaffold — one aggregate per distinct
+    * score, the descending prefix via bucket offsets (≤100-row driver
+    * fetch) + per-bucket windows, one final aggregate. */
+  def qPrCurve(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "n_pos" -> LongType, "n_neg" -> LongType,
+            "ap_micro" -> LongType, "ap" -> DoubleType,
+            "best_f1_micro" -> LongType, "best_conf_micro" -> LongType,
+            "best_f1" -> DoubleType, "best_thresh" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val groups = feats
+            .select(round(p, 6).as("conf"), col("y"))
+            .groupBy(col("conf"))
+            .agg(count(lit(1)).as("cnt"), sum(col("y").cast("long")).as("pos_g"))
+          val withB = groups.withColumn("bkt",
+            least(floor(col("conf") * lit(100.0)), lit(99.0)).cast("int"))
+          // DESCENDING offsets: Σ(cnt, pos) of all HIGHER buckets — the
+          // q200 bounded fetch walked from the top
+          val cnts = withB.groupBy(col("bkt"))
+            .agg(sum(col("cnt")).as("c"), sum(col("pos_g")).as("p"))
+            .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+            .sortBy(-_._1)
+          var accC = 0L; var accP = 0L
+          val offRows = cnts.map { case (b, c, pp) =>
+            val o = (b, accC, accP); accC += c; accP += pp; o
+          }
+          val nPosTot = accP
+          val offDf = broadcast(offRows.toSeq.toDF("bkt", "offc", "offp"))
+          val wD = Window.partitionBy(col("bkt")).orderBy(col("conf").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val terms = withB.join(offDf, Seq("bkt"))
+            .withColumn("cum_all", col("offc") + sum(col("cnt")).over(wD))
+            .withColumn("cum_pos", col("offp") + sum(col("pos_g")).over(wD))
+            .withColumn("conf_micro",
+              round(col("conf") * lit(1000000.0), 0).cast("long"))
+            .withColumn("ap_term", round(
+              (col("pos_g") * col("cum_pos")).cast("double") /
+                col("cum_all").cast("double") * lit(1000000.0), 0).cast("long"))
+            .withColumn("f1_micro", round(
+              (lit(2000000L) * col("cum_pos")).cast("double") /
+                (col("cum_all") + lit(nPosTot)).cast("double"), 0).cast("long"))
+          terms.agg(
+              sum(col("pos_g")).as("n_pos"),
+              sum(col("cnt") - col("pos_g")).as("n_neg"),
+              sum(col("ap_term")).as("ap_micro"),
+              max(col("f1_micro") * lit(1000001L) + col("conf_micro")).as("enc"))
+            .select(col("n_pos"), col("n_neg"), col("ap_micro"),
+              when(col("n_pos") > 0,
+                col("ap_micro").cast("double") /
+                  (col("n_pos").cast("double") * lit(1000000.0))).as("ap"),
+              expr("enc div 1000001L").as("best_f1_micro"),
+              expr("enc % 1000001L").as("best_conf_micro"))
+            .withColumn("best_f1",
+              col("best_f1_micro").cast("double") / lit(1000000.0))
+            .withColumn("best_thresh",
+              col("best_conf_micro").cast("double") / lit(1000000.0))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q206 oracle: the weight chain + plain descending windows; the argmax
+    * decodes the same integer encoding with // and %. */
+  def qPrCurveSql(rounds: Int = 16, lr: Double = 8.0): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
+       |sc AS (SELECT round(($p), 6) AS conf, y FROM f, $wFinal w),
+       |groups AS (
+       |  SELECT conf, COUNT(*)::BIGINT AS cnt,
+       |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS pos_g
+       |  FROM sc GROUP BY conf),
+       |tot AS (SELECT CAST(SUM(pos_g) AS BIGINT) AS np,
+       |               CAST(SUM(cnt) AS BIGINT) AS nc FROM groups),
+       |pre AS (
+       |  SELECT conf, cnt, pos_g,
+       |    CAST(SUM(cnt) OVER (ORDER BY conf DESC) AS BIGINT) AS cum_all,
+       |    CAST(SUM(pos_g) OVER (ORDER BY conf DESC) AS BIGINT) AS cum_pos,
+       |    CAST(round(conf * 1000000.0::DOUBLE) AS BIGINT) AS conf_micro
+       |  FROM groups),
+       |terms AS (
+       |  SELECT *,
+       |    CAST(round(CAST(pos_g * cum_pos AS DOUBLE) / CAST(cum_all AS DOUBLE)
+       |               * 1000000.0::DOUBLE) AS BIGINT) AS ap_term,
+       |    CAST(round(CAST(2000000 * cum_pos AS DOUBLE)
+       |               / CAST(cum_all + (SELECT np FROM tot) AS DOUBLE)) AS BIGINT) AS f1_micro
+       |  FROM pre)
+       |SELECT
+       |  CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+       |  CAST(SUM(cnt - pos_g) AS BIGINT) AS n_neg,
+       |  CAST(SUM(ap_term) AS BIGINT) AS ap_micro,
+       |  CASE WHEN SUM(pos_g) > 0 THEN
+       |    CAST(SUM(ap_term) AS DOUBLE)
+       |      / (CAST(SUM(pos_g) AS DOUBLE) * 1000000.0::DOUBLE) END AS ap,
+       |  CAST(MAX(f1_micro * 1000001 + conf_micro) // 1000001 AS BIGINT) AS best_f1_micro,
+       |  CAST(MAX(f1_micro * 1000001 + conf_micro) % 1000001 AS BIGINT) AS best_conf_micro,
+       |  CAST(MAX(f1_micro * 1000001 + conf_micro) // 1000001 AS DOUBLE)
+       |    / 1000000.0::DOUBLE AS best_f1,
+       |  CAST(MAX(f1_micro * 1000001 + conf_micro) % 1000001 AS DOUBLE)
+       |    / 1000000.0::DOUBLE AS best_thresh
+       |FROM terms""".stripMargin
+  }
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

@@ -844,6 +844,37 @@ class QualityPipelineSpec extends SparkSpec {
       s"MI $mi exceeds the marginal entropy bound")
   }
 
+  test("q206 PR curve: AP and best-F1 match an in-memory descending sweep") {
+    val t = sf0001
+    val row = TextAnalysis.qPrCurve(t).head()
+    val (nPos, nNeg, apMicro, bestF1m, bestConfM) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(4), row.getLong(5))
+    // rebuild (conf_micro, y) from q198 with k = corpus size
+    val n = t.documents.count().toInt
+    val scored = TextAnalysis.qUncertaintySampling(t, k = n).collect()
+      .map(r => (math.round(r.getDouble(3) * 1e6), r.getDouble(2).toLong))
+    assert(scored.length == n && nPos + nNeg == n)
+    assert(nPos == scored.map(_._2).sum)
+    // descending sweep over distinct confidences, tie groups at once
+    val groups = scored.groupBy(_._1).map { case (cm, g) =>
+      (cm, g.length.toLong, g.map(_._2).sum)
+    }.toSeq.sortBy(-_._1)
+    var cumAll = 0L; var cumPos = 0L
+    var apSum = 0L; var bestEnc = Long.MinValue
+    groups.foreach { case (cm, cnt, pos) =>
+      cumAll += cnt; cumPos += pos
+      apSum += math.round(
+        (pos * cumPos).toDouble / cumAll.toDouble * 1e6)
+      val f1m = math.round(
+        (2000000L * cumPos).toDouble / (cumAll + nPos).toDouble)
+      bestEnc = math.max(bestEnc, f1m * 1000001L + cm)
+    }
+    assert(apMicro == apSum, s"ap_micro $apMicro want $apSum")
+    assert(bestF1m == bestEnc / 1000001L && bestConfM == bestEnc % 1000001L)
+    // AP must beat the random-classifier baseline (prevalence) on this data
+    assert(apMicro.toDouble / (nPos * 1e6) > nPos.toDouble / n)
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
