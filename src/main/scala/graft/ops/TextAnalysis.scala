@@ -1372,6 +1372,177 @@ object TextAnalysis {
        |FROM terms""".stripMargin
   }
 
+  /** Q207: excess-loss domain reweighting — a one-step, deterministic
+    * variant of DoReMi (Xie et al. 2023): sources whose documents are
+    * HARDER than the corpus average under a reference LM get upweighted
+    * exponentially, the classic group-DRO update. The reference loss is
+    * the corpus unigram cross-entropy (the q110 model class, rebuilt
+    * self-contained): per-token −ln(cnt/total) on the micro grid, so
+    * every per-source and global mean is one division of exact BIGINTs.
+    *
+    * Exactness: per-token nll micros sum order-independently; source and
+    * global means are single divisions of exact integers (identical
+    * cross-engine); the excess is a difference of two such doubles (same
+    * IEEE sequence); exp re-enters libm and lands back on the micro grid
+    * (the r9 rule); the final weights are tok_i·wu_i / Σ tok_j·wu_j with
+    * an exact BIGINT numerator and denominator. Numerator bound:
+    * tok_i·wu_i ≲ tok_i·e^η·1e6 — BIGINT-safe to ~10¹² tokens per
+    * source at η=1; beyond that, scale the micro grid down (1e3), same
+    * contract.
+    *
+    * Scale shape: explode + one vocabulary aggregate + one term-keyed
+    * shuffle join (q110's plan) + a per-source aggregate; the softmax
+    * runs as windows over the bounded |sources| table. */
+  def qDoremiWeights(t: Tables, eta: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("source"), col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val uf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = Window.partitionBy()
+    val ufTot = uf.withColumn("tot", sum(col("cnt")).over(tot))
+    val perTok = toks.join(ufTot, Seq("term"))
+      .select(col("source"), col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("tot").cast("double")) *
+          lit(1000000.0), 0).cast("long").as("nll_micro"))
+    // two-level aggregate: doc level first (map-side combinable), so the
+    // source rollup needs no countDistinct expand over the token stream
+    val perDoc = perTok.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("nt"), sum(col("nll_micro")).as("ns"))
+    val src = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      sum(col("ns")).as("nll_sum"))
+    val all = Window.partitionBy()
+    src
+      .withColumn("g_nll_sum", sum(col("nll_sum")).over(all))
+      .withColumn("g_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("nll",
+        col("nll_sum").cast("double") / col("n_tokens").cast("double") / lit(1000000.0))
+      .withColumn("g_nll",
+        col("g_nll_sum").cast("double") / col("g_tokens").cast("double") / lit(1000000.0))
+      .withColumn("excess", col("nll") - col("g_nll"))
+      .withColumn("wu_micro",
+        round(exp(lit(eta) * col("excess")) * lit(1000000.0), 0).cast("long"))
+      .withColumn("num", col("n_tokens") * col("wu_micro"))
+      .withColumn("weight",
+        col("num").cast("double") / sum(col("num")).over(all).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("nll"),
+        col("excess"), col("wu_micro"), col("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** q207 oracle: same unigram reference, micro sums, and softmax windows. */
+  def qDoremiWeightsSql(eta: Double = 1.0): String =
+    s"""WITH toks AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |uf AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+      |uft AS (SELECT term, cnt, CAST(SUM(cnt) OVER () AS BIGINT) AS tot FROM uf),
+      |pt AS (
+      |  SELECT t.source, t.doc_id,
+      |    CAST(round(-ln(CAST(u.cnt AS DOUBLE) / CAST(u.tot AS DOUBLE))
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS nll_micro
+      |  FROM toks t JOIN uft u USING (term)),
+      |pd AS (
+      |  SELECT source, doc_id, COUNT(*)::BIGINT AS nt,
+      |    CAST(SUM(nll_micro) AS BIGINT) AS ns
+      |  FROM pt GROUP BY source, doc_id),
+      |src AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(ns) AS BIGINT) AS nll_sum
+      |  FROM pd GROUP BY source),
+      |m AS (
+      |  SELECT *,
+      |    CAST(SUM(nll_sum) OVER () AS BIGINT) AS g_nll_sum,
+      |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS g_tokens
+      |  FROM src),
+      |e AS (
+      |  SELECT *,
+      |    CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0::DOUBLE AS nll,
+      |    (CAST(nll_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0::DOUBLE)
+      |      - (CAST(g_nll_sum AS DOUBLE) / CAST(g_tokens AS DOUBLE) / 1000000.0::DOUBLE) AS excess
+      |  FROM m),
+      |wu AS (
+      |  SELECT *, CAST(round(exp($eta::DOUBLE * excess) * 1000000.0::DOUBLE) AS BIGINT) AS wu_micro
+      |  FROM e)
+      |SELECT source, n_docs, n_tokens, nll, excess, wu_micro,
+      |  CAST(n_tokens * wu_micro AS DOUBLE)
+      |    / CAST(SUM(n_tokens * wu_micro) OVER () AS DOUBLE) AS weight
+      |FROM wu ORDER BY source""".stripMargin
+
+  /** Q208: temperature-based mixture allocation — the sampling-share
+    * schedule p_i ∝ w_i^(1/τ) used to flatten a skewed source mix
+    * (multilingual/multidomain training; cf. the T=2…5 schedules in
+    * XLM-R, Conneau et al. 2020), materialized as an exact integer
+    * allocation of `budget` samples by largest-remainder apportionment
+    * (Hamilton's method — deterministic, total = budget by construction).
+    *
+    * Exactness: τ=2 means w^(1/τ) = √w, and IEEE sqrt is correctly
+    * rounded — but the SHARES would still divide by an aggregation-
+    * order-dependent float sum, so the share mass goes to an exact milli
+    * grid first (round(√w·1e3) BIGINT). From there everything is integer
+    * arithmetic: base_i = (B·s_i) div S, remainder ranks break ties by
+    * (rem desc, source asc), Σ alloc ≡ B. The only doubles emitted are
+    * one-division shares.
+    *
+    * Scale shape: one per-source aggregate; apportionment runs on the
+    * bounded |sources| table (windows over ≤|sources| rows). */
+  def qTemperatureAlloc(t: Tables, budget: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mass = t.fanout(t.documents)
+      .groupBy(col("source"))
+      .agg(sum(size(text.tokenize(col("text"))).cast("long")).as("w"))
+      .withColumn("sm", round(sqrt(col("w").cast("double")) * lit(1000.0), 0).cast("long"))
+    val all = Window.partitionBy()
+    val ranked = mass
+      .withColumn("s_tot", sum(col("sm")).over(all))
+      .withColumn("base", expr(s"(${budget}L * sm) div s_tot"))
+      .withColumn("rem", expr(s"(${budget}L * sm) % s_tot"))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+    ranked
+      .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("alloc", col("base") + col("extra"))
+      .withColumn("share", col("sm").cast("double") / col("s_tot").cast("double"))
+      .select(col("source"), col("w").as("n_tokens"), col("sm"), col("share"),
+        col("base"), col("rem"), col("extra"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  /** q208 oracle: identical integer apportionment; the remainder rank is
+    * the same total order on (rem desc, source). */
+  def qTemperatureAllocSql(budget: Long = 100000L): String =
+    s"""WITH mass AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                 x -> len(x) > 0))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |sm AS (
+      |  SELECT source, w,
+      |    CAST(round(sqrt(CAST(w AS DOUBLE)) * 1000.0::DOUBLE) AS BIGINT) AS sm
+      |  FROM mass),
+      |r AS (
+      |  SELECT *,
+      |    CAST(SUM(sm) OVER () AS BIGINT) AS s_tot,
+      |    ($budget * sm) // CAST(SUM(sm) OVER () AS BIGINT) AS base,
+      |    ($budget * sm) % CAST(SUM(sm) OVER () AS BIGINT) AS rem
+      |  FROM sm),
+      |k AS (
+      |  SELECT *,
+      |    $budget - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+      |  FROM r)
+      |SELECT source, w AS n_tokens, sm,
+      |  CAST(sm AS DOUBLE) / CAST(s_tot AS DOUBLE) AS share,
+      |  base, rem,
+      |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM k ORDER BY source""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

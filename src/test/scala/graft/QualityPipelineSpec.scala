@@ -875,6 +875,59 @@ class QualityPipelineSpec extends SparkSpec {
     assert(apMicro.toDouble / (nPos * 1e6) > nPos.toDouble / n)
   }
 
+  test("q207 DoReMi weights: softmax recomputes; harder sources weigh more per token") {
+    val t = sf0001
+    val rows = TextAnalysis.qDoremiWeights(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // weights are a distribution
+    assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-9)
+    rows.foreach { case (_, nd, ntk, _, _, _, wt) =>
+      assert(nd > 0 && ntk > 0 && wt > 0.0)
+    }
+    // softmax recomputes from the emitted integers: weight_i =
+    // n_tokens_i*wu_i / sum_j n_tokens_j*wu_j
+    val den = rows.map { case (_, _, ntk, _, _, wu, _) => ntk * wu }.sum
+    rows.foreach { case (s, _, ntk, _, _, wu, wt) =>
+      assert(wt == (ntk * wu).toDouble / den.toDouble, s"weight of $s")
+    }
+    // the global mean is the token-weighted mean of source nll: excess
+    // must straddle zero (some source above average, some below) unless
+    // all sources are identical
+    if (rows.map(_._4).distinct.length > 1) {
+      assert(rows.exists(_._5 > 0.0) && rows.exists(_._5 < 0.0))
+      // exp monotone: higher excess => higher per-token upweight
+      val sorted = rows.sortBy(_._5)
+      assert(sorted.map(_._6).zip(sorted.tail.map(_._6)).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q208 temperature allocation: exact apportionment; flatter than raw shares") {
+    val t = sf0001
+    val budget = 100000L
+    val rows = TextAnalysis.qTemperatureAlloc(t, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    // Hamilton's method: allocations sum exactly to the budget
+    assert(rows.map(_._8).sum == budget)
+    rows.foreach { case (s, w, sm, share, base, _, extra, alloc) =>
+      assert(sm == math.round(math.sqrt(w.toDouble) * 1000.0), s"sm of $s")
+      assert(extra == 0L || extra == 1L)
+      assert(alloc == base + extra)
+      // quota property: |alloc - budget*share| < 1 up to the milli grid
+      assert(math.abs(alloc - budget * share) <= 1.0 + budget * 1e-6,
+        s"$s alloc $alloc vs quota ${budget * share}")
+    }
+    // temperature flattening: sqrt compresses the mix — the max/min
+    // allocation ratio must not exceed the raw token-mass ratio
+    val wMax = rows.map(_._2).max.toDouble; val wMin = rows.map(_._2).min.toDouble
+    val aMax = rows.map(_._8).max.toDouble; val aMin = rows.map(_._8).min.toDouble
+    if (wMin > 0 && aMin > 0)
+      assert(aMax / aMin <= wMax / wMin + 1e-9, "allocation skew exceeds raw skew")
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
