@@ -1543,6 +1543,164 @@ object TextAnalysis {
       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
       |FROM k ORDER BY source""".stripMargin
 
+  /** Q209: weighted reservoir sampling (A-Res, Efraimidis & Spirakis
+    * 2006) — weighted sampling WITHOUT replacement as one distributed
+    * top-k: key_i = ln(u_i)/w_i with u_i uniform, keep the k largest.
+    * The training-data use is proportional-to-length subsampling that a
+    * resample pass (q122) or mixture builder draws repeatedly; unlike
+    * q100's with-replacement sampler this one never duplicates a doc.
+    *
+    * Determinism: u_i derives from md5(doc_id) — the q125 hex-replay
+    * contract (Spark conv(hex,16,10) ≡ DuckDB CAST('0x…' AS BIGINT)) —
+    * 13 hex digits = 52 uniform bits, guarded ≥1 so ln never sees 0.
+    * The key goes to an exact pico grid (round(ln(u)/w·1e12) BIGINT —
+    * ln is libm, so the r9 rule applies) and the (key desc, doc_id)
+    * order is total.
+    *
+    * Scale shape: per-row hash + one TakeOrderedAndProject — per-
+    * partition heaps of k rows, no global sort, no shuffle beyond the
+    * final k-row gather. */
+  def qWeightedReservoir(t: Tables, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = t.fanout(t.documents).select(
+      col("doc_id"),
+      greatest(col("n_chars").cast("long"), lit(1L)).as("w"),
+      greatest(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)"),
+        lit(1L)).as("hv"))
+      .withColumn("key_pico", round(
+        log(col("hv").cast("double") / lit(4503599627370496.0)) /
+          col("w").cast("double") * lit(1.0e12), 0).cast("long"))
+    val picked = keyed
+      .orderBy(col("key_pico").desc, col("doc_id")).limit(k)
+    picked.withColumn("rank", row_number().over(
+        Window.orderBy(col("key_pico").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("w"), col("key_pico"))
+      .orderBy(col("rank"))
+  }
+
+  /** q209 oracle: the same md5-hex uniform and pico-grid key. */
+  def qWeightedReservoirSql(k: Int = 50): String =
+    s"""WITH h AS (
+      |  SELECT doc_id, greatest(n_chars, 1)::BIGINT AS w,
+      |    greatest(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT), 1) AS hv
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, w,
+      |    CAST(round(ln(CAST(hv AS DOUBLE) / 4503599627370496.0::DOUBLE)
+      |               / CAST(w AS DOUBLE) * 1000000000000.0::DOUBLE) AS BIGINT) AS key_pico
+      |  FROM h)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_pico DESC, doc_id) AS BIGINT) AS rank,
+      |  doc_id, w, key_pico
+      |FROM (SELECT * FROM keyed ORDER BY key_pico DESC, doc_id LIMIT $k)
+      |ORDER BY rank""".stripMargin
+
+  /** Q210: per-source two-sample Kolmogorov–Smirnov test on the quality
+    * distribution — does source s draw its quality scores from the same
+    * distribution as the REST of the corpus? The drift-audit complement
+    * of q108 (PSI over fixed deciles): KS needs no binning choice and
+    * its statistic here is FULLY integer-exact, the q200 trick applied
+    * to CDFs: at every observed score point, D's numerator is
+    * |cum_s·n_r − cum_r·n_s| (BIGINT), and the max + argmax ride one
+    * integer MAX over the q206 encoding. The only doubles are the final
+    * D division and the Smirnov critical value c(α)·√((n_s+n_r)/
+    * (n_s·n_r)) — identical IEEE sequences from exact integers on both
+    * engines, so even the reject flag is hash-safe.
+    *
+    * Scale shape: one (source, qm) count aggregate; the evaluation grid
+    * is |sources| × |distinct qm| built by EXPLODING the bounded
+    * source list over the distinct-score table (no BroadcastNestedLoop
+    * cross join — the q114 invariant); CDFs are windows partitioned by
+    * source. Distinct qm is grid-bounded (≤1e6+1). The argmax encoding
+    * d_num·1000001+qm needs n_s·n_r ≲ 9·10¹²; past that (≈3M docs per
+    * side) split max and argmax into two aggregates — same contract. */
+  def qKsQuality(t: Tables, cAlpha: Double = 1.358): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = t.documents.sparkSession
+    val q = qQualityScore(t).select(col("doc_id"),
+      round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val cells = q.groupBy(col("source"), col("qm")).agg(count(lit(1)).as("c"))
+    // bounded source list (the k-means-centroid fetch contract)
+    val sources = cells.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val grid = cells.groupBy(col("qm")).agg(sum(col("c")).as("c_all"))
+      .withColumn("source", explode(typedLit(sources.toSeq)))
+    val dense = grid.join(cells, Seq("source", "qm"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("qm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    val cum = dense
+      .withColumn("cum_s", sum(col("c")).over(wSrc))
+      .withColumn("cum_all", sum(col("c_all")).over(wSrc))
+      .withColumn("n_s", sum(col("c")).over(wAll))
+      .withColumn("n_all", sum(col("c_all")).over(wAll))
+      .withColumn("cum_r", col("cum_all") - col("cum_s"))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      .withColumn("d_num", abs(col("cum_s") * col("n_r") - col("cum_r") * col("n_s")))
+    val enc = cum.groupBy(col("source")).agg(
+      max(col("n_s")).as("n_s"), max(col("n_r")).as("n_r"),
+      max(col("d_num") * lit(1000001L) + col("qm")).as("enc"))
+    val nsd = col("n_s").cast("double"); val nrd = col("n_r").cast("double")
+    enc
+      .withColumn("d_num", expr("enc div 1000001L"))
+      .withColumn("at_qm", expr("enc % 1000001L"))
+      .withColumn("d", col("d_num").cast("double") / (nsd * nrd))
+      .withColumn("crit", lit(cAlpha) * sqrt((nsd + nrd) / (nsd * nrd)))
+      .withColumn("reject", col("d") > col("crit"))
+      .select(col("source"), col("n_s"), col("n_r"), col("d_num"),
+        col("at_qm"), col("d"), col("crit"), col("reject"))
+      .orderBy(col("source"))
+  }
+
+  /** q210 oracle: the q27 chain + the same windows and integer encoding;
+    * the grid is a plain source×distinct-qm cross join (fine in DuckDB). */
+  def qKsQualitySql(cAlpha: Double = 1.358): String =
+    s"""WITH $qualityScoreCtes,
+      |qq AS (
+      |  SELECT d.source,
+      |    CAST(round(s.quality_score * 1000000.0::DOUBLE) AS BIGINT) AS qm
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |cells AS (SELECT source, qm, COUNT(*)::BIGINT AS c FROM qq GROUP BY source, qm),
+      |grid AS (
+      |  SELECT s.source, v.qm, v.c_all FROM
+      |    (SELECT DISTINCT source FROM cells) s,
+      |    (SELECT qm, CAST(SUM(c) AS BIGINT) AS c_all FROM cells GROUP BY qm) v),
+      |dense AS (
+      |  SELECT g.source, g.qm, g.c_all, COALESCE(cells.c, 0)::BIGINT AS c
+      |  FROM grid g LEFT JOIN cells ON g.source = cells.source AND g.qm = cells.qm),
+      |cum AS (
+      |  SELECT *,
+      |    CAST(SUM(c) OVER w AS BIGINT) AS cum_s,
+      |    CAST(SUM(c_all) OVER w AS BIGINT) AS cum_all,
+      |    CAST(SUM(c) OVER ws AS BIGINT) AS n_s,
+      |    CAST(SUM(c_all) OVER ws AS BIGINT) AS n_all
+      |  FROM dense
+      |  WINDOW w AS (PARTITION BY source ORDER BY qm
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         ws AS (PARTITION BY source)),
+      |d AS (
+      |  SELECT source, n_s, n_all - n_s AS n_r,
+      |    abs(cum_s * (n_all - n_s) - (cum_all - cum_s) * n_s) AS d_num, qm
+      |  FROM cum),
+      |e AS (
+      |  SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_s,
+      |    CAST(MAX(n_r) AS BIGINT) AS n_r,
+      |    CAST(MAX(d_num * 1000001 + qm) AS BIGINT) AS enc
+      |  FROM d GROUP BY source)
+      |SELECT source, n_s, n_r,
+      |  CAST(enc // 1000001 AS BIGINT) AS d_num,
+      |  CAST(enc % 1000001 AS BIGINT) AS at_qm,
+      |  CAST(enc // 1000001 AS DOUBLE)
+      |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE)) AS d,
+      |  $cAlpha::DOUBLE * sqrt((CAST(n_s AS DOUBLE) + CAST(n_r AS DOUBLE))
+      |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS crit,
+      |  CAST(enc // 1000001 AS DOUBLE)
+      |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))
+      |    > $cAlpha::DOUBLE * sqrt((CAST(n_s AS DOUBLE) + CAST(n_r AS DOUBLE))
+      |      / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS reject
+      |FROM e ORDER BY source""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

@@ -928,6 +928,70 @@ class QualityPipelineSpec extends SparkSpec {
       assert(aMax / aMin <= wMax / wMin + 1e-9, "allocation skew exceeds raw skew")
   }
 
+  test("q209 weighted reservoir: keys recompute from md5; heavier docs rank higher at equal hash") {
+    val t = sf0001
+    val k = 50
+    val rows = TextAnalysis.qWeightedReservoir(t, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == k)
+    assert(rows.map(_._1).toSeq == (1L to k.toLong))
+    // independent recompute of the full key table and its top-k
+    val docs = t.documents.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(1), 1L)))
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 13)
+      val hv = math.max(java.lang.Long.parseLong(hex, 16), 1L)
+      // HALF_UP away-from-zero — keys are negative, Math.round would
+      // differ at exact .5 (the engine-parity convention, q204 scaladoc)
+      BigDecimal(math.log(hv.toDouble / 4503599627370496.0) / w.toDouble * 1e12)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expect = docs.map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, kp) => (-kp, id) }.take(k)
+    rows.zip(expect).foreach { case ((_, gid, gw, gk), (eid, ew, ek)) =>
+      assert(gid == eid && gw == ew && gk == ek, s"doc $gid vs $eid")
+    }
+    // A-Res property: between two docs with the SAME uniform draw, the
+    // heavier one has the larger (less negative) key
+    val byKeyInput = docs.map { case (id, w) => (id, w) }
+    val sample = byKeyInput.take(20)
+    sample.foreach { case (id, w) =>
+      val kLight = key(id, w); val kHeavy = key(id, w * 10)
+      assert(kHeavy >= kLight, s"weight monotonicity broken at doc $id")
+    }
+  }
+
+  test("q210 KS: D recomputes from raw CDFs; pooled source is never rejected") {
+    val t = sf0001
+    val rows = TextAnalysis.qKsQuality(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    // independent recompute of the max |cum_s*n_r - cum_r*n_s| per source
+    val qm = TextAnalysis.qQualityScore(t).select("doc_id", "quality_score").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val src = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = qm.map { case (id, m) => (src(id), m) }
+    val values = pairs.map(_._2).distinct.sorted
+    rows.foreach { case (s, nS, nR, dNum, atQm, d, crit, reject) =>
+      val mine = pairs.filter(_._1 == s).map(_._2)
+      val rest = pairs.filter(_._1 != s).map(_._2)
+      assert(nS == mine.length && nR == rest.length)
+      var best = -1L; var bestQm = -1L
+      values.foreach { v =>
+        val cs = mine.count(_ <= v).toLong; val cr = rest.count(_ <= v).toLong
+        val num = math.abs(cs * nR - cr * nS)
+        if (num * 1000001L + v > best * 1000001L + bestQm) { best = num; bestQm = v }
+      }
+      assert(dNum == best && atQm == bestQm, s"$s: ($dNum,$atQm) want ($best,$bestQm)")
+      assert(d == dNum.toDouble / (nS.toDouble * nR.toDouble))
+      assert(reject == (d > crit))
+    }
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
