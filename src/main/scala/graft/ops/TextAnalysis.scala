@@ -1701,6 +1701,98 @@ object TextAnalysis {
       |      / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS reject
       |FROM e ORDER BY source""".stripMargin
 
+  /** Q211: domain cross-entropy matrix H(i,j) — source i's token stream
+    * scored under source j's add-1-smoothed unigram LM: the pairwise
+    * domain-affinity structure data-selection reads (pick pretraining
+    * domains whose LM transfers to the target — the Moore–Lewis /
+    * data-selection tradition, and the similarity input to q207's
+    * reweighting). Diagonal ≈ each domain's own entropy; asymmetry is
+    * the transfer direction.
+    *
+    * Exactness: H(i,j)·N_i splits into the OBSERVED part (sparse
+    * tf_i ⋈ c_j join on term, each term round(tf_i·nll_j·1e6) BIGINT)
+    * plus the exact unseen-mass correction (N_i − Σ_{t∈V_j} tf_i(t)) ·
+    * round(ln(N_j+V)·1e6) — all BIGINT, order-independent; H is one
+    * division. The correction product needs N_i·ln_micro ≲ 9·10¹⁸
+    * (N_i ≲ 6·10¹¹ tokens/source); past that drop the grid to 1e3.
+    *
+    * Scale shape: one (source, term) aggregate; the pair matrix comes
+    * from a term-keyed sparse join (Σ_t |sources ∋ t|² rows — vocab-
+    * sparse, never |S|²·|V| dense) into a map-side-combinable (i,j)
+    * aggregate; the correction is a broadcast-sized |S|-row join. */
+  def qDomainXent(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("source"), explode(text.tokenize(col("text"))).as("term"))
+    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val all = Window.partitionBy()
+    // V = global distinct terms; N_j = per-source token mass (bounded |S| rows)
+    val vCount = tf.select(col("term")).distinct().count()
+    val nj = tf.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      .withColumn("ln_micro",
+        round(log((col("n") + lit(vCount)).cast("double")) * lit(1000000.0), 0)
+          .cast("long"))
+    val modelSide = tf.join(nj, Seq("source"))
+      .select(col("term"), col("source").as("src_j"),
+        round(-log((col("c") + 1).cast("double") /
+          (col("n") + lit(vCount)).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("nll_micro"))
+    val dataSide = tf.select(col("term"), col("source").as("src_i"), col("c").as("tf_i"))
+    val observed = dataSide.join(modelSide, Seq("term"))
+      .groupBy(col("src_i"), col("src_j"))
+      .agg(sum(col("tf_i") * col("nll_micro")).as("obs_micro"),
+        sum(col("tf_i")).as("shared_mass"))
+    val ni = nj.select(col("source").as("src_i"), col("n").as("n_i"))
+    val njb = nj.select(col("source").as("src_j"),
+      col("n").as("n_j"), col("ln_micro"))
+    observed
+      .join(broadcast(ni), Seq("src_i"))
+      .join(broadcast(njb), Seq("src_j"))
+      .withColumn("h_micro", col("obs_micro") +
+        (col("n_i") - col("shared_mass")) * col("ln_micro"))
+      .withColumn("xent",
+        col("h_micro").cast("double") / (col("n_i").cast("double") * lit(1000000.0)))
+      .select(col("src_i"), col("src_j"), col("n_i"), col("shared_mass"),
+        col("h_micro"), col("xent"))
+      .orderBy(col("src_i"), col("src_j"))
+  }
+
+  /** q211 oracle: identical split (observed sparse join + exact unseen-
+    * mass correction), same micro grids. */
+  val qDomainXentSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY source, term),
+      |v AS (SELECT COUNT(DISTINCT term)::BIGINT AS v FROM tf),
+      |nj AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(round(ln(CAST(SUM(c) + (SELECT v FROM v) AS DOUBLE))
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS ln_micro
+      |  FROM tf GROUP BY source),
+      |model AS (
+      |  SELECT tf.term, tf.source AS src_j,
+      |    CAST(round(-ln(CAST(tf.c + 1 AS DOUBLE)
+      |                   / CAST(nj.n + (SELECT v FROM v) AS DOUBLE))
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS nll_micro
+      |  FROM tf JOIN nj USING (source)),
+      |observed AS (
+      |  SELECT d.source AS src_i, m.src_j,
+      |    CAST(SUM(d.c * m.nll_micro) AS BIGINT) AS obs_micro,
+      |    CAST(SUM(d.c) AS BIGINT) AS shared_mass
+      |  FROM tf d JOIN model m ON d.term = m.term
+      |  GROUP BY d.source, m.src_j)
+      |SELECT o.src_i, o.src_j, ni.n AS n_i, o.shared_mass,
+      |  CAST(o.obs_micro + (ni.n - o.shared_mass) * njx.ln_micro AS BIGINT) AS h_micro,
+      |  CAST(o.obs_micro + (ni.n - o.shared_mass) * njx.ln_micro AS DOUBLE)
+      |    / (CAST(ni.n AS DOUBLE) * 1000000.0::DOUBLE) AS xent
+      |FROM observed o
+      |JOIN nj ni ON ni.source = o.src_i
+      |JOIN nj njx ON njx.source = o.src_j
+      |ORDER BY o.src_i, o.src_j""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

@@ -992,6 +992,43 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q211 domain cross-entropy: in-memory recompute; self-model is row minimum") {
+    val t = sf0001
+    val rows = TextAnalysis.qDomainXent(t).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val docs = t.documents.select("source", "text").collect()
+      .map(r => (r.getString(0), tok(r.getString(1))))
+    val tf = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    }
+    val v = tf.values.flatMap(_.keys).toSet.size.toLong
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val n = tf.map { case (s, m) => s -> m.values.sum }
+    tf.keys.foreach { i => tf.keys.foreach { j =>
+      val nllJ = tf(j).map { case (w, c) =>
+        w -> r0(-math.log((c + 1).toDouble / (n(j) + v).toDouble) * 1e6) }
+      val lnJ = r0(math.log((n(j) + v).toDouble) * 1e6)
+      val obs = tf(i).toSeq.collect {
+        case (w, c) if nllJ.contains(w) => c * nllJ(w) }.sum
+      val shared = tf(i).toSeq.collect {
+        case (w, c) if nllJ.contains(w) => c }.sum
+      val h = obs + (n(i) - shared) * lnJ
+      val (gotN, gotShared, gotH) = rows((i, j))
+      assert(gotN == n(i) && gotShared == shared && gotH == h,
+        s"($i,$j): ($gotN,$gotShared,$gotH) want (${n(i)},$shared,$h)")
+    }}
+    // every source's own smoothed LM fits its data best on this corpus
+    tf.keys.foreach { i =>
+      val row = tf.keys.map(j => j -> rows((i, j))._3).toMap
+      assert(row(i) == row.values.min, s"diagonal not row-min for $i")
+    }
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
