@@ -1793,6 +1793,111 @@ object TextAnalysis {
       |JOIN nj njx ON njx.source = o.src_j
       |ORDER BY o.src_i, o.src_j""".stripMargin
 
+  /** Q212: UMass topic coherence (Mimno et al. EMNLP 2011) of each
+    * source's top-k terms — the intrinsic quality score for topic/
+    * cluster word lists: C = Σ_{i>j} ln((D(w_i,w_j)+1)/D(w_j)) over the
+    * rank-ordered top words, where D counts documents (co-)containing
+    * the words. High coherence = the top words actually co-occur; the
+    * standard sanity gate on q44/q129-style topic outputs, here applied
+    * to the per-source unigram profile.
+    *
+    * Exactness: term ranks break ties by (count desc, term); all D's
+    * are exact document counts; each pair term is round(ln·1e6) BIGINT
+    * and the sum is order-independent. C is emitted as the micro sum
+    * plus one division.
+    *
+    * Scale shape: one (source, term) count aggregate + a per-source
+    * top-k window (partitioned, k rows out); doc-frequency and co-
+    * occurrence counts run only over terms IN the top-word set (an
+    * equi semi join prunes the exploded stream before the doc-keyed
+    * self-join); the coherence sum is |S|·k(k−1)/2 bounded rows. */
+  def qTopicCoherence(t: Tables, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("source"), col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val top = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))))
+      .filter(col("rk") <= k)
+    val w = top.select(col("term")).distinct()
+    val docTerm = toks.select(col("doc_id"), col("term")).distinct()
+      .join(broadcast(w), Seq("term"))
+    val df = docTerm.groupBy(col("term")).agg(count(lit(1)).as("d"))
+    // unordered co-occurrence counts within the top-word set
+    val cooc = docTerm.select(col("doc_id"), col("term").as("t1"))
+      .join(docTerm.select(col("doc_id"), col("term").as("t2")), Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("d12"))
+    val pairs = top.select(col("source"), col("term").as("wi"), col("rk").as("ri"))
+      .join(top.select(col("source"), col("term").as("wj"), col("rk").as("rj")),
+        Seq("source"))
+      .filter(col("ri") > col("rj")) // wj is the higher-ranked word
+      .withColumn("t1", least(col("wi"), col("wj")))
+      .withColumn("t2", greatest(col("wi"), col("wj")))
+      .join(cooc, Seq("t1", "t2"), "left")
+      .withColumn("d12", coalesce(col("d12"), lit(0L)))
+      .join(broadcast(df.select(col("term").as("wj"), col("d").as("dj"))), Seq("wj"))
+      .withColumn("term_micro", round(
+        log((col("d12") + 1).cast("double") / col("dj").cast("double")) *
+          lit(1000000.0), 0).cast("long"))
+    val words = top.groupBy(col("source")).agg(
+      array_join(expr("transform(sort_array(collect_list(struct(rk, term))), x -> x.term)"),
+        " ").as("top_words"))
+    pairs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("term_micro")).as("coherence_micro"))
+      .join(words, Seq("source"))
+      .withColumn("coherence",
+        col("coherence_micro").cast("double") / lit(1000000.0))
+      .select(col("source"), col("top_words"), col("n_pairs"),
+        col("coherence_micro"), col("coherence"))
+      .orderBy(col("source"))
+  }
+
+  /** q212 oracle: same top-k ranks, D counts, and micro log terms. */
+  def qTopicCoherenceSql(k: Int = 5): String =
+    s"""WITH toks AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT source, term, COUNT(*)::BIGINT AS c,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY COUNT(*) DESC, term) AS rk
+      |    FROM toks GROUP BY source, term)
+      |  WHERE rk <= $k),
+      |w AS (SELECT DISTINCT term FROM top),
+      |dt AS (
+      |  SELECT DISTINCT t.doc_id, t.term FROM toks t JOIN w USING (term)),
+      |dfq AS (SELECT term, COUNT(*)::BIGINT AS d FROM dt GROUP BY term),
+      |cooc AS (
+      |  SELECT a.term AS t1, b.term AS t2, COUNT(*)::BIGINT AS d12
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      |  GROUP BY a.term, b.term),
+      |pairs AS (
+      |  SELECT i.source, i.term AS wi, i.rk AS ri, j.term AS wj, j.rk AS rj,
+      |    least(i.term, j.term) AS t1, greatest(i.term, j.term) AS t2
+      |  FROM top i JOIN top j ON i.source = j.source AND i.rk > j.rk),
+      |terms AS (
+      |  SELECT p.source,
+      |    CAST(round(ln(CAST(COALESCE(c.d12, 0) + 1 AS DOUBLE)
+      |                  / CAST(dfq.d AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS tm
+      |  FROM pairs p
+      |  LEFT JOIN cooc c ON p.t1 = c.t1 AND p.t2 = c.t2
+      |  JOIN dfq ON dfq.term = p.wj),
+      |words AS (
+      |  SELECT source, string_agg(term, ' ' ORDER BY rk) AS top_words
+      |  FROM top GROUP BY source)
+      |SELECT t.source, words.top_words,
+      |  COUNT(*)::BIGINT AS n_pairs,
+      |  CAST(SUM(t.tm) AS BIGINT) AS coherence_micro,
+      |  CAST(SUM(t.tm) AS DOUBLE) / 1000000.0::DOUBLE AS coherence
+      |FROM terms t JOIN words ON words.source = t.source
+      |GROUP BY t.source, words.top_words
+      |ORDER BY t.source""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

@@ -1029,6 +1029,37 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q212 topic coherence: UMass terms recompute from raw document counts") {
+    val t = sf0001
+    val rows = TextAnalysis.qTopicCoherence(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val docs = t.documents.select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), tok(r.getString(2))))
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val docSets = docs.map { case (_, id, tk) => id -> tk.toSet }.toMap
+    rows.foreach { case (src, topWords, nPairs, cMicro) =>
+      // top-k recompute with (count desc, term) tie-break
+      val counts = docs.filter(_._1 == src).flatMap(_._3)
+        .groupBy(identity).map { case (w, o) => w -> o.length }
+      val top = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(5).map(_._1)
+      assert(topWords == top.mkString(" "), s"$src top words")
+      assert(nPairs == top.length.toLong * (top.length - 1) / 2)
+      // UMass sum from raw doc sets (D over the WHOLE corpus)
+      var sum = 0L
+      for (i <- top.indices; j <- 0 until i) {
+        val (wi, wj) = (top(i), top(j))
+        val d12 = docSets.values.count(s => s(wi) && s(wj)).toLong
+        val dj = docSets.values.count(_(wj)).toLong
+        sum += r0(math.log((d12 + 1).toDouble / dj.toDouble) * 1e6)
+      }
+      assert(cMicro == sum, s"$src coherence $cMicro want $sum")
+    }
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
