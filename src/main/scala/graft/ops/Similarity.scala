@@ -1076,4 +1076,88 @@ object Similarity {
       |        ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rk
       |      FROM m)
       |WHERE rk = 1 ORDER BY src_id""".stripMargin
+
+  /** Q213: embedding-space isotropy audit — the mean pairwise cosine of
+    * the corpus WITHOUT a pair join, via the sum-vector identity
+    * mean_{i≠j} cos(v̂_i, v̂_j) = (‖Σv̂‖² − n) / (n(n−1)). Anisotropy
+    * (mean cosine ≫ 0) is the known failure mode of embedding spaces
+    * (Ethayarajh 2019; Mu & Viswanath 2018 — whose common-direction
+    * removal is q149's ABTT) that silently inflates every cosine ANN /
+    * semdedup threshold, so the audit belongs next to the ladder.
+    *
+    * Exactness: per-vector norms come from a SEQUENTIAL windowed sum of
+    * squares over (vec_id, dim) rows — both engines add in dim order by
+    * construction (no list-reduce order assumptions); normalized
+    * elements land on the micro grid, per-dim sums are exact BIGINTs,
+    * and ‖Σv̂‖² accumulates those BIGINTs-as-doubles through ONE ordered
+    * window (sequential again). The emitted mean_cos is a fixed IEEE
+    * sequence from exact integers.
+    *
+    * Scale shape: explode is O(n·d); all windows partition by vec_id or
+    * run over the d-row dim frame; no pair join at any size — the whole
+    * audit is two linear passes. */
+  def qIsotropy(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val el = t.fanout(t.embeddings)
+      .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+    val wv = Window.partitionBy(col("vec_id")).orderBy(col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVec = Window.partitionBy(col("vec_id"))
+    val normed = el
+      .withColumn("cum2", sum(col("x") * col("x")).over(wv))
+      .withColumn("nn2", max(col("cum2")).over(wVec))
+      .filter(col("nn2") > 0.0)
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x") / sqrt(col("nn2")) * lit(1000000.0), 0)
+          .cast("long").as("em"))
+    val sums = normed.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("em")).as("s_micro"))
+    val wSeq = Window.orderBy(col("dim"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val nd = col("n").cast("double")
+    val den = nd * (nd - lit(1.0))
+    sums
+      .withColumn("ss_cum",
+        sum(col("s_micro").cast("double") * col("s_micro").cast("double")).over(wSeq))
+      .withColumn("ss", max(col("ss_cum")).over(all))
+      .withColumn("mean_cos",
+        (col("ss") / lit(1.0e12) - nd) /
+          when(den === 0.0, lit(null)).otherwise(den))
+      .select(col("dim"), col("n"), col("s_micro"), col("mean_cos"))
+      .orderBy(col("dim"))
+  }
+
+  /** q213 oracle: generate_subscripts row form, identical sequential
+    * windows and micro grids. */
+  val qIsotropySql: String =
+    """WITH el AS (
+      |  SELECT vec_id, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS x
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+      |cums AS (
+      |  SELECT vec_id, dim, x,
+      |    SUM(x * x) OVER (PARTITION BY vec_id ORDER BY dim
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+      |  FROM el),
+      |norms AS (
+      |  SELECT *, MAX(cum2) OVER (PARTITION BY vec_id) AS nn2 FROM cums),
+      |normed AS (
+      |  SELECT CAST(dim AS BIGINT) AS dim,
+      |    CAST(round(x / sqrt(nn2) * 1000000.0::DOUBLE) AS BIGINT) AS em
+      |  FROM norms WHERE nn2 > 0.0),
+      |sums AS (
+      |  SELECT dim, COUNT(*)::BIGINT AS n, CAST(SUM(em) AS BIGINT) AS s_micro
+      |  FROM normed GROUP BY dim),
+      |seq AS (
+      |  SELECT *,
+      |    SUM(CAST(s_micro AS DOUBLE) * CAST(s_micro AS DOUBLE))
+      |      OVER (ORDER BY dim ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss_cum
+      |  FROM sums),
+      |fin AS (
+      |  SELECT *, MAX(ss_cum) OVER () AS ss FROM seq)
+      |SELECT dim, n, s_micro,
+      |  (ss / 1000000000000.0::DOUBLE - CAST(n AS DOUBLE))
+      |    / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE), 0.0) AS mean_cos
+      |FROM fin ORDER BY dim""".stripMargin
 }

@@ -195,4 +195,39 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
     assert(run() == run())
   }
+
+  test("q213 isotropy: identity matches the brute-force mean pairwise cosine") {
+    val t = sf0001
+    val rows = Similarity.qIsotropy(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    // per-dim micro sums recompute from normalized vectors
+    val vecs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val normed = vecs.map { case (_, v) =>
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nn)
+    }
+    val d = normed.head.length
+    val sm = Array.tabulate(d)(j => normed.map(v => r0(v(j) * 1e6)).sum)
+    rows.foreach { case (dim, n, s, _) =>
+      assert(n == vecs.length)
+      assert(s == sm(dim.toInt), s"dim $dim: $s want ${sm(dim.toInt)}")
+    }
+    // the sum-vector identity vs an actual O(n^2) pair loop (raw doubles,
+    // so only within micro-grid tolerance)
+    var acc = 0.0; var cnt = 0L
+    for (i <- normed.indices; j <- (i + 1) until normed.length) {
+      var dot = 0.0; var kk = 0
+      while (kk < d) { dot += normed(i)(kk) * normed(j)(kk); kk += 1 }
+      acc += dot; cnt += 1
+    }
+    val brute = acc / cnt
+    val got = rows.head._4
+    assert(math.abs(got - brute) < 1e-4,
+      s"identity $got vs brute-force $brute")
+  }
 }
