@@ -961,6 +961,86 @@ object EventAnalytics {
   /** q192 oracle: the same integer program over window functions — RANGE
     * frame for the trend, dow partition for the seasonal mean, BIGINT
     * cross-multiplied anomaly test. */
+  /** Q215: CUSUM change-point detection on daily event volumes (Page
+    * 1954) — the sequential drift detector that catches slow level
+    * shifts q107's per-day z-score misses (a 1σ/day drift never trips a
+    * pointwise threshold but accumulates linearly in CUSUM).
+    *
+    * The distributed form is the prefix identity: the clamped recurrence
+    * S_t = max(0, S_{t−1} + z_t) equals P_t − min(0, min_{j≤t} P_j)
+    * with P the plain prefix sum — so both one-sided statistics are
+    * ordinary windows (prefix sum + running extremum), no sequential
+    * kernel. Everything is integer: deviations are day-count-scaled
+    * (z·D = D·x − tot), and the h·σ alarm compares S² against
+    * h²·(D·ssq − tot²) — both sides derived from exact BIGINTs, the
+    * q192 cross-multiplication discipline (doubles only to dodge the
+    * BIGINT square overflow; identical IEEE sequences both engines).
+    *
+    * Scale shape: one daily aggregate, then windows partitioned by
+    * event_type over its bounded day range. */
+  def qCusum(t: Tables, hSigma: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events.groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("day_x"))
+      .agg(count(lit(1)).as("x"))
+    val wType = Window.partitionBy(col("event_type"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("day_x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h2 = lit((hSigma.toLong * hSigma).toDouble)
+    val varD2 = (col("dd") * col("ssq") - col("tot") * col("tot")).cast("double")
+    daily
+      .withColumn("dd", count(lit(1)).over(wType))
+      .withColumn("tot", sum(col("x")).over(wType))
+      .withColumn("ssq", sum(col("x") * col("x")).over(wType))
+      .withColumn("zs", col("dd") * col("x") - col("tot"))
+      .withColumn("p", sum(col("zs")).over(wSeq))
+      .withColumn("s_pos", col("p") - least(min(col("p")).over(wSeq), lit(0L)))
+      .withColumn("s_neg", greatest(max(col("p")).over(wSeq), lit(0L)) - col("p"))
+      .withColumn("alarm_pos",
+        col("s_pos").cast("double") * col("s_pos").cast("double") > h2 * varD2)
+      .withColumn("alarm_neg",
+        col("s_neg").cast("double") * col("s_neg").cast("double") > h2 * varD2)
+      .select(col("event_type"), col("day_x"), col("x"), col("dd"),
+        col("tot"), col("zs"), col("s_pos"), col("s_neg"),
+        col("alarm_pos"), col("alarm_neg"))
+      .orderBy(col("event_type"), col("day_x"))
+  }
+
+  /** q215 oracle: the same prefix-identity windows and integer alarm. */
+  def qCusumSql(hSigma: Int = 4): String =
+    s"""WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    COUNT(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT *,
+      |    CAST(COUNT(*) OVER wt AS BIGINT) AS dd,
+      |    CAST(SUM(x) OVER wt AS BIGINT) AS tot,
+      |    CAST(SUM(x * x) OVER wt AS BIGINT) AS ssq
+      |  FROM daily WINDOW wt AS (PARTITION BY event_type)),
+      |z AS (SELECT *, dd * x - tot AS zs FROM st),
+      |pr AS (
+      |  SELECT *,
+      |    CAST(SUM(zs) OVER ws AS BIGINT) AS p
+      |  FROM z WINDOW ws AS (PARTITION BY event_type ORDER BY day_x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT *,
+      |    p - least(CAST(MIN(p) OVER ws AS BIGINT), 0) AS s_pos,
+      |    greatest(CAST(MAX(p) OVER ws AS BIGINT), 0) - p AS s_neg
+      |  FROM pr WINDOW ws AS (PARTITION BY event_type ORDER BY day_x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day_x, x, dd, tot, zs, s_pos, s_neg,
+      |  CAST(s_pos AS DOUBLE) * CAST(s_pos AS DOUBLE)
+      |    > ${hSigma * hSigma}.0::DOUBLE
+      |      * CAST(dd * ssq - tot * tot AS DOUBLE) AS alarm_pos,
+      |  CAST(s_neg AS DOUBLE) * CAST(s_neg AS DOUBLE)
+      |    > ${hSigma * hSigma}.0::DOUBLE
+      |      * CAST(dd * ssq - tot * tot AS DOUBLE) AS alarm_neg
+      |FROM s ORDER BY event_type, day_x""".stripMargin
+
   val qSeasonalDecompSql: String =
     """WITH daily AS (
       |  SELECT event_type,

@@ -1898,6 +1898,97 @@ object TextAnalysis {
       |GROUP BY t.source, words.top_words
       |ORDER BY t.source""".stripMargin
 
+  /** Q214: cross-validation fold stability of the quality classifier —
+    * deterministic hash folds (the q209 md5-hex replay contract), the
+    * CACHED q139 weights scored per fold, and the fold-accuracy spread
+    * that says whether the single-number accuracy is trustworthy. (The
+    * honest caveat is in the scaladoc on purpose: the shared weights
+    * are trained on the full corpus, so this measures score stability
+    * across disjoint subsamples, not out-of-fold generalization — the
+    * k-fold retrain variant is k× the q139 cost and the same plan.)
+    *
+    * Exactness: fold = md5-uniform mod k; per-fold counts exact; acc is
+    * one division (raw) and its micro form round(1e6·correct/n) feeds
+    * exact BIGINT mean/spread across the k-row fold table.
+    *
+    * Scale shape: one scan to score + one fold aggregate; the summary
+    * is a window over k rows. */
+  def qCvFolds(t: Tables, folds: Int = 5, rounds: Int = 16,
+      lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "fold" -> LongType, "n" -> LongType,
+            "n_pos" -> LongType, "correct" -> LongType, "acc" -> DoubleType,
+            "acc_micro" -> LongType, "mean_acc" -> DoubleType,
+            "spread_micro" -> LongType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val scored = feats.select(col("y"),
+            expr(("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) " +
+              s"as bigint) % ${folds}L")).as("fold"),
+            when((round(p, 6) > 0.5).cast("int") === col("y").cast("int"), 1L)
+              .otherwise(0L).as("ok"))
+          val perFold = scored.groupBy(col("fold")).agg(
+            count(lit(1)).as("n"),
+            sum(col("y").cast("long")).as("n_pos"),
+            sum(col("ok")).as("correct"))
+          val all = Window.partitionBy()
+          perFold
+            .withColumn("acc",
+              col("correct").cast("double") / col("n").cast("double"))
+            .withColumn("acc_micro", round(
+              lit(1000000.0) * col("correct").cast("double") /
+                col("n").cast("double"), 0).cast("long"))
+            .withColumn("mean_acc",
+              sum(col("acc_micro")).over(all).cast("double") /
+                (count(lit(1)).over(all).cast("double") * lit(1000000.0)))
+            .withColumn("spread_micro",
+              max(col("acc_micro")).over(all) - min(col("acc_micro")).over(all))
+            .select(col("fold"), col("n"), col("n_pos"), col("correct"),
+              col("acc"), col("acc_micro"), col("mean_acc"), col("spread_micro"))
+            .orderBy(col("fold"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q214 oracle: the weight chain + the same md5 folds and k-row
+    * summary windows. */
+  def qCvFoldsSql(folds: Int = 5, rounds: Int = 16, lr: Double = 8.0): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
+       |sc AS (
+       |  SELECT y,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      % $folds AS fold,
+       |    CASE WHEN (round($p, 6) > 0.5::DOUBLE) = (y = 1.0::DOUBLE)
+       |         THEN 1 ELSE 0 END AS ok
+       |  FROM f, $wFinal w),
+       |pf AS (
+       |  SELECT fold, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |    CAST(SUM(ok) AS BIGINT) AS correct
+       |  FROM sc GROUP BY fold),
+       |am AS (
+       |  SELECT *,
+       |    CAST(correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+       |    CAST(round(1000000.0::DOUBLE * CAST(correct AS DOUBLE)
+       |               / CAST(n AS DOUBLE)) AS BIGINT) AS acc_micro
+       |  FROM pf)
+       |SELECT fold, n, n_pos, correct, acc, acc_micro,
+       |  CAST(SUM(acc_micro) OVER () AS DOUBLE)
+       |    / (CAST(COUNT(*) OVER () AS DOUBLE) * 1000000.0::DOUBLE) AS mean_acc,
+       |  CAST(MAX(acc_micro) OVER () - MIN(acc_micro) OVER () AS BIGINT) AS spread_micro
+       |FROM am ORDER BY fold""".stripMargin
+  }
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

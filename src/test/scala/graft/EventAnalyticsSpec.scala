@@ -423,6 +423,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(attrSum - 1.0) < 1e-5, s"attribution sum $attrSum")
   }
 
+  test("q215 CUSUM: prefix identity equals the clamped recurrence; alarms recompute") {
+    val t = sf0001
+    val rows = EventAnalytics.qCusum(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6), r.getLong(7), r.getBoolean(8), r.getBoolean(9)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, g) =>
+      val seq = g.sortBy(_._2)
+      val dd = seq.head._4; val tot = seq.head._5
+      assert(dd == seq.length && tot == seq.map(_._3).sum)
+      val ssq = seq.map(r => r._3 * r._3).sum
+      // the ACTUAL clamped recurrences the windows claim to equal
+      var sPos = 0L; var sNeg = 0L
+      seq.foreach { case (_, _, x, _, _, gotPos, gotNeg, aPos, aNeg) =>
+        val zs = dd * x - tot
+        sPos = math.max(0L, sPos + zs)
+        sNeg = math.max(0L, sNeg - zs)
+        assert(gotPos == sPos && gotNeg == sNeg,
+          s"$et: prefix identity diverges from the recurrence")
+        val thresh = 16.0 * (dd * ssq - tot * tot).toDouble
+        assert(aPos == (sPos.toDouble * sPos.toDouble > thresh))
+        assert(aNeg == (sNeg.toDouble * sNeg.toDouble > thresh))
+      }
+    }
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the

@@ -1060,6 +1060,36 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q214 CV folds: md5 fold assignment and per-fold accuracy recompute") {
+    val t = sf0001
+    val rows = TextAnalysis.qCvFolds(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val n = t.documents.count().toInt
+    // (doc_id, y, conf) from q198 with k = corpus size
+    val scored = TextAnalysis.qUncertaintySampling(t, k = n).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def fold(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 13)
+      java.lang.Long.parseLong(hex, 16) % 5L
+    }
+    val byFold = scored.groupBy { case (id, _, _) => fold(id) }
+    assert(rows.map(_._1).sorted.sameElements(byFold.keys.toSeq.sorted))
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    rows.foreach { case (f, fn, nPos, correct, accMicro, spread) =>
+      val g = byFold(f)
+      assert(fn == g.length && nPos == g.count(_._2 == 1.0))
+      val expCorrect = g.count { case (_, y, conf) => (conf > 0.5) == (y == 1.0) }
+      assert(correct == expCorrect.toLong, s"fold $f correct")
+      assert(accMicro == r0(1e6 * correct.toDouble / fn.toDouble))
+      assert(spread == rows.map(_._5).max - rows.map(_._5).min)
+    }
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
