@@ -279,7 +279,9 @@ object TextAnalysis {
     * fingerprint value — candidate cost is Σ postings², concentrated on
     * true shared content by the winnowing guarantee; a q185-style
     * governor caps boilerplate-fingerprint skew at 100 TB. */
-  def qWinnowing(t: Tables, w: Int = 8): DataFrame = {
+  /** The q196/q218 shared winnowing selection: each doc's distinct
+    * window-minimum fingerprints (doc_id, fp). */
+  private def winnowedFps(t: Tables, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val hashes = t.fanout(t.documents)
@@ -290,11 +292,15 @@ object TextAnalysis {
           + lead(col("v"), 2).over(byPos) * lit(257L) + lead(col("v"), 3).over(byPos))
       .filter(col("h").isNotNull)
     val winFrame = byPos.rowsBetween(0, w - 1)
-    val selected = hashes
+    hashes
       .withColumn("mn", min(col("h")).over(winFrame))
       .withColumn("cw", count(lit(1)).over(winFrame))
       .filter(col("cw") === w)
       .select(col("doc_id"), col("mn").as("fp")).distinct()
+  }
+
+  def qWinnowing(t: Tables, w: Int = 8): DataFrame = {
+    val selected = winnowedFps(t, w)
     val perDoc = selected.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val l = selected.select(col("fp"), col("doc_id").as("id_a"))
     val r = selected.select(col("fp"), col("doc_id").as("id_b"))
@@ -312,8 +318,10 @@ object TextAnalysis {
 
   /** q196 oracle: the q125 hash CTEs + the same ROWS-frame minima,
     * distinct selection, and posting self-join. */
-  def qWinnowingSql(w: Int = 8): String =
-    s"""WITH toks AS (
+  /** The q196/q218 shared winnowing CTE chain ending in
+    * `sel(doc_id, fp)`. */
+  private def winnowingSelCtes(w: Int): String =
+    s"""toks AS (
       |  SELECT doc_id,
       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
       |           x -> len(x) > 0)) AS term,
@@ -337,7 +345,10 @@ object TextAnalysis {
       |    FROM hs
       |    WINDOW wf AS (PARTITION BY doc_id ORDER BY pos
       |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING))
-      |  WHERE cw = $w),
+      |  WHERE cw = $w)""".stripMargin
+
+  def qWinnowingSql(w: Int = 8): String =
+    s"""WITH ${winnowingSelCtes(w)},
       |pd AS (SELECT doc_id, COUNT(*)::BIGINT AS n_fp FROM sel GROUP BY doc_id),
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
@@ -348,6 +359,114 @@ object TextAnalysis {
       |FROM shared s JOIN pd pa ON pa.doc_id = s.id_a JOIN pd pb ON pb.doc_id = s.id_b
       |WHERE s.n_shared >= 2
       |ORDER BY s.id_a, s.id_b""".stripMargin
+
+  /** Q218: cross-source text-reuse matrix — q196's winnowing
+    * fingerprints lifted from doc pairs to SOURCE pairs: how much
+    * fingerprint mass do two feeds share? This is the syndication/
+    * mirror detector (wire copy republished across outlets) and, in a
+    * training-data pipeline, the between-shard contamination matrix
+    * that says which source pairs need the q191-class doc-level pass.
+    *
+    * Exactness: all counts of distinct (source, fingerprint) rows —
+    * pure integers; the two directional containments are single
+    * divisions, raw.
+    *
+    * Scale shape: the (source, fp) projection collapses the doc
+    * dimension BEFORE the pair join, so the self-join runs on
+    * |sources|-bounded posting lists (≤|S| rows per fingerprint), not
+    * doc-level postings — cost Σ_fp |sources ∋ fp|² ≤ |S|²·|fps|. */
+  def qReuseMatrix(t: Tables, w: Int = 8): DataFrame = {
+    val srcFp = winnowedFps(t, w)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("fp")).distinct()
+    val perSrc = srcFp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val l = srcFp.select(col("fp"), col("source").as("src_a"))
+    val r = srcFp.select(col("fp"), col("source").as("src_b"))
+    l.join(r, Seq("fp")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSrc.select(col("source").as("src_a"),
+        col("n_fp").as("fp_a"))), Seq("src_a"))
+      .join(broadcast(perSrc.select(col("source").as("src_b"),
+        col("n_fp").as("fp_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("fp_a"), col("fp_b"),
+        (col("n_shared").cast("double") / col("fp_a").cast("double")).as("cont_a"),
+        (col("n_shared").cast("double") / col("fp_b").cast("double")).as("cont_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q218 oracle: the shared winnowing chain + the source projection. */
+  def qReuseMatrixSql(w: Int = 8): String =
+    s"""WITH ${winnowingSelCtes(w)},
+      |sf AS (
+      |  SELECT DISTINCT d.source, sel.fp
+      |  FROM sel JOIN documents d USING (doc_id)),
+      |ps AS (SELECT source, COUNT(*)::BIGINT AS n_fp FROM sf GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS n_shared
+      |  FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.src_a, s.src_b, s.n_shared, pa.n_fp AS fp_a, pb.n_fp AS fp_b,
+      |  CAST(s.n_shared AS DOUBLE) / CAST(pa.n_fp AS DOUBLE) AS cont_a,
+      |  CAST(s.n_shared AS DOUBLE) / CAST(pb.n_fp AS DOUBLE) AS cont_b
+      |FROM shared s
+      |JOIN ps pa ON pa.source = s.src_a
+      |JOIN ps pb ON pb.source = s.src_b
+      |ORDER BY s.src_a, s.src_b""".stripMargin
+
+  /** Q219: term burstiness — the index of dispersion (variance-to-mean
+    * ratio, Church & Gale 1995's burstiness observation) of per-doc
+    * counts for the corpus's top-k terms: VMR ≈ 1 is Poisson scatter
+    * (function words), VMR ≫ 1 is bursty content vocabulary. The
+    * signal separates topical terms from glue words better than raw
+    * frequency — the selection input for keyword/stopword induction
+    * (cf. q25/q77) without a hand-curated list.
+    *
+    * Exactness: over ALL D docs (zero counts included analytically):
+    * VMR = (D·Σc² − (Σc)²)/(D·Σc) — exact BIGINTs into one division,
+    * and the bursty flag is the cross-multiplied integer comparison
+    * D·Σc² − (Σc)² > D·Σc (the q192/q215 discipline). Top-k selection
+    * is (total desc, term) — total order.
+    *
+    * Scale shape: two count aggregates + TakeOrderedAndProject for the
+    * top-k; D is a 1-value driver fetch (the q203 min/max contract). */
+  def qBurstiness(t: Tables, k: Int = 20): DataFrame = {
+    val dCount = t.documents.count()
+    val per = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term")).agg(
+        sum(col("c")).as("tot"),
+        count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("ssq"))
+    val varNum = lit(dCount) * col("ssq") - col("tot") * col("tot")
+    per.orderBy(col("tot").desc, col("term")).limit(k)
+      .select(col("term"), col("tot"), col("df"), col("ssq"),
+        (varNum.cast("double") / (lit(dCount) * col("tot")).cast("double")).as("vmr"),
+        (varNum > lit(dCount) * col("tot")).as("bursty"))
+      .orderBy(col("tot").desc, col("term"))
+  }
+
+  /** q219 oracle: same moments; D enters as a scalar subquery. */
+  def qBurstinessSql(k: Int = 20): String =
+    s"""WITH dc AS (SELECT COUNT(*)::BIGINT AS d FROM documents),
+      |per AS (
+      |  SELECT term, CAST(SUM(c) AS BIGINT) AS tot,
+      |    COUNT(*)::BIGINT AS df, CAST(SUM(c * c) AS BIGINT) AS ssq
+      |  FROM (
+      |    SELECT term, doc_id, COUNT(*)::BIGINT AS c FROM (
+      |      SELECT doc_id,
+      |        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |               x -> len(x) > 0)) AS term
+      |      FROM documents)
+      |    GROUP BY term, doc_id)
+      |  GROUP BY term),
+      |top AS (SELECT * FROM per ORDER BY tot DESC, term LIMIT $k)
+      |SELECT term, tot, df, ssq,
+      |  CAST((SELECT d FROM dc) * ssq - tot * tot AS DOUBLE)
+      |    / CAST((SELECT d FROM dc) * tot AS DOUBLE) AS vmr,
+      |  (SELECT d FROM dc) * ssq - tot * tot > (SELECT d FROM dc) * tot AS bursty
+      |FROM top ORDER BY tot DESC, term""".stripMargin
 
   /** Q197: caliper-matched control sampling (nearest-neighbor matching
     * with replacement, Rubin 1973 — the observational-comparison
@@ -1988,6 +2107,159 @@ object TextAnalysis {
        |  CAST(MAX(acc_micro) OVER () - MIN(acc_micro) OVER () AS BIGINT) AS spread_micro
        |FROM am ORDER BY fold""".stripMargin
   }
+
+  /** Q216: unseen-vocabulary estimation — Chao1 species richness
+    * (Chao 1984) and the Good–Turing unseen-mass estimate P₀ = V₁/N
+    * (Good 1953): from the frequency-of-frequencies profile alone, how
+    * much vocabulary has the corpus NOT seen yet? The planning
+    * complement of q203's Heaps fit (Heaps extrapolates the curve;
+    * Chao1 bounds its asymptote) and the smoothing mass behind q110-
+    * style LMs.
+    *
+    * Exactness: the whole statistic chain is counts-of-counts — V, V₁,
+    * V₂, N are exact BIGINTs; Chao1 = V + V₁(V₁−1)/(2(V₂+1)) (the
+    * bias-corrected form, defined for V₂=0) and P₀ = V₁/N are single
+    * divisions of exact integers, emitted raw.
+    *
+    * Scale shape: two map-side-combinable aggregates (term counts →
+    * frequency-of-frequencies) + a 1-row reduce. */
+  def qUnseenVocab(t: Tables): DataFrame = {
+    val tf = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    tf.agg(
+        count(lit(1)).as("v"),
+        sum(col("c")).as("n"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("v2"))
+      .withColumn("chao1",
+        col("v").cast("double") +
+          (col("v1") * (col("v1") - 1)).cast("double") /
+            (lit(2L) * (col("v2") + 1)).cast("double"))
+      .withColumn("p_unseen",
+        col("v1").cast("double") / col("n").cast("double"))
+      .select(col("v"), col("n"), col("v1"), col("v2"),
+        col("chao1"), col("p_unseen"))
+  }
+
+  /** q216 oracle: identical counts-of-counts and divisions. */
+  val qUnseenVocabSql: String =
+    """WITH tf AS (
+      |  SELECT term, COUNT(*)::BIGINT AS c FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |    FROM documents)
+      |  GROUP BY term),
+      |s AS (
+      |  SELECT COUNT(*)::BIGINT AS v, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      |  FROM tf)
+      |SELECT v, n, v1, v2,
+      |  CAST(v AS DOUBLE) + CAST(v1 * (v1 - 1) AS DOUBLE)
+      |    / CAST(2 * (v2 + 1) AS DOUBLE) AS chao1,
+      |  CAST(v1 AS DOUBLE) / CAST(n AS DOUBLE) AS p_unseen
+      |FROM s""".stripMargin
+
+  /** Q217: bigram conditional entropy rate H(w₂|w₁) — how predictable
+    * is the corpus token stream? H(w₂|w₁) = H(w₁,w₂) − H(w₁) over
+    * within-doc adjacent pairs; low conditional entropy = templated/
+    * boilerplate text (the information-theoretic face of q78's
+    * repetition heuristics, and the quantity a compression-based
+    * quality filter approximates). Also emits the unigram entropy and
+    * the predictability ratio 1 − H(w₂|w₁)/H(w₁).
+    *
+    * Exactness: both entropies are Σ over count groups of
+    * round(c·ln(N/c)·1e6/N... kept as per-group micro terms
+    * round((c/N)·ln(N/c)·1e6) summed as BIGINT (order-independent,
+    * the q204 discipline); the ratio is one division of the two micro
+    * sums.
+    *
+    * Scale shape: token/bigram count aggregates (map-side combinable);
+    * entropy sums are one more aggregate over the count tables. */
+  def qEntropyRate(t: Tables): DataFrame = {
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks
+      .select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)
+          |ELSE transform(sequence(0, size(toks) - 2),
+          |               i -> concat(toks[i], ' ', toks[i + 1])) END""".stripMargin))
+        .as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+    // ONE plan for both entropies (the q114 rule: never join 1-row
+    // aggregates on a constant key — BroadcastNestedLoopJoin class):
+    // tag-union the two count tables, per-tag windows + one aggregate,
+    // then fold the 2-row result into 1 row with conditional MAXes.
+    import org.apache.spark.sql.expressions.Window
+    val tagged = uni.select(lit("u").as("tag"), col("c"))
+      .unionByName(bi.select(lit("b").as("tag"), col("c")))
+    val wTag = Window.partitionBy(col("tag"))
+    val perTag = tagged
+      .withColumn("n", sum(col("c")).over(wTag))
+      .withColumn("tm", round(
+        (col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("c").cast("double")) *
+          lit(1000000.0), 0).cast("long"))
+      .groupBy(col("tag")).agg(max(col("n")).as("n"),
+        count(lit(1)).as("types"), sum(col("tm")).as("h_micro"))
+    val joined = perTag.agg(
+      max(when(col("tag") === "u", col("n"))).as("n_tokens"),
+      max(when(col("tag") === "u", col("types"))).as("v_uni"),
+      max(when(col("tag") === "b", col("n"))).as("n_bigrams"),
+      max(when(col("tag") === "b", col("types"))).as("v_bi"),
+      max(when(col("tag") === "u", col("h_micro"))).as("h_uni_micro"),
+      max(when(col("tag") === "b", col("h_micro"))).as("h_bi_micro"))
+    joined
+      .withColumn("h_cond_micro", col("h_bi_micro") - col("h_uni_micro"))
+      .withColumn("h_uni", col("h_uni_micro").cast("double") / lit(1000000.0))
+      .withColumn("h_cond", col("h_cond_micro").cast("double") / lit(1000000.0))
+      .withColumn("predictability",
+        lit(1.0) - col("h_cond_micro").cast("double") /
+          when(col("h_uni_micro") === 0L, lit(null))
+            .otherwise(col("h_uni_micro").cast("double")))
+      .select(col("n_tokens"), col("v_uni"), col("n_bigrams"), col("v_bi"),
+        col("h_uni_micro"), col("h_bi_micro"), col("h_cond_micro"),
+        col("h_uni"), col("h_cond"), col("predictability"))
+  }
+
+  /** q217 oracle: same count tables and micro-grid entropy terms. */
+  val qEntropyRateSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |uni AS (
+      |  SELECT w, COUNT(*)::BIGINT AS c FROM (
+      |    SELECT unnest(toks) AS w FROM d) GROUP BY w),
+      |bi AS (
+      |  SELECT b, COUNT(*)::BIGINT AS c FROM (
+      |    SELECT unnest([toks[i] || ' ' || toks[i+1]
+      |                   FOR i IN range(1, len(toks))]) AS b
+      |    FROM d WHERE len(toks) >= 2) GROUP BY b),
+      |hu AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_tokens, COUNT(*)::BIGINT AS v_uni,
+      |    CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+      |      * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS h_uni_micro
+      |  FROM (SELECT c, CAST(SUM(c) OVER () AS BIGINT) AS n FROM uni)),
+      |hb AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_bigrams, COUNT(*)::BIGINT AS v_bi,
+      |    CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))
+      |      * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS h_bi_micro
+      |  FROM (SELECT c, CAST(SUM(c) OVER () AS BIGINT) AS n FROM bi))
+      |SELECT n_tokens, v_uni, n_bigrams, v_bi,
+      |  h_uni_micro, h_bi_micro,
+      |  h_bi_micro - h_uni_micro AS h_cond_micro,
+      |  CAST(h_uni_micro AS DOUBLE) / 1000000.0::DOUBLE AS h_uni,
+      |  CAST(h_bi_micro - h_uni_micro AS DOUBLE) / 1000000.0::DOUBLE AS h_cond,
+      |  1.0::DOUBLE - CAST(h_bi_micro - h_uni_micro AS DOUBLE)
+      |    / nullif(CAST(h_uni_micro AS DOUBLE), 0.0) AS predictability
+      |FROM hu, hb""".stripMargin
 
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage

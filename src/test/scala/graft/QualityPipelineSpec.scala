@@ -1090,6 +1090,109 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q216 unseen vocab: counts-of-counts recompute; Chao1 >= V") {
+    val t = sf0001
+    val row = TextAnalysis.qUnseenVocab(t).head()
+    val (v, n, v1, v2, chao1, pUnseen) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getDouble(4), row.getDouble(5))
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val counts = t.documents.select("text").collect()
+      .flatMap(r => tok(r.getString(0)))
+      .groupBy(identity).map { case (_, o) => o.length.toLong }
+    assert(v == counts.size && n == counts.sum)
+    assert(v1 == counts.count(_ == 1L) && v2 == counts.count(_ == 2L))
+    assert(chao1 == v.toDouble + (v1 * (v1 - 1)).toDouble / (2 * (v2 + 1)).toDouble)
+    assert(chao1 >= v.toDouble && pUnseen == v1.toDouble / n.toDouble)
+  }
+
+  test("q217 entropy rate: conditional entropy below unigram; terms recompute") {
+    val t = sf0001
+    val row = TextAnalysis.qEntropyRate(t).head()
+    val (nTok, vUni, nBi, vBi, hU, hB, hC) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val docs = t.documents.select("text").collect().map(r => tok(r.getString(0)))
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def entropyMicro(counts: Iterable[Long]): Long = {
+      val n = counts.sum
+      counts.map(c => r0(c.toDouble / n.toDouble *
+        math.log(n.toDouble / c.toDouble) * 1e6)).sum
+    }
+    val uni = docs.flatten.groupBy(identity).map(_._2.length.toLong)
+    val bi = docs.filter(_.length >= 2)
+      .flatMap(tk => tk.sliding(2).map(p => p(0) + " " + p(1)))
+      .groupBy(identity).map(_._2.length.toLong)
+    assert(nTok == uni.sum && vUni == uni.size)
+    assert(nBi == bi.sum && vBi == bi.size)
+    assert(hU == entropyMicro(uni), s"unigram entropy $hU")
+    assert(hB == entropyMicro(bi), s"bigram entropy $hB")
+    assert(hC == hB - hU)
+    // chain rule: 0 <= H(w2|w1) <= H(w1) up to the micro grid
+    assert(hC >= -(vBi + vUni) && hC <= hU + (vBi + vUni),
+      "conditional entropy violates the chain-rule bounds")
+  }
+
+  test("q218 reuse matrix: source fingerprint sets recompute from q196's doc sets") {
+    val t = sf0001
+    val rows = TextAnalysis.qReuseMatrix(t).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    // rebuild source fingerprint sets from the q196 surface itself: its
+    // per-doc fingerprint COUNTS are not enough, so recompute from the
+    // shared private path via a tiny independent winnow in SQL-free form
+    // is overkill — instead verify internal consistency + the q196 tie:
+    // shared <= min(fp_a, fp_b), containments in (0, 1], symmetry of keys
+    rows.foreach { case ((a, b), (shared, fpA, fpB)) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(shared >= 1 && shared <= math.min(fpA, fpB))
+      assert(!rows.contains((b, a)))
+    }
+    // cross-check one source pair against a direct doc-level recompute
+    // through the public q196 output: if two sources share NO doc-level
+    // fingerprint pair, they can still share source-level fps, so only
+    // assert the implication in the safe direction — any q196 doc pair
+    // crossing sources forces the source pair to appear here
+    val srcOf = t.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    TextAnalysis.qWinnowing(t).collect().foreach { r =>
+      val (sa, sb) = (srcOf(r.getLong(0)), srcOf(r.getLong(1)))
+      if (sa != sb) {
+        val k = if (sa < sb) (sa, sb) else (sb, sa)
+        assert(rows.contains(k), s"doc-level reuse $k missing from the matrix")
+      }
+    }
+  }
+
+  test("q219 burstiness: moments recompute; flag matches the integer inequality") {
+    val t = sf0001
+    val rows = TextAnalysis.qBurstiness(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.length == 20)
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty).toSeq
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), tok(r.getString(1))))
+    val d = docs.length.toLong
+    val perTerm = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (w, o) => (w, o.length.toLong) } }
+      .groupBy(_._1)
+    rows.foreach { case (term, tot, df, ssq, vmr, bursty) =>
+      val cs = perTerm(term).map(_._2)
+      assert(tot == cs.sum && df == cs.length && ssq == cs.map(c => c * c).sum)
+      assert(vmr == (d * ssq - tot * tot).toDouble / (d * tot).toDouble)
+      assert(bursty == (d * ssq - tot * tot > d * tot))
+    }
+    // top-k really is the k most frequent terms
+    val allTots = docs.flatMap(_._2).groupBy(identity).map(_._2.length.toLong)
+    val kthTot = allTots.toSeq.sortBy(-_).take(20).min
+    assert(rows.map(_._2).min >= kthTot)
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
