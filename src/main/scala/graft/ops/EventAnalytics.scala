@@ -1323,41 +1323,103 @@ object EventAnalytics {
     * idiom), then the 5 scenario solves unrolled as chained MATERIALIZED
     * CTEs — per round one aggregate over the ≤50-row edge table, BIGINT-
     * micro terms, every literal ::DOUBLE. */
+  /** The q190/q220 shared sessionize→truncate→transition-count oracle
+    * chain ending in `edges(f, t, cnt, tot)`. */
+  private val attributionEdgesCtes: String =
+    """ev AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |            THEN 1 ELSE 0 END AS gap
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM flagged),
+      |stepped0 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS step
+      |  FROM sess),
+      |stepped AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN step END)
+      |      OVER (PARTITION BY user_id, session_id) AS conv_step,
+      |    MAX(step) OVER (PARTITION BY user_id, session_id) AS last_step
+      |  FROM stepped0),
+      |trunc AS (
+      |  SELECT user_id, session_id, step, conv_step, last_step,
+      |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state
+      |  FROM stepped WHERE conv_step IS NULL OR step <= conv_step),
+      |steps AS (
+      |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id, session_id
+      |                                   ORDER BY step), 'START') AS f,
+      |         state AS t
+      |  FROM trunc
+      |  UNION ALL
+      |  SELECT state AS f, 'null' AS t FROM trunc
+      |  WHERE step = COALESCE(conv_step, last_step) AND state <> 'conv'),
+      |trans AS (SELECT f, t, COUNT(*)::BIGINT AS cnt FROM steps GROUP BY f, t),
+      |edges AS MATERIALIZED (
+      |  SELECT f, t, cnt, SUM(cnt) OVER (PARTITION BY f) AS tot FROM trans)""".stripMargin
+
+  /** Q220: journey predictability — per-state transition entropy of the
+    * q190 Markov chain: H(next | state) over the sessionized transition
+    * counts, plus the modal next step and its share. Low-entropy states
+    * are funnel rails (q106's top paths dominate); high-entropy states
+    * are exploration points where attribution (q190) carries real
+    * information. Shares one edge aggregate with q190 — the corpus-
+    * scale work is identical, the entropy is a bounded-table epilogue.
+    *
+    * Exactness: per-transition entropy terms on the micro grid summed
+    * as BIGINT (the q204 discipline); the modal transition is the
+    * (cnt desc, to) row_number argmax — a total order; top_share is one
+    * division of exact integers, raw. */
+  def qTransitionEntropy(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = attributionEdges(t)
+    val wFrom = Window.partitionBy(col("from"))
+      .orderBy(col("cnt").desc, col("to"))
+    val terms = edges
+      .withColumn("tm", round(
+        (col("cnt").cast("double") / col("tot").cast("double")) *
+          log(col("tot").cast("double") / col("cnt").cast("double")) *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("rn", row_number().over(wFrom))
+    terms.groupBy(col("from").as("state")).agg(
+        count(lit(1)).as("n_out"),
+        max(col("tot")).as("tot"),
+        sum(col("tm")).as("h_micro"),
+        max(when(col("rn") === 1, col("to"))).as("top_to"),
+        max(when(col("rn") === 1, col("cnt"))).as("top_cnt"))
+      .withColumn("h", col("h_micro").cast("double") / lit(1000000.0))
+      .withColumn("top_share",
+        col("top_cnt").cast("double") / col("tot").cast("double"))
+      .select(col("state"), col("n_out"), col("tot"), col("h_micro"),
+        col("h"), col("top_to"), col("top_cnt"), col("top_share"))
+      .orderBy(col("state"))
+  }
+
+  /** q220 oracle: the shared edge chain + the same micro terms/argmax. */
+  val qTransitionEntropySql: String =
+    s"""WITH $attributionEdgesCtes,
+      |tm AS (
+      |  SELECT f, t, cnt, tot,
+      |    CAST(round((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      * ln(CAST(tot AS DOUBLE) / CAST(cnt AS DOUBLE))
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS tm,
+      |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY cnt DESC, t) AS rn
+      |  FROM edges)
+      |SELECT f AS state, COUNT(*)::BIGINT AS n_out,
+      |  CAST(MAX(tot) AS BIGINT) AS tot,
+      |  CAST(SUM(tm) AS BIGINT) AS h_micro,
+      |  CAST(SUM(tm) AS DOUBLE) / 1000000.0::DOUBLE AS h,
+      |  MAX(CASE WHEN rn = 1 THEN t END) AS top_to,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS BIGINT) AS top_cnt,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+      |    / CAST(MAX(tot) AS DOUBLE) AS top_share
+      |FROM tm GROUP BY f ORDER BY state""".stripMargin
+
   def qMarkovAttributionSql(rounds: Int = 12): String = {
     val head =
-      """WITH ev AS (
-        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |flagged AS (
-        |  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
-        |            THEN 1 ELSE 0 END AS gap
-        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
-        |  FROM flagged),
-        |stepped0 AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS step
-        |  FROM sess),
-        |stepped AS (
-        |  SELECT *,
-        |    MIN(CASE WHEN event_type = 'purchase' THEN step END)
-        |      OVER (PARTITION BY user_id, session_id) AS conv_step,
-        |    MAX(step) OVER (PARTITION BY user_id, session_id) AS last_step
-        |  FROM stepped0),
-        |trunc AS (
-        |  SELECT user_id, session_id, step, conv_step, last_step,
-        |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state
-        |  FROM stepped WHERE conv_step IS NULL OR step <= conv_step),
-        |steps AS (
-        |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id, session_id
-        |                                   ORDER BY step), 'START') AS f,
-        |         state AS t
-        |  FROM trunc
-        |  UNION ALL
-        |  SELECT state AS f, 'null' AS t FROM trunc
-        |  WHERE step = COALESCE(conv_step, last_step) AND state <> 'conv'),
-        |trans AS (SELECT f, t, COUNT(*)::BIGINT AS cnt FROM steps GROUP BY f, t),
-        |edges AS MATERIALIZED (
-        |  SELECT f, t, cnt, SUM(cnt) OVER (PARTITION BY f) AS tot FROM trans),
+      s"""WITH $attributionEdgesCtes,
         |channels AS MATERIALIZED (
         |  SELECT DISTINCT s AS channel FROM (
         |    SELECT f AS s FROM edges UNION ALL SELECT t AS s FROM edges)

@@ -449,6 +449,31 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q220 transition entropy: recomputes from the q190 edge table") {
+    val t = sf0001
+    val edges = EventAnalytics.attributionEdges(t)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = EventAnalytics.qTransitionEntropy(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5), r.getLong(6)))
+    assert(rows.nonEmpty && rows.map(_._1).toSet == edges.map(_._1).toSet)
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    rows.foreach { case (state, nOut, tot, hMicro, topTo, topCnt) =>
+      val es = edges.filter(_._1 == state)
+      assert(nOut == es.length && tot == es.head._4)
+      assert(tot == es.map(_._3).sum, s"$state totals inconsistent")
+      val h = es.map { case (_, _, c, tt) =>
+        r0(c.toDouble / tt.toDouble * math.log(tt.toDouble / c.toDouble) * 1e6)
+      }.sum
+      assert(hMicro == h, s"$state entropy $hMicro want $h")
+      val best = es.minBy { case (_, to, c, _) => (-c, to) }
+      assert(topTo == best._2 && topCnt == best._3)
+      // a deterministic next step (n_out == 1) must mean zero entropy
+      if (nOut == 1) assert(hMicro == 0L)
+    }
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the
