@@ -1323,6 +1323,277 @@ object EventAnalytics {
     * idiom), then the 5 scenario solves unrolled as chained MATERIALIZED
     * CTEs — per round one aggregate over the ≤50-row edge table, BIGINT-
     * micro terms, every literal ::DOUBLE. */
+  /** Q221: Kaplan–Meier survival curve of conversion latency (Kaplan &
+    * Meier 1958) — time from a user's first event to first purchase, in
+    * minutes, with never-converting users RIGHT-CENSORED at their last
+    * observed event instead of dropped (the bias q104's funnel window
+    * sidesteps by fiat; KM handles it correctly). The retention
+    * complement of q105's cohort grid.
+    *
+    * Exactness: latencies are integer minutes (epoch-µs div); d/c/at-
+    * risk counts are exact (N enters as Σ(d+c) over all times — every
+    * user leaves the risk set exactly once, so no side fetch); the
+    * product-limit runs in LOG space — per-step round(ln((n−d)/n)·1e6)
+    * BIGINT prefix sums (order-independent), S = round(exp,6) per the
+    * r9 exp rule; an n=d step zeroes S exactly (ln_s NULL from there).
+    *
+    * Scale shape: one per-user aggregate + one per-latency aggregate;
+    * the survival windows run over DISTINCT latency minutes — bounded
+    * by the observation horizon's minute grid, not the corpus (at finer
+    * grids the q108 bucket-prefix applies verbatim). */
+  def qKaplanMeier(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t.events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("purch_us"),
+      max(unix_micros(col("ts"))).as("last_us"))
+    val lat = per.select(
+      when(col("purch_us").isNotNull,
+        expr("(purch_us - first_us) div 60000000L"))
+        .otherwise(expr("(last_us - first_us) div 60000000L")).as("t_min"),
+      when(col("purch_us").isNotNull, 1L).otherwise(0L).as("death"))
+    val byT = lat.groupBy(col("t_min")).agg(
+      sum(col("death")).as("d"),
+      sum(lit(1L) - col("death")).as("c"))
+    val wExc = Window.orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    byT
+      .withColumn("removed", coalesce(sum(col("d") + col("c")).over(wExc), lit(0L)))
+      .withColumn("n_risk", sum(col("d") + col("c")).over(all) - col("removed"))
+      .withColumn("term", when(col("d") > 0 && col("d") < col("n_risk"), round(
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"))
+          * lit(1000000.0), 0).cast("long")).otherwise(0L))
+      .withColumn("cum", sum(col("term")).over(wInc))
+      .withColumn("zeroed",
+        max(when(col("d") > 0 && col("d") === col("n_risk"), 1L).otherwise(0L))
+          .over(wInc))
+      .filter(col("d") > 0)
+      .select(col("t_min"), col("d"), col("c"), col("n_risk"),
+        when(col("zeroed") === 0L, col("cum")).as("ln_s_micro"),
+        when(col("zeroed") === 1L, lit(0.0))
+          .otherwise(round(exp(col("cum").cast("double") / lit(1000000.0)), 6))
+          .as("s"))
+      .orderBy(col("t_min"))
+  }
+
+  /** q221 oracle: identical latency grid, risk-set windows and log-space
+    * product limit. */
+  val qKaplanMeierSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS purch_us,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |  FROM events GROUP BY user_id),
+      |lat AS (
+      |  SELECT CASE WHEN purch_us IS NOT NULL
+      |              THEN (purch_us - first_us) // 60000000
+      |              ELSE (last_us - first_us) // 60000000 END AS t_min,
+      |    CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS death
+      |  FROM per),
+      |byt AS (
+      |  SELECT t_min, CAST(SUM(death) AS BIGINT) AS d,
+      |    CAST(SUM(1 - death) AS BIGINT) AS c
+      |  FROM lat GROUP BY t_min),
+      |risk AS (
+      |  SELECT *,
+      |    COALESCE(CAST(SUM(d + c) OVER (ORDER BY t_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS removed,
+      |    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+      |  FROM byt),
+      |terms AS (
+      |  SELECT *, n_total - removed AS n_risk,
+      |    CASE WHEN d > 0 AND d < n_total - removed THEN
+      |      CAST(round(ln(CAST(n_total - removed - d AS DOUBLE)
+      |                    / CAST(n_total - removed AS DOUBLE))
+      |                 * 1000000.0::DOUBLE) AS BIGINT)
+      |    ELSE 0 END AS term
+      |  FROM risk),
+      |cums AS (
+      |  SELECT *,
+      |    CAST(SUM(term) OVER wi AS BIGINT) AS cum,
+      |    CAST(MAX(CASE WHEN d > 0 AND d = n_risk THEN 1 ELSE 0 END)
+      |      OVER wi AS BIGINT) AS zeroed
+      |  FROM terms
+      |  WINDOW wi AS (ORDER BY t_min
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t_min, d, c, n_risk,
+      |  CASE WHEN zeroed = 0 THEN cum END AS ln_s_micro,
+      |  CASE WHEN zeroed = 1 THEN 0.0::DOUBLE
+      |       ELSE round(exp(CAST(cum AS DOUBLE) / 1000000.0::DOUBLE), 6) END AS s
+      |FROM cums WHERE d > 0 ORDER BY t_min""".stripMargin
+
+  /** Q222: log-rank test (Mantel 1966) — does conversion latency differ
+    * between users whose FIRST event is a view and everyone else? The
+    * hypothesis-test companion to q221's curve: at every death time,
+    * compare group 1's observed deaths to its at-risk share, accumulate
+    * O−E and the hypergeometric variance, and read the χ² against the
+    * 1-df 5% critical value. Entry-channel effects on conversion are
+    * the canonical use.
+    *
+    * Exactness: group assignment is a (ts, event_id) row_number argmin
+    * (total order); all d/n counts are exact; per-time E and V terms
+    * are double products OF EXACT INTEGERS rounded to the micro grid
+    * and summed as BIGINT; χ² = (O·1e6 − E_micro)²/(V_micro·1e6) is a
+    * fixed IEEE sequence, and the reject flag compares it to the same
+    * parsed 3.841 on both engines.
+    *
+    * Scale shape: q221's aggregates plus one per-(time, group) grid —
+    * two literal groups EXPLODED over the distinct-time table (the
+    * q210 no-BNLJ trick); windows partition by group. */
+  def qLogRank(t: Tables, crit: Double = 3.841): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val firstType = t.events
+      .withColumn("rn", row_number().over(wU)).filter(col("rn") === 1)
+      .select(col("user_id"),
+        when(col("event_type") === "view", "view_first")
+          .otherwise("other").as("g"))
+    val per = t.events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("purch_us"),
+      max(unix_micros(col("ts"))).as("last_us"))
+    val lat = per.join(firstType, Seq("user_id")).select(col("g"),
+      when(col("purch_us").isNotNull,
+        expr("(purch_us - first_us) div 60000000L"))
+        .otherwise(expr("(last_us - first_us) div 60000000L")).as("t_min"),
+      when(col("purch_us").isNotNull, 1L).otherwise(0L).as("death"))
+    val byTG = lat.groupBy(col("t_min"), col("g")).agg(
+      sum(col("death")).as("dg"),
+      sum(lit(1L) - col("death")).as("cg"))
+    val grid = byTG.select(col("t_min")).distinct()
+      .withColumn("g", explode(typedLit(Seq("view_first", "other"))))
+      .join(byTG, Seq("t_min", "g"), "left")
+      .withColumn("dg", coalesce(col("dg"), lit(0L)))
+      .withColumn("cg", coalesce(col("cg"), lit(0L)))
+    val wg = Window.partitionBy(col("g")).orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wgAll = Window.partitionBy(col("g"))
+    val withRisk = grid
+      .withColumn("removed", coalesce(sum(col("dg") + col("cg")).over(wg), lit(0L)))
+      .withColumn("ng_tot", sum(col("dg") + col("cg")).over(wgAll))
+      .withColumn("ng", col("ng_tot") - col("removed"))
+    val perT = withRisk.groupBy(col("t_min")).agg(
+      sum(col("dg")).as("d"),
+      sum(col("ng")).as("n"),
+      sum(when(col("g") === "view_first", col("dg"))).as("d1"),
+      sum(when(col("g") === "view_first", col("ng"))).as("n1"),
+      max(when(col("g") === "view_first", col("ng_tot"))).as("n1_users"),
+      max(when(col("g") === "other", col("ng_tot"))).as("n2_users"))
+    val steps = perT.filter(col("d") > 0 && col("n") > 1)
+      .withColumn("e1_micro", round(
+        col("d").cast("double") * col("n1").cast("double") /
+          col("n").cast("double") * lit(1000000.0), 0).cast("long"))
+      .withColumn("v_micro", round(
+        col("n1").cast("double") * (col("n") - col("n1")).cast("double") *
+          col("d").cast("double") * (col("n") - col("d")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - 1).cast("double")) * lit(1000000.0), 0).cast("long"))
+    val agg = steps.agg(
+      max(col("n1_users")).as("n1_users"),
+      max(col("n2_users")).as("n2_users"),
+      sum(col("d1")).as("o1"),
+      sum(col("e1_micro")).as("e1_micro"),
+      sum(col("v_micro")).as("v_micro"))
+    agg
+      .withColumn("e1", col("e1_micro").cast("double") / lit(1000000.0))
+      .withColumn("v", col("v_micro").cast("double") / lit(1000000.0))
+      .withColumn("chi2",
+        (col("o1") * lit(1000000L) - col("e1_micro")).cast("double") *
+          (col("o1") * lit(1000000L) - col("e1_micro")).cast("double") /
+          when(col("v_micro") === 0L, lit(null))
+            .otherwise(col("v_micro").cast("double") * lit(1000000.0)))
+      .withColumn("reject", col("chi2") > lit(crit))
+      .select(col("n1_users"), col("n2_users"), col("o1"), col("e1_micro"),
+        col("v_micro"), col("e1"), col("v"), col("chi2"), col("reject"))
+  }
+
+  /** q222 oracle: the same grid, risk windows, micro terms and χ². */
+  def qLogRankSql(crit: Double = 3.841): String =
+    s"""WITH ft AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'view' THEN 'view_first' ELSE 'other' END AS g
+      |  FROM (
+      |    SELECT user_id, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+      |    FROM events) WHERE rn = 1),
+      |per AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS purch_us,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |  FROM events GROUP BY user_id),
+      |lat AS (
+      |  SELECT ft.g,
+      |    CASE WHEN purch_us IS NOT NULL
+      |         THEN (purch_us - first_us) // 60000000
+      |         ELSE (last_us - first_us) // 60000000 END AS t_min,
+      |    CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS death
+      |  FROM per JOIN ft USING (user_id)),
+      |bytg AS (
+      |  SELECT t_min, g, CAST(SUM(death) AS BIGINT) AS dg,
+      |    CAST(SUM(1 - death) AS BIGINT) AS cg
+      |  FROM lat GROUP BY t_min, g),
+      |base AS (
+      |  SELECT tt.t_min, gg.g
+      |  FROM (SELECT DISTINCT t_min FROM bytg) tt,
+      |       (SELECT 'view_first' AS g UNION ALL SELECT 'other') gg),
+      |grid AS (
+      |  SELECT base.t_min, base.g,
+      |    COALESCE(bytg.dg, 0)::BIGINT AS dg, COALESCE(bytg.cg, 0)::BIGINT AS cg
+      |  FROM base LEFT JOIN bytg ON bytg.t_min = base.t_min AND bytg.g = base.g),
+      |risk AS (
+      |  SELECT *,
+      |    COALESCE(CAST(SUM(dg + cg) OVER (PARTITION BY g ORDER BY t_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS removed,
+      |    CAST(SUM(dg + cg) OVER (PARTITION BY g) AS BIGINT) AS ng_tot
+      |  FROM grid),
+      |pert AS (
+      |  SELECT t_min,
+      |    CAST(SUM(dg) AS BIGINT) AS d,
+      |    CAST(SUM(ng_tot - removed) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN g = 'view_first' THEN dg END) AS BIGINT) AS d1,
+      |    CAST(SUM(CASE WHEN g = 'view_first' THEN ng_tot - removed END) AS BIGINT) AS n1,
+      |    CAST(MAX(CASE WHEN g = 'view_first' THEN ng_tot END) AS BIGINT) AS n1_users,
+      |    CAST(MAX(CASE WHEN g = 'other' THEN ng_tot END) AS BIGINT) AS n2_users
+      |  FROM risk GROUP BY t_min),
+      |steps AS (
+      |  SELECT *,
+      |    CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS e1_micro,
+      |    CAST(round(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+      |               * CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE)
+      |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS v_micro
+      |  FROM pert WHERE d > 0 AND n > 1),
+      |agg AS (
+      |  SELECT CAST(MAX(n1_users) AS BIGINT) AS n1_users,
+      |    CAST(MAX(n2_users) AS BIGINT) AS n2_users,
+      |    CAST(SUM(d1) AS BIGINT) AS o1,
+      |    CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+      |    CAST(SUM(v_micro) AS BIGINT) AS v_micro
+      |  FROM steps)
+      |SELECT n1_users, n2_users, o1, e1_micro, v_micro,
+      |  CAST(e1_micro AS DOUBLE) / 1000000.0::DOUBLE AS e1,
+      |  CAST(v_micro AS DOUBLE) / 1000000.0::DOUBLE AS v,
+      |  CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+      |    * CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+      |    / nullif(CAST(v_micro AS DOUBLE) * 1000000.0::DOUBLE, 0.0) AS chi2,
+      |  CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+      |    * CAST(o1 * 1000000 - e1_micro AS DOUBLE)
+      |    / nullif(CAST(v_micro AS DOUBLE) * 1000000.0::DOUBLE, 0.0)
+      |    > $crit::DOUBLE AS reject
+      |FROM agg""".stripMargin
+
   /** The q190/q220 shared sessionize→truncate→transition-count oracle
     * chain ending in `edges(f, t, cnt, tot)`. */
   private val attributionEdgesCtes: String =

@@ -474,6 +474,89 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q221 Kaplan-Meier: product limit recomputes from raw user latencies") {
+    val t = sf0001
+    val rows = EventAnalytics.qKaplanMeier(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // raw per-user latencies + censoring from the events table
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+    val ev = t.events.select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getString(2)))
+    // .toSeq BEFORE mapping to (latency, death) pairs: mapping a Map to
+    // Tuple2s yields a Map and DEDUPES equal latencies (the r5 Set.map
+    // invariant, Map variant)
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, g) =>
+      val first = g.map(_._2).min
+      val purch = g.filter(_._3 == "purchase").map(_._2).minOption
+      val last = g.map(_._2).max
+      purch match {
+        case Some(p) => ((p - first) / 60000000L, true)
+        case None    => ((last - first) / 60000000L, false)
+      }
+    }
+    def r0(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // sequential product-limit over the full time axis
+    val times = perUser.map(_._1).distinct.sorted
+    var atRisk = perUser.size.toLong
+    var cum = 0L; var zeroed = false
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Option[Long], Double)]
+    times.foreach { tm =>
+      val d = perUser.count { case (x, dead) => x == tm && dead }.toLong
+      val c = perUser.count { case (x, dead) => x == tm && !dead }.toLong
+      if (d > 0 && d < atRisk)
+        cum += r0(math.log((atRisk - d).toDouble / atRisk.toDouble) * 1e6)
+      if (d > 0 && d == atRisk) zeroed = true
+      if (d > 0) expect(tm) = (d, c, atRisk,
+        if (zeroed) None else Some(cum),
+        if (zeroed) 0.0
+        else BigDecimal(math.exp(cum.toDouble / 1e6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      atRisk -= d + c
+    }
+    assert(rows.length == expect.size)
+    rows.foreach { case (tm, d, c, n, lnS, s) =>
+      val (ed, ec, en, elnS, es) = expect(tm)
+      assert(d == ed && c == ec && n == en, s"t=$tm counts")
+      assert(lnS == elnS && s == es, s"t=$tm survival")
+    }
+    // survival is non-increasing
+    val ss = rows.sortBy(_._1).map(_._6)
+    assert(ss.zip(ss.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("q222 log-rank: O/E/V recompute; group split covers every user") {
+    // sf0.001 exercises the degenerate one-group branch (no view-first
+    // user exists there); sf0.01 the real test
+    Seq(sf0001, sf001).foreach { t => checkLogRank(t) }
+  }
+
+  private def checkLogRank(t: Tables): Unit = {
+    val row = EventAnalytics.qLogRank(t).head()
+    val (n1, n2, o1, e1m, vm) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val users = t.events.select("user_id").distinct().count()
+    assert(n1 + n2 == users, "groups must partition the user base")
+    if (vm > 0) {
+      val chi2 = row.getDouble(7)
+      val expChi = math.pow((o1 * 1000000L - e1m).toDouble, 2) / (vm.toDouble * 1e6)
+      assert(math.abs(chi2 - expChi) < 1e-9)
+      assert(row.getBoolean(8) == (chi2 > 3.841))
+    } else {
+      // a degenerate split (one empty group, e.g. sf0.001 has no
+      // view-first user) must surface as NULL chi2, not a crash or 0/0
+      assert(o1 == 0L && e1m == 0L)
+      assert(row.isNullAt(7) && row.isNullAt(8))
+    }
+    // E1 is a weighted share of total deaths: 0 <= E1 <= total deaths
+    val km = EventAnalytics.qKaplanMeier(t).collect()
+    val totalDeaths = km.map(_.getLong(1)).sum
+    assert(o1 <= totalDeaths && e1m <= totalDeaths * 1000000L)
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the
