@@ -2261,6 +2261,181 @@ object TextAnalysis {
       |    / nullif(CAST(h_uni_micro AS DOUBLE), 0.0) AS predictability
       |FROM hu, hb""".stripMargin
 
+  /** Q223: dedup savings accounting — the ops metric behind q31: per
+    * source, how many documents/tokens does exact dedup remove, and
+    * what fraction of the token bill was duplicate? The number a
+    * pipeline owner reads before deciding whether the near-dup family
+    * (q32–q37) is worth its quadratic-in-block cost on a given feed.
+    *
+    * Exactness: the keep flag is doc_id = MIN(doc_id) over the md5
+    * group (q31's representative rule, as a window — no join); all
+    * counts/token sums exact; the savings ratio is one division, raw.
+    *
+    * Scale shape: one hash-partitioned window over md5 groups + one
+    * per-source aggregate — strictly cheaper than the dedup it prices. */
+  def qDedupSavings(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wMd5 = Window.partitionBy(md5(col("text")))
+    val flagged = t.fanout(t.documents).select(col("source"),
+        size(text.tokenize(col("text"))).cast("long").as("ntok"),
+        (col("doc_id") === min(col("doc_id")).over(wMd5)).as("keep"))
+    flagged.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("dup_docs", col("n_docs") - col("kept_docs"))
+      .withColumn("savings",
+        (col("n_tokens") - col("kept_tokens")).cast("double") /
+          col("n_tokens").cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("kept_docs"), col("kept_tokens"), col("dup_docs"), col("savings"))
+      .orderBy(col("source"))
+  }
+
+  /** q223 oracle: the same md5-group window and per-source rollup. */
+  val qDedupSavingsSql: String =
+    """WITH f AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |             x -> len(x) > 0)) AS BIGINT) AS ntok,
+      |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |  FROM documents)
+      |SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(SUM(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |  CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+      |  CAST(SUM(ntok) - SUM(CASE WHEN keep THEN ntok ELSE 0 END) AS DOUBLE)
+      |    / CAST(SUM(ntok) AS DOUBLE) AS savings
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
+  /** Q224: cross-source quantile normalization — map every document's
+    * quality score onto the GLOBAL score distribution at its within-
+    * source percentile (the batch-effect correction of bioinformatics
+    * quantile normalization, here removing per-source scoring bias
+    * before corpus-wide selection like q144): a doc ranked r of n_s in
+    * its source receives the global score at rank ⌈r·N/(n_s+1)⌉.
+    *
+    * Exactness: FULLY integer — both rankings are tie-broken
+    * permutations (doc_id), the target rank is exact integer math with
+    * a clamp, and the normalized value is the micro-grid score looked
+    * up by an equi join on rank. No float is created anywhere.
+    *
+    * Scale shape: one per-source window (hash-partitioned), one global
+    * bucketRank two-phase prefix (no global sort), one integer equi
+    * join. */
+  def qQuantileNorm(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qQualityScore(t)
+      .select(col("doc_id"), col("quality_score"),
+        round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    val wS = Window.partitionBy(col("source"))
+    val ranked = q
+      .withColumn("src_rank", row_number().over(wSrc).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(wS))
+    val globalRanked = bucketRank(
+      q.select(col("doc_id"), col("quality_score"), col("qm")), "qm", 1000001L,
+      Seq(col("quality_score"), col("doc_id")), "g_rank")
+    val n = t.documents.count()
+    val lookup = globalRanked.select(col("g_rank").as("target_rank"),
+      col("qm").as("qnorm_micro"))
+    ranked
+      .withColumn("target_rank",
+        greatest(least(expr(s"(src_rank * ${n}L + n_s) div (n_s + 1L)"), lit(n)), lit(1L)))
+      .join(lookup, Seq("target_rank"))
+      .select(col("doc_id"), col("source"), col("qm"), col("src_rank"),
+        col("n_s"), col("target_rank"), col("qnorm_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q224 oracle: global ROW_NUMBERs replace the two-phase prefix. */
+  val qQuantileNormSql: String =
+    s"""WITH $qualityScoreCtes,
+      |q AS (
+      |  SELECT s.doc_id, s.quality_score,
+      |    CAST(round(s.quality_score * 1000000.0::DOUBLE) AS BIGINT) AS qm,
+      |    d.source
+      |  FROM scored s JOIN documents d USING (doc_id)),
+      |nn AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY quality_score, doc_id) AS BIGINT) AS src_rank,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      |  FROM q),
+      |gq AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) AS BIGINT)
+      |    AS target_rank, qm AS qnorm_micro
+      |  FROM q)
+      |SELECT r.doc_id, r.source, r.qm, r.src_rank, r.n_s, r.target_rank,
+      |  gq.qnorm_micro
+      |FROM (SELECT *,
+      |        greatest(least((src_rank * (SELECT n FROM nn) + n_s) // (n_s + 1),
+      |                       (SELECT n FROM nn)), 1) AS target_rank
+      |      FROM ranked) r
+      |JOIN gq ON gq.target_rank = r.target_rank
+      |ORDER BY r.doc_id""".stripMargin
+
+  /** Q225: k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007) over the release-style quasi-identifiers (source,
+    * lang, length-bin): the privacy-ops gate that runs BEFORE q84's
+    * redaction and q168's pseudonymization ship a dataset — classes
+    * smaller than k re-identify, classes with < l distinct contents
+    * leak by homogeneity.
+    *
+    * Exactness: all counts; the bin is integer division of n_chars;
+    * content diversity counts distinct md5 prefixes; totals ride
+    * windows over the bounded class table.
+    *
+    * Scale shape: one (qid) aggregate over a two-level rollup (class ×
+    * content first — no countDistinct expand on the row stream). */
+  def qKAnonymity(t: Tables, k: Int = 5, l: Int = 2,
+      binWidth: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val classed = t.documents.select(col("source"), col("lang"),
+      expr(s"n_chars div ${binWidth}L").as("bin"),
+      substring(md5(col("text")), 1, 16).as("content"))
+    val perContent = classed.groupBy(col("source"), col("lang"), col("bin"),
+      col("content")).agg(count(lit(1)).as("cc"))
+    val classes = perContent.groupBy(col("source"), col("lang"), col("bin"))
+      .agg(sum(col("cc")).as("n"), count(lit(1)).as("l_distinct"))
+    val all = Window.partitionBy()
+    classes
+      .withColumn("k_ok", col("n") >= k)
+      .withColumn("l_ok", col("l_distinct") >= l)
+      .withColumn("n_classes", count(lit(1)).over(all))
+      .withColumn("n_violating",
+        sum(when(col("n") < k || col("l_distinct") < l, 1L).otherwise(0L)).over(all))
+      .withColumn("rows_at_risk",
+        sum(when(col("n") < k, col("n")).otherwise(0L)).over(all))
+      .select(col("source"), col("lang"), col("bin"), col("n"),
+        col("l_distinct"), col("k_ok"), col("l_ok"),
+        col("n_classes"), col("n_violating"), col("rows_at_risk"))
+      .orderBy(col("source"), col("lang"), col("bin"))
+  }
+
+  /** q225 oracle: the same two-level rollup and class-table windows. */
+  def qKAnonymitySql(k: Int = 5, l: Int = 2, binWidth: Int = 100): String =
+    s"""WITH pc AS (
+      |  SELECT source, lang, n_chars // $binWidth AS bin,
+      |    substr(md5(text), 1, 16) AS content, COUNT(*)::BIGINT AS cc
+      |  FROM documents GROUP BY 1, 2, 3, 4),
+      |cls AS (
+      |  SELECT source, lang, bin, CAST(SUM(cc) AS BIGINT) AS n,
+      |    COUNT(*)::BIGINT AS l_distinct
+      |  FROM pc GROUP BY 1, 2, 3)
+      |SELECT source, lang, bin, n, l_distinct,
+      |  n >= $k AS k_ok, l_distinct >= $l AS l_ok,
+      |  CAST(COUNT(*) OVER () AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN n < $k OR l_distinct < $l THEN 1 ELSE 0 END)
+      |    OVER () AS BIGINT) AS n_violating,
+      |  CAST(SUM(CASE WHEN n < $k THEN n ELSE 0 END) OVER () AS BIGINT) AS rows_at_risk
+      |FROM cls ORDER BY source, lang, bin""".stripMargin
+
   /** Q99: overlapping sliding-window chunking (RAG / retrieval indexing:
     * fixed `size`-token windows every `stride` tokens, so passage
     * boundaries can't hide a span — the complement of q92's disjoint

@@ -1193,6 +1193,71 @@ class QualityPipelineSpec extends SparkSpec {
     assert(rows.map(_._2).min >= kthTot)
   }
 
+  test("q223 dedup savings: per-source accounting ties out against q31 keep set") {
+    val t = sf0001
+    val rows = TextAnalysis.qDedupSavings(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val n = t.documents.count()
+    assert(rows.map(_._2).sum == n)
+    // total kept docs across sources == q31's representative count
+    val kept = graft.ops.Dedup.qDedupExact(t).count()
+    assert(rows.map(_._4).sum == kept, "kept docs must equal the q31 keep set")
+    rows.foreach { case (s, nd, ntk, kd, ktk, dup, sav) =>
+      assert(kd <= nd && ktk <= ntk && dup == nd - kd)
+      assert(sav == (ntk - ktk).toDouble / ntk.toDouble, s"savings of $s")
+    }
+  }
+
+  test("q224 quantile norm: target ranks are valid; normalized values are global quantiles") {
+    val t = sf0001
+    val rows = TextAnalysis.qQuantileNorm(t).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    val n = t.documents.count()
+    assert(rows.length == n.toInt)
+    // global quantile table recomputed from the emitted micro scores
+    val sortedQm = rows.sortBy { case (id, qm, _, _, _, _) => (qm, id) }
+      .map(_._2)
+    // NOTE: the global order is (raw score, doc_id); equal qm values can
+    // order differently than raw scores only at micro ties, where the
+    // VALUE at the rank is the same — so the value lookup is still exact
+    rows.foreach { case (id, _, srcRank, nS, targetRank, qnorm) =>
+      assert(srcRank >= 1 && srcRank <= nS)
+      val expect = (srcRank * n + nS) / (nS + 1)
+      assert(targetRank == math.max(math.min(expect, n), 1L), s"doc $id rank")
+      assert(qnorm == sortedQm(targetRank.toInt - 1), s"doc $id value")
+    }
+    // rank preservation inside a source: normalization is monotone
+    val bySrc = TextAnalysis.qQuantileNorm(t).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(6)))
+      .groupBy(_._1)
+    bySrc.values.foreach { g =>
+      val ord = g.sortBy(_._2).map(_._3)
+      assert(ord.zip(ord.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q225 k-anonymity: classes partition the corpus; summary counts recompute") {
+    val t = sf0001
+    val rows = TextAnalysis.qKAnonymity(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).sum == t.documents.count())
+    val nClasses = rows.length.toLong
+    val nViolating = rows.count { case (_, _, _, nn, ld, _, _, _, _, _) =>
+      nn < 5 || ld < 2 }.toLong
+    val atRisk = rows.collect { case (_, _, _, nn, _, _, _, _, _, _) if nn < 5 => nn }.sum
+    rows.foreach { case (_, _, _, nn, ld, kOk, lOk, nc, nv, rar) =>
+      assert(ld <= nn)
+      assert(kOk == (nn >= 5) && lOk == (ld >= 2))
+      assert(nc == nClasses && nv == nViolating && rar == atRisk)
+    }
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
