@@ -1270,14 +1270,18 @@ object EventAnalytics {
     val channels = edges.flatMap(e => Seq(e._1, e._2))
       .filter(s => s != "START" && s != "conv" && s != "null").distinct.sorted
     // The oracle's scenario CTEs are unrolled for a FIXED channel list;
-    // if the events table ever gains a new event_type the hash gate would
-    // silently mismatch (ADVICE r9) — fail loudly here instead so the
-    // divergence names itself.
-    if (edges.nonEmpty)
-      require(channels.sameElements(markovOracleChannels.sorted),
-        s"q190: data-derived channel set [${channels.mkString(",")}] diverges " +
-          s"from the oracle scenario list [${markovOracleChannels.mkString(",")}] — " +
+    // if the events table ever gains a NEW event_type the hash gate would
+    // silently mismatch (ADVICE r9) — fail loudly on that. A SUBSET is
+    // benign (both sides derive the OUTPUT channel list from the data, so
+    // an SF lacking e.g. 'error' transitions still hash-matches) and is
+    // tolerated (ADVICE r10).
+    if (edges.nonEmpty) {
+      val unknown = channels.filterNot(markovOracleChannels.contains)
+      require(unknown.isEmpty,
+        s"q190: data-derived channels [${unknown.mkString(",")}] are not in " +
+          s"the oracle scenario list [${markovOracleChannels.mkString(",")}] — " +
           "regenerate qMarkovAttributionSql's unrolled scenario CTEs")
+    }
     // absorption micros from START under edge set `es` after K rounds
     def solve(es: Array[(String, String, Long, Long)]): Long = {
       val froms = es.map(_._1).distinct
@@ -1487,19 +1491,28 @@ object EventAnalytics {
       sum(when(col("g") === "view_first", col("ng"))).as("n1"),
       max(when(col("g") === "view_first", col("ng_tot"))).as("n1_users"),
       max(when(col("g") === "other", col("ng_tot"))).as("n2_users"))
-    val steps = perT.filter(col("d") > 0 && col("n") > 1)
-      .withColumn("e1_micro", round(
+    // Keep every t_min row and GUARD the step terms instead of filtering:
+    // with zero death-times (e.g. no purchases at an SF) the aggregate
+    // still reports the real group sizes rather than an all-NULL row
+    // (ADVICE r10). CASE is lazy in both engines, so the divisions never
+    // run on non-step rows.
+    val isStep = col("d") > 0 && col("n") > 1
+    val steps = perT
+      .withColumn("e1_micro", when(isStep, round(
         col("d").cast("double") * col("n1").cast("double") /
           col("n").cast("double") * lit(1000000.0), 0).cast("long"))
-      .withColumn("v_micro", round(
+        .otherwise(lit(0L)))
+      .withColumn("v_micro", when(isStep, round(
         col("n1").cast("double") * (col("n") - col("n1")).cast("double") *
           col("d").cast("double") * (col("n") - col("d")).cast("double") /
           (col("n").cast("double") * col("n").cast("double") *
             (col("n") - 1).cast("double")) * lit(1000000.0), 0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("d1s", when(isStep, col("d1")).otherwise(lit(0L)))
     val agg = steps.agg(
       max(col("n1_users")).as("n1_users"),
       max(col("n2_users")).as("n2_users"),
-      sum(col("d1")).as("o1"),
+      sum(col("d1s")).as("o1"),
       sum(col("e1_micro")).as("e1_micro"),
       sum(col("v_micro")).as("v_micro"))
     agg
@@ -1568,17 +1581,20 @@ object EventAnalytics {
       |  FROM risk GROUP BY t_min),
       |steps AS (
       |  SELECT *,
-      |    CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
-      |               * 1000000.0::DOUBLE) AS BIGINT) AS e1_micro,
-      |    CAST(round(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
-      |               * CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE)
-      |               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
-      |               * 1000000.0::DOUBLE) AS BIGINT) AS v_micro
-      |  FROM pert WHERE d > 0 AND n > 1),
+      |    CASE WHEN d > 0 AND n > 1 THEN
+      |      CAST(round(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |                 * 1000000.0::DOUBLE) AS BIGINT) ELSE 0 END AS e1_micro,
+      |    CASE WHEN d > 0 AND n > 1 THEN
+      |      CAST(round(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+      |                 * CAST(d AS DOUBLE) * CAST(n - d AS DOUBLE)
+      |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+      |                 * 1000000.0::DOUBLE) AS BIGINT) ELSE 0 END AS v_micro,
+      |    CASE WHEN d > 0 AND n > 1 THEN d1 ELSE 0 END AS d1s
+      |  FROM pert),
       |agg AS (
       |  SELECT CAST(MAX(n1_users) AS BIGINT) AS n1_users,
       |    CAST(MAX(n2_users) AS BIGINT) AS n2_users,
-      |    CAST(SUM(d1) AS BIGINT) AS o1,
+      |    CAST(SUM(d1s) AS BIGINT) AS o1,
       |    CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
       |    CAST(SUM(v_micro) AS BIGINT) AS v_micro
       |  FROM steps)

@@ -1618,15 +1618,18 @@ object TextAnalysis {
     val all = Window.partitionBy()
     val ranked = mass
       .withColumn("s_tot", sum(col("sm")).over(all))
-      .withColumn("base", expr(s"(${budget}L * sm) div s_tot"))
-      .withColumn("rem", expr(s"(${budget}L * sm) % s_tot"))
+      // all-empty corpus => s_tot = 0: nullif the integer denominators
+      // (ANSI div-by-zero; the q170 degenerate-denominator rule)
+      .withColumn("base", expr(s"(${budget}L * sm) div nullif(s_tot, 0L)"))
+      .withColumn("rem", expr(s"(${budget}L * sm) % nullif(s_tot, 0L)"))
       .withColumn("leftover", lit(budget) - sum(col("base")).over(all))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("rem").desc, col("source"))).cast("long"))
     ranked
       .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
       .withColumn("alloc", col("base") + col("extra"))
-      .withColumn("share", col("sm").cast("double") / col("s_tot").cast("double"))
+      .withColumn("share",
+        col("sm").cast("double") / nullif(col("s_tot").cast("double"), lit(0.0)))
       .select(col("source"), col("w").as("n_tokens"), col("sm"), col("share"),
         col("base"), col("rem"), col("extra"), col("alloc"))
       .orderBy(col("source"))
@@ -1647,8 +1650,8 @@ object TextAnalysis {
       |r AS (
       |  SELECT *,
       |    CAST(SUM(sm) OVER () AS BIGINT) AS s_tot,
-      |    ($budget * sm) // CAST(SUM(sm) OVER () AS BIGINT) AS base,
-      |    ($budget * sm) % CAST(SUM(sm) OVER () AS BIGINT) AS rem
+      |    ($budget * sm) // nullif(CAST(SUM(sm) OVER () AS BIGINT), 0) AS base,
+      |    ($budget * sm) % nullif(CAST(SUM(sm) OVER () AS BIGINT), 0) AS rem
       |  FROM sm),
       |k AS (
       |  SELECT *,
@@ -1656,7 +1659,7 @@ object TextAnalysis {
       |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
       |  FROM r)
       |SELECT source, w AS n_tokens, sm,
-      |  CAST(sm AS DOUBLE) / CAST(s_tot AS DOUBLE) AS share,
+      |  CAST(sm AS DOUBLE) / nullif(CAST(s_tot AS DOUBLE), 0.0::DOUBLE) AS share,
       |  base, rem,
       |  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
       |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
@@ -1761,11 +1764,14 @@ object TextAnalysis {
       max(col("n_s")).as("n_s"), max(col("n_r")).as("n_r"),
       max(col("d_num") * lit(1000001L) + col("qm")).as("enc"))
     val nsd = col("n_s").cast("double"); val nrd = col("n_r").cast("double")
+    // single-source corpus => n_r = 0; ANSI throws on double div-by-zero
+    // (the q170 degenerate-denominator rule), so nullif the product.
+    val den = nullif(nsd * nrd, lit(0.0))
     enc
       .withColumn("d_num", expr("enc div 1000001L"))
       .withColumn("at_qm", expr("enc % 1000001L"))
-      .withColumn("d", col("d_num").cast("double") / (nsd * nrd))
-      .withColumn("crit", lit(cAlpha) * sqrt((nsd + nrd) / (nsd * nrd)))
+      .withColumn("d", col("d_num").cast("double") / den)
+      .withColumn("crit", lit(cAlpha) * sqrt((nsd + nrd) / den))
       .withColumn("reject", col("d") > col("crit"))
       .select(col("source"), col("n_s"), col("n_r"), col("d_num"),
         col("at_qm"), col("d"), col("crit"), col("reject"))
@@ -1811,13 +1817,13 @@ object TextAnalysis {
       |  CAST(enc // 1000001 AS BIGINT) AS d_num,
       |  CAST(enc % 1000001 AS BIGINT) AS at_qm,
       |  CAST(enc // 1000001 AS DOUBLE)
-      |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE)) AS d,
+      |    / nullif(CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE), 0.0::DOUBLE) AS d,
       |  $cAlpha::DOUBLE * sqrt((CAST(n_s AS DOUBLE) + CAST(n_r AS DOUBLE))
-      |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS crit,
+      |    / nullif(CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE), 0.0::DOUBLE)) AS crit,
       |  CAST(enc // 1000001 AS DOUBLE)
-      |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))
+      |    / nullif(CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE), 0.0::DOUBLE)
       |    > $cAlpha::DOUBLE * sqrt((CAST(n_s AS DOUBLE) + CAST(n_r AS DOUBLE))
-      |      / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS reject
+      |      / nullif(CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE), 0.0::DOUBLE)) AS reject
       |FROM e ORDER BY source""".stripMargin
 
   /** Q211: domain cross-entropy matrix H(i,j) — source i's token stream
@@ -2286,8 +2292,9 @@ object TextAnalysis {
         sum(when(col("keep"), col("ntok")).otherwise(0L)).as("kept_tokens"))
       .withColumn("dup_docs", col("n_docs") - col("kept_docs"))
       .withColumn("savings",
+        // punctuation-only source => n_tokens = 0 (q170 degenerate rule)
         (col("n_tokens") - col("kept_tokens")).cast("double") /
-          col("n_tokens").cast("double"))
+          nullif(col("n_tokens").cast("double"), lit(0.0)))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("kept_docs"), col("kept_tokens"), col("dup_docs"), col("savings"))
       .orderBy(col("source"))
@@ -2307,7 +2314,7 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT) AS kept_tokens,
       |  CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
       |  CAST(SUM(ntok) - SUM(CASE WHEN keep THEN ntok ELSE 0 END) AS DOUBLE)
-      |    / CAST(SUM(ntok) AS DOUBLE) AS savings
+      |    / nullif(CAST(SUM(ntok) AS DOUBLE), 0.0::DOUBLE) AS savings
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
   /** Q224: cross-source quantile normalization — map every document's

@@ -557,6 +557,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(o1 <= totalDeaths && e1m <= totalDeaths * 1000000L)
   }
 
+  test("q222 zero-deaths branch: group sizes stay defined with no purchases") {
+    // ADVICE r10: with zero death-times the aggregate previously collapsed
+    // to an all-NULL row; group sizes must come from the unfiltered
+    // per-time table. Synthesize the branch by dropping every purchase.
+    val t = sf0001
+    val dir = java.nio.file.Files.createTempDirectory("graft-logrank0").toString
+    t.events.filter(col("event_type") =!= "purchase")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t0 = Tables(spark, dir)
+    val row = EventAnalytics.qLogRank(t0).head()
+    val users = t0.events.select("user_id").distinct().count()
+    assert(row.getLong(0) + row.getLong(1) == users,
+      "groups must partition the user base even with zero deaths")
+    assert(row.getLong(2) == 0L && row.getLong(3) == 0L && row.getLong(4) == 0L)
+    assert(row.isNullAt(7) && row.isNullAt(8))
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the
