@@ -138,6 +138,64 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Band-bucket audit for the production minhash family — the q185
+    * pricing applied to `lshCandidatePairs`' own bucket population:
+    * bucket count, the governed tail above `cap`, the max bucket, and
+    * the exact pair populations with and without the cap. One map-side-
+    * combinable aggregate + a 1-row reduce — strictly cheaper than the
+    * banded join it governs. */
+  private[graft] def lshBandAudit(banded: DataFrame, cap: Int): DataFrame =
+    banded.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("c") > cap, 1L).otherwise(0L)).as("n_governed"),
+        sum(when(col("c") > cap, col("c")).otherwise(0L)).as("governed_docs"),
+        coalesce(max(col("c")), lit(0L)).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).as("pairs_raw"),
+        sum(when(col("c") <= cap, expr("c * (c - 1) div 2"))
+          .otherwise(0L)).as("pairs_capped"))
+
+  /** Governed LSH candidate generation — the q185/q186 bucket-cap recipe
+    * wired into the PRODUCTION minhash path (VERDICT r10: the gated
+    * queries proved the recipe; this is the entry point using it). The
+    * band-bucket population is priced first with `lshBandAudit` (one
+    * bounded 1-row fetch, which doubles as the materialization action
+    * for the checkpointed band table so the signature kernel runs
+    * exactly once). When every bucket is at or under `cap` the plain
+    * banded self-join runs — bit-identical to `lshCandidatePairs`.
+    * Above the cap, the join is restricted to buckets ≤ cap (bucket
+    * sizes via aggregate + equi-join, never a count window), so no task
+    * is quadratic in one pathological band key; the dropped population
+    * is exactly the audit's `pairs_raw − pairs_capped`, logged so the
+    * cap decision is driver-visible. Recall contract as q186: a pair is
+    * lost only if ALL of its agreeing buckets are governed. */
+  def governedLshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleLen: Int = 8,
+      cap: Int = 64): DataFrame = {
+    val keysUdf = fasthash.minhashBandKeysUdf(numHashes, bands, shingleLen)
+    val fanned = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val banded = fanned.select(col(idCol).as("id"),
+      explode(keysUdf(col(textCol))).as("bk"))
+      .localCheckpoint(eager = false)
+    val a = lshBandAudit(banded, cap).head()
+    val src =
+      if (a.getLong(3) <= cap) banded
+      else {
+        System.err.println(s"[dedup-governor] lsh bands over cap=$cap: " +
+          s"n_governed=${a.getLong(1)} governed_docs=${a.getLong(2)} " +
+          s"max_bucket=${a.getLong(3)} pairs_raw=${a.getLong(4)} " +
+          s"pairs_capped=${a.getLong(5)}")
+        val keep = banded.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") <= cap)
+          .select(col("bk"))
+        banded.join(keep, Seq("bk"))
+      }
+    src.select(col("bk"), col("id").as("id_a"))
+      .join(src.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** MinHash-LSH near-dup detection with exact verify — the 100 TB dedup.
     * Emits verified pairs with exact character-shingle Jaccard. */
   def qDedupMinhashLsh(t: Tables): DataFrame =
@@ -254,7 +312,7 @@ object Dedup {
   /** The LSH+verify pipeline over an arbitrary document slice (q34 runs it
     * corpus-wide; q95 re-runs it on the audit slice). */
   private def minhashVerifiedPairs(t: Tables, docs: DataFrame): DataFrame = {
-    val cands = lshCandidatePairs(docs, "text", "doc_id")
+    val cands = governedLshCandidatePairs(docs, "text", "doc_id")
     val sh = t.fanout(docs).select(col("doc_id"),
       fasthash.shingleSetUdf(8)(col("text")).as("sh"))
     cands
@@ -1136,8 +1194,11 @@ object Dedup {
     * estimate, NOT a Catalyst rule). Picks:
     *  - n ≤ exactThreshold: exact all-pairs (distributed ratio + greedy
     *    walk) — reference-faithful, O(n²) bounded by the threshold;
-    *  - larger: MinHash-LSH candidates + exact verify — O(n·bands)
-    *    shuffle, the 100 TB plan.
+    *  - larger: governed MinHash-LSH candidates + exact verify —
+    *    O(n·bands) shuffle with the q185/q186 bucket cap enforced
+    *    (governedLshCandidatePairs), the 100 TB plan: a boilerplate
+    *    corpus whose docs share one band key can no longer make a
+    *    single join task quadratic.
     * Returns kept representative ids either way. */
   def nearDupKeepIds(df: DataFrame, textCol: String, idCol: String,
       exactThreshold: Long = 10000): DataFrame = {
@@ -1147,7 +1208,7 @@ object Dedup {
         df.select(col(idCol), substring(col(textCol), 1, 40).as("key")),
         "key", idCol)
     } else {
-      val pairs = lshCandidatePairs(df, textCol, idCol)
+      val pairs = governedLshCandidatePairs(df, textCol, idCol)
       val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(idCol).as("sid"),
           fasthash.shingleSetUdf(8)(col(textCol)).as("sh"))

@@ -329,6 +329,49 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf((0L until n).toSet))
   }
 
+  test("governed LSH: mega-bucket is capped in the plan; parity away from it") {
+    // VERDICT r10 item 1: the production LSH arm must route through the
+    // bucket cap. Fixture: a synthetic mega-bucket (40 identical docs —
+    // they share EVERY band key) alongside the q201-style distinct tail.
+    import spark.implicits._
+    val mega = (0L until 40L).map(i => (i, "breaking news identical boilerplate body"))
+    // genuinely dissimilar singletons (every shingle embeds the id, so no
+    // cross-doc bucket collisions) + two small planted dup pairs that any
+    // governed run must keep
+    val singles = (100L until 120L).map(i =>
+      (i, s"w${i}a x${i}b y${i}c z${i}d v${i}e u${i}f t${i}g s${i}h r${i}j"))
+    val dupA = Seq((200L, "alpha pair survives the governor unchanged"),
+      (201L, "alpha pair survives the governor unchanged"))
+    val dupB = Seq((202L, "beta couple also stays below the bucket cap"),
+      (203L, "beta couple also stays below the bucket cap"))
+    val df = (mega ++ singles ++ dupA ++ dupB).toDF("doc_id", "text")
+
+    val governed = Dedup.governedLshCandidatePairs(df, "text", "doc_id", cap = 8)
+    // plan assert: above the cap the bucket-size filter join is IN the plan
+    val plan = governed.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bucket_n"),
+      "governed path above a mega-bucket must join through the bucket-size filter")
+    val gPairs = governed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega-bucket's quadratic population is dropped (every one of its
+    // buckets exceeds cap=8); the small dup blocks are untouched
+    assert(!gPairs.exists { case (a, b) => a < 40 && b < 40 },
+      "mega-bucket pairs must be governed away")
+    assert(gPairs == Set((200L, 201L), (202L, 203L)),
+      s"parity away from governed blocks, got $gPairs")
+    val unGoverned = Dedup.lshCandidatePairs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unGoverned.count { case (a, b) => a < 40 && b < 40 } == 40 * 39 / 2,
+      "ungoverned generator must emit the full quadratic mega-bucket")
+
+    // under the cap the generator falls back to the plain join:
+    // bit-identical pairs and NO bucket filter in the plan
+    val relaxed = Dedup.governedLshCandidatePairs(df, "text", "doc_id", cap = 64)
+    assert(!relaxed.queryExecution.optimizedPlan.toString.contains("bucket_n"),
+      "under-cap fallback must be the plain banded join")
+    val rPairs = relaxed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rPairs == unGoverned, "under-cap fallback must equal lshCandidatePairs")
+  }
+
   test("exact dedup groups: every distinct text keeps exactly one id") {
     val n = sf0001.documents.count()
     val g = Dedup.qDedupExact(sf0001)
