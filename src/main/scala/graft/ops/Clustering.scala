@@ -224,11 +224,22 @@ object Clustering {
     * vectors for its within-cluster pair stage. */
   private[graft] def kmeansAssignments(t: Tables, k: Int = 8,
       updates: Int = 2): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .cache()
+    val init = emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    lloydRounds(emb, init, updates)
+  }
+
+  /** The q119 Lloyd loop over an ARBITRARY (vec_id, e) frame and initial
+    * centroid seq — factored out so the composed news-pipeline gate (q226)
+    * can run the identical rounds on the dedup-surviving subset. Same
+    * round(6) discipline throughout. */
+  private[graft] def lloydRounds(emb: DataFrame,
+      init: Seq[(Long, Seq[Double])], updates: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     def assign(cs: Seq[(Long, Seq[Double])]): DataFrame = {
       val cdf = cs.toDF("cid", "c")
       // argmax over round(sim, 6), not the raw cosine: the raw values are
@@ -243,9 +254,7 @@ object Clustering {
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("e"), col("cid"), col("sim"))
     }
-    var centroids: Seq[(Long, Seq[Double])] =
-      emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    var centroids: Seq[(Long, Seq[Double])] = init
     for (_ <- 1 to updates) {
       centroids = assign(centroids)
         .select(col("cid"), posexplode(col("e")).as(Seq("d", "v")))
@@ -268,9 +277,22 @@ object Clustering {
   /** The q119 rounds as a reusable WITH-body: emb, c0 (first-k init),
     * then aN/cN assignment/update CTEs — the final assignment is
     * `a<updates>`. Shared with the q134 SemDeDup oracle. */
-  private[graft] def kmeansCtes(k: Int = 8, updates: Int = 2): String = {
+  private[graft] def kmeansCtes(k: Int = 8, updates: Int = 2): String =
+    kmeansRoundCtes(updates,
+      """emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)""".stripMargin,
+      s"c0 AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $k)")
+
+  /** The q119 round chain over caller-supplied `emb`/`c0` CTE bodies —
+    * shared with the composed news-pipeline gate (q226), whose emb is the
+    * dedup-surviving subset and whose init is the k lowest surviving ids.
+    * `materialized` adds the DuckDB hint to every round CTE (the r6 >5-CTE
+    * chain rule) for callers embedding the rounds in a longer program. */
+  private[graft] def kmeansRoundCtes(updates: Int, embCte: String,
+      c0Cte: String, materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
     def assignCte(a: String, c: String): String =
-      s"""$a AS (
+      s"""$a AS $m(
          |  SELECT vec_id, e, cid, sim FROM (
          |    SELECT emb.vec_id, emb.e, c.cid,
          |      list_cosine_similarity(emb.e, c.c) AS sim,
@@ -278,7 +300,7 @@ object Clustering {
          |        ORDER BY round(list_cosine_similarity(emb.e, c.c), 6) DESC, c.cid) AS rn
          |    FROM emb CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
     def updateCte(c: String, a: String): String =
-      s"""$c AS (
+      s"""$c AS $m(
          |  SELECT cid, list(m ORDER BY d) AS c FROM (
          |    SELECT cid, d, round(AVG(v), 6) AS m FROM (
          |      SELECT cid, unnest(e) AS v, generate_subscripts(e, 1) AS d FROM $a)
@@ -286,9 +308,8 @@ object Clustering {
     val rounds = (0 until updates).flatMap { i =>
       Seq(assignCte(s"a$i", s"c$i"), updateCte(s"c${i + 1}", s"a$i"))
     } :+ assignCte(s"a$updates", s"c$updates")
-    s"""emb AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $k),
+    s"""$embCte,
+       |$c0Cte,
        |${rounds.mkString(",\n")}""".stripMargin
   }
 

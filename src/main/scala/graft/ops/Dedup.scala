@@ -1239,7 +1239,7 @@ object Dedup {
   /** The q37 transitive-closure CTE chain (fuzzy pair graph → recursive
     * reach → per-doc min-id representative `rep(id, keep_id)`), shared
     * between the q37 oracle and the q141 leakage-safe-split oracle. */
-  private val componentsRepCtes: String =
+  private[graft] val componentsRepCtes: String =
     """pairs AS (
       |  SELECT a.doc_id AS a, b.doc_id AS b
       |  FROM documents a JOIN documents b

@@ -89,4 +89,112 @@ object Pipeline {
         substring(col("text"), 1, 60).as("title"), col("text"))
     newsPipeline(articles, kmeansMaxIter = 20)
   }
+
+  /** Q226: the composed news pipeline under the HASH GATE — q50's trace
+    * (SURVEY §3.1) rebuilt from the deterministic faces of its stages,
+    * the q112 composition discipline: composing operators must not change
+    * any stage's semantics, so each stage IS its gated standalone query
+    * and the DuckDB oracle replays the entire chain end to end.
+    *
+    *  1. dedup: the q32 fuzzy-pair graph closed into components (q37's
+    *     star contraction), min-id representative kept per component;
+    *  2. cluster: the q119 Lloyd rounds (first-k-surviving-ids init,
+    *     `updates` round(6)-mean updates, argmax-cosine assignment) over
+    *     the kept documents' embeddings — the deterministic face of the
+    *     reference's k-means stage (cluster.py:51-53 intent);
+    *  3. summarize: the q120 LexRank power iteration per CLUSTER (grp =
+    *     cid instead of source) — tf·idf weights (the q102 math as the
+    *     LexRank weight sub-stage), thresholded cosine graph, `iterations`
+    *     damped rounds — top-1 doc per cluster (summarize.py head-1
+    *     intent).
+    *
+    * Output: one row per non-empty cluster with per-stage conservation
+    * (`n_kept` dedup survivors, `n_clustered` = Σ n_members — the
+    * q112-style stage-survival audit) and the LexRank winner. q50 stays
+    * the spark.ml-backed rows-only face; this is the gate.
+    *
+    * Scale shape: each stage keeps its standalone scale shape — star
+    * contraction is O(log n) shuffle rounds, Lloyd is one broadcast-
+    * assignment + one k·dims-partial aggregate per round, LexRank is ONE
+    * shuffle into bounded per-cluster kernels. The kept set is
+    * localCheckpointed once (doc_id + text, small rows) because three
+    * branches and a bounded count consume it — the r9 barrier rule. */
+  def qNewsPipelineGate(t: Tables, k: Int = 8, updates: Int = 2,
+      threshold: Double = 0.1, damping: Double = 0.85,
+      iterations: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reps = Dedup.componentsMinId(
+      Dedup.qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+      .select(col("keep_id").as("doc_id"))
+    val kept = t.documents.join(reps, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false)
+    val nKept = kept.count()
+    val emb = t.embeddings
+      .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .cache()
+    val init = emb.orderBy(col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = Clustering.lloydRounds(emb, init, updates)
+    val members = assigned.select(col("vec_id").as("doc_id"), col("cid"))
+      .join(kept, Seq("doc_id"))
+    val scored = Summarize.lexrankGrouped(
+      members.select(col("cid"), col("doc_id"), col("text")),
+      "cid", "doc_id", "text", threshold, damping, iterations, stem = false)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    val tops = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cid").cast("long").as("cid"),
+        col("doc_id").as("top_doc_id"), round(col("score"), 6).as("top_score"))
+    val sizes = members.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+    sizes.join(tops, Seq("cid"))
+      .withColumn("n_clustered", sum(col("n_members")).over(Window.partitionBy()))
+      .select(col("cid").cast("long").as("cluster"), col("n_members"),
+        lit(nKept).as("n_kept"), col("n_clustered"),
+        col("top_doc_id"), col("top_score"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q226 oracle: the q37 recursive component CTEs + the q119 Lloyd round
+    * CTEs (kept-subset emb, first-k-surviving init) + the q120 LexRank
+    * chain with grp = cluster, all `AS MATERIALIZED` per the r6 long-chain
+    * rule, composed into one program. */
+  def qNewsPipelineGateSql(k: Int = 8, updates: Int = 2,
+      threshold: Double = 0.1, damping: Double = 0.85,
+      iterations: Int = 10): String = {
+    val kmeans = Clustering.kmeansRoundCtes(updates,
+      """emb AS MATERIALIZED (
+        |  SELECT e0.vec_id, CAST(e0.embedding AS DOUBLE[]) AS e
+        |  FROM embeddings e0 JOIN kept ON e0.vec_id = kept.doc_id)""".stripMargin,
+      s"c0 AS MATERIALIZED (SELECT vec_id AS cid, e AS c FROM emb ORDER BY vec_id LIMIT $k)",
+      materialized = true)
+    val lexrank = Summarize.lexrankPowerCtes(threshold, damping, iterations,
+      materialized = true)
+    s"""WITH RECURSIVE ${Dedup.componentsRepCtes},
+       |kept AS MATERIALIZED (SELECT DISTINCT keep_id AS doc_id FROM rep),
+       |kdocs AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+       |$kmeans,
+       |nodes AS MATERIALIZED (
+       |  SELECT a.cid AS grp, a.vec_id AS sid, kd.text AS txt
+       |  FROM a$updates a JOIN kdocs kd ON kd.doc_id = a.vec_id),
+       |$lexrank,
+       |sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_members
+       |          FROM nodes GROUP BY grp),
+       |tops AS (
+       |  SELECT grp, sid, score FROM (
+       |    SELECT grp, sid, round(score, 6) AS score,
+       |      ROW_NUMBER() OVER (PARTITION BY grp
+       |        ORDER BY round(score, 6) DESC, sid) AS rnk
+       |    FROM s$iterations) WHERE rnk = 1)
+       |SELECT CAST(s.grp AS BIGINT) AS cluster, s.n_members,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+       |  CAST(SUM(s.n_members) OVER () AS BIGINT) AS n_clustered,
+       |  t.sid AS top_doc_id, t.score AS top_score
+       |FROM sizes s JOIN tops t USING (grp)
+       |ORDER BY cluster""".stripMargin
+  }
 }

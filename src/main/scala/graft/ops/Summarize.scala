@@ -267,10 +267,30 @@ object Summarize {
     * vertex survives each round. Constants are written as the same IEEE
     * expressions Catalyst folds ((1.0 - 0.85), not a decimal 0.15). */
   def qLexrankPowerSql(threshold: Double = 0.1, damping: Double = 0.85,
-      iterations: Int = 10, topK: Int = 3): String = {
+      iterations: Int = 10, topK: Int = 3): String =
+    s"""WITH nodes AS (SELECT source AS grp, doc_id AS sid, text AS txt FROM documents),
+       |${lexrankPowerCtes(threshold, damping, iterations)}
+       |SELECT grp AS source, CAST(rnk AS BIGINT) AS rank, sid AS doc_id, score FROM (
+       |  SELECT grp, sid, round(score, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY grp
+       |      ORDER BY round(score, 6) DESC, sid) AS rnk
+       |  FROM s$iterations) WHERE rnk <= $topK
+       |ORDER BY source, rank""".stripMargin
+
+  /** The q120 LexRank CTE chain over a caller-supplied `nodes(grp, sid,
+    * txt)` CTE — the final scores land in `s<iterations>(grp, sid,
+    * score)`. Factored out so the composed news-pipeline gate (q226) can
+    * run the identical rounds with grp = k-means cluster id.
+    * `materialized` marks the per-round and shared-input CTEs with the
+    * DuckDB hint (the r6 >5-round chain rule) for callers embedding the
+    * chain in a longer program. */
+  private[graft] def lexrankPowerCtes(threshold: Double = 0.1,
+      damping: Double = 0.85, iterations: Int = 10,
+      materialized: Boolean = false): String = {
+    val m = if (materialized) "MATERIALIZED " else ""
     val stop = text.stopwords.map(s => s"'$s'").mkString(", ")
     val iterCtes = (0 until iterations).map { i =>
-      s"""s${i + 1} AS (
+      s"""s${i + 1} AS $m(
          |  SELECT e.grp, e.dst AS sid,
          |    (1.0::DOUBLE - $damping::DOUBLE) / CAST(n.n AS DOUBLE)
          |      + $damping::DOUBLE * SUM(CASE WHEN e.src = e.dst THEN 0.0::DOUBLE
@@ -279,17 +299,17 @@ object Summarize {
          |  JOIN nd n ON n.grp = e.grp
          |  GROUP BY e.grp, e.dst, n.n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS (
-       |  SELECT source AS grp, doc_id AS sid,
-       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+    s"""toks AS (
+       |  SELECT grp, sid,
+       |    unnest(list_filter(string_split_regex(lower(txt), '[^a-z0-9'']+'),
        |           x -> len(x) > 0)) AS term
-       |  FROM documents),
+       |  FROM nodes),
        |tf AS (
        |  SELECT grp, sid, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
        |  WHERE term NOT IN ($stop) GROUP BY grp, sid, term),
-       |nd AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n
-       |       FROM documents GROUP BY source),
-       |verts AS (SELECT source AS grp, doc_id AS sid FROM documents),
+       |nd AS $m(SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM nodes GROUP BY grp),
+       |verts AS (SELECT grp, sid FROM nodes),
        |dfc AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY grp, term),
        |w AS (
        |  SELECT tf.grp, tf.sid, tf.term,
@@ -308,19 +328,13 @@ object Summarize {
        |edges AS (SELECT grp, src, dst FROM sim_half
        |          UNION ALL SELECT grp, dst, src FROM sim_half),
        |deg AS (SELECT grp, src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY grp, src),
-       |eaug AS (
+       |eaug AS $m(
        |  SELECT e.grp, e.src, e.dst, d.deg FROM edges e
        |  JOIN deg d ON d.grp = e.grp AND d.src = e.src
        |  UNION ALL SELECT grp, sid, sid, 1 FROM verts),
        |s0 AS (
        |  SELECT v.grp, v.sid, 1.0::DOUBLE / CAST(n.n AS DOUBLE) AS score
        |  FROM verts v JOIN nd n USING (grp)),
-       |$iterCtes
-       |SELECT grp AS source, CAST(rnk AS BIGINT) AS rank, sid AS doc_id, score FROM (
-       |  SELECT grp, sid, round(score, 6) AS score,
-       |    ROW_NUMBER() OVER (PARTITION BY grp
-       |      ORDER BY round(score, 6) DESC, sid) AS rnk
-       |  FROM s$iterations) WHERE rnk <= $topK
-       |ORDER BY source, rank""".stripMargin
+       |$iterCtes""".stripMargin
   }
 }

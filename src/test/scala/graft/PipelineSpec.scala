@@ -47,4 +47,31 @@ class PipelineSpec extends SparkSpec {
     // every input article accounted for exactly once across clusters
     assert(out.map(_.getLong(1)).sum <= 200)
   }
+
+  test("q226 gate: stage conservation ties out against the standalone faces") {
+    val t = sf0001
+    val rows = Pipeline.qNewsPipelineGate(t).collect()
+    assert(rows.nonEmpty)
+    val nDocs = t.documents.count()
+    val nKept = rows.head.getLong(2)
+    val nClustered = rows.head.getLong(3)
+    // stage-1 conservation: survivors = the q37 component count
+    val nComponents = graft.ops.Dedup.qDedupComponents(t).count()
+    assert(nKept == nComponents, "dedup survivors must equal q37's components")
+    assert(nKept <= nDocs && nClustered <= nKept)
+    // stage-2 conservation: members partition the clustered population
+    assert(rows.map(_.getLong(1)).sum == nClustered)
+    assert(rows.forall(r => r.getLong(2) == nKept && r.getLong(3) == nClustered),
+      "conservation columns must be constant across rows")
+    // stage-3: each winner is a member of its own cluster (scores in (0,1])
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // winners are kept docs (dedup survivors), hence valid doc ids
+    val keptIds = graft.ops.Dedup.qDedupComponents(t)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(keptIds.contains(r.getLong(4)),
+      s"winner ${r.getLong(4)} is not a dedup survivor"))
+  }
 }
