@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
@@ -43,6 +43,22 @@ object FeedSource {
 
   /** Last pushdown the source accepted, per feed: (filters, limit, cols). */
   val lastPushed: TrieMap[String, (Seq[String], Int, Seq[String])] = TrieMap.empty
+
+  /** Last TopN the source accepted, per feed: (per-key (column, ascending)
+    * order spec, limit) — the `sortBy=relevancy&pageSize=5` API-param
+    * shape (realtimeapi.py:39 intent). */
+  val lastPushedTopN: TrieMap[String, (Seq[(String, Boolean)], Int)] = TrieMap.empty
+
+  /** Source-side comparator for one accepted sort column. */
+  private[sources] def cmp(field: String, a: FeedRow, b: FeedRow): Int = field match {
+    case "id"         => java.lang.Long.compare(a.id, b.id)
+    case "title"      => a.title.compareTo(b.title)
+    case "url"        => a.url.compareTo(b.url)
+    case "source"     => a.source.compareTo(b.source)
+    case "section_id" => Integer.compare(a.sectionId, b.sectionId)
+    case other => throw new IllegalStateException(
+      s"FeedSource.cmp: accepted sort column has no comparator: $other")
+  }
 
   /** Evaluate the pushable filter subset source-side (the "API" honors
     * equality/IN on source, ranges on id — like query params). */
@@ -88,10 +104,11 @@ class FeedTable(feed: String) extends Table with SupportsRead {
 
 class FeedScanBuilder(feed: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownTopN with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var topN: Seq[(String, Boolean)] = Seq.empty
   private var cols: StructType = FeedSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -103,38 +120,73 @@ class FeedScanBuilder(feed: String) extends ScanBuilder
 
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
+  /** O2: sort+limit pushdown (`sortBy=…&pageSize=N`). Accepted only when
+    * every key is a plain top-level column the source can order on — then
+    * the source returns rows fully ordered and limited, and Spark drops
+    * the post-scan sort entirely (isPartiallyPushed = false; sound here
+    * because the scan is a single partition, exactly like the single
+    * paginated API response it stands in for). */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    val spec = orders.toSeq.map(o => (o.expression(), o.direction()))
+    val accepted = spec.forall {
+      case (ref: NamedReference, _) => ref.fieldNames.length == 1 &&
+        FeedSource.schema.fieldNames.contains(ref.fieldNames.head)
+      case _ => false
+    }
+    if (accepted) {
+      topN = spec.map { case (e, d) =>
+        (e.asInstanceOf[NamedReference].fieldNames.head,
+          d == SortDirection.ASCENDING)
+      }
+      limit = l
+    }
+    accepted
+  }
+  override def isPartiallyPushed(): Boolean = false
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     cols = requiredSchema
 
   override def build(): Scan = {
     FeedSource.lastPushed(feed) =
       (pushed.map(_.toString).toSeq, limit, cols.fieldNames.toSeq)
-    new FeedScan(feed, pushed, limit, cols)
+    if (topN.nonEmpty) FeedSource.lastPushedTopN(feed) = (topN, limit)
+    new FeedScan(feed, pushed, limit, topN, cols)
   }
 }
 
 class FeedScan(feed: String, filters: Array[Filter], limit: Int,
-    cols: StructType) extends Scan with Batch {
+    topN: Seq[(String, Boolean)], cols: StructType) extends Scan with Batch {
   override def readSchema(): StructType = cols
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(FeedPartition(feed, filters, limit, cols.fieldNames))
+    Array(FeedPartition(feed, filters, limit, topN, cols.fieldNames))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FeedReaderFactory
 }
 
 final case class FeedPartition(feed: String, filters: Array[Filter],
-    limit: Int, cols: Array[String]) extends InputPartition
+    limit: Int, topN: Seq[(String, Boolean)],
+    cols: Array[String]) extends InputPartition
 
 class FeedReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FeedPartition]
-    // "the API call": filters + limit applied at the source, before rows
-    // ever enter Spark — the semantics of pageSize/sort/whitelist params
-    val all = FeedSource.feeds.getOrElse(fp.feed, Seq.empty)
+    // "the API call": filters + sort + limit applied at the source, before
+    // rows ever enter Spark — the semantics of pageSize/sort/whitelist params
+    val matched = FeedSource.feeds.getOrElse(fp.feed, Seq.empty)
       .filter(r => fp.filters.forall(FeedSource.eval(_, r)))
+    val all = if (fp.topN.isEmpty) matched else {
+      val ord = new Ordering[FeedSource.FeedRow] {
+        override def compare(a: FeedSource.FeedRow, b: FeedSource.FeedRow): Int =
+          fp.topN.iterator.map { case (f, asc) =>
+            val c = FeedSource.cmp(f, a, b); if (asc) c else -c
+          }.find(_ != 0).getOrElse(0)
+      }
+      matched.sorted(ord)
+    }
     val rows = (if (fp.limit >= 0) all.take(fp.limit) else all).iterator
     new PartitionReader[InternalRow] {
       private var cur: FeedSource.FeedRow = _

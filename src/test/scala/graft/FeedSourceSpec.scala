@@ -33,6 +33,39 @@ class FeedSourceSpec extends SparkSpec {
     assert(limit == 7, s"limit pushed: $limit")
   }
 
+  test("TopN is pushed into the source (sortBy+pageSize params, O2)") {
+    register("f4")
+    val df = read("f4")
+      .orderBy(col("section_id").desc, col("id"))
+      .limit(5)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(4)))
+    // expected top-5 computed locally from the fixture
+    val expect = FeedSource.feeds("f4")
+      .sortBy(r => (-r.sectionId, r.id)).take(5)
+      .map(r => (r.id, r.sectionId))
+    assert(rows.toSeq == expect, s"got ${rows.toSeq}")
+    // the TopN reached the source…
+    val (orders, limit) = FeedSource.lastPushedTopN("f4")
+    assert(orders == Seq(("section_id", false), ("id", true)), s"orders: $orders")
+    assert(limit == 5)
+    // …and the plan has NO post-scan sort: the source's order is trusted
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("TakeOrderedAndProject"),
+      s"post-scan sort survived:\n$plan")
+  }
+
+  test("non-pushable sort keys keep the sort above the scan") {
+    register("f5")
+    // substring(title) is not a plain column — the source must reject the
+    // TopN and Spark must sort above the scan
+    val df = read("f5").orderBy(substring(col("title"), 7, 3)).limit(5)
+    assert(df.collect().length == 5)
+    assert(!FeedSource.lastPushedTopN.contains("f5"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("Sort"),
+      s"expected an engine-side sort:\n$plan")
+  }
+
   test("non-pushable predicates still apply above the scan") {
     register("f3")
     // endsWith is not in the source's accepted set → Spark must re-apply it
