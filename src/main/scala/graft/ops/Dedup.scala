@@ -1074,14 +1074,25 @@ object Dedup {
         graft.plans.IndelRatio.fuzzRatio(col("key_a"), col("key_b")) > threshold)
       .select(col("id_a"), col("id_b"))
       .as[(Long, Long)].collect()
+    greedyWalk(keyed.select(col("id")), conflicts)
+  }
 
+  /** The keep-first walk over an id frame + a collected sparse conflict
+    * graph: ids stream ascending through ONE executor task against the
+    * broadcast conflict map (O(n + |E|)); an id is kept iff none of its
+    * smaller conflicting neighbors was kept. Shared by greedyFuzzyDedup
+    * (indel conflicts) and the q227 gate (q32 conflicts). */
+  private def greedyWalk(ids: DataFrame,
+      conflicts: Array[(Long, Long)]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
     val byId = spark.sparkContext.broadcast(
       conflicts.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) })
-    keyed.select(col("id")).repartition(1).sortWithinPartitions(col("id"))
+    ids.toDF("id").repartition(1).sortWithinPartitions(col("id"))
       .as[Long]
-      .mapPartitions { ids =>
+      .mapPartitions { it =>
         val kept = scala.collection.mutable.LinkedHashSet.empty[Long]
-        ids.foreach { id =>
+        it.foreach { id =>
           if (!byId.value.getOrElse(id, Array.empty[Long]).exists(kept.contains))
             kept += id
         }
@@ -1089,6 +1100,59 @@ object Dedup {
       }
       .toDF("doc_id").orderBy(col("doc_id"))
   }
+
+  /** Q227: the greedy keep-first walk under the HASH GATE — q36's gated
+    * sibling (VERDICT r10 item 7). q36's conflict predicate (the exact
+    * indel fuzz.ratio, reference parity) is engine-specific, so its output
+    * can only be rows-checked; this gate runs the IDENTICAL walk — ids
+    * ascending, keep iff no previously-KEPT conflict — over the fully
+    * replayable q32 conflict graph (blocked levenshtein similarity), so
+    * the ENTIRE kept set is hash-gated: the oracle replays the walk
+    * sequentially with a one-id-per-step recursive CTE carrying the kept
+    * set as a list. The greedy SEMANTICS (order dependence, keep-first,
+    * survivor maximality) are exactly what the gate now verifies; q36
+    * stays the reference-parity rows face, and DedupSpec ties the two
+    * walks together on the shared fixture.
+    *
+    * Scale shape: the conflict graph is q32's blocked join (sparse, and
+    * governed at scale by the q201/q202 family); the collect IS the
+    * documented sequential-by-semantics contract (the walk consumes only
+    * the pair graph, bounded state); the walk itself is the greedyWalk
+    * single-task stream. */
+  def qDedupGreedyGate(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val conflicts = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect()
+    greedyWalk(t.documents.select(col("doc_id")), conflicts)
+  }
+
+  /** q227 oracle: the q32 pair CTE + a SEQUENTIAL recursive walk — one id
+    * per recursion step (rank order), the kept set carried as a list on
+    * the single working row; `blockers ∩ kept` decides each step exactly
+    * as the Spark walk's broadcast-map lookup does. */
+  val qDedupGreedyGateSql: String =
+    """WITH RECURSIVE docs0 AS MATERIALIZED (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM documents a JOIN documents b
+      |    ON substr(a.text,1,10) = substr(b.text,1,10) AND a.doc_id < b.doc_id
+      |  WHERE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE
+      |        / greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) > 0.8),
+      |confl AS MATERIALIZED (SELECT b, list(a) AS blockers FROM pairs GROUP BY b),
+      |walk(rk, kept) AS (
+      |  SELECT CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS kept
+      |  UNION ALL
+      |  SELECT w.rk + 1,
+      |    CASE WHEN len(list_intersect(COALESCE(c.blockers, CAST([] AS BIGINT[])),
+      |                                 w.kept)) > 0
+      |         THEN w.kept ELSE list_append(w.kept, d.doc_id) END
+      |  FROM walk w JOIN docs0 d ON d.rk = w.rk + 1
+      |  LEFT JOIN confl c ON c.b = d.doc_id)
+      |SELECT unnest(kept) AS doc_id
+      |FROM walk WHERE rk = (SELECT COUNT(*) FROM docs0)
+      |ORDER BY doc_id""".stripMargin
 
   /** Greedy dedup as an operator over the full documents table (40-char
     * prefix key, the reference's title analog). */

@@ -372,6 +372,33 @@ class DedupSpec extends SparkSpec {
     assert(rPairs == unGoverned, "under-cap fallback must equal lshCandidatePairs")
   }
 
+  test("q227 greedy gate: walk matches an in-memory recompute; greedy invariants hold") {
+    val t = sf0001
+    val kept = graft.ops.Dedup.qDedupGreedyGate(t)
+      .collect().map(_.getLong(0))
+    // independent sequential recompute from the q32 conflict pairs
+    val pairs = graft.ops.Dedup.qFuzzyPairs(t).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val blockers = pairs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).toSet }
+    val allIds = t.documents.select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = scala.collection.mutable.LinkedHashSet.empty[Long]
+    allIds.foreach { id =>
+      if (!blockers.getOrElse(id, Set.empty).exists(expect.contains)) expect += id
+    }
+    assert(kept.toSeq == expect.toSeq.sorted, "walk diverges from the sequential recompute")
+    // greedy invariants (the q36 semantics the gate pins): survivors are
+    // pairwise non-conflicting, and every dropped id conflicts with a
+    // SMALLER survivor (keep-first maximality)
+    val keptSet = kept.toSet
+    pairs.foreach { case (a, b) =>
+      assert(!(keptSet(a) && keptSet(b)), s"conflicting survivors ($a,$b)")
+    }
+    (allIds.toSet -- keptSet).foreach { d =>
+      assert(blockers.getOrElse(d, Set.empty).exists(a => keptSet(a) && a < d),
+        s"dropped $d has no smaller kept blocker")
+    }
+  }
+
   test("exact dedup groups: every distinct text keeps exactly one id") {
     val n = sf0001.documents.count()
     val g = Dedup.qDedupExact(sf0001)
