@@ -574,6 +574,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(row.isNullAt(7) && row.isNullAt(8))
   }
 
+  test("q221/q222 precondition: the global windows run over a horizon-bounded minute grid") {
+    // The survival queries' unpartitioned windows are scale-safe ONLY
+    // because they range over DISTINCT latency minutes, whose cardinality
+    // is bounded by the event horizon — not the corpus (VERDICT r10 item
+    // 6: pin the bound so a data change to e.g. second-resolution
+    // latencies can't silently turn them into corpus-scale
+    // single-partition sorts).
+    Seq(sf0001, sf001).foreach { t =>
+      val span = t.events.agg(
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("us"),
+        count(lit(1)).as("n")).head()
+      val horizonMinutes = span.getLong(0) / 60000000L + 1
+      val nEvents = span.getLong(1)
+      val grid = t.events.groupBy(col("user_id")).agg(
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / lit(60000000L)).as("t_min"))
+        .select(col("t_min")).distinct().count()
+      assert(grid <= horizonMinutes,
+        s"${t.sfDir}: ${grid} grid rows exceed the ${horizonMinutes}-minute horizon")
+      assert(grid * 10 <= nEvents,
+        s"${t.sfDir}: minute grid (${grid}) is not small vs the corpus ($nEvents)")
+    }
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the

@@ -1258,6 +1258,38 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q225 precondition: the class table is bounded by |sources×langs×bins|, not the corpus") {
+    // q225's unpartitioned windows run over the CLASS table; they are
+    // scale-safe only because its cardinality is capped by the
+    // quasi-identifier domain product, not the document count (VERDICT
+    // r10 item 6: pin the bound so a quasi-identifier change — e.g.
+    // binning on raw n_chars — can't silently make the window
+    // corpus-scale).
+    import org.apache.spark.sql.functions.{col, countDistinct, expr, lit, max}
+    // sf0.001/sf0.01 share a 500-doc corpus; sf0.1 is 10× — the pair that
+    // actually exercises corpus growth against the fixed domain
+    val counts = Seq(sf0001, Tables(spark, "/root/testdata/sf0.1")).map { t =>
+      val d = t.documents.agg(
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("lang")).as("nl"),
+        (max(expr("n_chars div 100L")) + lit(1L)).as("nb"),
+        org.apache.spark.sql.functions.count(lit(1)).as("nd")).head()
+      val bound = d.getLong(0) * d.getLong(1) * d.getLong(2)
+      val classes = TextAnalysis.qKAnonymity(t).count()
+      assert(classes <= bound,
+        s"${t.sfDir}: $classes classes exceed the domain product $bound")
+      (classes, d.getLong(3))
+    }
+    // the class table must be DOMAIN-bounded, not corpus-proportional:
+    // across SFs the corpus grows while the quasi-identifier domain is
+    // fixed, so the class count must not grow with it
+    val (c0, n0) = counts.head
+    val (c1, n1) = counts.last
+    assert(n1 >= n0, "fixture assumption: SFs ordered by corpus size")
+    assert(c1 <= c0 * 3,
+      s"class table grew with the corpus ($c0 -> $c1 classes for $n0 -> $n1 docs)")
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
