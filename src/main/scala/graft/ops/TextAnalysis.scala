@@ -4240,4 +4240,151 @@ object TextAnalysis {
       |  sum_nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
       |  sum_nll / CAST(n_bigrams AS DOUBLE) < 10.0 AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Q229: Gini coefficient of token mass across documents — the
+    * inequality audit a mixing/selection pass (q122/q144/q208) runs to
+    * see how concentrated the corpus's token budget is in long documents
+    * (a high Gini means length-proportional sampling is dominated by a
+    * few docs). G = (2·Σ rᵢ·xᵢ)/(n·Σx) − (n+1)/n over ranks ascending.
+    *
+    * Exactness: the rank is a tie-broken permutation ((ntok, doc_id)),
+    * so rank_mass and total are exact BIGINTs; G is a fixed IEEE
+    * sequence over exact-int doubles, emitted raw (the q27 rule), with
+    * nullif on the degenerate denominators (q170 rule).
+    *
+    * Scale shape: one token-count scan, one bucketRank two-phase prefix
+    * (no global sort), one aggregate. */
+  def qGiniTokens(t: Tables): DataFrame = {
+    val docs = t.fanout(t.documents).select(col("doc_id"),
+      size(text.tokenize(col("text"))).cast("long").as("ntok"))
+    val mxRow = docs.agg(max(col("ntok"))).head()
+    val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val ranked = bucketRank(docs, "ntok", mx + 1,
+      Seq(col("ntok"), col("doc_id")), "rk")
+    val nd = col("n").cast("double")
+    val td = col("total_tokens").cast("double")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("ntok")), lit(0L)).as("total_tokens"),
+        coalesce(sum(col("rk") * col("ntok")), lit(0L)).as("rank_mass"))
+      .select(col("n"), col("total_tokens"), col("rank_mass"),
+        (lit(2.0) * col("rank_mass").cast("double") / nullif(nd * td, lit(0.0)) -
+          (nd + lit(1.0)) / nullif(nd, lit(0.0))).as("gini"))
+  }
+
+  /** q229 oracle: same permutation rank (a plain window — at oracle scale
+    * DuckDB's sort is fine; the Spark side uses bucketRank) and the same
+    * exact-integer moments. */
+  val qGiniTokensSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |             x -> len(x) > 0)) AS BIGINT) AS ntok
+      |  FROM documents),
+      |r AS (SELECT ntok,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY ntok, doc_id) AS BIGINT) AS rk
+      |      FROM d)
+      |SELECT COUNT(*)::BIGINT AS n,
+      |  CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS total_tokens,
+      |  CAST(COALESCE(SUM(rk * ntok), 0) AS BIGINT) AS rank_mass,
+      |  2.0::DOUBLE * CAST(COALESCE(SUM(rk * ntok), 0) AS DOUBLE)
+      |    / nullif(CAST(COUNT(*) AS DOUBLE) * CAST(COALESCE(SUM(ntok), 0) AS DOUBLE),
+      |             0.0::DOUBLE)
+      |  - (CAST(COUNT(*) AS DOUBLE) + 1.0::DOUBLE)
+      |    / nullif(CAST(COUNT(*) AS DOUBLE), 0.0::DOUBLE) AS gini
+      |FROM r""".stripMargin
+
+  /** Q228: Cohen's κ inter-rater agreement (Cohen 1960) between the two
+    * INDEPENDENT quality raters this engine ships — the trained q139
+    * logistic classifier (rater A: micro-rounded confidence > 0.5) and
+    * the hand-written q27 composite score (rater B: score ≥ `thresh`) —
+    * the chance-corrected agreement check a labeling pipeline runs
+    * before trusting heuristic labels as classifier supervision. κ =
+    * (p_o − p_e)/(1 − p_e) from the exact 2×2 confusion matrix.
+    *
+    * Exactness: the matrix cells are exact BIGINTs (rater A thresholds
+    * the micro-rounded sigmoid — the q188 integer-rounding discipline;
+    * rater B thresholds the bit-identical raw q27 score); p_o, p_e and κ
+    * are fixed IEEE sequences over exact-int doubles (raw), nullif on
+    * the perfect-chance denominator. Reuses the session weight cache —
+    * the sixth consumer of one training.
+    *
+    * Scale shape: scoring is one linear scan each; one doc_id equi-join;
+    * ONE aggregate row. */
+  def qCohensKappa(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      thresh: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "n" -> LongType, "n11" -> LongType,
+            "n10" -> LongType, "n01" -> LongType, "n00" -> LongType,
+            "po" -> DoubleType, "pe" -> DoubleType, "kappa" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val ra = feats.select(col("doc_id"),
+            (round(p * lit(1000000.0), 0).cast("long") > 500000L).as("a"))
+          val rb = qQualityScore(t).select(col("doc_id"),
+            (col("quality_score") >= lit(thresh)).as("b"))
+          val m = ra.join(rb, Seq("doc_id")).agg(
+            count(lit(1)).as("n"),
+            sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+            sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+          val nd = col("n").cast("double")
+          val po = (col("n11") + col("n00")).cast("double") / nullif(nd, lit(0.0))
+          val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double") /
+            nullif(nd * nd, lit(0.0))
+          m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+            po.as("po"), pe.as("pe"),
+            ((po - pe) / nullif(lit(1.0) - pe, lit(0.0))).as("kappa"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q228 oracle: the shared logit chain scores rater A; rater B reuses
+    * the q27 score CTEs with their `f` renamed (it would otherwise
+    * collide with the logit feature CTE — DuckDB resolves an inner CTE
+    * reference against the outer chain, no shadowing); identical integer
+    * matrix and IEEE κ sequence. */
+  def qCohensKappaSql(rounds: Int = 16, lr: Double = 8.0,
+      thresh: Double = 0.7): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    val qsCtes = qualityScoreCtes
+      .replace("f AS (", "qsf AS (").replace("FROM f)", "FROM qsf)")
+    s"""WITH $chain,
+      |ra AS (
+      |  SELECT doc_id,
+      |    CAST(round(($p) * 1000000.0::DOUBLE) AS BIGINT) > 500000 AS a
+      |  FROM f, $wFinal w),
+      |$qsCtes,
+      |rb AS MATERIALIZED (
+      |  SELECT doc_id, quality_score >= $thresh::DOUBLE AS b FROM scored),
+      |m AS (
+      |  SELECT COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM ra JOIN rb USING (doc_id))
+      |SELECT n, n11, n10, n01, n00,
+      |  CAST(n11 + n00 AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0::DOUBLE) AS po,
+      |  CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+      |    / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0.0::DOUBLE) AS pe,
+      |  (CAST(n11 + n00 AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0::DOUBLE)
+      |   - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+      |     / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0.0::DOUBLE))
+      |  / nullif(1.0::DOUBLE
+      |           - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+      |             / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0.0::DOUBLE),
+      |           0.0::DOUBLE) AS kappa
+      |FROM m""".stripMargin
+  }
 }

@@ -1290,6 +1290,51 @@ class QualityPipelineSpec extends SparkSpec {
       s"class table grew with the corpus ($c0 -> $c1 classes for $n0 -> $n1 docs)")
   }
 
+  test("q228 Cohen's kappa: matrix and kappa match an in-memory recompute") {
+    val t = sf0001
+    val row = TextAnalysis.qCohensKappa(t).head()
+    val n = t.documents.count()
+    assert(row.getLong(0) == n)
+    // rater A recomputed from q198's exposed rounded confidences (the
+    // q205 spec trick: k = corpus size reveals every doc's conf)
+    val a = TextAnalysis.qUncertaintySampling(t, k = n.toInt).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e6) > 500000L)).toMap
+    val b = TextAnalysis.qQualityScore(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(r.fieldIndex("quality_score")) >= 0.7)).toMap
+    assert(a.size == n.toInt && b.size == n.toInt)
+    val n11 = a.count { case (id, av) => av && b(id) }.toLong
+    val n10 = a.count { case (id, av) => av && !b(id) }.toLong
+    val n01 = a.count { case (id, av) => !av && b(id) }.toLong
+    val n00 = a.count { case (id, av) => !av && !b(id) }.toLong
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == ((n11, n10, n01, n00)), "confusion matrix mismatch")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).toDouble / (n.toDouble * n)
+    assert(math.abs(row.getDouble(7) - (po - pe) / (1.0 - pe)) < 1e-12)
+    assert(row.getDouble(7) >= -1.0 && row.getDouble(7) <= 1.0)
+    // both raters must be non-degenerate on this corpus or kappa is vacuous
+    assert(n11 + n10 > 0 && n01 + n00 > 0, "rater A degenerate")
+    assert(n11 + n01 > 0 && n10 + n00 > 0, "rater B degenerate")
+  }
+
+  test("q229 Gini: matches the sorted-rank formula on collected counts") {
+    val t = sf0001
+    val row = TextAnalysis.qGiniTokens(t).head()
+    val toks = t.documents.collect().map { r =>
+      (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("text")).toLowerCase
+          .split("[^\\p{L}\\p{N}']+").count(_.nonEmpty).toLong)
+    }
+    val sorted = toks.sortBy { case (id, c) => (c, id) }
+    val n = sorted.length.toLong
+    val total = sorted.map(_._2).sum
+    val rankMass = sorted.zipWithIndex.map { case ((_, c), i) => (i + 1L) * c }.sum
+    assert(row.getLong(0) == n && row.getLong(1) == total && row.getLong(2) == rankMass)
+    val g = 2.0 * rankMass / (n.toDouble * total) - (n + 1.0) / n
+    assert(math.abs(row.getDouble(3) - g) < 1e-12)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) < 1.0)
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
