@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "q121_ann_recall_audit", // composes the q38 ground truth + q40/q56/q81 baselines
     "q132_nmf_step",        // NMF init fans docs × k topics (k-row broadcast)
     "q134_semdedup",        // composes the q119 Lloyd assignment stage
+    "q226_news_pipeline_gate", // composes the q119 Lloyd assignment stage
     "q137_knn_pq",          // ADC scan: codes × broadcast probes (q38 contract)
     "q153_kcenter",         // Gonzalez coverage IS corpus × broadcast centers (k rows)
     "q157_silhouette",      // a/b distances ARE corpus × broadcast centroids (k rows)
