@@ -1240,18 +1240,24 @@ object Dedup {
     * see starContract), keep the min id per component. Deterministic;
     * equals greedy output when similarity is transitive (SURVEY §7
     * hard-part 2). All-DataFrame: no collect(), no driver union-find. */
-  def componentsMinId(pairs: DataFrame, ids: DataFrame): DataFrame = {
+  /** Per-id component label (= min id of the connected component) from the
+    * near-dup pair graph — star contraction under the hood, one row per
+    * input id. Shared by componentsMinId and the q230 soft-dedup weights. */
+  def componentLabels(pairs: DataFrame, ids: DataFrame): DataFrame = {
     val (stars, _) = starContract(pairs)
     // at fixpoint every non-root member has exactly one edge (member, root);
     // the groupBy is belt-and-braces against a duplicate star edge
     val roots = stars.groupBy(col("u")).agg(min(col("v")).as("root"))
       .select(col("u").as("id"), col("root"))
-    val labels = ids.select(col("id"))
+    ids.select(col("id"))
       .join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
-    labels.groupBy(col("label")).agg(min(col("id")).as("keep_id"),
-      collect_list(col("id")).as("member_ids"))
   }
+
+  def componentsMinId(pairs: DataFrame, ids: DataFrame): DataFrame =
+    componentLabels(pairs, ids)
+      .groupBy(col("label")).agg(min(col("id")).as("keep_id"),
+        collect_list(col("id")).as("member_ids"))
 
   /** Strategy-choosing near-dup front door (SURVEY §4 custom-concern 1:
     * similarity-join planning is an operator-level choice by input
@@ -1286,6 +1292,47 @@ object Dedup {
         .select(col("keep_id").as(idCol))
     }
   }
+
+  /** Q230: soft-dedup training weights — instead of DROPPING near-dup
+    * documents (q37's keep-one-per-component), assign every document the
+    * weight 1/|component| so each near-dup CLUSTER contributes exactly
+    * one document's worth of gradient mass (the downweight-don't-delete
+    * alternative used when duplicates carry complementary spans; cf. the
+    * repetition-harms analyses of Lee et al. 2022 / Hernandez et al.
+    * 2022 "Scaling Laws and Interpretability of Learning from Repeated
+    * Data"). Conservation law: Σ weights = #components exactly.
+    *
+    * Exactness: components from the q37 star contraction (labels are min
+    * ids — deterministic); comp_size is an exact BIGINT; the weight is
+    * ONE IEEE division 1.0/comp_size (bit-identical cross-engine, the
+    * q27 raw rule).
+    *
+    * Scale shape: star contraction is O(log n) shuffle rounds; sizes are
+    * one aggregate over the label table; the weight is a scan-stage
+    * expression. */
+  def qSoftDedupWeights(t: Tables): DataFrame = {
+    val labels = componentLabels(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("component"),
+        col("comp_size"),
+        (lit(1.0) / col("comp_size").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q230 oracle: the q37 recursive component CTEs + the same size join
+    * and single-division weight. (def, not val: componentsRepCtes is
+    * declared later in this object — a val here would capture null.) */
+  def qSoftDedupWeightsSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |sizes AS (SELECT keep_id, COUNT(*)::BIGINT AS comp_size
+      |          FROM rep GROUP BY keep_id)
+      |SELECT r.id AS doc_id, r.keep_id AS component, s.comp_size,
+      |  1.0::DOUBLE / CAST(s.comp_size AS DOUBLE) AS weight
+      |FROM rep r JOIN sizes s USING (keep_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Dedup via fuzzy-pair graph → components → min-id representative:
     * emits component representative and size. Fully distributed: the pair

@@ -4294,6 +4294,256 @@ object TextAnalysis {
       |    / nullif(CAST(COUNT(*) AS DOUBLE), 0.0::DOUBLE) AS gini
       |FROM r""".stripMargin
 
+  /** Q231: rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    * two quality RANKINGS this engine ships — the hand-written q27 score
+    * and the trained q139 classifier confidence. q205's Spearman weighs
+    * the whole permutation equally; RBO is TOP-WEIGHTED (geometric decay
+    * p^(d−1)), which is what matters when the ranking feeds a head
+    * selection like q144's budget gate: two raters can agree globally
+    * (high ρ) yet disagree on exactly the prefix that gets kept.
+    * RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·(o_d/d), o_d = |top-d ∩ top-d|.
+    *
+    * Exactness: both rankings are tie-broken permutations on micro-
+    * rounded scores (descending = n+1 − the ascending bucketRank with
+    * doc_id DESC inside ties); o_d comes from exact integer counts of
+    * m = max(rank_a, rank_b) cumulated over the BOUNDED 1..k depth grid
+    * (a k-row single-partition window — bounded by construction, the
+    * q221 grid argument); each depth term carries the micro grid
+    * (p^{d−1} is libm pow — the r9 rule) and the term sum is an exact
+    * BIGINT; RBO is one exact-int division times the (1.0 − p) IEEE
+    * constant written identically in both engines.
+    *
+    * Scale shape: two linear scoring scans, two bucketRank prefixes, one
+    * doc_id equi-join, one ≤k-row grid. 7th consumer of the weight
+    * cache. */
+  def qRankOverlap(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      k: Int = 100, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "n" -> LongType, "k" -> LongType,
+            "o_k" -> LongType, "sum_term_micro" -> LongType,
+            "rbo" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val prob = lit(1.0) / (lit(1.0) + exp(-z))
+          val conf = feats.select(col("doc_id"),
+            round(prob * lit(1000000.0), 0).cast("long").as("cm"))
+          val qual = qQualityScore(t).select(col("doc_id"),
+            round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
+          // ascending rank with doc_id DESC inside ties, then reverse:
+          // ra = n+1−asc == the (score DESC, doc_id ASC) rank
+          val raAsc = bucketRank(qual, "qm", 1000001L,
+            Seq(col("qm"), col("doc_id").desc), "r").select(col("doc_id"), col("r").as("ra"))
+          val rbAsc = bucketRank(conf, "cm", 1000001L,
+            Seq(col("cm"), col("doc_id").desc), "r").select(col("doc_id"), col("r").as("rb"))
+          val joined = raAsc.join(rbAsc, Seq("doc_id"))
+          val nRow = joined.agg(count(lit(1))).head()
+          val n = nRow.getLong(0)
+          val m = joined.select(
+            greatest(lit(n + 1) - col("ra"), lit(n + 1) - col("rb")).as("ra_rb_max"))
+          val mc = m.filter(col("ra_rb_max") <= k)
+            .groupBy(col("ra_rb_max")).agg(count(lit(1)).as("c"))
+          val grid = spark.range(1, k + 1).select(col("id").as("d"))
+            .join(mc, col("d") === col("ra_rb_max"), "left")
+            .withColumn("c", coalesce(col("c"), lit(0L)))
+          // bounded k-row single-partition window (q221 grid argument)
+          val wAll = Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val terms = grid
+            .withColumn("o_d", sum(col("c")).over(wAll))
+            .withColumn("term_micro", round(
+              pow(lit(p), col("d").cast("double") - lit(1.0)) *
+                col("o_d").cast("double") / col("d").cast("double") *
+                lit(1000000.0), 0).cast("long"))
+          terms.agg(
+              max(when(col("d") === k, col("o_d"))).as("o_k"),
+              coalesce(sum(col("term_micro")), lit(0L)).as("sum_term_micro"))
+            .select(lit(n).as("n"), lit(k.toLong).as("k"), col("o_k"),
+              col("sum_term_micro"),
+              ((lit(1.0) - lit(p)) * col("sum_term_micro").cast("double") /
+                lit(1000000.0)).as("rbo"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q231 oracle: the logit chain + the q27 CTEs (renamed `f`, the q228
+    * lesson), plain windows for the two descending ranks, the same
+    * bounded depth grid and micro terms. */
+  def qRankOverlapSql(rounds: Int = 16, lr: Double = 8.0,
+      k: Int = 100, p: Double = 0.9): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val prob = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    val qsCtes = qualityScoreCtes
+      .replace("f AS (", "qsf AS (").replace("FROM f)", "FROM qsf)")
+    s"""WITH $chain,
+      |conf AS (
+      |  SELECT doc_id,
+      |    CAST(round(($prob) * 1000000.0::DOUBLE) AS BIGINT) AS cm
+      |  FROM f, $wFinal w),
+      |$qsCtes,
+      |qual AS (
+      |  SELECT doc_id,
+      |    CAST(round(quality_score * 1000000.0::DOUBLE) AS BIGINT) AS qm
+      |  FROM scored),
+      |ranks AS (
+      |  SELECT q.doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY q.qm DESC, q.doc_id) AS BIGINT) AS ra,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c.cm DESC, c.doc_id) AS BIGINT) AS rb
+      |  FROM qual q JOIN conf c USING (doc_id)),
+      |mc AS (
+      |  SELECT greatest(ra, rb) AS m, COUNT(*)::BIGINT AS c FROM ranks
+      |  WHERE greatest(ra, rb) <= $k GROUP BY 1),
+      |grid AS (
+      |  SELECT CAST(d AS BIGINT) AS d, COALESCE(mc.c, 0)::BIGINT AS c
+      |  FROM (SELECT unnest(range(1, ${k + 1})) AS d) g
+      |  LEFT JOIN mc ON mc.m = g.d),
+      |terms AS (
+      |  SELECT d,
+      |    CAST(SUM(c) OVER (ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS o_d
+      |  FROM grid),
+      |agg AS (
+      |  SELECT CAST(MAX(CASE WHEN d = $k THEN o_d END) AS BIGINT) AS o_k,
+      |    CAST(COALESCE(SUM(CAST(round(power($p::DOUBLE, CAST(d AS DOUBLE) - 1.0::DOUBLE)
+      |      * CAST(o_d AS DOUBLE) / CAST(d AS DOUBLE)
+      |      * 1000000.0::DOUBLE) AS BIGINT)), 0) AS BIGINT) AS sum_term_micro
+      |  FROM terms)
+      |SELECT (SELECT COUNT(*)::BIGINT FROM ranks) AS n, CAST($k AS BIGINT) AS k,
+      |  o_k, sum_term_micro,
+      |  (1.0::DOUBLE - $p::DOUBLE) * CAST(sum_term_micro AS DOUBLE)
+      |    / 1000000.0::DOUBLE AS rbo
+      |FROM agg""".stripMargin
+  }
+
+  /** Q232: deterministic Poisson-bootstrap confidence interval for the
+    * corpus mean quality score — the stability audit behind any
+    * quality-threshold decision (is the mean, and therefore a q144-style
+    * cut, an artifact of a few documents?). Each of `b` replicates
+    * weights every document w ~ Poisson(1) (the distributed bootstrap:
+    * Poisson weights ≈ multinomial resampling without coordination —
+    * Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams"), derived deterministically from md5(doc_id:replicate)
+    * (the q125/q209 hex-replay contract: 13 hex digits = 52 uniform
+    * bits) against FIXED integer inverse-CDF thresholds shared verbatim
+    * by both engines (no runtime libm).
+    *
+    * Exactness: per-replicate numerator/denominator are exact BIGINTs;
+    * the replicate mean enters ordering/moments as the micro-rounded
+    * integer (round of a correctly-rounded division — engine-agreeing);
+    * lo/hi are order statistics (positions 2 and b−1 — the ~90%
+    * percentile-bootstrap interval at b = 32) of the BOUNDED b-row
+    * replicate table; the spread uses the exact b·Σm²−(Σm)² form and
+    * one IEEE sqrt (correctly rounded, raw-safe).
+    *
+    * Scale shape: ONE scan fanning each doc ×b (b = 32 — bounded
+    * blow-up, map-side aggregated), one b-row aggregate, windows over
+    * the b-row table. No joins between 1-row aggregates (q114): the
+    * full-corpus mean derives from the same exploded frame (Σqm over
+    * replicates is exactly b·Σqm). */
+  def qBootstrapCi(t: Tables, b: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Poisson(1) inverse-CDF thresholds on the 2^52 grid, shared with SQL
+    val thr = poissonThresholds52
+    val qual = qQualityScore(t).select(col("doc_id"),
+      round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
+    val exploded = qual.select(col("doc_id"), col("qm"),
+      explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("u", conv(substring(
+        md5(concat_ws(":", col("doc_id"), col("rep"))), 1, 13), 16, 10).cast("long"))
+      .withColumn("w",
+        when(col("u") < thr(0), 0L).when(col("u") < thr(1), 1L)
+          .when(col("u") < thr(2), 2L).when(col("u") < thr(3), 3L)
+          .when(col("u") < thr(4), 4L).when(col("u") < thr(5), 5L)
+          .otherwise(6L))
+    val perRep = exploded.groupBy(col("rep")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col("qm")).as("srow"),
+      sum(col("w") * col("qm")).as("num"),
+      sum(col("w")).as("den"))
+      .withColumn("mm", round(col("num").cast("double") /
+        nullif(col("den").cast("double"), lit(0.0)), 0).cast("long"))
+    // bounded b-row table: windows/sort are single-partition by design
+    val wOrd = Window.orderBy(col("mm"), col("rep"))
+    val ranked = perRep.withColumn("rn", row_number().over(wOrd))
+    val bd = lit(b.toDouble)
+    ranked.agg(
+        max(col("cnt")).as("n_docs"),
+        max(col("srow")).as("sum_qm"),
+        max(when(col("rn") === 2, col("mm"))).as("lo_micro"),
+        max(when(col("rn") === b - 1, col("mm"))).as("hi_micro"),
+        coalesce(sum(col("mm")), lit(0L)).as("sm"),
+        coalesce(sum(col("mm") * col("mm")), lit(0L)).as("smm"))
+      .select(col("n_docs"), lit(b.toLong).as("b_reps"),
+        (col("sum_qm").cast("double") /
+          nullif(col("n_docs").cast("double"), lit(0.0)) /
+          lit(1000000.0)).as("mean"),
+        col("lo_micro"), col("hi_micro"),
+        (sqrt((bd * col("smm").cast("double") -
+          col("sm").cast("double") * col("sm").cast("double")) /
+          (bd * (bd - lit(1.0)))) / lit(1000000.0)).as("se"))
+  }
+
+  /** The Poisson(1) inverse-CDF thresholds floor(P(X≤j)·2^52), j=0..5 —
+    * computed once on the JVM and interpolated VERBATIM into the oracle
+    * SQL, so both engines compare the same integers (no runtime exp). */
+  private lazy val poissonThresholds52: IndexedSeq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Iterator.iterate((e1, 0)) { case (v, j) => (v / (j + 1), j + 1) }
+      .map(_._1).take(6).toIndexedSeq
+    val cdf = pmf.scanLeft(0.0)(_ + _).drop(1)
+    cdf.map(c => math.floor(c * 4503599627370496.0).toLong) // 2^52
+  }
+
+  /** q232 oracle: identical thresholds (interpolated constants), hex
+    * parity, exact integer replicate stats and order statistics. */
+  def qBootstrapCiSql(b: Int = 32): String = {
+    val thr = poissonThresholds52
+    s"""WITH $qualityScoreCtes,
+      |qual AS (
+      |  SELECT doc_id,
+      |    CAST(round(quality_score * 1000000.0::DOUBLE) AS BIGINT) AS qm
+      |  FROM scored),
+      |ex AS (
+      |  SELECT doc_id, qm, CAST(rep AS BIGINT) AS rep,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 13) AS BIGINT) AS u
+      |  FROM qual, (SELECT unnest(range(0, $b)) AS rep)),
+      |wts AS (
+      |  SELECT rep, qm,
+      |    CASE WHEN u < ${thr(0)} THEN 0 WHEN u < ${thr(1)} THEN 1
+      |         WHEN u < ${thr(2)} THEN 2 WHEN u < ${thr(3)} THEN 3
+      |         WHEN u < ${thr(4)} THEN 4 WHEN u < ${thr(5)} THEN 5
+      |         ELSE 6 END AS w
+      |  FROM ex),
+      |per AS (
+      |  SELECT rep, COUNT(*)::BIGINT AS cnt,
+      |    CAST(SUM(qm) AS BIGINT) AS srow,
+      |    CAST(SUM(w * qm) AS BIGINT) AS num,
+      |    CAST(SUM(w) AS BIGINT) AS den
+      |  FROM wts GROUP BY rep),
+      |mm AS (
+      |  SELECT *,
+      |    CAST(round(CAST(num AS DOUBLE) / nullif(CAST(den AS DOUBLE), 0.0::DOUBLE)) AS BIGINT) AS mm,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(round(CAST(num AS DOUBLE)
+      |      / nullif(CAST(den AS DOUBLE), 0.0::DOUBLE)) AS BIGINT), rep) AS rn
+      |  FROM per)
+      |SELECT CAST(MAX(cnt) AS BIGINT) AS n_docs, CAST($b AS BIGINT) AS b_reps,
+      |  CAST(MAX(srow) AS DOUBLE) / nullif(CAST(MAX(cnt) AS DOUBLE), 0.0::DOUBLE)
+      |    / 1000000.0::DOUBLE AS mean,
+      |  CAST(MAX(CASE WHEN rn = 2 THEN mm END) AS BIGINT) AS lo_micro,
+      |  CAST(MAX(CASE WHEN rn = ${b - 1} THEN mm END) AS BIGINT) AS hi_micro,
+      |  sqrt(($b.0::DOUBLE * CAST(SUM(mm * mm) AS DOUBLE)
+      |        - CAST(SUM(mm) AS DOUBLE) * CAST(SUM(mm) AS DOUBLE))
+      |       / ($b.0::DOUBLE * ($b.0::DOUBLE - 1.0::DOUBLE)))
+      |    / 1000000.0::DOUBLE AS se
+      |FROM mm""".stripMargin
+  }
+
   /** Q228: Cohen's κ inter-rater agreement (Cohen 1960) between the two
     * INDEPENDENT quality raters this engine ships — the trained q139
     * logistic classifier (rater A: micro-rounded confidence > 0.5) and

@@ -399,6 +399,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q230 soft-dedup weights: conservation and component tie-out vs q37") {
+    val t = sf0001
+    val rows = Dedup.qSoftDedupWeights(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == t.documents.count().toInt)
+    // weight = 1/comp_size, every member of a component shares its size
+    rows.foreach { case (_, _, size, w) => assert(w == 1.0 / size) }
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      assert(ms.forall(_._3 == ms.length.toLong), s"component $comp size mismatch")
+      assert(ms.map(_._1).min == comp, s"component label $comp is not the min id")
+    }
+    // conservation: sum of weights == number of components (exactly, as
+    // each component contributes size * 1/size; float sum tolerance only)
+    val comps = Dedup.qDedupComponents(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byComp.keySet == comps.keySet)
+    byComp.foreach { case (c, ms) => assert(ms.length.toLong == comps(c)) }
+    assert(math.abs(rows.map(_._4).sum - comps.size) < 1e-9)
+  }
+
   test("exact dedup groups: every distinct text keeps exactly one id") {
     val n = sf0001.documents.count()
     val g = Dedup.qDedupExact(sf0001)

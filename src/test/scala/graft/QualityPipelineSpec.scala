@@ -1335,6 +1335,76 @@ class QualityPipelineSpec extends SparkSpec {
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) < 1.0)
   }
 
+  test("q231 RBO: matches an in-memory top-weighted overlap recompute") {
+    val t = sf0001
+    val row = TextAnalysis.qRankOverlap(t).head()
+    val n = t.documents.count()
+    assert(row.getLong(0) == n && row.getLong(1) == 100L)
+    // rebuild both descending rankings from the exposed micro scores
+    val conf = TextAnalysis.qUncertaintySampling(t, k = n.toInt).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e6)))
+    val qual = TextAnalysis.qQualityScore(t).collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(r.fieldIndex("quality_score")) * 1e6)))
+    def ranks(xs: Array[(Long, Long)]): Map[Long, Long] =
+      xs.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val ra = ranks(qual); val rb = ranks(conf)
+    val k = 100; val p = 0.9
+    val ms = qual.map { case (id, _) => math.max(ra(id), rb(id)) }
+    var sumTerm = 0L
+    var oK = 0L
+    (1 to k).foreach { d =>
+      val oD = ms.count(_ <= d).toLong
+      if (d == k) oK = oD
+      sumTerm += math.round(math.pow(p, d - 1) * oD.toDouble / d * 1e6)
+    }
+    assert(row.getLong(2) == oK, s"o_k ${row.getLong(2)} want $oK")
+    assert(row.getLong(3) == sumTerm, s"sum_term ${row.getLong(3)} want $sumTerm")
+    val rbo = row.getDouble(4)
+    assert(rbo >= 0.0 && rbo <= 1.0)
+    assert(math.abs(rbo - (1.0 - p) * sumTerm / 1e6) < 1e-12)
+  }
+
+  test("q232 bootstrap CI: replicate means and order statistics recompute") {
+    val t = sf0001
+    val row = TextAnalysis.qBootstrapCi(t).head()
+    val b = 32
+    assert(row.getLong(0) == t.documents.count() && row.getLong(1) == b.toLong)
+    val qual = TextAnalysis.qQualityScore(t).collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(r.fieldIndex("quality_score")) * 1e6)))
+    // same thresholds as the query (recomputed independently here)
+    val e1 = math.exp(-1.0)
+    val pmf = Iterator.iterate((e1, 0)) { case (v, j) => (v / (j + 1), j + 1) }
+      .map(_._1).take(6).toArray
+    val thr = pmf.scanLeft(0.0)(_ + _).drop(1)
+      .map(c => math.floor(c * 4503599627370496.0).toLong)
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def u52(s: String): Long = {
+      val hex = mdInst.digest(s.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.take(13)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val mms = (0 until b).map { rep =>
+      var num = 0L; var den = 0L
+      qual.foreach { case (id, qm) =>
+        val u = u52(s"$id:$rep")
+        val w = thr.indexWhere(u < _) match { case -1 => 6L; case i => i.toLong }
+        num += w * qm; den += w
+      }
+      math.round(num.toDouble / den.toDouble)
+    }.sorted
+    assert(row.getLong(3) == mms(1), s"lo ${row.getLong(3)} want ${mms(1)}")
+    assert(row.getLong(4) == mms(b - 2), s"hi ${row.getLong(4)} want ${mms(b - 2)}")
+    val fullMean = qual.map(_._2).sum.toDouble / qual.length / 1e6
+    assert(math.abs(row.getDouble(2) - fullMean) < 1e-12)
+    // the interval brackets the full mean and se is positive & small
+    assert(row.getLong(3) <= math.round(fullMean * 1e6) &&
+      math.round(fullMean * 1e6) <= row.getLong(4))
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 0.1)
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
