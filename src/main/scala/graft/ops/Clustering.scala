@@ -922,4 +922,180 @@ object Clustering {
        |  FROM emb CROSS JOIN centers c) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** The q233/q234 shared contingency: the q119 Lloyd assignment joined
+    * to the embeddings' ground-truth label — (cid, label, nij) exact
+    * counts. */
+  private def clusterLabelContingency(t: Tables, k: Int, updates: Int): DataFrame =
+    kmeansAssignments(t, k, updates)
+      .select(col("vec_id"), col("cid"))
+      .join(t.embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("nij"))
+
+  /** The same contingency in SQL off the shared kmeans round CTEs:
+    * `cont(cid, label, nij)` plus the final-assignment CTE chain. */
+  private def contingencyCtes(k: Int, updates: Int): String =
+    s"""${kmeansCtes(k, updates)},
+       |cont AS MATERIALIZED (
+       |  SELECT a.cid, CAST(e.label AS BIGINT) AS label, COUNT(*)::BIGINT AS nij
+       |  FROM a$updates a JOIN embeddings e USING (vec_id)
+       |  GROUP BY a.cid, e.label)""".stripMargin
+
+  /** Q233: normalized mutual information between the q119 k-means
+    * partition and the embeddings' ground-truth labels — the standard
+    * external cluster-quality score (NMI = I(C;L)/√(H(C)·H(L)); Strehl &
+    * Ghosh 2002). The eval a clustering pipeline runs before trusting
+    * cluster ids as pseudo-labels.
+    *
+    * Exactness (the q204 MI discipline): every count is exact BIGINT;
+    * each p·ln(…) cell/marginal term is micro-rounded and summed as
+    * BIGINT (order-independent); NMI is a fixed IEEE sequence over the
+    * three exact micro sums with one sqrt (correctly rounded) and a
+    * nullif'd denominator.
+    *
+    * Scale shape: the Lloyd rounds (q119's shape) + ONE contingency
+    * aggregate (k·|labels| cells ≪ corpus); the entropy windows run over
+    * that bounded cell table. */
+  def qClusterNmi(t: Tables, k: Int = 8, updates: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cont = clusterLabelContingency(t, k, updates)
+    val all = Window.partitionBy()
+    val wC = Window.partitionBy(col("cid"))
+    val wL = Window.partitionBy(col("label"))
+    val withM = cont
+      .withColumn("nn", sum(col("nij")).over(all))
+      .withColumn("ni", sum(col("nij")).over(wC))
+      .withColumn("nj", sum(col("nij")).over(wL))
+    val nd = col("nn").cast("double")
+    val iTerm = round(col("nij").cast("double") / nd *
+      log(nd * col("nij").cast("double") /
+        (col("ni").cast("double") * col("nj").cast("double"))) *
+      lit(1000000.0), 0).cast("long")
+    // marginal entropy terms de-duplicated per cluster / per label via
+    // the per-group row_number (each group contributes its term ONCE)
+    val wCo = Window.partitionBy(col("cid")).orderBy(col("label"))
+    val wLo = Window.partitionBy(col("label")).orderBy(col("cid"))
+    val hcTerm = when(row_number().over(wCo) === 1,
+      round(-(col("ni").cast("double") / nd) *
+        log(col("ni").cast("double") / nd) * lit(1000000.0), 0).cast("long"))
+      .otherwise(0L)
+    val hlTerm = when(row_number().over(wLo) === 1,
+      round(-(col("nj").cast("double") / nd) *
+        log(col("nj").cast("double") / nd) * lit(1000000.0), 0).cast("long"))
+      .otherwise(0L)
+    val agg = withM
+      .withColumn("it", iTerm).withColumn("hct", hcTerm).withColumn("hlt", hlTerm)
+      .agg(max(col("nn")).as("n"),
+        sum(col("it")).as("i_micro"),
+        sum(col("hct")).as("hc_micro"),
+        sum(col("hlt")).as("hl_micro"))
+    agg.select(col("n"), col("i_micro"), col("hc_micro"), col("hl_micro"),
+      (col("i_micro").cast("double") /
+        nullif(sqrt(col("hc_micro").cast("double") *
+          col("hl_micro").cast("double")), lit(0.0))).as("nmi"))
+  }
+
+  /** q233 oracle: shared kmeans rounds + contingency, identical micro
+    * terms and windows. */
+  def qClusterNmiSql(k: Int = 8, updates: Int = 2): String =
+    s"""WITH ${contingencyCtes(k, updates)},
+       |m AS (
+       |  SELECT *,
+       |    CAST(SUM(nij) OVER () AS BIGINT) AS nn,
+       |    CAST(SUM(nij) OVER (PARTITION BY cid) AS BIGINT) AS ni,
+       |    CAST(SUM(nij) OVER (PARTITION BY label) AS BIGINT) AS nj,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY label) AS rc,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cid) AS rl
+       |  FROM cont),
+       |terms AS (
+       |  SELECT nn,
+       |    CAST(round(CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE)
+       |      * ln(CAST(nn AS DOUBLE) * CAST(nij AS DOUBLE)
+       |           / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+       |      * 1000000.0::DOUBLE) AS BIGINT) AS it,
+       |    CASE WHEN rc = 1 THEN
+       |      CAST(round(-(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * ln(CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * 1000000.0::DOUBLE) AS BIGINT) ELSE 0 END AS hct,
+       |    CASE WHEN rl = 1 THEN
+       |      CAST(round(-(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * ln(CAST(nj AS DOUBLE) / CAST(nn AS DOUBLE))
+       |        * 1000000.0::DOUBLE) AS BIGINT) ELSE 0 END AS hlt
+       |  FROM m)
+       |SELECT CAST(MAX(nn) AS BIGINT) AS n,
+       |  CAST(SUM(it) AS BIGINT) AS i_micro,
+       |  CAST(SUM(hct) AS BIGINT) AS hc_micro,
+       |  CAST(SUM(hlt) AS BIGINT) AS hl_micro,
+       |  CAST(SUM(it) AS DOUBLE)
+       |    / nullif(sqrt(CAST(SUM(hct) AS DOUBLE) * CAST(SUM(hlt) AS DOUBLE)),
+       |             0.0::DOUBLE) AS nmi
+       |FROM terms""".stripMargin
+
+  /** Q234: adjusted Rand index between the same two partitions (Hubert &
+    * Arabie 1985) — the pair-counting complement of q233's
+    * information-theoretic view; chance-corrected, so a random partition
+    * scores ≈ 0 where NMI can stay deceptively positive.
+    * ARI = (Σᵢⱼ C(nᵢⱼ,2) − S_a·S_b/C(N,2)) / ((S_a+S_b)/2 − S_a·S_b/C(N,2)).
+    *
+    * Exactness: sij/sa/sb/n2 are exact BIGINTs (c·(c−1)/2 integer math;
+    * S_a·S_b ≲ (N²/2)² — fine in BIGINT to N ≈ 3·10⁶, past which the
+    * audit runs per-stratum like any exact pair statistic); ARI is a
+    * fixed IEEE sequence over the four exact ints, nullif'd.
+    *
+    * Scale shape: identical to q233 — the Lloyd rounds plus one bounded
+    * cell aggregate; marginal sums are windows over the cell table. */
+  def qClusterAri(t: Tables, k: Int = 8, updates: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cont = clusterLabelContingency(t, k, updates)
+    val wC = Window.partitionBy(col("cid")).orderBy(col("label"))
+    val wL = Window.partitionBy(col("label")).orderBy(col("cid"))
+    val wCs = Window.partitionBy(col("cid"))
+    val wLs = Window.partitionBy(col("label"))
+    val withM = cont
+      .withColumn("ni", sum(col("nij")).over(wCs))
+      .withColumn("nj", sum(col("nij")).over(wLs))
+      .withColumn("sat", when(row_number().over(wC) === 1,
+        expr("ni * (ni - 1) div 2")).otherwise(0L))
+      .withColumn("sbt", when(row_number().over(wL) === 1,
+        expr("nj * (nj - 1) div 2")).otherwise(0L))
+    val agg = withM.agg(
+      sum(col("nij")).as("n"),
+      sum(expr("nij * (nij - 1) div 2")).as("sij"),
+      sum(col("sat")).as("sa"),
+      sum(col("sbt")).as("sb"))
+      .withColumn("n2", expr("n * (n - 1) div 2"))
+    val exp_ = col("sa").cast("double") * col("sb").cast("double") /
+      nullif(col("n2").cast("double"), lit(0.0))
+    agg.select(col("n"), col("sij"), col("sa"), col("sb"), col("n2"),
+      ((col("sij").cast("double") - exp_) /
+        nullif((col("sa") + col("sb")).cast("double") / lit(2.0) - exp_,
+          lit(0.0))).as("ari"))
+  }
+
+  /** q234 oracle: same cells, integer pair counts and IEEE sequence. */
+  def qClusterAriSql(k: Int = 8, updates: Int = 2): String =
+    s"""WITH ${contingencyCtes(k, updates)},
+       |m AS (
+       |  SELECT *,
+       |    CAST(SUM(nij) OVER (PARTITION BY cid) AS BIGINT) AS ni,
+       |    CAST(SUM(nij) OVER (PARTITION BY label) AS BIGINT) AS nj,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY label) AS rc,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cid) AS rl
+       |  FROM cont),
+       |agg AS (
+       |  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+       |    CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS sij,
+       |    CAST(SUM(CASE WHEN rc = 1 THEN ni * (ni - 1) // 2 ELSE 0 END) AS BIGINT) AS sa,
+       |    CAST(SUM(CASE WHEN rl = 1 THEN nj * (nj - 1) // 2 ELSE 0 END) AS BIGINT) AS sb
+       |  FROM m)
+       |SELECT n, sij, sa, sb, CAST(n * (n - 1) // 2 AS BIGINT) AS n2,
+       |  (CAST(sij AS DOUBLE)
+       |   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+       |     / nullif(CAST(n * (n - 1) // 2 AS DOUBLE), 0.0::DOUBLE))
+       |  / nullif(CAST(sa + sb AS DOUBLE) / 2.0::DOUBLE
+       |           - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+       |             / nullif(CAST(n * (n - 1) // 2 AS DOUBLE), 0.0::DOUBLE),
+       |           0.0::DOUBLE) AS ari
+       |FROM agg""".stripMargin
 }

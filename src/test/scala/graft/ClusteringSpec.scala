@@ -367,4 +367,44 @@ class ClusteringSpec extends SparkSpec {
           ".5 rounding boundary — round(6) could diverge cross-engine")
     }
   }
+
+  test("q233/q234: NMI and ARI recompute from the assignment contingency") {
+    val t = sf0001
+    val assign = Clustering.qKmeansStep(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = t.embeddings.select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    val cells = assign.groupBy { case (v, c) => (c, labels(v)) }
+      .map { case (k, vs) => (k, vs.length.toLong) }
+    val n = assign.length.toLong
+    val ni = cells.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val nj = cells.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    def r6(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val iMicro = cells.map { case ((c, l), nij) =>
+      r6(nij.toDouble / n * math.log(n.toDouble * nij / (ni(c).toDouble * nj(l))) * 1e6)
+    }.sum
+    val hcMicro = ni.values.map(v => r6(-(v.toDouble / n) * math.log(v.toDouble / n) * 1e6)).sum
+    val hlMicro = nj.values.map(v => r6(-(v.toDouble / n) * math.log(v.toDouble / n) * 1e6)).sum
+    val nmiRow = Clustering.qClusterNmi(t).head()
+    assert(nmiRow.getLong(0) == n)
+    assert(nmiRow.getLong(1) == iMicro, s"i_micro ${nmiRow.getLong(1)} want $iMicro")
+    assert(nmiRow.getLong(2) == hcMicro && nmiRow.getLong(3) == hlMicro)
+    val nmi = nmiRow.getDouble(4)
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-9)
+    assert(math.abs(nmi - iMicro / math.sqrt(hcMicro.toDouble * hlMicro)) < 1e-12)
+
+    def c2(x: Long): Long = x * (x - 1) / 2
+    val sij = cells.values.map(c2).sum
+    val sa = ni.values.map(c2).sum
+    val sb = nj.values.map(c2).sum
+    val n2 = c2(n)
+    val ariRow = Clustering.qClusterAri(t).head()
+    assert((ariRow.getLong(1), ariRow.getLong(2), ariRow.getLong(3), ariRow.getLong(4))
+      == ((sij, sa, sb, n2)))
+    val expd = sa.toDouble * sb / n2
+    val ari = (sij - expd) / ((sa + sb) / 2.0 - expd)
+    assert(math.abs(ariRow.getDouble(5) - ari) < 1e-12)
+    assert(ariRow.getDouble(5) >= -1.0 && ariRow.getDouble(5) <= 1.0)
+  }
 }
