@@ -1767,4 +1767,92 @@ object EventAnalytics {
        |            / CAST((SELECT se FROM eff_sum) AS DOUBLE) END AS attribution
        |FROM out ORDER BY channel""".stripMargin
   }
+
+  /** Q235: watermark-lateness profile — for each candidate watermark
+    * delay, how many events would a streaming job DROP? An event is late
+    * by (running max event-time over everything that arrived before it)
+    * − (its own event-time); under `withWatermark(delay)` it is dropped
+    * when that lateness exceeds the delay. This is THE measurement that
+    * picks the delay for q46/q101/q187's watermarks — run it batch-side
+    * on history before deploying the stream. Arrival order is event_id
+    * (unique, TESTDATA) — the ingestion sequence the synthetic table
+    * encodes. On THIS corpus the sequence is perfectly time-ordered, so
+    * the profile is all-zero at every delay — the (verified) "no slack
+    * required" answer; the spec asserts consistency with the data rather
+    * than a textbook nonzero tail (the q203 corpus-shape rule).
+    *
+    * Exactness: lateness is exact integer micros off an exclusive
+    * prefix-MAX; per-delay counts are exact; fractions are raw divisions
+    * (nullif'd).
+    *
+    * Scale shape: the prefix-MAX is the q169 two-phase bucket form (the
+    * bucket-prefix idiom for ANY associative op — MAX here): ≤128
+    * event_id-range buckets, per-bucket maxima ride the driver, exclusive
+    * cross-bucket offsets broadcast back, the window runs partitioned BY
+    * BUCKET; then one explode over the bounded delay list (never a
+    * range-condition nested-loop join) and one aggregate. */
+  def qLatenessProfile(t: Tables,
+      delaysMin: Seq[Long] = Seq(0L, 1L, 5L, 15L, 60L)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    val ev = t.events.select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val mxRow = ev.agg(max(col("event_id"))).head()
+    if (mxRow.isNullAt(0))
+      return Tables.emptyFrame(spark, "delay_min" -> LongType,
+        "n_events" -> LongType, "n_late" -> LongType,
+        "frac_late" -> DoubleType, "max_late_us" -> LongType)
+    val span = mxRow.getLong(0) / 127 + 1
+    val b = ev.withColumn("bkt", expr(s"event_id div ${span}L"))
+    val bmax = b.groupBy(col("bkt")).agg(max(col("us")).as("bm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = Long.MinValue
+    val offsets = bmax.map { case (k, m) =>
+      val o = (k, acc); acc = math.max(acc, m); o
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("bkt", "offmax"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = b.join(offDf, Seq("bkt"))
+      .withColumn("pm", greatest(
+        coalesce(max(col("us")).over(w), lit(Long.MinValue)), col("offmax")))
+      .withColumn("late_us",
+        when(col("pm") === Long.MinValue, 0L)
+          .otherwise(greatest(col("pm") - col("us"), lit(0L))))
+    late.select(col("late_us"),
+        explode(typedLit(delaysMin)).as("delay_min"))
+      .groupBy(col("delay_min"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > col("delay_min") * 60000000L, 1L)
+          .otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"))
+      .select(col("delay_min"), col("n_events"), col("n_late"),
+        (col("n_late").cast("double") /
+          nullif(col("n_events").cast("double"), lit(0.0))).as("frac_late"),
+        col("max_late_us"))
+      .orderBy(col("delay_min"))
+  }
+
+  /** q235 oracle: the same lateness via the naive single global
+    * exclusive-prefix window (plans differ, results hash-equal — the
+    * q144/q169 contract) and an unnested delay list. */
+  def qLatenessProfileSql(delaysMin: Seq[Long] = Seq(0L, 1L, 5L, 15L, 60L)): String =
+    s"""WITH ev AS (
+      |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |rm AS (
+      |  SELECT event_id, us,
+      |    MAX(us) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM ev),
+      |late AS (
+      |  SELECT CASE WHEN pm IS NULL THEN 0
+      |         ELSE greatest(pm - us, 0) END AS late_us FROM rm),
+      |d AS (SELECT CAST(unnest([${delaysMin.mkString(", ")}]) AS BIGINT) AS delay_min)
+      |SELECT delay_min, COUNT(*)::BIGINT AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > delay_min * 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN late_us > delay_min * 60000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / nullif(CAST(COUNT(*) AS DOUBLE), 0.0::DOUBLE) AS frac_late,
+      |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
+      |FROM late, d GROUP BY delay_min ORDER BY delay_min""".stripMargin
 }

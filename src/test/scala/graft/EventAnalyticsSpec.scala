@@ -598,6 +598,36 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q235 lateness profile: sequential recompute; drop counts monotone in delay") {
+    val t = sf0001
+    val rows = EventAnalytics.qLatenessProfile(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 5L, 15L, 60L))
+    // independent sequential walk in event_id (arrival) order
+    val evs = t.events.select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var runMax = Long.MinValue
+    val lates = evs.map { case (_, us) =>
+      val l = if (runMax == Long.MinValue) 0L else math.max(runMax - us, 0L)
+      runMax = math.max(runMax, us)
+      l
+    }
+    rows.foreach { case (d, n, nl, frac, mx) =>
+      assert(n == evs.length.toLong)
+      val want = lates.count(_ > d * 60000000L).toLong
+      assert(nl == want, s"delay $d: n_late $nl want $want")
+      assert(frac == nl.toDouble / n)
+      assert(mx == lates.max)
+    }
+    // more delay can only drop fewer events
+    val byDelay = rows.sortBy(_._1).map(_._3)
+    assert(byDelay.zip(byDelay.tail).forall { case (a, b) => b <= a })
+    // corpus-shape consistency, not a textbook range (the q203 rule): the
+    // synthetic history is ingestion-ordered, so the profile certifies
+    // ZERO required watermark slack — assert it matches the walk's verdict
+    assert((rows.head._3 == 0) == lates.forall(_ == 0L))
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the
