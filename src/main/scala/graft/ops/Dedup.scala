@@ -684,6 +684,62 @@ object Dedup {
       |  FROM small a JOIN small b ON a.blk = b.blk AND a.doc_id < b.doc_id)
       |WHERE sim > 0.8::DOUBLE ORDER BY id_a, id_b""".stripMargin
 
+  /** Governed prefix-blocked fuzzy pairs — the PRODUCTION front door for
+    * the substr-10 family, the `governedLshCandidatePairs` recipe applied
+    * to q32's generator: price the block population with ONE bounded
+    * 1-row audit fetch, join only blocks ≤ cap when skew exists (the
+    * q201/q202 enforcement), and fall back to the plain blocked join —
+    * bit-identical to `qFuzzyPairs`' shape — when every block prices
+    * under the cap. The ORACLED queries (q32/q37/q141/q150/q151/q227)
+    * keep the ungoverned generator by oracle semantics (their DuckDB
+    * replays close the exact pair graph); this is the entry point a
+    * production caller composes at scale, where the blocked-pair
+    * population grows ~quadratically on a template corpus (measured at
+    * the 10× point: 12,075 → 1,202,865 pairs for 5k → 50k docs, q32 wall
+    * 44× vs the governed arm's 1.6× — BENCH_NOTES r11). */
+  def governedFuzzyPairs(df: DataFrame, textCol: String, idCol: String,
+      cap: Int = 64): DataFrame =
+    governedFuzzyCandidates(df, textCol, idCol, cap)
+      .localCheckpoint() // q32's barrier discipline (sort-sampling re-run)
+      .filter(col("sim") > 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The pre-barrier candidate generator behind [[governedFuzzyPairs]] —
+    * exposed so DedupSpec can assert the governed/fallback PLANS (the
+    * final localCheckpoint barrier hides the join from the public
+    * frame's plan). */
+  private[graft] def governedFuzzyCandidates(df: DataFrame, textCol: String,
+      idCol: String, cap: Int): DataFrame = {
+    val d = df.select(col(idCol).as("id"),
+      substring(col(textCol), 1, 40).as("p"),
+      substring(col(textCol), 1, 10).as("blk"))
+      .localCheckpoint(eager = false)
+    val blocks = d.groupBy(col("blk")).agg(count(lit(1)).as("block_n"))
+    val a = blocks.agg(
+      coalesce(max(col("block_n")), lit(0L)).as("max_block"),
+      sum(when(col("block_n") > cap, 1L).otherwise(0L)).as("n_governed"),
+      sum(when(col("block_n") > cap, col("block_n")).otherwise(0L)).as("governed_docs"),
+      sum(expr("block_n * (block_n - 1) div 2")).as("pairs_raw"),
+      sum(when(col("block_n") <= cap, expr("block_n * (block_n - 1) div 2"))
+        .otherwise(0L)).as("pairs_capped")).head()
+    val src =
+      if (a.getLong(0) <= cap) d
+      else {
+        System.err.println(s"[dedup-governor] prefix blocks over cap=$cap: " +
+          s"n_governed=${a.getLong(1)} governed_docs=${a.getLong(2)} " +
+          s"max_block=${a.getLong(0)} pairs_raw=${a.getLong(3)} " +
+          s"pairs_capped=${a.getLong(4)}")
+        val keep = blocks.filter(col("block_n") <= cap).select(col("blk"))
+        d.join(keep, Seq("blk"))
+      }
+    src.select(col("blk"), col("id").as("id_a"), col("p").as("p_a"))
+      .join(src.select(col("blk"), col("id").as("id_b"), col("p").as("p_b")),
+        Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(text.levenshteinSim(col("p_a"), col("p_b")), 6))
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Q191: prefix-filtering containment join (the SSJoin/PPJoin family,
     * Chaudhuri et al. ICDE 2006 / Xiao et al. WWW 2008) — asymmetric
     * set-containment C(A,B) = |A∩B|/|A| over word-3-gram sets, at

@@ -399,6 +399,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("governed prefix pairs: mega-block capped in the plan; under-cap fallback exact") {
+    // the production front door for the substr-10 family (the LSH
+    // governor's sibling): fixture = one 40-doc common-prefix mega-block
+    // + two small dup pairs with distinct prefixes
+    import spark.implicits._
+    val mega = (0L until 40L).map(i =>
+      (i, s"breaking news shared prefix body variant number $i"))
+    val dupA = Seq((200L, "alpha prefix pair survives the governor aa"),
+      (201L, "alpha prefix pair survives the governor ab"))
+    val dupB = Seq((202L, "beta prefix couple stays below the cap aa"),
+      (203L, "beta prefix couple stays below the cap ab"))
+    val df = (mega ++ dupA ++ dupB).toDF("doc_id", "text")
+
+    val gCand = Dedup.governedFuzzyCandidates(df, "text", "doc_id", cap = 8)
+    assert(gCand.queryExecution.optimizedPlan.toString.contains("block_n"),
+      "governed path above a mega-block must join through the block-size filter")
+    val governed = Dedup.governedFuzzyPairs(df, "text", "doc_id", cap = 8)
+    val gPairs = governed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!gPairs.exists { case (a, b) => a < 40 && b < 40 },
+      "mega-block pairs must be governed away")
+    assert(gPairs == Set((200L, 201L), (202L, 203L)), s"got $gPairs")
+
+    assert(!Dedup.governedFuzzyCandidates(df, "text", "doc_id", cap = 64)
+      .queryExecution.optimizedPlan.toString.contains("block_n"),
+      "under-cap fallback must be the plain blocked join")
+    val relaxed = Dedup.governedFuzzyPairs(df, "text", "doc_id", cap = 64)
+    val rPairs = relaxed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // under the cap the generator equals the ungoverned q32 shape
+    val unGov = Dedup.qFuzzyPairs(Tables(spark, "/root/testdata/sf0.001"))
+    assert(rPairs.count { case (a, b) => a < 40 && b < 40 } == 40 * 39 / 2,
+      "fallback must emit the full mega-block (all variants are near-dups)")
+    assert(rPairs.contains((200L, 201L)) && rPairs.contains((202L, 203L)))
+    assert(unGov.columns.toSeq == governed.columns.toSeq, "schema parity with q32")
+  }
+
   test("q230 soft-dedup weights: conservation and component tie-out vs q37") {
     val t = sf0001
     val rows = Dedup.qSoftDedupWeights(t).collect()
