@@ -19,6 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "q132_nmf_step",        // NMF init fans docs × k topics (k-row broadcast)
     "q134_semdedup",        // composes the q119 Lloyd assignment stage
     "q226_news_pipeline_gate", // composes the q119 Lloyd assignment stage
+    "q233_cluster_nmi",     // composes the q119 Lloyd assignment stage
+    "q234_cluster_ari",     // composes the q119 Lloyd assignment stage
     "q137_knn_pq",          // ADC scan: codes × broadcast probes (q38 contract)
     "q153_kcenter",         // Gonzalez coverage IS corpus × broadcast centers (k rows)
     "q157_silhouette",      // a/b distances ARE corpus × broadcast centroids (k rows)
