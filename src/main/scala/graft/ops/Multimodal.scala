@@ -248,6 +248,99 @@ object Multimodal {
       } catch { case _: Exception => Nil }
     }
 
+    /** Synthesize a cell-painted grayscale PNG: the image is a `cell`-px
+      * grid, each cell a constant gray level derived from (id, cx, cy).
+      * Constant-per-cell content makes box downsampling EXACT (the mean
+      * of equal values is that value), which is what lets q236's
+      * perceptual-hash gate assert zero hamming by construction. */
+    def synthesizeCellPng(id: Long, w: Int, h: Int, cell: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (fasthash.splitmix64(
+            id ^ ((x / cell) * 1300501L) ^ ((y / cell) * 58511L)) & 0xFFL).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 2×2 integer box-mean downsample (the resize stage of q236's
+      * pipeline). Exact on constant 2×2 blocks; floor division
+      * otherwise. */
+    def boxHalf(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val w = img.getWidth / 2; val h = img.getHeight / 2
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var r = 0; var g = 0; var b = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val p = img.getRGB(2 * x + dx, 2 * y + dy)
+              r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          out.setRGB(x, y, ((r / 4) << 16) | ((g / 4) << 8) | (b / 4))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** 64-bit difference hash (dHash: Krawetz's perceptual hash): gray
+      * SUMS over a 9×8 cell grid (sum comparison ≡ mean comparison at
+      * equal cell areas — no division truncation), bit = left cell
+      * brighter than its right neighbor. Resolution-invariant whenever
+      * the grid aligns with the pixel raster (both 72×64 and its 36×32
+      * half divide 9×8 exactly). */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = Array.ofDim[Long](8, 9)
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          var s = 0L
+          var y = cy * h / 8
+          while (y < (cy + 1) * h / 8) {
+            var x = cx * w / 9
+            while (x < (cx + 1) * w / 9) {
+              val p = img.getRGB(x, y)
+              s += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          sums(cy)(cx) = s
+          cx += 1
+        }
+        cy += 1
+      }
+      var code = 0L
+      var i = 0
+      while (i < 64) {
+        val cy0 = i / 8; val cx0 = i % 8
+        if (sums(cy0)(cx0) > sums(cy0)(cx0 + 1)) code |= (1L << i)
+        i += 1
+      }
+      code
+    }
+
     /** Resize-to-thumbnail: aspect-preserving fit into 128×128. */
     def thumbDims(w: Int, h: Int): (Int, Int) = {
       val scale = 128.0 / math.max(w, h)
@@ -487,6 +580,77 @@ object Multimodal {
       .select(col("media_id"), col("fr._1").as("frame_idx"),
         col("fr._2").as("frame_len"), col("fr._3").as("crc_ok"))
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** The q236 per-row codec pipeline: synthesize the 72×64 cell PNG,
+    * decode it, box-downsample to a 36×32 thumbnail, RE-ENCODE the
+    * thumbnail through the codec, decode again, dHash both rasters.
+    * Both encode→decode round-trips are real (PNG is lossless). */
+  private val dhashPairUdf = udf { (id: Long) =>
+    val orig = Codecs.synthesizeCellPng(id, 72, 64, 8)
+    val oImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(orig))
+    val tImg = Codecs.boxHalf(oImg)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(tImg, "png", bos)
+    val tDec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    (Codecs.dHash(oImg), Codecs.dHash(tDec))
+  }
+
+  /** Q236: image near-dup by perceptual hash — find each image's RESIZED
+    * copy with a 64-bit dHash (Krawetz's difference hash, the standard
+    * resized/re-encoded-copy detector) and SimHash-style pigeonhole
+    * blocking (q35's recipe: 4×16-bit chunks; a hamming-≤3 pair agrees
+    * on ≥1 chunk). The pipeline is the real multimodal shape end to end:
+    * synthesize PNG → decode → box-resize → re-encode → decode → hash →
+    * blocked self-join → exact hamming verify.
+    *
+    * HASH GATE (the q130/q146 envelope): cell-painted content makes the
+    * thumbnail's dHash EXACTLY the original's (constant 2×2 blocks
+    * box-average exactly; both rasters divide the 9×8 grid), so for
+    * every image the blind blocked search MUST rediscover its own
+    * thumbnail at hamming 0 — `found` and `hamming_ok` are asserted TRUE
+    * by the oracle, which replays only the id set. The hash VALUES stay
+    * engine-side (JVM codec rasters aren't SQL-derivable — the same
+    * justification as q72's features); a codec/resize/hash regression
+    * breaks the booleans and fails the driver compare.
+    *
+    * Scale shape: per-row bounded codec work on the fanned-out scan
+    * (q72's fanout-first invariant), ONE chunk equi-join (never
+    * all-pairs), one aggregate per side. */
+  def qImageDedup(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val codes = t.fanout(t.documents)
+      .select(col("doc_id").as("media_id"), dhashPairUdf(col("doc_id")).as("c"))
+      .select(col("media_id"), col("c._1").as("code_o"), col("c._2").as("code_t"))
+      // one codec-pipeline eval per row (the q191 anti-re-evaluation
+      // barrier: the struct is referenced twice, and the blocked join
+      // below would otherwise inline the UDF per side)
+      .localCheckpoint()
+    def chunks(codeCol: String, tag: String): DataFrame =
+      codes.select(col("media_id").as(s"id_$tag"), col(codeCol).as(s"code_$tag"))
+        .withColumn("ci", explode(typedLit(Seq(0, 1, 2, 3))))
+        .withColumn("cv", expr(s"shiftright(code_$tag, ci * 16) & 65535")
+          .cast("long"))
+    val matched = chunks("code_o", "o").join(chunks("code_t", "t"), Seq("ci", "cv"))
+      .groupBy(col("id_o"), col("id_t"), col("code_o"), col("code_t"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .withColumn("hamming",
+        bit_count(col("code_o").bitwiseXOR(col("code_t"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val selfFound = matched.filter(col("id_o") === col("id_t"))
+      .select(col("id_o").as("media_id"), lit(true).as("found"),
+        (col("hamming") <= maxHamming).as("hamming_ok"))
+    codes.select(col("media_id"))
+      .join(selfFound, Seq("media_id"), "left")
+      .select(col("media_id"), coalesce(col("found"), lit(false)).as("found"),
+        coalesce(col("hamming_ok"), lit(false)).as("hamming_ok"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q236 oracle: the id set with both envelope booleans asserted TRUE —
+    * every image must rediscover its resized copy. */
+  val qImageDedupSql: String =
+    """SELECT doc_id AS media_id, TRUE AS found, TRUE AS hamming_ok
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** q146 oracle: stride sampling replayed as list_slice(range(0, nf,
     * step)); frame_len = padded DIB row length × height. */

@@ -142,4 +142,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubCodec.sampleFrames(240).length == 8)
     assert(Multimodal.StubCodec.sampleFrames(0).isEmpty)
   }
+
+  test("q236 dHash: resize-exact by construction; codes vary; search is blocked") {
+    // kernel-level goldens: the cell-painted raster's dHash survives the
+    // full decode→box-resize→re-encode→decode round-trip EXACTLY
+    val codes = (0L until 64L).map { id =>
+      val png = Multimodal.Codecs.synthesizeCellPng(id, 72, 64, 8)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 72 && img.getHeight == 64)
+      val half = Multimodal.Codecs.boxHalf(img)
+      assert(half.getWidth == 36 && half.getHeight == 32)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(half, "png", bos)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      val (co, ct) = (Multimodal.Codecs.dHash(img), Multimodal.Codecs.dHash(dec))
+      assert(co == ct, s"id $id: dHash not resize-exact ($co vs $ct)")
+      co
+    }
+    // the hash actually discriminates: distinct codes across ids
+    assert(codes.distinct.size > 56, s"only ${codes.distinct.size}/64 distinct codes")
+    // query surface: every image finds its thumbnail; the plan is the
+    // chunk equi-join (no all-pairs)
+    val out = Multimodal.qImageDedup(sf0001)
+    assert(!out.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val rows = out.collect()
+    assert(rows.length == sf0001.documents.count().toInt)
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+  }
 }
