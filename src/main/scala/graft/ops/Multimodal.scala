@@ -341,6 +341,81 @@ object Multimodal {
       code
     }
 
+    /** Synthesize a frame-block WAV: 65 frames × `frameLen` samples, the
+      * amplitude CONSTANT within each frame (derived from (id, frame)).
+      * Constant-per-frame content makes decimation exact for the energy
+      * fingerprint (q237's audio analog of the q236 cell raster). */
+    def synthesizeBlockWav(id: Long, sampleRate: Int, frameLen: Int): Array[Byte] = {
+      val nFrames = 65
+      val samples = new Array[Short](nFrames * frameLen)
+      var k = 0
+      while (k < nFrames) {
+        val a = (fasthash.splitmix64(id ^ (k * 915587L)) & 0x3FFFL).toShort
+        var j = 0
+        while (j < frameLen) { samples(k * frameLen + j) = a; j += 1 }
+        k += 1
+      }
+      pcmToWav(samples, sampleRate)
+    }
+
+    /** Encode 16-bit mono PCM samples as a real RIFF/WAVE payload. */
+    def pcmToWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** REAL PCM decode: the sample array out of a WAV via
+      * javax.sound.sampled (little-endian 16-bit mono). */
+    def decodePcm(payload: Array[Byte]): Array[Short] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val bytes = in.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(2 * i); i += 1 }
+        out
+      } finally in.close()
+    }
+
+    /** 64-bit audio energy fingerprint: split the stream into 65 equal
+      * frames, exact integer energy Σ|s| per frame, bit i = frame i+1
+      * louder than frame i — the sign-of-energy-delta fingerprint
+      * (the Haitsma–Kalker robust-hash family reduced to the energy
+      * band). Decimation-invariant whenever frames decimate evenly. */
+    def audioHash(samples: Array[Short]): Long = {
+      val nFrames = 65
+      val frameLen = samples.length / nFrames
+      val e = new Array[Long](nFrames)
+      var k = 0
+      while (k < nFrames) {
+        var s = 0L
+        var j = 0
+        while (j < frameLen) { s += math.abs(samples(k * frameLen + j).toLong); j += 1 }
+        e(k) = s
+        k += 1
+      }
+      var code = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i + 1) > e(i)) code |= (1L << i)
+        i += 1
+      }
+      code
+    }
+
     /** Resize-to-thumbnail: aspect-preserving fit into 128×128. */
     def thumbDims(w: Int, h: Int): (Int, Int) = {
       val scale = 128.0 / math.max(w, h)
@@ -617,13 +692,21 @@ object Multimodal {
     * Scale shape: per-row bounded codec work on the fanned-out scan
     * (q72's fanout-first invariant), ONE chunk equi-join (never
     * all-pairs), one aggregate per side. */
-  def qImageDedup(t: Tables, maxHamming: Int = 3): DataFrame = {
-    val codes = t.fanout(t.documents)
-      .select(col("doc_id").as("media_id"), dhashPairUdf(col("doc_id")).as("c"))
+  def qImageDedup(t: Tables, maxHamming: Int = 3): DataFrame =
+    selfRediscovery(
+      t.fanout(t.documents)
+        .select(col("doc_id").as("media_id"), dhashPairUdf(col("doc_id")).as("c")),
+      maxHamming)
+
+  /** The shared q236/q237 search: chunk-blocked self-join between the
+    * original and variant code columns, exact hamming verify, and the
+    * per-id rediscovery booleans. `pairs` is (media_id, c=(code_o,
+    * code_t)); the localCheckpoint gives one codec-pipeline eval per row
+    * (the q191 anti-re-evaluation barrier — the struct is referenced
+    * per join side otherwise). */
+  private def selfRediscovery(pairs: DataFrame, maxHamming: Int): DataFrame = {
+    val codes = pairs
       .select(col("media_id"), col("c._1").as("code_o"), col("c._2").as("code_t"))
-      // one codec-pipeline eval per row (the q191 anti-re-evaluation
-      // barrier: the struct is referenced twice, and the blocked join
-      // below would otherwise inline the UDF per side)
       .localCheckpoint()
     def chunks(codeCol: String, tag: String): DataFrame =
       codes.select(col("media_id").as(s"id_$tag"), col(codeCol).as(s"code_$tag"))
@@ -645,6 +728,43 @@ object Multimodal {
         coalesce(col("hamming_ok"), lit(false)).as("hamming_ok"))
       .orderBy(col("media_id"))
   }
+
+  /** The q237 per-row codec pipeline: synthesize the frame-block WAV,
+    * decode the PCM back out of the container, fingerprint; decimate by
+    * 2 (the resample stage), RE-ENCODE through the WAV codec at half
+    * rate, decode again, fingerprint. */
+  private val audioHashPairUdf = udf { (id: Long) =>
+    val wav = Codecs.synthesizeBlockWav(id, 16000, 64)
+    val pcm = Codecs.decodePcm(wav)
+    val half = Array.tabulate[Short](pcm.length / 2)(j => pcm(2 * j))
+    val halfWav = Codecs.pcmToWav(half, 8000)
+    val halfPcm = Codecs.decodePcm(halfWav)
+    (Codecs.audioHash(pcm), Codecs.audioHash(halfPcm))
+  }
+
+  /** Q237: audio near-dup by energy fingerprint — q236's recipe on the
+    * audio modality: find each clip's half-rate RESAMPLED copy with a
+    * 64-bit sign-of-energy-delta fingerprint (Haitsma–Kalker family)
+    * and the same 4×16-bit pigeonhole blocking. The pipeline is real
+    * end to end: synthesize WAV → javax.sound decode → fingerprint →
+    * decimate → re-encode at half rate → decode → fingerprint → blocked
+    * self-join → exact hamming verify.
+    *
+    * HASH GATE: frame-constant amplitude makes decimation exact for the
+    * energy ordering (each frame's energy halves uniformly), so every
+    * clip must rediscover its resampled copy at hamming 0; the oracle
+    * replays the id set and asserts the booleans TRUE — a codec,
+    * resample, or fingerprint regression fails the driver compare. */
+  def qAudioDedup(t: Tables, maxHamming: Int = 3): DataFrame =
+    selfRediscovery(
+      t.fanout(t.documents)
+        .select(col("doc_id").as("media_id"), audioHashPairUdf(col("doc_id")).as("c")),
+      maxHamming)
+
+  /** q237 oracle: the id set with both envelope booleans asserted TRUE. */
+  val qAudioDedupSql: String =
+    """SELECT doc_id AS media_id, TRUE AS found, TRUE AS hamming_ok
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** q236 oracle: the id set with both envelope booleans asserted TRUE —
     * every image must rediscover its resized copy. */

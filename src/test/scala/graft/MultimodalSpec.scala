@@ -170,4 +170,24 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == sf0001.documents.count().toInt)
     assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)))
   }
+
+  test("q237 audio hash: decimation-exact by construction; codes vary") {
+    val codes = (0L until 64L).map { id =>
+      val wav = Multimodal.Codecs.synthesizeBlockWav(id, 16000, 64)
+      val pcm = Multimodal.Codecs.decodePcm(wav)
+      assert(pcm.length == 65 * 64)
+      val half = Array.tabulate[Short](pcm.length / 2)(j => pcm(2 * j))
+      val halfWav = Multimodal.Codecs.pcmToWav(half, 8000)
+      val halfPcm = Multimodal.Codecs.decodePcm(halfWav)
+      assert(halfPcm.length == 65 * 32)
+      val (co, ct) = (Multimodal.Codecs.audioHash(pcm),
+        Multimodal.Codecs.audioHash(halfPcm))
+      assert(co == ct, s"id $id: fingerprint not decimation-exact")
+      co
+    }
+    assert(codes.distinct.size > 56, s"only ${codes.distinct.size}/64 distinct codes")
+    val rows = Multimodal.qAudioDedup(sf0001).collect()
+    assert(rows.length == sf0001.documents.count().toInt)
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+  }
 }
