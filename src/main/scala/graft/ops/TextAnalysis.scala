@@ -4544,6 +4544,98 @@ object TextAnalysis {
       |FROM mm""".stripMargin
   }
 
+  /** Q238: quality-filter attribution — which rule rejects what, alone
+    * and jointly? One row per observed rejection BITMAP over the four
+    * Gopher-style rules (q86/q139's gate), with the corpus-wide
+    * attribution columns riding every row: per-rule total and SOLE
+    * rejections and the overall reject count. The observability view a
+    * pipeline needs before tuning any one rule — a rule whose
+    * rejections are all joint can be dropped without changing the kept
+    * set, a rule with large sole mass is the binding constraint.
+    *
+    * Exactness: every column is an exact BIGINT (bitmap classes,
+    * conditional sums); windows run over the ≤16-row class table (the
+    * q225 bounded-class argument).
+    *
+    * Scale shape: one linear scan into a ≤16-row aggregate. */
+  def qFilterAttribution(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = text.tokenize(col("text"))
+    val counts = t.fanout(t.documents).select(
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+        .cast("long").as("n_tok_chars"),
+      size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+        .cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val f1 = !(col("n_tokens") >= 20 && col("n_tokens") <= 80)
+    val f2 = !(col("n_tok_chars") >= col("n_tokens") * 4 &&
+      col("n_tok_chars") <= col("n_tokens") * 5)
+    val f3 = !(col("n_stop") * 20 >= col("n_tokens"))
+    val f4 = !(col("n_distinct") * 2 >= col("n_tokens"))
+    val classes = counts
+      .withColumn("bitmap",
+        when(f1, 8L).otherwise(0L) + when(f2, 4L).otherwise(0L) +
+          when(f3, 2L).otherwise(0L) + when(f4, 1L).otherwise(0L))
+      .groupBy(col("bitmap")).agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    def bit(b: Int) = expr(s"(bitmap div ${1 << b}L) % 2") === 1
+    classes
+      .withColumn("n_fail_rules", expr("bit_count(bitmap)").cast("long"))
+      .withColumn("n_total", sum(col("n_docs")).over(all))
+      .withColumn("n_rejected",
+        sum(when(col("bitmap") =!= 0, col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("any_r1", sum(when(bit(3), col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("any_r2", sum(when(bit(2), col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("any_r3", sum(when(bit(1), col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("any_r4", sum(when(bit(0), col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("sole_r1",
+        sum(when(col("bitmap") === 8, col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("sole_r2",
+        sum(when(col("bitmap") === 4, col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("sole_r3",
+        sum(when(col("bitmap") === 2, col("n_docs")).otherwise(0L)).over(all))
+      .withColumn("sole_r4",
+        sum(when(col("bitmap") === 1, col("n_docs")).otherwise(0L)).over(all))
+      .orderBy(col("bitmap"))
+  }
+
+  /** q238 oracle: identical rule expressions (q86/q139 parity pairs),
+    * integer bitmap classes and windows. */
+  val qFilterAttributionSql: String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT text,
+       |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |        FROM documents)),
+       |b AS (
+       |  SELECT CAST(
+       |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 80) THEN 8 ELSE 0 END
+       |    + CASE WHEN NOT (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5) THEN 4 ELSE 0 END
+       |    + CASE WHEN NOT (n_stop * 20 >= n_tokens) THEN 2 ELSE 0 END
+       |    + CASE WHEN NOT (n_distinct * 2 >= n_tokens) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS bitmap
+       |  FROM c),
+       |cls AS (SELECT bitmap, COUNT(*)::BIGINT AS n_docs FROM b GROUP BY bitmap)
+       |SELECT bitmap, n_docs,
+       |  CAST(bit_count(bitmap) AS BIGINT) AS n_fail_rules,
+       |  CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN bitmap != 0 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS n_rejected,
+       |  CAST(SUM(CASE WHEN (bitmap // 8) % 2 = 1 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS any_r1,
+       |  CAST(SUM(CASE WHEN (bitmap // 4) % 2 = 1 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS any_r2,
+       |  CAST(SUM(CASE WHEN (bitmap // 2) % 2 = 1 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS any_r3,
+       |  CAST(SUM(CASE WHEN bitmap % 2 = 1 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS any_r4,
+       |  CAST(SUM(CASE WHEN bitmap = 8 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS sole_r1,
+       |  CAST(SUM(CASE WHEN bitmap = 4 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS sole_r2,
+       |  CAST(SUM(CASE WHEN bitmap = 2 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS sole_r3,
+       |  CAST(SUM(CASE WHEN bitmap = 1 THEN n_docs ELSE 0 END) OVER () AS BIGINT) AS sole_r4
+       |FROM cls ORDER BY bitmap""".stripMargin
+  }
+
   /** Q228: Cohen's κ inter-rater agreement (Cohen 1960) between the two
     * INDEPENDENT quality raters this engine ships — the trained q139
     * logistic classifier (rater A: micro-rounded confidence > 0.5) and

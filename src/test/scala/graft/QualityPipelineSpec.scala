@@ -1405,6 +1405,32 @@ class QualityPipelineSpec extends SparkSpec {
     assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 0.1)
   }
 
+  test("q238 filter attribution: classes partition the corpus; ties out with q86's gate") {
+    val t = sf0001
+    val rows = TextAnalysis.qFilterAttribution(t).collect()
+    val n = t.documents.count()
+    assert(rows.map(_.getLong(1)).sum == n, "bitmap classes must partition the corpus")
+    val byMap = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the zero bitmap is exactly q86's kept set
+    val kept = TextAnalysis.qQualityFilter(t).filter(col("keep")).count()
+    assert(byMap.getOrElse(0L, 0L) == kept,
+      s"bitmap-0 class ${byMap.getOrElse(0L, 0L)} != q86 kept $kept")
+    rows.foreach { r =>
+      val bitmap = r.getLong(0)
+      assert(r.getLong(2) == java.lang.Long.bitCount(bitmap).toLong)
+      assert(r.getLong(3) == n)
+      assert(r.getLong(4) == n - byMap.getOrElse(0L, 0L))
+      // any_rK >= sole_rK; sole masses are disjoint single-bit classes
+      (0 until 4).foreach { k =>
+        val anyK = r.getLong(5 + k); val soleK = r.getLong(9 + k)
+        assert(anyK >= soleK)
+        assert(soleK == byMap.getOrElse(1L << (3 - k), 0L))
+      }
+      // inclusion-exclusion sanity: rejected <= sum of any_rK
+      assert(r.getLong(4) <= (0 until 4).map(k => r.getLong(5 + k)).sum)
+    }
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
