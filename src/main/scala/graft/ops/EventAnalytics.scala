@@ -1768,6 +1768,224 @@ object EventAnalytics {
        |FROM out ORDER BY channel""".stripMargin
   }
 
+  /** The q239/q240 shared per-user panel: deterministic md5 arm (the
+    * q170 assignment discipline), pre-period activity x (events before
+    * the cutoff) and post-period activity y — exact BIGINT counts. */
+  private def userPanel(t: Tables, salt: String,
+      cutoff: String): DataFrame =
+    t.events.groupBy(col("user_id")).agg(
+        sum(when(col("ts").cast("date") < lit(cutoff).cast("date"), 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(col("ts").cast("date") >= lit(cutoff).cast("date"), 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("arm",
+        conv(substring(md5(concat(lit(salt), lit(":"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+
+  private def userPanelCte(salt: String, cutoff: String): String =
+    s"""users AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '$cutoff'
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '$cutoff'
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS y,
+       |    CAST('0x' || substr(md5('$salt' || ':' ||
+       |      CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS arm
+       |  FROM events GROUP BY user_id)""".stripMargin
+
+  /** Q239: CUPED variance reduction (Deng et al. WSDM 2013) — the
+    * experimentation-platform standard for tightening an A/B readout
+    * with pre-period data: ŷ = y − θ(x − x̄) with θ = cov(x,y)/var(x)
+    * pooled, which provably removes the pre-period-predictable share of
+    * the metric's variance. Emits the raw and adjusted per-arm means,
+    * θ, and the achieved variance-reduction ratio (the cov²/ (var_x·
+    * var_y) identity — no second pass over the data).
+    *
+    * Exactness: x/y are exact per-user BIGINT counts; all five pooled
+    * moments are exact BIGINT sums; θ, the adjusted means and the
+    * reduction ratio are fixed IEEE sequences over exact-int doubles
+    * (raw), nullif'd on degenerate variances (q170 rule). The arm-level
+    * frame is 2 rows; the readout is an aggregate ON TOP of it (never
+    * the q114 scalar join).
+    *
+    * Scale shape: one per-user aggregate, one 2-row arm aggregate with
+    * the moments, one 1-row readout. */
+  def qCuped(t: Tables, salt: String = "exp1",
+      cutoff: String = "2024-01-03"): DataFrame = {
+    val users = userPanel(t, salt, cutoff)
+    val arms = users.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val flat = arms.agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("sy")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1, col("sy")).otherwise(0L)).as("sy_b"),
+      sum(when(col("arm") === 0, col("sx")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 1, col("sx")).otherwise(0L)).as("sx_b"),
+      sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+      sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"),
+      sum(col("syy")).as("syy"))
+    val nd = col("n").cast("double")
+    val covN = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varXN = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val varYN = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val theta = covN / nullif(varXN, lit(0.0))
+    val xbar = col("sx").cast("double") / nullif(nd, lit(0.0))
+    def meanY(s: String, cnt: String) =
+      col(s).cast("double") / nullif(col(cnt).cast("double"), lit(0.0))
+    def meanX(s: String, cnt: String) =
+      col(s).cast("double") / nullif(col(cnt).cast("double"), lit(0.0))
+    flat.select(col("n_a"), col("n_b"),
+        meanY("sy_a", "n_a").as("mean_y_a"), meanY("sy_b", "n_b").as("mean_y_b"),
+        theta.as("theta"),
+        (meanY("sy_a", "n_a") - theta * (meanX("sx_a", "n_a") - xbar)).as("adj_mean_a"),
+        (meanY("sy_b", "n_b") - theta * (meanX("sx_b", "n_b") - xbar)).as("adj_mean_b"),
+        (covN * covN / nullif(varXN * varYN, lit(0.0))).as("var_reduction"))
+  }
+
+  /** q239 oracle: the same panel CTE, moments and IEEE sequences. */
+  def qCupedSql(salt: String = "exp1", cutoff: String = "2024-01-03"): String =
+    s"""WITH ${userPanelCte(salt, cutoff)},
+       |arms AS (
+       |  SELECT arm, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM users GROUP BY arm),
+       |flat AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sy ELSE 0 END) AS BIGINT) AS sy_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sy ELSE 0 END) AS BIGINT) AS sy_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sx ELSE 0 END) AS BIGINT) AS sx_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sx ELSE 0 END) AS BIGINT) AS sx_b,
+       |    CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+       |    CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxy) AS BIGINT) AS sxy,
+       |    CAST(SUM(sxx) AS BIGINT) AS sxx, CAST(SUM(syy) AS BIGINT) AS syy
+       |  FROM arms)
+       |SELECT n_a, n_b,
+       |  CAST(sy_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE) AS mean_y_a,
+       |  CAST(sy_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE) AS mean_y_b,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0::DOUBLE) AS theta,
+       |  CAST(sy_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE)
+       |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0::DOUBLE)
+       |      * (CAST(sx_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE)
+       |         - CAST(sx AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0::DOUBLE)) AS adj_mean_a,
+       |  CAST(sy_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE)
+       |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0::DOUBLE)
+       |      * (CAST(sx_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE)
+       |         - CAST(sx AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0::DOUBLE)) AS adj_mean_b,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0::DOUBLE) AS var_reduction
+       |FROM flat""".stripMargin
+
+  /** Q240: difference-in-differences — the quasi-experimental readout
+    * when assignment isn't randomized per unit: compare each arm's
+    * post-minus-pre activity change; the cross-difference cancels both
+    * the arm-level baseline and the common time trend (Card & Krueger
+    * 1994 canon). DiD = (ȳ_b − x̄_b) − (ȳ_a − x̄_a) over the per-user
+    * panel, with the standard error from the per-user diff variance.
+    *
+    * Exactness: per-user d = y − x is an exact BIGINT; per-arm Σd and
+    * Σd² are exact; the four cell means, the estimate and the SE
+    * (n·Σd²−(Σd)² moment form, one correctly-rounded sqrt) are fixed
+    * IEEE sequences over exact ints, nullif'd on degenerate arms.
+    *
+    * Scale shape: identical to q239 — per-user aggregate, 2-row arm
+    * frame, 1-row readout. */
+  def qDiffInDiff(t: Tables, salt: String = "exp1",
+      cutoff: String = "2024-01-03"): DataFrame = {
+    val users = userPanel(t, salt, cutoff)
+      .withColumn("d", col("y") - col("x"))
+    val arms = users.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("d")).as("sd"), sum(col("d") * col("d")).as("sdd"))
+    val flat = arms.agg(
+      sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("sx")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 1, col("sx")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === 0, col("sy")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1, col("sy")).otherwise(0L)).as("sy_b"),
+      sum(when(col("arm") === 0, col("sd")).otherwise(0L)).as("sd_a"),
+      sum(when(col("arm") === 1, col("sd")).otherwise(0L)).as("sd_b"),
+      sum(when(col("arm") === 0, col("sdd")).otherwise(0L)).as("sdd_a"),
+      sum(when(col("arm") === 1, col("sdd")).otherwise(0L)).as("sdd_b"))
+    def m(s: String, cnt: String) =
+      col(s).cast("double") / nullif(col(cnt).cast("double"), lit(0.0))
+    def v(sd: String, sdd: String, cnt: String) = {
+      val nd = col(cnt).cast("double")
+      (nd * col(sdd).cast("double") -
+        col(sd).cast("double") * col(sd).cast("double")) /
+        nullif(nd * (nd - lit(1.0)), lit(0.0))
+    }
+    flat.select(col("n_a"), col("n_b"),
+      m("sx_a", "n_a").as("pre_a"), m("sy_a", "n_a").as("post_a"),
+      m("sx_b", "n_b").as("pre_b"), m("sy_b", "n_b").as("post_b"),
+      (m("sd_b", "n_b") - m("sd_a", "n_a")).as("did"),
+      sqrt(v("sd_a", "sdd_a", "n_a") / nullif(col("n_a").cast("double"), lit(0.0)) +
+        v("sd_b", "sdd_b", "n_b") / nullif(col("n_b").cast("double"), lit(0.0)))
+        .as("did_se"))
+  }
+
+  /** q240 oracle: same panel, moments and IEEE sequences. */
+  def qDiffInDiffSql(salt: String = "exp1", cutoff: String = "2024-01-03"): String =
+    s"""WITH ${userPanelCte(salt, cutoff)},
+       |u AS (SELECT *, y - x AS d FROM users),
+       |arms AS (
+       |  SELECT arm, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sdd
+       |  FROM u GROUP BY arm),
+       |flat AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sx ELSE 0 END) AS BIGINT) AS sx_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sx ELSE 0 END) AS BIGINT) AS sx_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sy ELSE 0 END) AS BIGINT) AS sy_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sy ELSE 0 END) AS BIGINT) AS sy_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sd ELSE 0 END) AS BIGINT) AS sd_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sd ELSE 0 END) AS BIGINT) AS sd_b,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN sdd ELSE 0 END) AS BIGINT) AS sdd_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN sdd ELSE 0 END) AS BIGINT) AS sdd_b
+       |  FROM arms)
+       |SELECT n_a, n_b,
+       |  CAST(sx_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE) AS pre_a,
+       |  CAST(sy_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE) AS post_a,
+       |  CAST(sx_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE) AS pre_b,
+       |  CAST(sy_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE) AS post_b,
+       |  CAST(sd_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE)
+       |    - CAST(sd_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE) AS did,
+       |  sqrt(
+       |    (CAST(n_a AS DOUBLE) * CAST(sdd_a AS DOUBLE)
+       |     - CAST(sd_a AS DOUBLE) * CAST(sd_a AS DOUBLE))
+       |      / nullif(CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0::DOUBLE), 0.0::DOUBLE)
+       |      / nullif(CAST(n_a AS DOUBLE), 0.0::DOUBLE)
+       |    + (CAST(n_b AS DOUBLE) * CAST(sdd_b AS DOUBLE)
+       |       - CAST(sd_b AS DOUBLE) * CAST(sd_b AS DOUBLE))
+       |      / nullif(CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0::DOUBLE), 0.0::DOUBLE)
+       |      / nullif(CAST(n_b AS DOUBLE), 0.0::DOUBLE)) AS did_se
+       |FROM flat""".stripMargin
+
   /** Q235: watermark-lateness profile — for each candidate watermark
     * delay, how many events would a streaming job DROP? An event is late
     * by (running max event-time over everything that arrived before it)

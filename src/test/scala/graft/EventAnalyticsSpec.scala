@@ -628,6 +628,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert((rows.head._3 == 0) == lates.forall(_ == 0L))
   }
 
+  test("q239 CUPED / q240 DiD: recompute from an in-memory user panel") {
+    val t = sf0001
+    // independent panel rebuild: md5 arm + pre/post counts per user
+    val cutoff = java.time.LocalDate.parse("2024-01-03")
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def arm(u: Long): Long = {
+      val hex = mdInst.digest(s"exp1:$u".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val panel = t.events.select(col("user_id"), col("ts").cast("date"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).map { case (u, es) =>
+        (arm(u), es.count(_._2.isBefore(cutoff)).toLong,
+          es.count(e => !e._2.isBefore(cutoff)).toLong)
+      }.toSeq
+    val a = panel.filter(_._1 == 0); val b = panel.filter(_._1 == 1)
+
+    val cu = EventAnalytics.qCuped(t).head()
+    assert(cu.getLong(0) == a.length && cu.getLong(1) == b.length)
+    assert(cu.getDouble(2) == a.map(_._3).sum.toDouble / a.length)
+    assert(cu.getDouble(3) == b.map(_._3).sum.toDouble / b.length)
+    val n = panel.length.toDouble
+    val (sx, sy) = (panel.map(_._2).sum, panel.map(_._3).sum)
+    val sxy = panel.map(p => p._2 * p._3).sum
+    val sxx = panel.map(p => p._2 * p._2).sum
+    val syy = panel.map(p => p._3 * p._3).sum
+    val theta = (n * sxy - sx.toDouble * sy) / (n * sxx - sx.toDouble * sx)
+    assert(math.abs(cu.getDouble(4) - theta) < 1e-9, s"theta ${cu.getDouble(4)} want $theta")
+    // variance reduction is a correlation² — in (0, 1], and the adjusted
+    // arm means preserve the pooled mean structure
+    val vr = cu.getDouble(7)
+    assert(vr > 0.0 && vr <= 1.0)
+
+    val dd = EventAnalytics.qDiffInDiff(t).head()
+    assert(dd.getLong(0) == a.length && dd.getLong(1) == b.length)
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.length
+    assert(dd.getDouble(2) == mean(a.map(_._2)) && dd.getDouble(3) == mean(a.map(_._3)))
+    assert(dd.getDouble(4) == mean(b.map(_._2)) && dd.getDouble(5) == mean(b.map(_._3)))
+    val didExp = mean(b.map(p => p._3 - p._2)) - mean(a.map(p => p._3 - p._2))
+    assert(math.abs(dd.getDouble(6) - didExp) < 1e-9)
+    assert(dd.getDouble(7) > 0.0, "DiD standard error must be positive")
+    // the DiD estimate equals the cross-difference of the four cells
+    assert(math.abs(dd.getDouble(6) -
+      ((dd.getDouble(5) - dd.getDouble(4)) - (dd.getDouble(3) - dd.getDouble(2)))) < 1e-9)
+  }
+
   test("q190 oracle contract: bounded edge table, positive totals, fixed channel set") {
     // Three unstated preconditions behind q190's driver-side chain solve
     // (the AffinitySpec precedent): the edge table must stay inside the
