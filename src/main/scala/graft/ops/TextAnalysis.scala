@@ -4636,6 +4636,114 @@ object TextAnalysis {
        |FROM cls ORDER BY bitmap""".stripMargin
   }
 
+  /** Q241: split-conformal coverage audit (Vovk's conformal prediction,
+    * the Angelopoulos–Bates split recipe) for the q139 classifier — the
+    * distribution-free check that turns raw confidences into calibrated
+    * prediction SETS: an md5-even calibration half supplies the
+    * (1−α)-quantile q̂ of the nonconformity score s = 1 − p_y, and the
+    * held-out half's coverage (share of docs whose true-label score is
+    * ≤ q̂) should sit near 1−α regardless of how miscalibrated the raw
+    * sigmoid is — the guarantee q188's ECE cannot give.
+    *
+    * Exactness: s rides the micro grid (1e6 − cm or cm by the label);
+    * q̂ is an EXACT order statistic — rank ⌈(n_cal+1)(1−α)⌉ via the
+    * bucketRank two-phase prefix (no global sort), fetched as one
+    * bounded driver long; coverage counts are exact BIGINTs and the
+    * rates raw divisions (nullif'd). Everything is replayable, so the
+    * whole readout is under the hash gate (no envelope needed). 8th
+    * consumer of the weight cache.
+    *
+    * Scale shape: one scoring scan, one bucketRank over the calibration
+    * half, one filtered count over the eval half, a 1-row readout. */
+  def qConformalCoverage(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "n_cal" -> LongType, "n_eval" -> LongType,
+            "target_rank" -> LongType, "qhat_micro" -> LongType,
+            "n_covered" -> LongType, "coverage" -> DoubleType,
+            "alpha" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val scored = feats.select(col("doc_id"), col("y"),
+              round(p * lit(1000000.0), 0).cast("long").as("cm"))
+            .withColumn("s_micro",
+              when(col("y") === 1.0, lit(1000000L) - col("cm")).otherwise(col("cm")))
+            .withColumn("cal",
+              conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 2 === 0)
+          val cal = scored.filter(col("cal"))
+          val nCal = cal.count()
+          if (nCal == 0)
+            return Tables.emptyFrame(spark, "n_cal" -> LongType,
+              "n_eval" -> LongType, "target_rank" -> LongType,
+              "qhat_micro" -> LongType, "n_covered" -> LongType,
+              "coverage" -> DoubleType, "alpha" -> DoubleType)
+          val targetRank = math.min(nCal,
+            math.ceil((nCal + 1) * (1.0 - alpha)).toLong)
+          val qhat = bucketRank(cal, "s_micro", 1000001L,
+            Seq(col("s_micro"), col("doc_id")), "rk")
+            .filter(col("rk") === targetRank)
+            .select(col("s_micro")).head().getLong(0)
+          scored.filter(!col("cal")).agg(
+              count(lit(1)).as("n_eval"),
+              sum(when(col("s_micro") <= qhat, 1L).otherwise(0L)).as("n_covered"))
+            .select(lit(nCal).as("n_cal"), col("n_eval"),
+              lit(targetRank).as("target_rank"), lit(qhat).as("qhat_micro"),
+              col("n_covered"),
+              (col("n_covered").cast("double") /
+                nullif(col("n_eval").cast("double"), lit(0.0))).as("coverage"),
+              lit(alpha).as("alpha"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q241 oracle: the logit chain + the same split, order statistic and
+    * counts (a plain ROW_NUMBER for the quantile — the Spark side uses
+    * bucketRank; results hash-equal, the q144 contract). */
+  def qConformalCoverageSql(rounds: Int = 16, lr: Double = 8.0,
+      alpha: Double = 0.1): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
+      |scored AS (
+      |  SELECT f.doc_id, f.y,
+      |    CAST(round(($p) * 1000000.0::DOUBLE) AS BIGINT) AS cm,
+      |    CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 AS cal
+      |  FROM f, $wFinal w),
+      |s AS (
+      |  SELECT doc_id, cal,
+      |    CASE WHEN y = 1.0::DOUBLE THEN 1000000 - cm ELSE cm END AS s_micro
+      |  FROM scored),
+      |calset AS (
+      |  SELECT s_micro,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY s_micro, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+      |  FROM s WHERE cal),
+      |qhat AS (
+      |  SELECT n_cal,
+      |    least(n_cal, CAST(ceil((n_cal + 1) * (1.0::DOUBLE - $alpha::DOUBLE)) AS BIGINT)) AS target_rank,
+      |    s_micro AS qhat_micro
+      |  FROM calset
+      |  WHERE rk = least(n_cal, CAST(ceil((n_cal + 1) * (1.0::DOUBLE - $alpha::DOUBLE)) AS BIGINT))),
+      |ev AS (
+      |  SELECT COUNT(*)::BIGINT AS n_eval,
+      |    CAST(SUM(CASE WHEN s_micro <= (SELECT qhat_micro FROM qhat)
+      |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      |  FROM s WHERE NOT cal)
+      |SELECT q.n_cal, e.n_eval, q.target_rank, q.qhat_micro, e.n_covered,
+      |  CAST(e.n_covered AS DOUBLE)
+      |    / nullif(CAST(e.n_eval AS DOUBLE), 0.0::DOUBLE) AS coverage,
+      |  $alpha::DOUBLE AS alpha
+      |FROM qhat q, ev e""".stripMargin
+  }
+
   /** Q228: Cohen's κ inter-rater agreement (Cohen 1960) between the two
     * INDEPENDENT quality raters this engine ships — the trained q139
     * logistic classifier (rater A: micro-rounded confidence > 0.5) and

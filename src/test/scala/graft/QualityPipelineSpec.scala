@@ -1431,6 +1431,41 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q241 conformal: quantile and coverage recompute; coverage near 1-alpha") {
+    val t = sf0001
+    val row = TextAnalysis.qConformalCoverage(t).head()
+    val (nCal, nEval, targetRank, qhat, nCov) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nCal + nEval == t.documents.count())
+    assert(targetRank == math.min(nCal, math.ceil((nCal + 1) * 0.9).toLong))
+    // independent recompute: rebuild scores from q198's exposed rounded
+    // confidences + the q86 labels, split by the same md5 parity
+    val n = t.documents.count().toInt
+    val conf = TextAnalysis.qUncertaintySampling(t, k = n).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e6)))
+    val label = TextAnalysis.qQualityFilter(t).collect()
+      .map(r => (r.getLong(0), r.getBoolean(r.fieldIndex("keep")))).toMap
+    val mdInst = java.security.MessageDigest.getInstance("MD5")
+    def isCal(id: Long): Boolean = {
+      val hex = mdInst.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val scores = conf.map { case (id, cm) =>
+      (id, if (label(id)) 1000000L - cm else cm)
+    }
+    val calS = scores.filter(p => isCal(p._1)).sortBy(p => (p._2, p._1))
+    assert(calS.length.toLong == nCal)
+    assert(calS(targetRank.toInt - 1)._2 == qhat,
+      s"qhat $qhat want ${calS(targetRank.toInt - 1)._2}")
+    val evalS = scores.filterNot(p => isCal(p._1))
+    assert(evalS.count(_._2 <= qhat).toLong == nCov)
+    // the conformal guarantee (marginal, finite-sample noise at n=500):
+    // coverage should land in a generous band around 1 - alpha
+    val cov = row.getDouble(5)
+    assert(cov > 0.8 && cov <= 1.0, s"coverage $cov implausible for alpha=0.1")
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
