@@ -227,9 +227,14 @@ object Clustering {
     val emb = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .cache()
-    val init = emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    lloydRounds(emb, init, updates)
+    // cache serves the per-round collects inside lloydRounds; unpersist
+    // before returning so repeated Verify/Bench invocations don't
+    // accumulate cached partitions (ADVICE r11)
+    try {
+      val init = emb.filter(col("vec_id") < k).orderBy(col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      lloydRounds(emb, init, updates)
+    } finally emb.unpersist()
   }
 
   /** The q119 Lloyd loop over an ARBITRARY (vec_id, e) frame and initial

@@ -1291,11 +1291,6 @@ object Dedup {
     (e, rounds)
   }
 
-  /** Min-id-per-component dedup: contract the near-dup pair graph into
-    * connected components (distributed star contraction, O(log n) rounds —
-    * see starContract), keep the min id per component. Deterministic;
-    * equals greedy output when similarity is transitive (SURVEY §7
-    * hard-part 2). All-DataFrame: no collect(), no driver union-find. */
   /** Per-id component label (= min id of the connected component) from the
     * near-dup pair graph — star contraction under the hood, one row per
     * input id. Shared by componentsMinId and the q230 soft-dedup weights. */
@@ -1310,6 +1305,11 @@ object Dedup {
       .select(col("id"), coalesce(col("root"), col("id")).as("label"))
   }
 
+  /** Min-id-per-component dedup: contract the near-dup pair graph into
+    * connected components (distributed star contraction, O(log n) rounds —
+    * see starContract), keep the min id per component. Deterministic;
+    * equals greedy output when similarity is transitive (SURVEY §7
+    * hard-part 2). All-DataFrame: no collect(), no driver union-find. */
   def componentsMinId(pairs: DataFrame, ids: DataFrame): DataFrame =
     componentLabels(pairs, ids)
       .groupBy(col("label")).agg(min(col("id")).as("keep_id"),

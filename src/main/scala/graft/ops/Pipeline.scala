@@ -135,9 +135,14 @@ object Pipeline {
       .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .cache()
-    val init = emb.orderBy(col("vec_id")).limit(k)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    val assigned = Clustering.lloydRounds(emb, init, updates)
+    // the cache serves the construction-time collects (init + the Lloyd
+    // rounds); unpersist before returning — the ADVICE r11 leak fix,
+    // matching the qRankOverlap/qCohensKappa try/finally pattern
+    val assigned = try {
+      val init = emb.orderBy(col("vec_id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      Clustering.lloydRounds(emb, init, updates).localCheckpoint()
+    } finally emb.unpersist()
     val members = assigned.select(col("vec_id").as("doc_id"), col("cid"))
       .join(kept, Seq("doc_id"))
     val scored = Summarize.lexrankGrouped(

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
@@ -44,12 +44,27 @@ object FeedSource {
   /** Last pushdown the source accepted, per feed: (filters, limit, cols). */
   val lastPushed: TrieMap[String, (Seq[String], Int, Seq[String])] = TrieMap.empty
 
-  /** Last TopN the source accepted, per feed: (per-key (column, ascending)
-    * order spec, limit) — the `sortBy=relevancy&pageSize=5` API-param
-    * shape (realtimeapi.py:39 intent). */
-  val lastPushedTopN: TrieMap[String, (Seq[(String, Boolean)], Int)] = TrieMap.empty
+  /** Last TopN the source accepted, per feed: (per-key (column, ascending,
+    * nullsFirst) order spec, limit) — the `sortBy=relevancy&pageSize=5`
+    * API-param shape (realtimeapi.py:39 intent). */
+  val lastPushedTopN: TrieMap[String, (Seq[(String, Boolean, Boolean)], Int)] = TrieMap.empty
 
-  /** Source-side comparator for one accepted sort column. */
+  /** Whether the sort field is null on this row (string fields only — id
+    * and section_id are primitives). A production feed can return rows
+    * with missing fields; since isPartiallyPushed=false Spark drops its
+    * own sort, so the source comparator must be the one honoring the
+    * requested null ordering (ADVICE r11: a null title would otherwise
+    * NPE at read time). */
+  private[sources] def isNullField(field: String, r: FeedRow): Boolean = field match {
+    case "title"  => r.title == null
+    case "url"    => r.url == null
+    case "source" => r.source == null
+    case _        => false
+  }
+
+  /** Source-side comparator for one accepted sort column — both sides
+    * non-null for `field` (null rows are ordered by the caller via
+    * [[isNullField]] + the pushed nullOrdering). */
   private[sources] def cmp(field: String, a: FeedRow, b: FeedRow): Int = field match {
     case "id"         => java.lang.Long.compare(a.id, b.id)
     case "title"      => a.title.compareTo(b.title)
@@ -68,7 +83,7 @@ object FeedSource {
     case EqualTo("section_id", v) => r.sectionId == v
     case GreaterThan("id", v: Long) => r.id > v
     case LessThan("id", v: Long)  => r.id < v
-    case IsNotNull(_)             => true
+    case IsNotNull(f)             => !isNullField(f, r)
     // pushedFilters() reports accepted filters as fully applied — an
     // accepted-but-unmatched filter here would silently return wrong rows,
     // so fail loudly instead (e.g. a future type change boxing id as Int)
@@ -108,7 +123,7 @@ class FeedScanBuilder(feed: String) extends ScanBuilder
 
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var topN: Seq[(String, Boolean)] = Seq.empty
+  private var topN: Seq[(String, Boolean, Boolean)] = Seq.empty
   private var cols: StructType = FeedSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -127,16 +142,21 @@ class FeedScanBuilder(feed: String) extends ScanBuilder
     * because the scan is a single partition, exactly like the single
     * paginated API response it stands in for). */
   override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
-    val spec = orders.toSeq.map(o => (o.expression(), o.direction()))
+    val spec = orders.toSeq.map(o =>
+      (o.expression(), o.direction(), o.nullOrdering()))
     val accepted = spec.forall {
-      case (ref: NamedReference, _) => ref.fieldNames.length == 1 &&
+      case (ref: NamedReference, _, _) => ref.fieldNames.length == 1 &&
         FeedSource.schema.fieldNames.contains(ref.fieldNames.head)
       case _ => false
     }
     if (accepted) {
-      topN = spec.map { case (e, d) =>
+      // nullOrdering is carried per key and honored by the source
+      // comparator (NULLS FIRST/LAST is absolute — never flipped by the
+      // sort direction, matching Spark's own SortOrder semantics)
+      topN = spec.map { case (e, d, no) =>
         (e.asInstanceOf[NamedReference].fieldNames.head,
-          d == SortDirection.ASCENDING)
+          d == SortDirection.ASCENDING,
+          no == NullOrdering.NULLS_FIRST)
       }
       limit = l
     }
@@ -156,7 +176,7 @@ class FeedScanBuilder(feed: String) extends ScanBuilder
 }
 
 class FeedScan(feed: String, filters: Array[Filter], limit: Int,
-    topN: Seq[(String, Boolean)], cols: StructType) extends Scan with Batch {
+    topN: Seq[(String, Boolean, Boolean)], cols: StructType) extends Scan with Batch {
   override def readSchema(): StructType = cols
   override def toBatch: Batch = this
 
@@ -168,7 +188,7 @@ class FeedScan(feed: String, filters: Array[Filter], limit: Int,
 }
 
 final case class FeedPartition(feed: String, filters: Array[Filter],
-    limit: Int, topN: Seq[(String, Boolean)],
+    limit: Int, topN: Seq[(String, Boolean, Boolean)],
     cols: Array[String]) extends InputPartition
 
 class FeedReaderFactory extends PartitionReaderFactory {
@@ -181,8 +201,13 @@ class FeedReaderFactory extends PartitionReaderFactory {
     val all = if (fp.topN.isEmpty) matched else {
       val ord = new Ordering[FeedSource.FeedRow] {
         override def compare(a: FeedSource.FeedRow, b: FeedSource.FeedRow): Int =
-          fp.topN.iterator.map { case (f, asc) =>
-            val c = FeedSource.cmp(f, a, b); if (asc) c else -c
+          fp.topN.iterator.map { case (f, asc, nullsFirst) =>
+            val an = FeedSource.isNullField(f, a)
+            val bn = FeedSource.isNullField(f, b)
+            if (an && bn) 0
+            else if (an) { if (nullsFirst) -1 else 1 }
+            else if (bn) { if (nullsFirst) 1 else -1 }
+            else { val c = FeedSource.cmp(f, a, b); if (asc) c else -c }
           }.find(_ != 0).getOrElse(0)
       }
       matched.sorted(ord)

@@ -46,12 +46,44 @@ class FeedSourceSpec extends SparkSpec {
     assert(rows.toSeq == expect, s"got ${rows.toSeq}")
     // the TopN reached the source…
     val (orders, limit) = FeedSource.lastPushedTopN("f4")
-    assert(orders == Seq(("section_id", false), ("id", true)), s"orders: $orders")
+    // Spark's defaults: ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST
+    assert(orders == Seq(("section_id", false, false), ("id", true, true)),
+      s"orders: $orders")
     assert(limit == 5)
     // …and the plan has NO post-scan sort: the source's order is trusted
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Sort") && !plan.contains("TakeOrderedAndProject"),
       s"post-scan sort survived:\n$plan")
+  }
+
+  test("pushed TopN honors null ordering on nullable string keys") {
+    // a feed with missing titles — the source comparator must both
+    // null-guard (no NPE) and honor the requested NULLS FIRST/LAST,
+    // because isPartiallyPushed=false drops Spark's own sort entirely
+    FeedSource.feeds("f6") = (1L to 20L).map(i =>
+      FeedRow(i, if (i % 4 == 0) null else s"Title $i", s"http://u/$i",
+        "cnn", (i % 5).toInt))
+
+    // ASC default = NULLS FIRST: the five null-title rows lead
+    val ascTop = read("f6").orderBy(col("title")).limit(6)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(ascTop.count(_._2) == 5, s"nulls first: ${ascTop.toSeq}")
+    val (ascOrders, _) = FeedSource.lastPushedTopN("f6")
+    assert(ascOrders == Seq(("title", true, true)), s"orders: $ascOrders")
+
+    // explicit ASC NULLS LAST: no null title in the top rows
+    val lastTop = read("f6").orderBy(col("title").asc_nulls_last).limit(6)
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(lastTop.forall(!_._2), s"nulls last: ${lastTop.toSeq}")
+    val (lastOrders, _) = FeedSource.lastPushedTopN("f6")
+    assert(lastOrders == Seq(("title", true, false)), s"orders: $lastOrders")
+
+    // DESC default = NULLS LAST, and the non-null order matches Spark's
+    val descTop = read("f6").orderBy(col("title").desc).limit(6)
+      .collect().map(r => (if (r.isNullAt(1)) null else r.getString(1)))
+    val expect = FeedSource.feeds("f6").map(_.title).filter(_ != null)
+      .sorted(Ordering[String].reverse).take(6)
+    assert(descTop.toSeq == expect, s"got ${descTop.toSeq}")
   }
 
   test("non-pushable sort keys keep the sort above the scan") {
