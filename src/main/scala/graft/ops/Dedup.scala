@@ -1138,7 +1138,7 @@ object Dedup {
     * broadcast conflict map (O(n + |E|)); an id is kept iff none of its
     * smaller conflicting neighbors was kept. Shared by greedyFuzzyDedup
     * (indel conflicts) and the q227 gate (q32 conflicts). */
-  private def greedyWalk(ids: DataFrame,
+  private[graft] def greedyWalk(ids: DataFrame,
       conflicts: Array[(Long, Long)]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
@@ -1348,6 +1348,137 @@ object Dedup {
         .select(col("keep_id").as(idCol))
     }
   }
+
+  // ---------------------- fuzzy-family production compositions (r12):
+  // the substr-10 prefix family gets the same promotion the LSH family
+  // got in r11 — every consumer of the ungoverned q32 generator
+  // (componentsMinId for q37, greedyWalk for q227/q36, componentLabels
+  // for q230) now has a production front door routed through
+  // governedFuzzyPairs, so a caller at scale inherits the priced
+  // block-cap governor instead of the oracle-semantics exact generator.
+  // Below the cap every one of these is bit-identical to its ungoverned
+  // sibling (the governor's fallback arm IS the plain blocked join);
+  // above it, the blow-up is bounded by cap²/2 per block — the measured
+  // difference at 10× data is q202's 1.6× vs q37's 12.4× / q227's 26.6×
+  // / q230's 12× (BENCH_NOTES r11).
+
+  /** Production min-id-per-component fuzzy dedup: governed prefix-blocked
+    * pair graph → star contraction → keep the min id per component.
+    * The fuzzy-family sibling of [[nearDupKeepIds]]'s governed LSH arm.
+    * Returns one `idCol` row per kept representative. */
+  def fuzzyNearDupKeepIds(df: DataFrame, textCol: String, idCol: String,
+      cap: Int = 64): DataFrame =
+    componentsMinId(
+      governedFuzzyPairs(df, textCol, idCol, cap).select(col("id_a"), col("id_b")),
+      df.select(col(idCol).as("id")))
+      .select(col("keep_id").as(idCol))
+
+  /** Production keep-first greedy fuzzy dedup: governed pair graph →
+    * the single-task keep-first walk (ids ascending, drop an id iff it
+    * conflicts with an already-kept id — q227's semantics). The collect
+    * of the SPARSE governed conflict graph is the documented
+    * sequential-by-semantics contract (the walk consumes only the pair
+    * graph); the governor is what bounds that graph at scale. */
+  def fuzzyGreedyKeepIds(df: DataFrame, textCol: String, idCol: String,
+      cap: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conflicts = governedFuzzyPairs(df, textCol, idCol, cap)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    greedyWalk(df.select(col(idCol).as("id")), conflicts)
+  }
+
+  /** Production soft-dedup weights (the q230 semantics over an arbitrary
+    * frame, governed): every document weighted 1/|component| from the
+    * governed pair graph — downweight-don't-delete for near-dup clusters.
+    * Σ weights = #components exactly, below or above the cap. */
+  def softDedupWeightsGoverned(df: DataFrame, textCol: String, idCol: String,
+      cap: Int = 64): DataFrame = {
+    val labels = componentLabels(
+      governedFuzzyPairs(df, textCol, idCol, cap).select(col("id_a"), col("id_b")),
+      df.select(col(idCol).as("id")))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("id").as(idCol), col("label").as("component"),
+        col("comp_size"),
+        (lit(1.0) / col("comp_size").cast("double")).as("weight"))
+  }
+
+  /** Q242: the fuzzy-family production composition under the HASH GATE —
+    * ONE governed pair graph (governedFuzzyPairs, the q202 front door)
+    * feeding all three consumers at once: star-contraction component
+    * labels + sizes (q37/q230's shape) AND the keep-first greedy walk
+    * (q227's shape). Per document: its component, the component size,
+    * the 1/size soft-dedup weight, whether it is the min-id
+    * representative, and whether the greedy walk keeps it.
+    *
+    * Gate contract (the q186 pattern): at every shipped SF the prefix
+    * blocks price under the default cap (sf0.1 max block = 32 < 64), so
+    * the governed generator IS the exact q32 graph and the oracle replays
+    * the whole composition — the q37 recursive component closure + the
+    * q227 one-id-per-step recursive walk over the same pair CTE. Where
+    * the governor engages (sf1.0: blocks up to ~320), results diverge
+    * from the exact graph by the priced capped-block pairs — the audit
+    * query q201 is the driver-visible price, and the stderr governor log
+    * names the engaged blocks.
+    *
+    * Scale shape: the pair graph is ONE governed blocked join
+    * (localCheckpointed inside governedFuzzyPairs — consumed here by the
+    * contraction AND the walk collect without re-running the generator);
+    * contraction is O(log n) shuffle rounds; the walk's collect is the
+    * documented bounded-sparse-graph contract; everything downstream is
+    * equi-joins on id/label. */
+  def qFuzzyGovernedDedup(t: Tables, cap: Int = 64): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val ids = t.documents.select(col("doc_id").as("id"))
+    // governedFuzzyPairs localCheckpoints its result — both consumers
+    // below share the materialized pair graph, kernel runs once
+    val pairs = governedFuzzyPairs(t.documents, "text", "doc_id", cap)
+      .select(col("id_a"), col("id_b"))
+    val labels = componentLabels(pairs, ids)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+    val walkKept = greedyWalk(ids, pairs.as[(Long, Long)].collect())
+      .select(col("doc_id").as("id"), lit(true).as("walk_kept"))
+    labels.join(sizes, Seq("label"))
+      .join(walkKept, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("label").as("component"),
+        col("comp_size"),
+        (lit(1.0) / col("comp_size").cast("double")).as("weight"),
+        (col("id") === col("label")).as("is_rep"),
+        coalesce(col("walk_kept"), lit(false)).as("walk_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q242 oracle: the q37 recursive component closure + the q227
+    * sequential recursive walk, both over the SAME pair CTE, joined per
+    * document. (def, not val: componentsRepCtes is declared later in
+    * this object — the q230 val-initialization-order rule.) */
+  def qFuzzyGovernedDedupSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |sizes AS (SELECT keep_id, COUNT(*)::BIGINT AS comp_size
+      |          FROM rep GROUP BY keep_id),
+      |docs0 AS MATERIALIZED (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk FROM documents),
+      |confl AS MATERIALIZED (SELECT b, list(a) AS blockers FROM pairs GROUP BY b),
+      |walk(rk, kept) AS (
+      |  SELECT CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS kept
+      |  UNION ALL
+      |  SELECT w.rk + 1,
+      |    CASE WHEN len(list_intersect(COALESCE(c.blockers, CAST([] AS BIGINT[])),
+      |                                 w.kept)) > 0
+      |         THEN w.kept ELSE list_append(w.kept, d.doc_id) END
+      |  FROM walk w JOIN docs0 d ON d.rk = w.rk + 1
+      |  LEFT JOIN confl c ON c.b = d.doc_id),
+      |wk AS (SELECT unnest(kept) AS doc_id
+      |       FROM walk WHERE rk = (SELECT COUNT(*) FROM docs0))
+      |SELECT r.id AS doc_id, r.keep_id AS component, s.comp_size,
+      |  1.0::DOUBLE / CAST(s.comp_size AS DOUBLE) AS weight,
+      |  r.id = r.keep_id AS is_rep,
+      |  wk.doc_id IS NOT NULL AS walk_kept
+      |FROM rep r JOIN sizes s USING (keep_id)
+      |LEFT JOIN wk ON wk.doc_id = r.id
+      |ORDER BY doc_id""".stripMargin
 
   /** Q230: soft-dedup training weights — instead of DROPPING near-dup
     * documents (q37's keep-one-per-component), assign every document the

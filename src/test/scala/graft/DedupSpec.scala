@@ -434,6 +434,61 @@ class DedupSpec extends SparkSpec {
     assert(unGov.columns.toSeq == governed.columns.toSeq, "schema parity with q32")
   }
 
+  test("fuzzy production compositions: below-cap parity with q37/q227/q230") {
+    // the r12 promotion (VERDICT r11 item 1): every consumer of the
+    // ungoverned q32 generator has a governed production front door —
+    // below the cap each one must be bit-identical to its oracled sibling
+    val t = sf0001
+
+    val prodComp = Dedup.fuzzyNearDupKeepIds(t.documents, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val q37Keep = Dedup.qDedupComponents(t).collect().map(_.getLong(0)).toSet
+    assert(prodComp == q37Keep, "governed components != q37 keep set below cap")
+
+    val prodWalk = Dedup.fuzzyGreedyKeepIds(t.documents, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val q227Keep = Dedup.qDedupGreedyGate(t).collect().map(_.getLong(0)).toSet
+    assert(prodWalk == q227Keep, "governed walk != q227 keep set below cap")
+
+    val prodW = Dedup.softDedupWeightsGoverned(t.documents, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val q230W = Dedup.qSoftDedupWeights(t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(prodW == q230W, "governed soft weights != q230 below cap")
+
+    // and the composed q242 gate ties all three faces together
+    val gate = Dedup.qFuzzyGovernedDedup(t).collect()
+    assert(gate.length == t.documents.count().toInt)
+    assert(gate.filter(_.getBoolean(4)).map(_.getLong(0)).toSet == q37Keep)
+    assert(gate.filter(_.getBoolean(5)).map(_.getLong(0)).toSet == q227Keep)
+    assert(math.abs(gate.map(_.getDouble(3)).sum - q37Keep.size) < 1e-9,
+      "soft-weight conservation: sum of weights must equal #components")
+  }
+
+  test("fuzzy production compositions: the governor arm bounds a mega-block") {
+    // above the cap the front doors consume the governed graph: the
+    // mega-block's pairs are priced away, so every mega doc becomes its
+    // own component/survivor while the small dup pairs still contract
+    import spark.implicits._
+    val mega = (0L until 40L).map(i =>
+      (i, s"breaking news shared prefix body variant number $i"))
+    val dup = Seq((200L, "alpha prefix pair survives the governor aa"),
+      (201L, "alpha prefix pair survives the governor ab"))
+    val df = (mega ++ dup).toDF("doc_id", "text")
+
+    val kept = Dedup.fuzzyNearDupKeepIds(df, "text", "doc_id", cap = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 40L).toSet + 200L, s"got $kept")
+
+    val walk = Dedup.fuzzyGreedyKeepIds(df, "text", "doc_id", cap = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(walk == (0L until 40L).toSet + 200L, s"got $walk")
+
+    val w = Dedup.softDedupWeightsGoverned(df, "text", "doc_id", cap = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(w(0L) == 1.0 && w(200L) == 0.5 && w(201L) == 0.5)
+  }
+
   test("q230 soft-dedup weights: conservation and component tie-out vs q37") {
     val t = sf0001
     val rows = Dedup.qSoftDedupWeights(t).collect()
