@@ -223,6 +223,20 @@ object Dedup {
     * (md5/conv/min/lead/concat) — no kernel, so the DuckDB replay is
     * line-for-line the same relational program. */
   def qLshCandidatesGate(t: Tables, shingleLen: Int = 8): DataFrame = {
+    val bands = lshGateBands(t, shingleLen)
+    bands.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The q128 engine-neutral band table (doc_id, band, bkey) — md5-based
+    * minhash signatures banded 4 × 2 rows; shared by the q128 candidate
+    * gate and the q243 band-population audit. */
+  private def lshGateBands(t: Tables, shingleLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = 2147483647L // 2^31 − 1
     // fixed odd multipliers/offsets (any a_i ∈ [1, P) works; these are
@@ -252,19 +266,63 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    bands.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
-        Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_bands"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
-  val qLshCandidatesGateSql: String = {
+  /** Q243: MinHash band-population audit — the q201 governor-audit shape
+    * applied to LSH band buckets, promoted from BENCH_NOTES prose to a
+    * driver-visible oracled row (VERDICT r11 item 7). q34's production
+    * path has been governed since r11, and its residual 26.5× wall at
+    * 10× data is the TRUE candidate population growing, not a plan
+    * defect; this audit makes that claim checkable at every SF: per
+    * band, the bucket count, the biggest bucket, the governed tail above
+    * `cap`, and the exact pair population with and without the cap —
+    * all integers over the engine-neutral md5 band keys (the q128
+    * construction), so DuckDB replays it line for line. The fasthash
+    * production signatures bucket the same corpus shape; the md5 face is
+    * the replayable witness.
+    *
+    * Scale shape: the band table is q128's one-aggregate signature pass;
+    * the audit adds one map-side-combinable (band,bkey) count and a
+    * 4-row reduce — strictly cheaper than the candidate join it prices. */
+  def qMinhashBandAudit(t: Tables, cap: Int = 64): DataFrame = {
+    val buckets = lshGateBands(t)
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("c"))
+    buckets.groupBy(col("band")).agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_pair_buckets"),
+      sum(when(col("c") > cap, 1L).otherwise(0L)).as("n_governed"),
+      max(col("c")).as("max_bucket"),
+      sum(expr("c * (c - 1) div 2")).as("pairs_raw"),
+      sum(when(col("c") <= cap, expr("c * (c - 1) div 2"))
+        .otherwise(0L)).as("pairs_capped"))
+      .orderBy(col("band"))
+  }
+
+  /** q243 oracle: q128's CTE chain up to `bands`, then the q201 two-level
+    * integer aggregate per band. */
+  def qMinhashBandAuditSql(cap: Int = 64): String =
+    // concatenation, not an outer stripMargin: the CTE fragment is already
+    // margin-stripped and contains `||` at line starts that a second
+    // stripMargin would mangle
+    s"WITH $lshGateCtes,\n" +
+    s"""buckets AS (
+       |  SELECT band, bkey, COUNT(*)::BIGINT AS c
+       |  FROM bands GROUP BY band, bkey)
+       |SELECT band,
+       |  COUNT(*)::BIGINT AS n_buckets,
+       |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pair_buckets,
+       |  CAST(SUM(CASE WHEN c > $cap THEN 1 ELSE 0 END) AS BIGINT) AS n_governed,
+       |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+       |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS pairs_raw,
+       |  CAST(SUM(CASE WHEN c <= $cap THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) AS pairs_capped
+       |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+
+  /** q128's CTE chain (toks → shingles → hashed md5 minhash → sigs →
+    * bands), shared by the q128 candidate gate and the q243 band audit. */
+  private def lshGateCtes: String = {
     val P = "2147483647"
     val A = Seq(1103515245L, 1299709L, 492876847L, 715225739L,
       179424673L, 982451653L, 32452843L, 613651349L)
@@ -276,7 +334,7 @@ object Dedup {
       s"""SELECT doc_id, $b AS band,
          |    md5(CAST(s${2 * b} AS VARCHAR) || '|' || CAST(s${2 * b + 1} AS VARCHAR)) AS bkey
          |  FROM sigs""".stripMargin).mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
        |           x -> len(x) > 0)) AS term,
@@ -301,13 +359,16 @@ object Dedup {
        |    $sigExprs
        |  FROM hashed GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-       |  AND a.doc_id < b.doc_id
-       |GROUP BY a.doc_id, b.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |  $bandSelects)""".stripMargin
   }
+
+  val qLshCandidatesGateSql: String =
+    s"WITH $lshGateCtes\n" +
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_bands
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      |  AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** The LSH+verify pipeline over an arbitrary document slice (q34 runs it
     * corpus-wide; q95 re-runs it on the audit slice). */
