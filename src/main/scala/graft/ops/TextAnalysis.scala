@@ -4078,6 +4078,104 @@ object TextAnalysis {
        |FROM (SELECT * FROM inner_pairs UNION ALL SELECT * FROM eow_pairs)
        |GROUP BY pair ORDER BY total DESC, pair LIMIT $topK""".stripMargin
 
+  /** Q244: multi-round BPE-merge TRAINER (Sennrich et al. 2016 algorithm
+    * 1, the full loop q135 computes one step of): K chained merge rounds
+    * over the word-frequency table — per round, count adjacent symbol
+    * pairs weighted by word frequency, pick the best merge (max total,
+    * ties by pair ascending — a total order), apply it to every word's
+    * symbol sequence, and re-count. Emits the learned merge table
+    * (round, pair, merged symbol, pair count at merge time) — the
+    * artifact a tokenizer-prep pipeline ships.
+    *
+    * Merge application = ONE leftmost non-overlapping pass of
+    * space-padded string replace (' a b ' → ' ab '), identical in Spark
+    * (functions.replace) and DuckDB (replace). Documented deviation from
+    * the reference implementation's lookahead regex: on 3+ consecutive
+    * repeats of the SAME pair the boundary-consuming scan merges every
+    * other occurrence ("a a a a" → "aa a a" in the pass, not "aa aa") —
+    * still deterministic, still a valid BPE variant, and exactly
+    * replayable cross-engine (RE2 has no lookahead, so the reference
+    * regex is NOT replayable in DuckDB).
+    *
+    * Scale shape (the reason BPE training scales): only the initial
+    * word-frequency aggregate is corpus-sized (one shuffle); every round
+    * after runs on the |vocab|-bounded table — pair explode
+    * O(vocab·word_len), one map-side-combinable aggregate, a 1-row
+    * TakeOrdered for the argmax, and a scan-stage replace. The per-round
+    * best-pair fetch is a bounded 1-row collect (the Lloyd-centroid
+    * contract); localCheckpoint bounds lineage AND the optimizer tree
+    * across rounds (the q132/q139 iterative-model rule). */
+  def qBpeTrainer(t: Tables, rounds: Int = 8): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    var wf = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("term"))
+      .filter(length(col("term")) >= 2)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        concat(regexp_replace(col("term"), "(.)", "$1 "), lit("</w>")).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = wf.select(col("f"), split(col("syms"), " ").as("s"))
+        .filter(size(col("s")) >= 2) // a fully-merged word has no pairs
+        .withColumn("i", explode(sequence(lit(0), size(col("s")) - 2)))
+        .select(concat(element_at(col("s"), col("i") + 1), lit(" "),
+          element_at(col("s"), col("i") + 2)).as("pair"), col("f"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(1)
+        .head()
+      val (pair, total) = (best.getString(0), best.getLong(1))
+      val merged = pair.replace(" ", "")
+      merges += ((r, pair, merged, total))
+      wf = wf.select(col("f"),
+        trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+          lit(s" $pair "), lit(s" $merged "))).as("syms"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "pair", "merged", "total")
+      .select(col("round").cast("int").as("round"), col("pair"),
+        col("merged"), col("total"))
+      .orderBy(col("round"))
+  }
+
+  /** q244 oracle: the q135 word-frequency base + K chained MATERIALIZED
+    * per-round CTE triples (pairs → 1-row best → rewritten vocab), best
+    * pair applied via the same padded-space replace, merges unioned at
+    * the end (the q139/q179 chained-CTE replay shape). */
+  def qBpeTrainerSql(rounds: Int = 8): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s[i+1] || ' ' || s[i+2] AS pair, f
+         |  FROM (SELECT string_split(syms, ' ') AS s, f FROM w${r - 1}),
+         |       unnest(range(len(s) - 1)) AS t(i)),
+         |b$r AS MATERIALIZED (
+         |  SELECT pair, CAST(SUM(f) AS BIGINT) AS total
+         |  FROM p$r GROUP BY pair ORDER BY total DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT f,
+         |    trim(replace(' ' || syms || ' ',
+         |      (SELECT ' ' || pair || ' ' FROM b$r),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$r))) AS syms
+         |  FROM w${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, total FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |         x -> len(x) > 0)) AS term
+       |  FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT COUNT(*)::BIGINT AS f,
+       |    regexp_replace(term, '(.)', '\\1 ', 'g') || '</w>' AS syms
+       |  FROM toks WHERE len(term) >= 2 GROUP BY term),
+       |$roundCtes
+       |SELECT CAST(round AS INT) AS round, pair, merged, total FROM (
+       |  $out)
+       |ORDER BY round""".stripMargin
+  }
+
   /** Q136: DSIR importance-resampling scores (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling") — the
     * data-selection step that picks raw-corpus documents resembling a

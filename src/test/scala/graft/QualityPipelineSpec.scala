@@ -1466,6 +1466,55 @@ class QualityPipelineSpec extends SparkSpec {
     assert(cov > 0.8 && cov <= 1.0, s"coverage $cov implausible for alpha=0.1")
   }
 
+  test("q244 BPE trainer: matches a sequential in-memory reference trainer") {
+    val t = sf0001
+    import org.apache.spark.sql.functions.{lit, replace}
+    // the padded-replace semantics the trainer documents must hold in
+    // Spark exactly as measured in DuckDB (' aa a aa ' on the 5-repeat)
+    val probe = spark.range(1)
+      .select(replace(lit(" a a a a a "), lit(" a a "), lit(" aa ")))
+      .head().getString(0)
+    assert(probe == " aa a aa ", s"Spark replace semantics drifted: '$probe'")
+
+    // independent reference: collect the word-frequency table and run the
+    // merge loop sequentially with java.lang.String.replace (same
+    // leftmost non-overlapping single pass)
+    val wf0 = t.fanout(t.documents)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.text.tokenize(org.apache.spark.sql.functions.col("text"))).as("term"))
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("term")) >= 2)
+      .groupBy("term").count().collect()
+      .map(r => (r.getString(0).map(c => s"$c ").mkString + "</w>", r.getLong(1)))
+    var words = wf0
+    val expect = (1 to 8).map { r =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, f) =>
+        val s = syms.split(" ")
+        var i = 0
+        while (i < s.length - 1) {
+          counts.updateWith(s(i) + " " + s(i + 1))(v => Some(v.getOrElse(0L) + f))
+          i += 1
+        }
+      }
+      val (pair, total) = counts.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      words = words.map { case (syms, f) =>
+        (s" $syms ".replace(s" $pair ", s" $merged ").trim, f)
+      }
+      (r, pair, merged, total)
+    }
+    val got = TextAnalysis.qBpeTrainer(t).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expect, s"got $got\nwant $expect")
+    // the trainer is genuinely multi-round: some later merge must consume
+    // an earlier round's merged symbol
+    val mergedSyms = expect.map(_._3).toSet
+    assert(expect.exists { case (_, p, _, _) =>
+      p.split(" ").exists(mergedSyms.contains)
+    }, "no merge consumed a previous round's symbol — chain not exercised")
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
