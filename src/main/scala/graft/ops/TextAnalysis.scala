@@ -3290,6 +3290,111 @@ object TextAnalysis {
        |FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= $minDocs
        |ORDER BY span_hash""".stripMargin
 
+  /** Q245: ExactSubstr REMOVAL — the composition of q143's span detector
+    * with q92's document rebuild (Lee et al. 2022's actual dedup step,
+    * not just its detector): every `w`-token window occurring in ≥ 2
+    * distinct documents is removed from all but its FIRST occurrence
+    * (first = min (doc_id, position) corpus-wide, the q92 keep-first
+    * contract), where removal drops every token covered by a removed
+    * window (windows overlap, so coverage is the union of [idx, idx+w)
+    * intervals). Documents are rebuilt from the surviving tokens in
+    * order; per document the gate emits the window/token counts, the
+    * retained-fraction, and the rebuilt text.
+    *
+    * Conservation (spec-asserted): Σ n_dup_windows over documents =
+    * Σ_{spans with n_docs≥2} (n_occ − 1) from q143's span table — the
+    * removal consumes exactly the population the detector prices.
+    *
+    * Scale shape: one explode for spans (O(tokens)), one hash-partition
+    * window on the 16-hex span hash for the keep-first rank (the q92
+    * move — span text never shuffles beyond the hash), one per-hash
+    * aggregate for the ≥2-doc predicate, a bounded ×w position explode
+    * for coverage, and per-doc aggregates for the rebuild. All linear;
+    * no pair joins anywhere — THIS is why span-level dedup (vs pairwise
+    * near-dup) is the 100 TB workhorse. */
+  def qSubstrRemoval(t: Tables, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    val spans = toks
+      .select(col("doc_id"), posexplode(text.ngrams(col("toks"), w)).as(Seq("idx", "span")))
+      .select(col("doc_id"), col("idx"), substring(md5(col("span")), 1, 16).as("h"))
+    val nd = spans.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+    val wnd = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    val removable = spans.withColumn("rn", row_number().over(wnd))
+      .join(nd, Seq("h"))
+      .filter(col("nd") >= 2 && col("rn") > 1)
+      .select(col("doc_id"), col("idx"))
+    val dupWindows = removable.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    val removedPos = removable
+      .select(col("doc_id"), explode(sequence(col("idx"), col("idx") + w - 1)).as("p"))
+      .distinct()
+      .withColumn("removed", lit(true))
+    val tokens = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+    tokens.join(removedPos, Seq("doc_id", "p"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("removed")).as("n_removed"),
+        sort_array(collect_list(when(col("removed").isNull,
+          struct(col("p"), col("tok"))))).as("kept"))
+      .join(dupWindows, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        col("n_removed"),
+        // exact-integer division; nullif guards an all-removed or empty
+        // doc under ANSI (the q170 rule) — retention NULL means "nothing
+        // to retain", distinct from 0.0
+        ((col("n_tokens") - col("n_removed")).cast("double") /
+          nullif(col("n_tokens"), lit(0L)).cast("double")).as("retention"),
+        when(col("n_removed") === col("n_tokens"), lit(null).cast("string"))
+          .otherwise(array_join(expr("transform(kept, x -> x.tok)"), " "))
+          .as("dedup_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q245 oracle: the q143 span CTEs + the keep-first rank, coverage via
+    * a position unnest, rebuild via ordered string_agg (q92's pattern). */
+  def qSubstrRemovalSql(w: Int = 8): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id, CAST(i AS INT) AS idx,
+       |    substr(md5(array_to_string(toks[i+1:i+$w], ' ')), 1, 16) AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - $w + 1)) AS i
+       |        FROM tok WHERE len(toks) >= $w)),
+       |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS n FROM spans GROUP BY h),
+       |removable AS (
+       |  SELECT doc_id, idx FROM (
+       |    SELECT s.doc_id, s.idx, nd.n,
+       |      ROW_NUMBER() OVER (PARTITION BY s.h ORDER BY s.doc_id, s.idx) AS rn
+       |    FROM spans s JOIN nd USING (h))
+       |  WHERE n >= 2 AND rn > 1),
+       |dw AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_windows
+       |       FROM removable GROUP BY doc_id),
+       |rem AS (SELECT DISTINCT doc_id, CAST(unnest(range(idx, idx + $w)) AS INT) AS p
+       |        FROM removable),
+       |tokens AS (
+       |  SELECT doc_id, CAST(i AS INT) AS p, toks[i+1] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tok)),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    COUNT(*)::BIGINT AS n_tokens,
+       |    CAST(COUNT(*) FILTER (WHERE rem.p IS NOT NULL) AS BIGINT) AS n_removed,
+       |    string_agg(t.tok, ' ' ORDER BY t.p) FILTER (WHERE rem.p IS NULL) AS kept_text
+       |  FROM tokens t LEFT JOIN rem ON rem.doc_id = t.doc_id AND rem.p = t.p
+       |  GROUP BY t.doc_id)
+       |SELECT a.doc_id, a.n_tokens,
+       |  COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
+       |  a.n_removed,
+       |  CAST(a.n_tokens - a.n_removed AS DOUBLE)
+       |    / CAST(nullif(a.n_tokens, 0) AS DOUBLE) AS retention,
+       |  CASE WHEN a.n_removed = a.n_tokens THEN NULL ELSE a.kept_text END AS dedup_text
+       |FROM agg a LEFT JOIN dw USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Q172: n-gram novelty score — the per-document memorization-risk
     * readout composing q143's span table (Lee et al. 2022: text whose
     * windows recur across documents is what models memorize): for every

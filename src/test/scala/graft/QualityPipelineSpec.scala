@@ -1515,6 +1515,35 @@ class QualityPipelineSpec extends SparkSpec {
     }, "no merge consumed a previous round's symbol — chain not exercised")
   }
 
+  test("q245 substr removal: conservation vs q143's span table and q92-style rebuild") {
+    val t = sf0001
+    val rows = TextAnalysis.qSubstrRemoval(t).collect()
+    assert(rows.length == t.documents.count().toInt)
+    // conservation: the removal consumes exactly the detector's dup
+    // population — every ≥2-doc span loses all occurrences but the first
+    val removedWindows = rows.map(_.getLong(2)).sum
+    val detectorExcess = TextAnalysis.qDupSpans(t).collect()
+      .map(r => r.getLong(1 + 1) - 1) // n_occ − 1 (cols: span_hash, n_docs, n_occ, first_doc)
+      .sum
+    assert(removedWindows == detectorExcess,
+      s"removed $removedWindows windows, detector prices $detectorExcess")
+    rows.foreach { r =>
+      val (nTok, nDup, nRem) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRem <= nTok, "cannot remove more tokens than exist")
+      // coverage bound: w overlapping windows remove at most nDup*w tokens
+      assert(nRem <= nDup * 8, s"coverage exceeds window mass: $nRem > ${nDup * 8}")
+      if (nDup == 0) assert(nRem == 0, "tokens removed with no dup windows")
+      if (nTok > 0) {
+        val kept = if (r.isNullAt(5)) 0 else r.getString(5).split(" ").length
+        assert(kept.toLong == nTok - nRem, "rebuilt text token count mismatch")
+        assert(r.getDouble(4) == (nTok - nRem).toDouble / nTok)
+      }
+    }
+    // the corpus genuinely exercises removal (template corpus: plenty of
+    // cross-doc 8-gram duplication)
+    assert(removedWindows > 0, "no duplicated spans removed — gate not exercised")
+  }
+
   test("q205 Spearman: matches an in-memory rank correlation; ranks are permutations") {
     val t = sf0001
     val row = TextAnalysis.qSpearman(t).head()
