@@ -507,27 +507,108 @@ object Multimodal {
     }
   }
 
-  /** Query surface: full decode pipeline over the synthetic media table.
-    * The sampled-frames array is emitted as a CSV string (q70 precedent):
-    * the driver's canonicalizer sorts column values, and a raw array column
-    * is unhashable/unsortable on its side — scalar-only output columns. */
+  /** Query surface: full decode pipeline over the synthetic media table,
+    * under the HASH GATE since r12 (VERDICT r11 item 4, the q130
+    * envelope pattern per ROW): the engine still synthesizes real
+    * PNG/WAV/AVI payloads and decodes them through the real container
+    * parsers, but the emitted columns are now split into
+    *  - exact metadata replays the oracle recomputes from the declared
+    *    formulas (decoded dims/rate/frames, thumbnail dims, sampled
+    *    frame indexes — thumb math is one IEEE divide+multiply+trunc,
+    *    identical cross-engine), which MATCH the decode output precisely
+    *    because the codecs round-trip (q130's contract), and
+    *  - two envelope booleans carrying the engine-specific work the
+    *    oracle cannot replay (deflate payload length, fingerprint, mean
+    *    byte): decode_ok (per-kind decoded == declared) and payload_ok
+    *    (non-empty payload, nonzero fingerprint, interior mean byte),
+    *    asserted TRUE.
+    * A codec/resize/frame-sample regression now fails the driver compare
+    * per row, not just MultimodalSpec. The sampled-frames array is CSV
+    * (q70 precedent: scalar-only output columns). */
   def qMediaFeatures(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
     // fanout BEFORE synthesis — fanout(mediaTable(t)) would leave the PNG
     // encode below the exchange, on the single scan partition (measured:
     // 15.8 s vs ~1 s at sf0.1)
-    extractFeatures(mediaTableFrom(t.fanout(t.documents)).as[MediaRow])
-      .toDF()
-      .withColumn("mean_byte", round(col("mean_byte"), 6))
-      .withColumn("sampled_frames",
-        array_join(col("sampled_frames").cast("array<string>"), ","))
+    val feats =
+      extractFeatures(mediaTableFrom(t.fanout(t.documents)).as[MediaRow]).toDF()
+    // declared values re-derived from the synthesizer's own formulas
+    // (qDecodeCheck's pattern)
+    val declared = t.documents.select(col("doc_id").as("media_id"),
+      (col("n_chars") % 128 + 32).cast("int").as("width"),
+      (col("n_chars") % 96 + 16).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"),
+      (col("n_chars") % 2048 + 256).cast("long").as("n_samples"),
+      ((col("n_chars") % 128 + 32) % 32 + 8).cast("int").as("v_width"),
+      ((col("n_chars") % 96 + 16) % 24 + 6).cast("int").as("v_height"))
+    feats.join(declared, "media_id")
+      .select(col("media_id"), feats("kind"),
+        col("decoded_width"), col("decoded_height"),
+        col("decoded_sample_rate"), col("decoded_audio_frames"),
+        col("thumb_width"), col("thumb_height"),
+        array_join(col("sampled_frames").cast("array<string>"), ",")
+          .as("sampled_frames"),
+        ((feats("kind") === "image" && col("decoded_width") === col("width")
+            && col("decoded_height") === col("height")) ||
+          (feats("kind") === "audio" && col("decoded_sample_rate") === col("sample_rate")
+            && col("decoded_audio_frames") === col("n_samples")) ||
+          (feats("kind") === "video" && col("decoded_width") === col("v_width")
+            && col("decoded_height") === col("v_height")
+            && col("decoded_sample_rate") === 0)).as("decode_ok"),
+        (col("n_bytes") > 0 && col("sha_like") =!= 0 &&
+          col("mean_byte") > 0.0 && col("mean_byte") < 255.0).as("payload_ok"))
       // materialize the narrow feature rows before the global sort: the
       // range partitioner's sampling job would otherwise re-run the whole
       // synth+decode pipeline a second time (measured 2.7 s vs 1.3 s)
       .localCheckpoint()
       .orderBy(col("media_id"))
   }
+
+  /** q72 oracle: every scalar column from the metadata formulas alone
+    * (decode round-trips exactly — q130), thumbnail dims via the same
+    * IEEE trunc(dim · 128/max) the JVM kernel computes, frame sampling
+    * via the same stride arithmetic; envelope booleans asserted TRUE. */
+  def qMediaFeaturesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    CAST(n_chars % 128 + 32 AS INT) AS width,
+      |    CAST(n_chars % 96 + 16 AS INT) AS height,
+      |    CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+      |    CAST(n_chars % 2048 + 256 AS BIGINT) AS n_samples,
+      |    CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 240 + 24 AS INT)
+      |         ELSE 0 END AS n_frames,
+      |    CAST((n_chars % 128 + 32) % 32 + 8 AS INT) AS v_width,
+      |    CAST((n_chars % 96 + 16) % 24 + 6 AS INT) AS v_height
+      |  FROM documents),
+      |d AS (
+      |  SELECT media_id, kind,
+      |    CASE kind WHEN 'image' THEN width WHEN 'video' THEN v_width
+      |         ELSE 0 END AS dw,
+      |    CASE kind WHEN 'image' THEN height WHEN 'video' THEN v_height
+      |         ELSE 0 END AS dh,
+      |    CASE kind WHEN 'audio' THEN sample_rate ELSE 0 END AS dsr,
+      |    CASE kind WHEN 'audio' THEN n_samples ELSE CAST(0 AS BIGINT) END AS daf,
+      |    n_frames
+      |  FROM m)
+      |SELECT media_id, kind,
+      |  CAST(dw AS INT) AS decoded_width, CAST(dh AS INT) AS decoded_height,
+      |  CAST(dsr AS INT) AS decoded_sample_rate, daf AS decoded_audio_frames,
+      |  CAST(CASE WHEN dw <= 0 OR dh <= 0 THEN 0
+      |            WHEN dw <= 128 AND dh <= 128 THEN dw
+      |            ELSE greatest(CAST(trunc(dw * (128.0 / greatest(dw, dh))) AS INT), 1)
+      |       END AS INT) AS thumb_width,
+      |  CAST(CASE WHEN dw <= 0 OR dh <= 0 THEN 0
+      |            WHEN dw <= 128 AND dh <= 128 THEN dh
+      |            ELSE greatest(CAST(trunc(dh * (128.0 / greatest(dw, dh))) AS INT), 1)
+      |       END AS INT) AS thumb_height,
+      |  CASE WHEN n_frames <= 0 THEN ''
+      |       ELSE array_to_string(list_transform(
+      |              list_slice(range(0, n_frames, greatest(n_frames // 8, 1)), 1, 8),
+      |              x -> CAST(x AS VARCHAR)), ',') END AS sampled_frames,
+      |  TRUE AS decode_ok, TRUE AS payload_ok
+      |FROM d ORDER BY media_id""".stripMargin
 
   /** Q130: decode-fidelity check under the HASH GATE — drives the REAL
     * codec path (synthesize → decode for every row) and counts, per kind,

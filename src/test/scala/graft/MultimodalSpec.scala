@@ -17,20 +17,22 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     a.foreach { r =>
       val (w, h, sr) = meta(r.getLong(0))
-      assert(r.getLong(2) > 0) // n_bytes
+      // envelope booleans carry the engine-specific payload work
+      assert(r.getBoolean(9), s"media ${r.getLong(0)}: decode_ok false")
+      assert(r.getBoolean(10), s"media ${r.getLong(0)}: payload_ok false")
       r.getString(1) match {
         case "image" =>
           // the codec must read back exactly the dims the PNG was built at
-          assert(r.getInt(5) == w && r.getInt(6) == h,
-            s"media ${r.getLong(0)}: decoded ${r.getInt(5)}x${r.getInt(6)} vs declared ${w}x$h")
-          assert(r.getInt(9) <= 128 && r.getInt(10) <= 128) // thumb fits
+          assert(r.getInt(2) == w && r.getInt(3) == h,
+            s"media ${r.getLong(0)}: decoded ${r.getInt(2)}x${r.getInt(3)} vs declared ${w}x$h")
+          assert(r.getInt(6) <= 128 && r.getInt(7) <= 128) // thumb fits
         case "audio" =>
-          assert(r.getInt(7) == sr, s"decoded rate ${r.getInt(7)} vs declared $sr")
-          assert(r.getLong(8) > 0) // frame count recovered from the RIFF header
+          assert(r.getInt(4) == sr, s"decoded rate ${r.getInt(4)} vs declared $sr")
+          assert(r.getLong(5) > 0) // frame count recovered from the RIFF header
         case _ => // video: AVI header dims recovered by the RIFF walk
-          assert(r.getInt(5) > 0 && r.getInt(6) > 0,
-            s"media ${r.getLong(0)}: video decode got ${r.getInt(5)}x${r.getInt(6)}")
-          assert(r.getInt(7) == 0)
+          assert(r.getInt(2) > 0 && r.getInt(3) > 0,
+            s"media ${r.getLong(0)}: video decode got ${r.getInt(2)}x${r.getInt(3)}")
+          assert(r.getInt(4) == 0)
       }
     }
   }
