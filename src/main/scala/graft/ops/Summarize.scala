@@ -271,10 +271,13 @@ object Summarize {
   }
 
   /** Top-k summary rows per group by LexRank score (W1/W2): deterministic
-    * tie-break on id. */
+    * tie-break on id. The PRODUCTION summary surface (newsPipeline /
+    * joinedSummaries consume it), so it routes through the governed
+    * kernel: bit-identical at reference-scale cluster sizes, priced and
+    * bounded when a story cluster outgrows the cap (r12 governor). */
   def summarize(sentences: DataFrame, groupCol: String, idCol: String,
-      textCol: String, k: Int): DataFrame = {
-    val scored = lexrankGrouped(sentences, groupCol, idCol, textCol)
+      textCol: String, k: Int, cap: Int = 2048): DataFrame = {
+    val scored = lexrankGoverned(sentences, groupCol, idCol, textCol, cap = cap)
       .join(sentences.select(col(groupCol), col(idCol), col(textCol)),
         Seq(groupCol, idCol))
     val w = Window.partitionBy(col(groupCol))
