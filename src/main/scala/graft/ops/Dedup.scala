@@ -1465,6 +1465,28 @@ object Dedup {
         (lit(1.0) / col("comp_size").cast("double")).as("weight"))
   }
 
+  /** Production best-representative fuzzy dedup (q115's semantics over an
+    * arbitrary frame, governed): governed pair graph → component labels →
+    * keep the highest-`scoreCol` member per component (ties by min id).
+    * The fourth consumer of the ungoverned q32 generator promoted to the
+    * governed front door (with components/walk/weights above). The
+    * argmax window partitions by component label — bounded groups by the
+    * same cap that bounds the pair graph. */
+  def bestRepKeepIds(df: DataFrame, textCol: String, idCol: String,
+      scoreCol: String, cap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = componentLabels(
+      governedFuzzyPairs(df, textCol, idCol, cap).select(col("id_a"), col("id_b")),
+      df.select(col(idCol).as("id")))
+    val byLabel = Window.partitionBy(col("label"))
+    labels
+      .join(df.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+      .withColumn("rn", row_number().over(
+        byLabel.orderBy(col(scoreCol).desc, col("id"))))
+      .filter(col("rn") === 1)
+      .select(col("id").as(idCol))
+  }
+
   /** Q242: the fuzzy-family production composition under the HASH GATE —
     * ONE governed pair graph (governedFuzzyPairs, the q202 front door)
     * feeding all three consumers at once: star-contraction component

@@ -456,6 +456,14 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(prodW == q230W, "governed soft weights != q230 below cap")
 
+    val prodBest = Dedup.bestRepKeepIds(
+      t.documents.join(graft.ops.TextAnalysis.qQualityScore(t)
+          .select(col("doc_id"), col("quality_score")), Seq("doc_id")),
+      "text", "doc_id", "quality_score")
+      .collect().map(_.getLong(0)).toSet
+    val q115Keep = Dedup.qDedupBestRep(t).collect().map(_.getLong(0)).toSet
+    assert(prodBest == q115Keep, "governed best-rep != q115 keep set below cap")
+
     // and the composed q242 gate ties all three faces together
     val gate = Dedup.qFuzzyGovernedDedup(t).collect()
     assert(gate.length == t.documents.count().toInt)
