@@ -4210,45 +4210,140 @@ object TextAnalysis {
     * best-pair fetch is a bounded 1-row collect (the Lloyd-centroid
     * contract); localCheckpoint bounds lineage AND the optimizer tree
     * across rounds (the q132/q139 iterative-model rule). */
+  /** The trained merge table per (session, sfDir, rounds) — the r10
+    * warm-structure contract (weightsCache's sibling): the training loop
+    * is deterministic, so cache hits are bit-identical and hash gates
+    * are unaffected; q244 (the merge table) and q247 (the encoder) share
+    * one training. */
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), Seq[(Int, String, String, Long)]]
+
+  /** Run the K-round merge training (see [[qBpeTrainer]]); cached. */
+  private def bpeMerges(t: Tables, rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate((t.spark, t.sfDir, rounds), {
+      var wf = t.fanout(t.documents)
+        .select(explode(text.tokenize(col("text"))).as("term"))
+        .filter(length(col("term")) >= 2)
+        .groupBy(col("term")).agg(count(lit(1)).as("f"))
+        .select(col("f"),
+          concat(regexp_replace(col("term"), "(.)", "$1 "), lit("</w>")).as("syms"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val best = wf.select(col("f"), split(col("syms"), " ").as("s"))
+          .filter(size(col("s")) >= 2) // a fully-merged word has no pairs
+          .withColumn("i", explode(sequence(lit(0), size(col("s")) - 2)))
+          .select(concat(element_at(col("s"), col("i") + 1), lit(" "),
+            element_at(col("s"), col("i") + 2)).as("pair"), col("f"))
+          .groupBy(col("pair")).agg(sum(col("f")).as("total"))
+          .orderBy(col("total").desc, col("pair")).limit(1)
+          .head()
+        val (pair, total) = (best.getString(0), best.getLong(1))
+        val merged = pair.replace(" ", "")
+        merges += ((r, pair, merged, total))
+        wf = wf.select(col("f"),
+          trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("syms"))
+          .localCheckpoint()
+      }
+      merges.toSeq
+    })
+
   def qBpeTrainer(t: Tables, rounds: Int = 8): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    var wf = t.fanout(t.documents)
-      .select(explode(text.tokenize(col("text"))).as("term"))
-      .filter(length(col("term")) >= 2)
-      .groupBy(col("term")).agg(count(lit(1)).as("f"))
-      .select(col("f"),
-        concat(regexp_replace(col("term"), "(.)", "$1 "), lit("</w>")).as("syms"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val best = wf.select(col("f"), split(col("syms"), " ").as("s"))
-        .filter(size(col("s")) >= 2) // a fully-merged word has no pairs
-        .withColumn("i", explode(sequence(lit(0), size(col("s")) - 2)))
-        .select(concat(element_at(col("s"), col("i") + 1), lit(" "),
-          element_at(col("s"), col("i") + 2)).as("pair"), col("f"))
-        .groupBy(col("pair")).agg(sum(col("f")).as("total"))
-        .orderBy(col("total").desc, col("pair")).limit(1)
-        .head()
-      val (pair, total) = (best.getString(0), best.getLong(1))
-      val merged = pair.replace(" ", "")
-      merges += ((r, pair, merged, total))
-      wf = wf.select(col("f"),
-        trim(replace(concat(lit(" "), col("syms"), lit(" ")),
-          lit(s" $pair "), lit(s" $merged "))).as("syms"))
-        .localCheckpoint()
-    }
-    merges.toSeq.toDF("round", "pair", "merged", "total")
+    bpeMerges(t, rounds).toDF("round", "pair", "merged", "total")
       .select(col("round").cast("int").as("round"), col("pair"),
         col("merged"), col("total"))
       .orderBy(col("round"))
+  }
+
+  /** Q247: BPE ENCODING with the q244-trained merges — the tokenizer
+    * APPLY step that closes the prep story (q24 counting → q135 pair
+    * counts → q244 trained merges → encode): every distinct corpus token
+    * is symbolized (chars + </w>) and the K learned merges are applied
+    * in training order (the same single-pass padded replace — greedy
+    * merge-order encoding equals the training-end symbolization for
+    * in-vocab words, and out-of-vocab-for-training 1-char tokens get the
+    * same replay, so e.g. a learned (e,</w>) merge compresses the word
+    * "e" too). Per document: token count, encoded symbol count, chars
+    * per symbol (the budget-accounting statistic a 100 TB pipeline
+    * prices corpora with).
+    *
+    * Scale shape: the merge chain runs on the DISTINCT-token table
+    * (vocab-bounded, K scan-stage replaces — no shuffle); the corpus
+    * pays one explode + one co-partitioned join on the term + one
+    * per-doc aggregate. The training itself is the cached q244 loop —
+    * one fetch per (session, sfDir, rounds). */
+  def qBpeEncode(t: Tables, rounds: Int = 8): DataFrame = {
+    val merges = bpeMerges(t, rounds)
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), col("n_chars"),
+        explode(text.tokenize(col("text"))).as("term"))
+    val vocab0 = toks.select(col("term")).distinct()
+      .withColumn("syms",
+        concat(regexp_replace(col("term"), "(.)", "$1 "), lit("</w>")))
+    val encoded = merges.foldLeft(vocab0) { case (v, (_, pair, merged, _)) =>
+      v.withColumn("syms",
+        trim(replace(concat(lit(" "), col("syms"), lit(" ")),
+          lit(s" $pair "), lit(s" $merged "))))
+    }.select(col("term"), size(split(col("syms"), " ")).cast("long").as("n_syms"))
+    toks.join(encoded, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_syms")).as("n_symbols"),
+        first(col("n_chars")).as("nc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_symbols"),
+        // one IEEE division of exact integers — raw (q27 discipline);
+        // every doc with a token has n_symbols ≥ 1
+        (col("nc").cast("double") / col("n_symbols").cast("double"))
+          .as("chars_per_symbol"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q247 oracle: the q244 training chain (shared CTE text) + a distinct
+    * -vocab encode chain ev0..evK applying each round's 1-row best via
+    * scalar subqueries, joined back to the corpus tokens per document. */
+  def qBpeEncodeSql(rounds: Int = 8): String = {
+    val evCtes = (1 to rounds).map { r =>
+      s"""ev$r AS MATERIALIZED (
+         |  SELECT term,
+         |    trim(replace(' ' || syms || ' ',
+         |      (SELECT ' ' || pair || ' ' FROM b$r),
+         |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$r))) AS syms
+         |  FROM ev${r - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeChainCtes(rounds)},
+       |ev0 AS MATERIALIZED (
+       |  SELECT DISTINCT term,
+       |    regexp_replace(term, '(.)', '\\1 ', 'g') || '</w>' AS syms
+       |  FROM toks),
+       |$evCtes,
+       |enc AS (SELECT term,
+       |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms FROM ev$rounds),
+       |dt AS (
+       |  SELECT doc_id, n_chars,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |           x -> len(x) > 0)) AS term
+       |  FROM documents)
+       |SELECT dt.doc_id,
+       |  COUNT(*)::BIGINT AS n_tokens,
+       |  CAST(SUM(enc.n_syms) AS BIGINT) AS n_symbols,
+       |  CAST(ANY_VALUE(dt.n_chars) AS DOUBLE) / CAST(SUM(enc.n_syms) AS DOUBLE)
+       |    AS chars_per_symbol
+       |FROM dt JOIN enc USING (term)
+       |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
   }
 
   /** q244 oracle: the q135 word-frequency base + K chained MATERIALIZED
     * per-round CTE triples (pairs → 1-row best → rewritten vocab), best
     * pair applied via the same padded-space replace, merges unioned at
     * the end (the q139/q179 chained-CTE replay shape). */
-  def qBpeTrainerSql(rounds: Int = 8): String = {
+  /** The q244 training CTE chain (toks → w0 word-freq symbolization →
+    * per-round p/b/w triples), shared by the q244 merge-table oracle and
+    * the q247 encoder oracle. */
+  private def bpeChainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT s[i+1] || ' ' || s[i+2] AS pair, f
@@ -4264,10 +4359,7 @@ object TextAnalysis {
          |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$r))) AS syms
          |  FROM w${r - 1})""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map(r =>
-      s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, total FROM b$r")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS MATERIALIZED (
+    s"""toks AS MATERIALIZED (
        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
        |         x -> len(x) > 0)) AS term
        |  FROM documents),
@@ -4275,7 +4367,14 @@ object TextAnalysis {
        |  SELECT COUNT(*)::BIGINT AS f,
        |    regexp_replace(term, '(.)', '\\1 ', 'g') || '</w>' AS syms
        |  FROM toks WHERE len(term) >= 2 GROUP BY term),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  def qBpeTrainerSql(rounds: Int = 8): String = {
+    val out = (1 to rounds).map(r =>
+      s"SELECT $r AS round, pair, replace(pair, ' ', '') AS merged, total FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeChainCtes(rounds)}
        |SELECT CAST(round AS INT) AS round, pair, merged, total FROM (
        |  $out)
        |ORDER BY round""".stripMargin

@@ -1515,6 +1515,60 @@ class QualityPipelineSpec extends SparkSpec {
     }, "no merge consumed a previous round's symbol — chain not exercised")
   }
 
+  test("q247 BPE encode: per-doc symbol counts match a sequential encoder") {
+    val t = sf0001
+    import org.apache.spark.sql.functions.{col, explode, length}
+    // sequential reference: train merges on the >=2-char word-freq table
+    // (as in the q244 spec), then apply them in order to EVERY distinct
+    // token (including 1-char tokens, which training excluded)
+    val termFreq = t.fanout(t.documents)
+      .select(explode(graft.functions.text.tokenize(col("text"))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var words = termFreq.filter(_._1.length >= 2)
+      .map { case (term, f) => (term.map(c => s"$c ").mkString + "</w>", f) }
+    val merges = (1 to 8).map { _ =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (syms, f) =>
+        val s = syms.split(" ")
+        var i = 0
+        while (i < s.length - 1) {
+          counts.updateWith(s(i) + " " + s(i + 1))(v => Some(v.getOrElse(0L) + f))
+          i += 1
+        }
+      }
+      val (pair, _) = counts.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      words = words.map { case (syms, f) =>
+        (s" $syms ".replace(s" $pair ", s" $merged ").trim, f)
+      }
+      (pair, merged)
+    }
+    val nSyms = termFreq.map { case (term, _) =>
+      val enc = merges.foldLeft(term.map(c => s"$c ").mkString + "</w>") {
+        case (syms, (pair, merged)) =>
+          s" $syms ".replace(s" $pair ", s" $merged ").trim
+      }
+      term -> enc.split(" ").length.toLong
+    }.toMap
+    // expected per-doc totals from the raw token stream
+    val docToks = t.documents
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.text.tokenize(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+    val got = TextAnalysis.qBpeEncode(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    docToks.foreach { case (id, nc, toks) =>
+      val (nTok, nSym, cps) = got(id)
+      assert(nTok == toks.length.toLong, s"doc $id token count")
+      val expSym = toks.map(nSyms).sum
+      assert(nSym == expSym, s"doc $id symbols: $nSym want $expSym")
+      assert(cps == nc.toDouble / expSym)
+      // merges genuinely compress: symbols < chars+1 per token on average
+      assert(nSym <= toks.map(_.length + 1L).sum)
+    }
+  }
+
   test("q245 substr removal: conservation vs q143's span table and q92-style rebuild") {
     val t = sf0001
     val rows = TextAnalysis.qSubstrRemoval(t).collect()
