@@ -3395,6 +3395,83 @@ object TextAnalysis {
        |FROM agg a LEFT JOIN dw USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Q248: benchmark DECONTAMINATION audit — the eval-overlap check every
+    * LLM training pipeline runs before shipping a corpus (the 13-gram
+    * overlap methodology of GPT-3 appendix C / Lee et al. 2022 §5, at
+    * this corpus's w=8 window): a deterministic ~1% slice (doc_id % 97 =
+    * 0) stands in for the held-out benchmark suite; for every benchmark
+    * document, count its `w`-token windows that appear ANYWHERE in the
+    * training remainder, and flag it contaminated when ≥ half its
+    * windows are hit (an all-integer predicate — no float threshold).
+    * Differs from q172 (novelty): the overlap here is against a
+    * DESIGNATED eval split, not global sharing — q141 keeps near-dups
+    * from straddling splits, this audits what n-gram mass still leaks.
+    *
+    * Scale shape: one explode (O(tokens)); the train side reduces to
+    * DISTINCT span hashes (span text never shuffles — 16-hex md5); the
+    * audit is one co-partitioned LEFT SEMI-shaped join on the hash plus
+    * a per-benchmark-doc aggregate. Benchmark side is ~1% of the
+    * corpus, so the join probe is tiny; at 100 TB the distinct train
+    * hashes shard by hash prefix and the benchmark probes broadcast or
+    * bloom-filter per shard. */
+  def qDecontamination(t: Tables, w: Int = 8, mod: Long = 97L): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    val spans = t.fanout(t.documents)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(text.ngrams(col("toks"), w)).as("span"))
+      .select(col("doc_id"), substring(md5(col("span")), 1, 16).as("h"))
+    val trainHashes = spans.filter(col("doc_id") % mod =!= 0)
+      .select(col("h")).distinct().withColumn("hit", lit(true))
+    val benchSpans = spans.filter(col("doc_id") % mod === 0)
+    val counts = benchSpans.join(trainHashes, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("hit")).as("n_hit"))
+    t.documents.filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        // raw division of exact ints; NULL for a short doc with no windows
+        (col("n_hit").cast("double") /
+          nullif(col("n_windows"), lit(0L)).cast("double")).as("contamination"),
+        (coalesce(col("n_hit"), lit(0L)) * 2 >=
+          coalesce(col("n_windows"), lit(0L)) &&
+          coalesce(col("n_windows"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q248 oracle: same split predicate, distinct train hashes, left join
+    * + per-doc integer counts. */
+  def qDecontaminationSql(w: Int = 8, mod: Long = 97L): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, substr(md5(span), 1, 16) AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(len(toks) - $w + 1),
+       |        i -> array_to_string(toks[i+1:i+$w], ' '))) AS span
+       |    FROM tok WHERE len(toks) >= $w)),
+       |train AS (SELECT DISTINCT h FROM sp WHERE doc_id % $mod != 0),
+       |bench AS (
+       |  SELECT sp.doc_id, COUNT(*)::BIGINT AS n_windows,
+       |    CAST(COUNT(*) FILTER (WHERE train.h IS NOT NULL) AS BIGINT) AS n_hit
+       |  FROM sp LEFT JOIN train ON sp.h = train.h
+       |  WHERE sp.doc_id % $mod = 0
+       |  GROUP BY sp.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(b.n_windows, 0) AS n_windows,
+       |  COALESCE(b.n_hit, 0) AS n_hit,
+       |  CAST(b.n_hit AS DOUBLE) / CAST(nullif(b.n_windows, 0) AS DOUBLE)
+       |    AS contamination,
+       |  COALESCE(b.n_hit, 0) * 2 >= COALESCE(b.n_windows, 0)
+       |    AND COALESCE(b.n_windows, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = 0) d
+       |LEFT JOIN bench b USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Q172: n-gram novelty score — the per-document memorization-risk
     * readout composing q143's span table (Lee et al. 2022: text whose
     * windows recur across documents is what models memorize): for every

@@ -1569,6 +1569,30 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q248 decontamination: matches an in-memory overlap recompute") {
+    val t = sf0001
+    import org.apache.spark.sql.functions.col
+    val docs = t.documents
+      .select(col("doc_id"), graft.functions.text.tokenize(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    def windows(toks: Seq[String]): Seq[String] =
+      if (toks.length < 8) Nil else toks.sliding(8).map(_.mkString(" ")).toSeq
+    val trainSpans = docs.filter(_._1 % 97 != 0).flatMap(d => windows(d._2)).toSet
+    val rows = TextAnalysis.qDecontamination(t).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      docs.map(_._1).filter(_ % 97 == 0).sorted.toSeq)
+    rows.foreach { r =>
+      val toks = docs.find(_._1 == r.getLong(0)).get._2
+      val w = windows(toks)
+      val hits = w.count(trainSpans.contains)
+      assert(r.getLong(1) == w.length.toLong, s"doc ${r.getLong(0)} windows")
+      assert(r.getLong(2) == hits.toLong, s"doc ${r.getLong(0)} hits")
+      assert(r.getBoolean(4) == (hits * 2 >= w.length && w.nonEmpty))
+    }
+    // the template corpus genuinely leaks n-gram mass into the bench slice
+    assert(rows.exists(_.getLong(2) > 0), "no overlap found — audit not exercised")
+  }
+
   test("q245 substr removal: conservation vs q143's span table and q92-style rebuild") {
     val t = sf0001
     val rows = TextAnalysis.qSubstrRemoval(t).collect()
