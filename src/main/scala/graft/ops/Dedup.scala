@@ -1604,6 +1604,68 @@ object Dedup {
       |FROM rep r JOIN sizes s USING (keep_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Q249: soft-dedup TOKEN BUDGET per source — the curation-accounting
+    * readout composing q230's 1/|component| weights with per-document
+    * token counts: for every source, the raw token mass, the effective
+    * (dedup-discounted) token mass Σ n_tokens/comp_size, and the savings
+    * ratio — the number a mixture designer actually budgets with after
+    * soft dedup (each near-dup cluster contributes one document's worth
+    * of mass).
+    *
+    * Exactness: the per-doc effective term is (n_tokens·10⁶) div
+    * comp_size — ALL-INTEGER floor division on BIGINTs, summed as BIGINT
+    * (order-independent, the q204/q207 micro-grid sum rule); the
+    * readable effective_tokens and savings are single divisions of exact
+    * integers, emitted raw.
+    *
+    * Scale shape: star contraction (O(log n) rounds) + one token-count
+    * scan + two aggregates (component sizes, per-source sums). */
+  def qDedupTokenBudget(t: Tables): DataFrame = {
+    val labels = componentLabels(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+    val docs = t.fanout(t.documents).select(col("doc_id").as("id"), col("source"),
+      size(text.tokenize(col("text"))).cast("long").as("n_tokens"))
+    docs.join(labels, Seq("id")).join(sizes, Seq("label"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("comp_size") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("n_tokens * 1000000L div comp_size")).as("effective_micros"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("raw_tokens"), col("effective_micros"),
+        (col("effective_micros").cast("double") / lit(1000000.0))
+          .as("effective_tokens"),
+        (lit(1.0) - col("effective_micros").cast("double") /
+          (col("raw_tokens").cast("double") * lit(1000000.0))).as("savings"))
+      .orderBy(col("source"))
+  }
+
+  /** q249 oracle: the q37 component closure + the same all-integer micro
+    * accounting. (def: componentsRepCtes is declared later — q230 rule.) */
+  def qDedupTokenBudgetSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |sizes AS (SELECT keep_id, COUNT(*)::BIGINT AS comp_size
+      |          FROM rep GROUP BY keep_id),
+      |docs AS (
+      |  SELECT doc_id AS id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT d.source,
+      |  COUNT(*)::BIGINT AS n_docs,
+      |  CAST(SUM(CASE WHEN s.comp_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(SUM(d.n_tokens) AS BIGINT) AS raw_tokens,
+      |  CAST(SUM(d.n_tokens * 1000000 // s.comp_size) AS BIGINT) AS effective_micros,
+      |  CAST(SUM(d.n_tokens * 1000000 // s.comp_size) AS DOUBLE) / 1000000.0
+      |    AS effective_tokens,
+      |  1.0::DOUBLE - CAST(SUM(d.n_tokens * 1000000 // s.comp_size) AS DOUBLE)
+      |    / (CAST(SUM(d.n_tokens) AS DOUBLE) * 1000000.0) AS savings
+      |FROM docs d JOIN rep r ON r.id = d.id
+      |JOIN sizes s USING (keep_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Dedup via fuzzy-pair graph → components → min-id representative:
     * emits component representative and size. Fully distributed: the pair
     * graph feeds star contraction (componentsMinId) — no collect(), no

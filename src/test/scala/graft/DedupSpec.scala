@@ -518,6 +518,30 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(rows.map(_._4).sum - comps.size) < 1e-9)
   }
 
+  test("q249 token budget: conservation vs q230 weights and raw token mass") {
+    val t = sf0001
+    val rows = Dedup.qDedupTokenBudget(t).collect()
+    // effective mass tie-out: Σ_source effective_micros equals the
+    // integer micro sum of n_tokens/comp_size over ALL docs (q230's
+    // weights applied to token counts)
+    val weights = Dedup.qSoftDedupWeights(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc -> comp_size
+    val toks = t.documents.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.text.tokenize(
+            org.apache.spark.sql.functions.col("text"))).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectMicros = toks.map { case (id, n) => n * 1000000L / weights(id) }.sum
+    assert(rows.map(_.getLong(4)).sum == expectMicros, "effective micro mass")
+    assert(rows.map(_.getLong(3)).sum == toks.map(_._2).sum, "raw token mass")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3) * 1000000L, "effective exceeds raw")
+      val savings = r.getDouble(6)
+      assert(savings >= 0.0 && savings < 1.0)
+      if (r.getLong(2) == 0) assert(savings == 0.0, "savings with no dups")
+    }
+  }
+
   test("exact dedup groups: every distinct text keeps exactly one id") {
     val n = sf0001.documents.count()
     val g = Dedup.qDedupExact(sf0001)
