@@ -1709,6 +1709,80 @@ object Dedup {
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
+  /** Q252: near-dup component-size distribution + discrete power-law fit —
+    * the corpus-shape statistic dedup capacity planning runs on (how big do
+    * duplicate clusters get, and how heavy is the tail?): the q37 component
+    * sizes histogrammed, each size class's share of documents, and the
+    * Clauset–Shalizi–Newman discrete MLE over the multi-doc tail
+    * (alpha = 1 + n / Σ ln(s_i / (smin − ½)), smin = 2). The per-size ln
+    * term is micro-rounded and scaled by the class count (BIGINT — exact,
+    * order-independent, q204 discipline), so alpha is one IEEE sequence
+    * over exact integers.
+    *
+    * Scale: the contraction is q37's O(log n)-round plan; the histogram is
+    * one aggregate; alpha/shares come from windows over the BOUNDED
+    * per-size table (never a 1-row-aggregate scalar join — the q114 BNLJ
+    * trap). */
+  def qComponentSizePowerlaw(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = componentsMinId(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+      .select(size(col("member_ids")).cast("long").as("component_size"))
+    val hist = sizes.groupBy(col("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("ln_micro",
+        round(log(col("component_size").cast("double") / lit(1.5))
+          * lit(1000000.0)).cast("long"))
+    val all = Window.partitionBy(lit(1))
+    hist
+      .withColumn("total_docs",
+        sum(col("component_size") * col("n_components")).over(all))
+      .withColumn("n_multi",
+        sum(when(col("component_size") >= 2L, col("n_components"))
+          .otherwise(0L)).over(all))
+      .withColumn("sum_ln_micro",
+        sum(when(col("component_size") >= 2L,
+          col("n_components") * col("ln_micro")).otherwise(0L)).over(all))
+      .select(col("component_size"), col("n_components"),
+        (col("component_size") * col("n_components")).as("n_docs"),
+        ((col("component_size") * col("n_components")).cast("double")
+          / col("total_docs").cast("double")).as("docs_share"),
+        col("n_multi"),
+        (lit(1.0) + col("n_multi").cast("double")
+          / nullif(col("sum_ln_micro").cast("double") / lit(1000000.0),
+            lit(0.0))).as("alpha"))
+      .orderBy(col("component_size"))
+  }
+
+  /** q252 oracle: the shared q37 closure chain + one histogram CTE with
+    * window totals; identical micro-term and IEEE alpha sequence. (def:
+    * componentsRepCtes is declared later — the q230 init-order rule.) */
+  def qComponentSizePowerlawSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |sizes AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS component_size
+      |  FROM rep GROUP BY keep_id),
+      |hist AS (
+      |  SELECT component_size, COUNT(*)::BIGINT AS n_components,
+      |    CAST(round(ln(CAST(component_size AS DOUBLE) / 1.5::DOUBLE)
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS ln_micro
+      |  FROM sizes GROUP BY component_size)
+      |SELECT component_size, n_components,
+      |  component_size * n_components AS n_docs,
+      |  CAST(component_size * n_components AS DOUBLE)
+      |    / CAST(SUM(component_size * n_components) OVER () AS DOUBLE)
+      |    AS docs_share,
+      |  CAST(SUM(CASE WHEN component_size >= 2 THEN n_components ELSE 0 END)
+      |    OVER () AS BIGINT) AS n_multi,
+      |  1.0::DOUBLE
+      |    + CAST(SUM(CASE WHEN component_size >= 2 THEN n_components ELSE 0 END)
+      |        OVER () AS DOUBLE)
+      |      / nullif(CAST(SUM(CASE WHEN component_size >= 2
+      |                         THEN n_components * ln_micro ELSE 0 END)
+      |          OVER () AS DOUBLE) / 1000000.0::DOUBLE, 0.0::DOUBLE) AS alpha
+      |FROM hist ORDER BY component_size""".stripMargin
+
   /** Q141: leakage-safe train/val/test split — the assignment is a hash of
     * the near-dup COMPONENT representative, not of the document, so near-
     * duplicate documents can never straddle a split boundary (the

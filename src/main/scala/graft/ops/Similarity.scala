@@ -248,6 +248,69 @@ object Similarity {
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Q251: semantic decontamination audit — the embedding-space complement
+    * of q79's gram-overlap decontamination (the OpenAI / Llama "semantic
+    * dedup against eval sets" step): held-out eval vectors are carved out
+    * by a deterministic md5 bucket (the q141 split arithmetic), and every
+    * TRAIN vector is scored by its maximum cosine against the eval set;
+    * per cluster label we report the train count, how many exceed the
+    * contamination threshold, the mean max-similarity (micro-grid BIGINT
+    * sum → one division, q204 discipline), and the per-label maximum (raw
+    * — bit-identical doubles, r9 rule).
+    *
+    * Scale: an eval benchmark is tiny BY CONSTRUCTION (a fixed holdout vs
+    * a growing corpus), so eval×corpus is a broadcast scan — linear in
+    * train size, one shuffle for the per-label aggregate. The same shape
+    * q38/q153 use (PlanAuditSpec-allowlisted semantics). */
+  def qSemanticDecontamination(t: Tables, threshold: Double = 0.4): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    val e = t.embeddings.select(col("vec_id"), col("embedding"), col("label"),
+      (bucket === 0L).as("is_eval"))
+    val evalSide = e.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("emb_e"))
+    val train = t.fanout(e.filter(!col("is_eval")))
+    train.crossJoin(broadcast(evalSide))
+      .withColumn("s", graft.plans.CosineSim.cosine(col("embedding"), col("emb_e")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("s")).as("max_sim"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("max_sim") > lit(threshold), 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(round(col("max_sim") * lit(1000000.0)).cast("long"))
+          .as("sum_max_sim_micro"),
+        max(col("max_sim")).as("top_sim"))
+      .select(col("label"), col("n_train"), col("n_flagged"),
+        (col("sum_max_sim_micro").cast("double") / lit(1000000.0)
+          / col("n_train").cast("double")).as("mean_max_sim"),
+        col("top_sim"))
+      .orderBy(col("label"))
+  }
+
+  /** q251 oracle: same md5 eval carve-out, max list_cosine_similarity per
+    * train vector (q38 float parity), micro-BIGINT mean. */
+  def qSemanticDecontaminationSql(threshold: Double = 0.4): String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+      |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS BIGINT)
+      |      % 10 = 0 AS is_eval
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT t.vec_id, t.label,
+      |    MAX(list_cosine_similarity(t.v, s.v)) AS max_sim
+      |  FROM (SELECT * FROM e WHERE NOT is_eval) t
+      |  CROSS JOIN (SELECT * FROM e WHERE is_eval) s
+      |  GROUP BY t.vec_id, t.label)
+      |SELECT label, COUNT(*)::BIGINT AS n_train,
+      |  CAST(SUM(CASE WHEN max_sim > $threshold::DOUBLE THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CAST(round(max_sim * 1000000.0::DOUBLE) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0::DOUBLE / CAST(COUNT(*) AS DOUBLE) AS mean_max_sim,
+      |  MAX(max_sim) AS top_sim
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   // ------------------------------------------------------ LSH scale path
 
   /** Deterministic random hyperplanes: nBits planes × dim coefficients from

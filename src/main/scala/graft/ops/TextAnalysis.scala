@@ -5177,6 +5177,101 @@ object TextAnalysis {
     } finally { feats.unpersist(); () }
   }
 
+  /** Q250: content-defined chunking over the token stream — the
+    * dedup-friendly storage layout primitive (FastCDC / LBFS family,
+    * Muthitacharoen 2001), applied at token granularity: a chunk boundary
+    * falls AFTER token p whenever the rolling 4-token hash at p (q125's
+    * base-257 polynomial over 32-bit md5-prefix values — exact ≤2^58
+    * integer math, replayable cross-engine) is ≡ 0 mod 32, giving
+    * expected ~32-token chunks whose boundaries move with CONTENT, not
+    * offsets — an insertion early in a document re-chunks only its own
+    * neighborhood, so shared suffixes still dedup. Per doc: chunk count,
+    * mean chunk length (one IEEE division of exact ints — raw), and how
+    * many of its chunks also appear verbatim in other documents
+    * (cross-doc chunk sharing, the dedup payoff being priced).
+    *
+    * Scale: tokens explode linearly; the rolling hash and the cut-count
+    * prefix are windows partitioned BY doc_id (never global); chunk
+    * sharing is one groupBy on the chunk hash + an equi-join back —
+    * every shuffle is keyed, nothing quadratic. */
+  def qCdcChunking(t: Tables, mod: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"),
+        posexplode(text.tokenize(col("text"))).as(Seq("pos", "term")))
+      .withColumn("v", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cuts = toks
+      .withColumn("h",
+        col("v") * lit(16974593L) + lead(col("v"), 1).over(w) * lit(66049L)
+          + lead(col("v"), 2).over(w) * lit(257L) + lead(col("v"), 3).over(w))
+      .withColumn("cut",
+        when(col("h").isNotNull && col("h") % lit(mod.toLong) === 0L, 1L)
+          .otherwise(0L))
+      // chunk index = number of cuts strictly BEFORE this token
+      .withColumn("chunk",
+        coalesce(sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = cuts.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_len"),
+        md5(array_join(
+          expr("transform(sort_array(collect_list(struct(pos, term))), x -> x.term)"),
+          " ")).as("chash"))
+    val sharing = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(sharing, Seq("chash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_tokens"),
+        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_shared_chunks"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+        col("n_shared_chunks"),
+        (col("n_tokens").cast("double") / col("n_chunks").cast("double"))
+          .as("mean_chunk_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q250 oracle: the q125 rolling-hash base + a cumulative cut-count
+    * window, chunk text re-joined with string_agg ORDER BY pos. */
+  val qCdcChunkingSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term,
+      |    generate_subscripts(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0), 1) AS pos
+      |  FROM documents),
+      |vals AS (
+      |  SELECT doc_id, pos, term,
+      |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS v
+      |  FROM toks),
+      |cuts AS (
+      |  SELECT doc_id, pos, term,
+      |    CASE WHEN (v * 16974593 + LEAD(v, 1) OVER w * 66049
+      |               + LEAD(v, 2) OVER w * 257 + LEAD(v, 3) OVER w) % 32 = 0
+      |         THEN 1 ELSE 0 END AS cut
+      |  FROM vals WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |chunked AS (
+      |  SELECT doc_id, pos, term,
+      |    COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+      |  FROM cuts),
+      |chunks AS (
+      |  SELECT doc_id, chunk, COUNT(*)::BIGINT AS chunk_len,
+      |    md5(string_agg(term, ' ' ORDER BY pos)) AS chash
+      |  FROM chunked GROUP BY doc_id, chunk),
+      |sharing AS (
+      |  SELECT chash, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chash)
+      |SELECT c.doc_id,
+      |  CAST(SUM(c.chunk_len) AS BIGINT) AS n_tokens,
+      |  COUNT(*)::BIGINT AS n_chunks,
+      |  CAST(SUM(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_chunks,
+      |  CAST(SUM(c.chunk_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS mean_chunk_len
+      |FROM chunks c JOIN sharing s USING (chash)
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   /** q228 oracle: the shared logit chain scores rater A; rater B reuses
     * the q27 score CTEs with their `f` renamed (it would otherwise
     * collide with the logit feature CTE — DuckDB resolves an inner CTE

@@ -676,4 +676,25 @@ class DedupSpec extends SparkSpec {
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.forall { case (a, b) => a < b } && pairs.distinct.length == pairs.length)
   }
+
+  test("q252 component power-law: histogram ties to q37; alpha from the MLE") {
+    val t = sf0001
+    val sizes = Dedup.qDedupComponents(t).collect().map(_.getLong(1))
+    val hist = sizes.groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    val got = Dedup.qComponentSizePowerlaw(t).collect()
+    assert(got.length == hist.size)
+    got.foreach { r =>
+      assert(hist(r.getLong(0)) == r.getLong(1), s"size ${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+    }
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-9, "shares sum to 1")
+    val multi = sizes.filter(_ >= 2L)
+    assert(got.head.getLong(4) == multi.length)
+    if (multi.nonEmpty) {
+      val alpha = 1.0 + multi.length /
+        (multi.map(s => math.round(math.log(s / 1.5) * 1e6)).sum / 1e6)
+      assert(math.abs(got.head.getDouble(5) - alpha) < 1e-9, "alpha MLE")
+    }
+  }
+
 }

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "q153_kcenter",         // Gonzalez coverage IS corpus × broadcast centers (k rows)
     "q157_silhouette",      // a/b distances ARE corpus × broadcast centroids (k rows)
     "q166_knn_binary",      // Hamming scan: codes × broadcast probes (q38 contract)
-    "q165_retrieval_metrics") // composes the q166 scan + the q38 ground truth
+    "q165_retrieval_metrics", // composes the q166 scan + the q38 ground truth
+    "q251_semantic_decontamination") // train scan × broadcast eval holdout (benchmark-sized by construction)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

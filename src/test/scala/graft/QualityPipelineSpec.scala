@@ -1648,4 +1648,47 @@ class QualityPipelineSpec extends SparkSpec {
     assert(rho == 1.0 - 6.0 * sumD2.toDouble / (nd * (nd * nd - 1.0)))
     assert(rho >= -1.0 && rho <= 1.0)
   }
+
+  test("q250 CDC chunking: matches an independent driver-side recompute") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9']+").filter(_.nonEmpty).toSeq).toMap
+    def tokVal(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    // independent chunker: cut AFTER token p when the 4-token hash at p
+    // is divisible by 32; chunk id = cuts strictly before p
+    val chunksByDoc = docs.map { case (id, toks) =>
+      val vs = toks.map(tokVal)
+      val cut = vs.indices.map { p =>
+        p + 3 < vs.length &&
+          (vs(p) * 16974593L + vs(p + 1) * 66049L + vs(p + 2) * 257L
+            + vs(p + 3)) % 32L == 0L
+      }
+      val ids = toks.indices.map(p => cut.slice(0, p).count(identity))
+      id -> toks.zip(ids).groupBy(_._2).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1).mkString(" "))
+    }
+    val shared = chunksByDoc.toSeq.flatMap { case (id, cs) =>
+      cs.distinct.map(_ -> id) }
+      .groupBy(_._1).collect { case (c, xs) if xs.map(_._2).distinct.size >= 2 => c }
+      .toSet
+    val got = TextAnalysis.qCdcChunking(t).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val cs = chunksByDoc(r.getLong(0))
+      assert(r.getLong(1) == cs.map(_.split(" ").length).sum,
+        s"doc ${r.getLong(0)}: token conservation")
+      assert(r.getLong(2) == cs.length, s"doc ${r.getLong(0)}: chunk count")
+      assert(r.getLong(3) == cs.count(shared), s"doc ${r.getLong(0)}: shared chunks")
+      assert(r.getDouble(4) == r.getLong(1).toDouble / r.getLong(2).toDouble)
+    }
+    // content-defined = boundaries reproduce on repeated content: at least
+    // one chunk is shared across docs in the template corpus
+    assert(got.map(_.getLong(3)).sum > 0, "no cross-doc shared chunks")
+  }
+
 }

@@ -230,4 +230,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - brute) < 1e-4,
       s"identity $got vs brute-force $brute")
   }
+
+  test("q251 semantic decontamination: matches a brute-force recompute") {
+    val t = sf0001
+    val vecs = t.embeddings.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val (ev, tr) = vecs.partition(v => bucket(v._1) % 10 == 0)
+    assert(ev.nonEmpty && tr.nonEmpty)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.fasthash.cosine(a, b)
+    val maxSim = tr.map { case (id, v, lab) =>
+      (lab, ev.map(e => cos(v, e._2)).max) }
+    val got = Similarity.qSemanticDecontamination(t).collect()
+    // per-label counts and flags tie out against the brute recompute
+    val byLab = maxSim.groupBy(_._1)
+    assert(got.map(_.getLong(1)).sum == tr.length)
+    got.foreach { r =>
+      val sims = byLab(r.getInt(0)).map(_._2)
+      assert(r.getLong(1) == sims.length, s"label ${r.getInt(0)}: n_train")
+      assert(r.getLong(2) == sims.count(_ > 0.4), s"label ${r.getInt(0)}: flags")
+      assert(math.abs(r.getDouble(4) - sims.max) < 1e-9,
+        s"label ${r.getInt(0)}: top_sim")
+      assert(math.abs(r.getDouble(3) - sims.map(s =>
+        math.round(s * 1e6)).sum / 1e6 / sims.length) < 1e-9,
+        s"label ${r.getInt(0)}: mean")
+    }
+  }
+
 }
