@@ -5272,6 +5272,97 @@ object TextAnalysis {
       |FROM chunks c JOIN sharing s USING (chash)
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Q253: training-order shuffle-quality audit — a sequential trainer
+    * sees the corpus in storage order, so a bad global shuffle (source-
+    * clumped data) shows up as drift/instability; this audits a SEEDED
+    * deterministic permutation (md5 of doc_id — how a production pipeline
+    * assigns shuffle order, never random()) by slicing it into contiguous
+    * blocks of `block` docs and scoring each block's source mix against
+    * the corpus mix with a per-block χ². Missing cells need no synthesis:
+    * Σ_all e_s = n_b, so χ²_b = Σ_present((o−e)²/e − e) + n_b — present
+    * cells only. Per-cell terms are micro-rounded BIGINTs (q204), χ² is
+    * one exact sum + one addition.
+    *
+    * Scale: the permutation rank is bucketRank (no global sort); cells
+    * aggregate on (block, source); per-source totals are a 5-row
+    * broadcast aggregate — the only windows run per block (≤ |sources|
+    * rows each). Nothing global, nothing quadratic. */
+  def qShuffleQualityAudit(t: Tables, block: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t.fanout(t.documents).select(col("doc_id"), col("source"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+    val ranked = bucketRank(docs, "h", 1L << 52,
+      Seq(col("h"), col("doc_id")), "pos")
+      .withColumn("blk", expr(s"(pos - 1) div $block"))
+    val cells = ranked.groupBy(col("blk"), col("source"))
+      .agg(count(lit(1)).as("observed"))
+    val srcTot = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("n", sum(col("n_s")).over(Window.partitionBy(lit(1))))
+    val wBlk = Window.partitionBy(col("blk"))
+    val od = col("observed").cast("double")
+    val e = col("expected")
+    cells.join(broadcast(srcTot), Seq("source"))
+      .withColumn("block_size", sum(col("observed")).over(wBlk))
+      .withColumn("expected",
+        col("block_size").cast("double") * col("n_s").cast("double")
+          / col("n").cast("double"))
+      .withColumn("term_micro",
+        round(((od - e) * (od - e) / e - e) * lit(1000000.0)).cast("long"))
+      .withColumn("chi2_block",
+        sum(col("term_micro")).over(wBlk).cast("double") / lit(1000000.0)
+          + col("block_size").cast("double"))
+      .select(col("blk").as("block"), col("source"), col("observed"),
+        col("block_size"), col("expected"), col("term_micro"),
+        col("chi2_block"))
+      .orderBy(col("block"), col("source"))
+  }
+
+  /** q253 oracle: ROW_NUMBER over the same md5 key (provably equal to
+    * bucketRank), identical χ² identity and micro terms. */
+  def qShuffleQualityAuditSql(block: Int = 100): String =
+    s"""WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    (ROW_NUMBER() OVER (ORDER BY
+      |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT),
+      |       doc_id) - 1) // $block AS blk
+      |  FROM documents),
+      |cells AS (
+      |  SELECT blk, source, COUNT(*)::BIGINT AS observed
+      |  FROM ranked GROUP BY blk, source),
+      |src_tot AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_s,
+      |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |joined AS (
+      |  SELECT c.blk, c.source, c.observed,
+      |    CAST(SUM(c.observed) OVER (PARTITION BY c.blk) AS BIGINT)
+      |      AS block_size,
+      |    s.n_s, s.n
+      |  FROM cells c JOIN src_tot s USING (source)),
+      |terms AS (
+      |  SELECT *,
+      |    CAST(block_size AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS expected,
+      |    CAST(round(((CAST(observed AS DOUBLE)
+      |        - CAST(block_size AS DOUBLE) * CAST(n_s AS DOUBLE)
+      |          / CAST(n AS DOUBLE))
+      |      * (CAST(observed AS DOUBLE)
+      |        - CAST(block_size AS DOUBLE) * CAST(n_s AS DOUBLE)
+      |          / CAST(n AS DOUBLE))
+      |      / (CAST(block_size AS DOUBLE) * CAST(n_s AS DOUBLE)
+      |         / CAST(n AS DOUBLE))
+      |      - CAST(block_size AS DOUBLE) * CAST(n_s AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+      |      AS term_micro
+      |  FROM joined)
+      |SELECT blk AS block, source, observed, block_size, expected, term_micro,
+      |  CAST(SUM(term_micro) OVER (PARTITION BY blk) AS DOUBLE)
+      |    / 1000000.0::DOUBLE + CAST(block_size AS DOUBLE) AS chi2_block
+      |FROM terms ORDER BY block, source""".stripMargin
+
   /** q228 oracle: the shared logit chain scores rater A; rater B reuses
     * the q27 score CTEs with their `f` renamed (it would otherwise
     * collide with the logit feature CTE — DuckDB resolves an inner CTE

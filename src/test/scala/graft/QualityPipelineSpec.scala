@@ -1691,4 +1691,48 @@ class QualityPipelineSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).sum > 0, "no cross-doc shared chunks")
   }
 
+
+  test("q253 shuffle audit: matches an independent permutation + chi-square") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString, 16) >> 4
+    }
+    val perm = docs.sortBy { case (id, _) => (h(id), id) }
+    val blocks = perm.grouped(100).zipWithIndex.map { case (b, i) =>
+      i.toLong -> b.map(_._2)
+    }.toMap
+    val nS = docs.groupBy(_._2).map { case (s, xs) => s -> xs.length }
+    val n = docs.length.toDouble
+    val got = TextAnalysis.qShuffleQualityAudit(t).collect()
+    assert(got.map(_.getLong(2)).sum == docs.length, "cell counts cover corpus")
+    got.foreach { r =>
+      val (blk, src) = (r.getLong(0), r.getString(1))
+      val o = blocks(blk).count(_ == src).toLong
+      assert(r.getLong(2) == o, s"block $blk source $src observed")
+      assert(r.getLong(3) == blocks(blk).length.toLong, s"block $blk size")
+      val e = blocks(blk).length.toDouble * nS(src) / n
+      assert(math.abs(r.getDouble(4) - e) < 1e-9, s"block $blk $src expected")
+      // chi-square identity: sum over present cells of ((o-e)^2/e - e) + n_b
+      val cells = blocks(blk).groupBy(identity).map { case (s, xs) =>
+        val ob = xs.length.toDouble
+        val ex = blocks(blk).length.toDouble * nS(s) / n
+        math.round(((ob - ex) * (ob - ex) / ex - ex) * 1e6)
+      }
+      val chi2 = cells.sum / 1e6 + blocks(blk).length.toDouble
+      assert(math.abs(r.getDouble(6) - chi2) < 1e-9, s"block $blk chi2")
+      // the full-cell chi-square (with zero cells) equals the identity form
+      // toSeq: mapping the key SET would dedupe equal chi-square terms
+      val full = nS.keys.toSeq.map { s =>
+        val ob = blocks(blk).count(_ == s).toDouble
+        val ex = blocks(blk).length.toDouble * nS(s) / n
+        (ob - ex) * (ob - ex) / ex
+      }.sum
+      assert(math.abs(chi2 - full) < 1e-3, s"block $blk identity-vs-full")
+    }
+  }
+
 }
