@@ -1783,6 +1783,72 @@ object Dedup {
       |          OVER () AS DOUBLE) / 1000000.0::DOUBLE, 0.0::DOUBLE) AS alpha
       |FROM hist ORDER BY component_size""".stripMargin
 
+  /** Q254: cross-source duplication matrix — which source pairs share
+    * near-duplicated content, and how much: for every pair of sources,
+    * the number of q37 near-dup components containing documents from
+    * BOTH, plus the Jaccard of their component sets (shared / union —
+    * one raw division of exact integers). The observability view that
+    * tells a pipeline operator where dedup spend actually goes (mirror
+    * sites, syndication) — the component-level complement of q218's
+    * span-level reuse matrix.
+    *
+    * Scale: (component, source) is one distinct aggregate off the q37
+    * contraction; the pair fanout is a self-equi-join ON THE COMPONENT
+    * key, bounded by |sources|² per component — never corpus-quadratic;
+    * per-source component counts are a |sources|-row broadcast. */
+  def qCrossSourceDupMatrix(t: Tables): DataFrame = {
+    val rep = componentLabels(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+    val srcComp = rep
+      .join(t.documents.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .select(col("label").as("keep_id"), col("source")).distinct()
+    val perSource = srcComp.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_comps"))
+    val a = srcComp.select(col("keep_id"), col("source").as("source_a"))
+    val b = srcComp.select(col("keep_id"), col("source").as("source_b"))
+    a.join(b, Seq("keep_id"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_components"))
+      .join(broadcast(perSource.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_comps", "comps_a")), Seq("source_a"))
+      .join(broadcast(perSource.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_comps", "comps_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_components"),
+        col("comps_a"), col("comps_b"),
+        (col("n_shared_components").cast("double")
+          / (col("comps_a") + col("comps_b") - col("n_shared_components"))
+            .cast("double")).as("component_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q254 oracle: the shared q37 closure chain + a distinct
+    * (component, source) projection self-joined on the component. (def:
+    * componentsRepCtes is declared later — the q230 init-order rule.) */
+  def qCrossSourceDupMatrixSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |sc AS (
+      |  SELECT DISTINCT r.keep_id, d.source
+      |  FROM rep r JOIN documents d ON d.doc_id = r.id),
+      |per_source AS (
+      |  SELECT source, COUNT(*)::BIGINT AS n_comps FROM sc GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    COUNT(*)::BIGINT AS n_shared_components
+      |  FROM sc a JOIN sc b
+      |    ON a.keep_id = b.keep_id AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT s.source_a, s.source_b, s.n_shared_components,
+      |  pa.n_comps AS comps_a, pb.n_comps AS comps_b,
+      |  CAST(s.n_shared_components AS DOUBLE)
+      |    / CAST(pa.n_comps + pb.n_comps - s.n_shared_components AS DOUBLE)
+      |    AS component_jaccard
+      |FROM shared s
+      |JOIN per_source pa ON pa.source = s.source_a
+      |JOIN per_source pb ON pb.source = s.source_b
+      |ORDER BY s.source_a, s.source_b""".stripMargin
+
   /** Q141: leakage-safe train/val/test split — the assignment is a hash of
     * the near-dup COMPONENT representative, not of the document, so near-
     * duplicate documents can never straddle a split boundary (the

@@ -697,4 +697,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+
+  test("q254 cross-source dup matrix: ties to the component labels") {
+    val t = sf0001
+    val labels = Dedup.componentLabels(
+      Dedup.qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val comps = labels.toSeq.groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(x => srcOf(x._1)).toSet }
+    val perSource = comps.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    val got = Dedup.qCrossSourceDupMatrix(t).collect()
+    val expect = comps.values.toSeq
+      .flatMap(ss => ss.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    assert(got.length == expect.size, "pair coverage")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expect(k), s"$k shared components")
+      assert(r.getLong(3) == perSource(r.getString(0)), s"$k comps_a")
+      assert(r.getLong(4) == perSource(r.getString(1)), s"$k comps_b")
+      assert(r.getDouble(5) ==
+        expect(k).toDouble / (perSource(r.getString(0))
+          + perSource(r.getString(1)) - expect(k)).toDouble)
+    }
+  }
+
 }
