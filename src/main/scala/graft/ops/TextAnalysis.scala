@@ -4413,6 +4413,49 @@ object TextAnalysis {
        |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
   }
 
+  /** Q255: tokenizer fertility audit per source — the per-SOURCE rollup of
+    * q247's per-doc encode: symbols-per-token (fertility) and
+    * chars-per-symbol (compression) by corpus slice. THE go/no-go check
+    * when a tokenizer trained on one mix meets another source (fertility
+    * spikes = cost blowup and degraded modelling; cf. the multilingual
+    * fertility analyses of mBERT/XLM-R and the GPT-NeoX/BLOOM tokenizer
+    * reports). Same trained-merge cache as q244/q247 (one deterministic
+    * fit per session); all sums exact BIGINTs, ratios one raw IEEE
+    * division each.
+    *
+    * Scale: the encode is q247's linear explode + vocab-bounded merge
+    * chain; this adds one |sources|-row aggregate. */
+  def qBpeFertility(t: Tables, rounds: Int = 8): DataFrame =
+    qBpeEncode(t, rounds)
+      .join(t.documents.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_symbols")).as("n_symbols"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_symbols"),
+        (col("n_symbols").cast("double") / col("n_tokens").cast("double"))
+          .as("symbols_per_token"),
+        (col("n_chars").cast("double") / col("n_symbols").cast("double"))
+          .as("chars_per_symbol"))
+      .orderBy(col("source"))
+
+  /** q255 oracle: the q247 encode query as a derived table (its own WITH
+    * chain — no outer CTEs to collide with), joined to documents and
+    * rolled up by source. */
+  def qBpeFertilitySql(rounds: Int = 8): String =
+    s"""SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+      |  CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(e.n_symbols) AS BIGINT) AS n_symbols,
+      |  CAST(SUM(e.n_symbols) AS DOUBLE)
+      |    / CAST(SUM(e.n_tokens) AS DOUBLE) AS symbols_per_token,
+      |  CAST(SUM(d.n_chars) AS DOUBLE) / CAST(SUM(e.n_symbols) AS DOUBLE)
+      |    AS chars_per_symbol
+      |FROM (${qBpeEncodeSql(rounds)}) e
+      |JOIN documents d USING (doc_id)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** q244 oracle: the q135 word-frequency base + K chained MATERIALIZED
     * per-round CTE triples (pairs → 1-row best → rewritten vocab), best
     * pair applied via the same padded-space replace, merges unioned at

@@ -1735,4 +1735,29 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+
+  test("q255 fertility: per-source rollup ties to the q247 per-doc encode") {
+    val t = sf0001
+    val perDoc = TextAnalysis.qBpeEncode(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val meta = t.documents.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = TextAnalysis.qBpeFertility(t).collect()
+    val bySrc = meta.groupBy(_._2)
+    assert(got.length == bySrc.size)
+    got.foreach { r =>
+      val docs = bySrc(r.getString(0))
+      val nt = docs.map(d => perDoc(d._1)._1).sum
+      val ns = docs.map(d => perDoc(d._1)._2).sum
+      val nc = docs.map(_._3).sum
+      assert(r.getLong(1) == docs.length.toLong)
+      assert(r.getLong(2) == nt && r.getLong(3) == ns)
+      assert(r.getDouble(4) == ns.toDouble / nt.toDouble)
+      assert(r.getDouble(5) == nc.toDouble / ns.toDouble)
+      // a merged vocab must compress: fertility strictly below the
+      // chars+end-marker upper bound, and at least one symbol per token
+      assert(r.getDouble(4) >= 1.0)
+    }
+  }
+
 }
