@@ -352,6 +352,27 @@ object fasthash {
 
   def shingleSetUdf(shingleLen: Int) = udf((text: String) => shingleSet(text, shingleLen))
 
+  /** Sorted distinct shingle hashes — the q191 merge-intersect form for
+    * char shingles (same shingle set as minhashSignature, same base hash):
+    * built ONCE per doc, so pair verification never re-shingles texts.
+    * Hash-set |∩| equals string-set |∩| absent a 64-bit collision within
+    * one pair's shingles (P ≈ 2⁻⁴⁰ at 10k shingles) — the oracle verifies
+    * the string semantics end-to-end. */
+  def sortedShingleHashes(text: String, shingleLen: Int): Array[Long] = {
+    val sh = shingleSet(text, shingleLen)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = hashString(sh(i), 0x9E3779B9L); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  def sortedShingleHashesUdf(shingleLen: Int) =
+    udf((text: String) => sortedShingleHashes(text, shingleLen))
+
+  def minhashSignatureUdf(numHashes: Int, shingleLen: Int) =
+    udf((text: String) => minhashSignature(text, numHashes, shingleLen))
+
   val simhashUdf = udf((text: String) => simhash64(text))
 
   val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))

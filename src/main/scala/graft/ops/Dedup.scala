@@ -1849,6 +1849,102 @@ object Dedup {
       |JOIN per_source pb ON pb.source = s.source_b
       |ORDER BY s.source_a, s.source_b""".stripMargin
 
+  /** Q256: MinHash estimator calibration audit — the measurement that
+    * justifies trusting q34's screening at all: over a REPLAYABLE pair
+    * population (the q32/q201 prefix-blocked candidates, pre-threshold),
+    * compare the 64-perm minhash agreement estimate against the EXACT
+    * char-8-shingle Jaccard it estimates, bucketed by true-Jaccard decile
+    * (exact integer arithmetic: (10·|∩|) div |∪|). The exact columns
+    * (bucket, pair count, micro-sum of true Jaccard) are oracled; the
+    * engine-specific estimator folds into two deterministic error-envelope
+    * booleans the oracle asserts TRUE (the q23/q109/q121 envelope class):
+    * per-bucket mean |err| ≤ 0.1 and max |err| ≤ 0.45 — the binomial
+    * tail at 64 perms puts P(|err| > 0.45) ≈ 5·10⁻¹², safe to billions
+    * of pairs, while a real calibration break (wrong shingle family,
+    * broken perm seeding) lands far outside.
+    *
+    * Scale: per-doc sorted shingle-hash arrays + signatures built ONCE
+    * from the fanned scan and localCheckpointed (the q191 anti-re-eval
+    * shape); the pair kernel is a primitive merge-intersect + 64-lane
+    * compare (~1 µs); the population is the governed family's — q201
+    * prices it, and a capped caller can run the same audit through
+    * `governedFuzzyCandidates`. */
+  def qMinhashCalibration(t: Tables, numHashes: Int = 64,
+      shingleLen: Int = 8, meanCapMicro: Long = 100000L,
+      maxCapMicro: Long = 450000L): DataFrame = {
+    require(1000000 % numHashes == 0, "numHashes must divide 1e6 (exact micro est)")
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val d = t.fanout(t.documents).select(col("doc_id"),
+        substring(col("text"), 1, 10).as("blk"),
+        fasthash.sortedShingleHashesUdf(shingleLen)(col("text")).as("sh"),
+        fasthash.minhashSignatureUdf(numHashes, shingleLen)(col("text")).as("sig"))
+      .localCheckpoint()
+    val a = d.select(col("blk"), col("doc_id").as("id_a"),
+      col("sh").as("sha"), col("sig").as("siga"))
+    val b = d.select(col("blk"), col("doc_id").as("id_b"),
+      col("sh").as("shb"), col("sig").as("sigb"))
+    val estUnit = 1000000L / numHashes
+    val scored = a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sha"), col("shb"),
+        col("siga"), col("sigb"))
+      .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (ia, ib, sha, shb, siga, sigb) =>
+        var i = 0; var j = 0; var inter = 0L
+        while (i < sha.length && j < shb.length) {
+          if (sha(i) == shb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sha(i) < shb(j)) i += 1
+          else j += 1
+        }
+        val union = sha.length.toLong + shb.length.toLong - inter
+        var k = 0; var agree = 0L
+        while (k < siga.length) { if (siga(k) == sigb(k)) agree += 1; k += 1 }
+        // positive value — Math.round matches both engines' round()
+        val tjMicro = Math.round(inter.toDouble / union.toDouble * 1e6)
+        (ia, ib, inter * 10L / union, tjMicro,
+          Math.abs(agree * estUnit - tjMicro))
+      }).toDF("id_a", "id_b", "bucket", "tj_micro", "err_micro")
+    scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("tj_micro")).as("sum_tj_micro"),
+        sum(col("err_micro")).as("sum_err"),
+        max(col("err_micro")).as("max_err"))
+      .select(col("bucket"), col("n_pairs"), col("sum_tj_micro"),
+        (col("sum_tj_micro").cast("double") / lit(1000000.0)
+          / col("n_pairs").cast("double")).as("mean_true_jaccard"),
+        // exact integer envelope tests — no division
+        (col("sum_err") <= lit(meanCapMicro) * col("n_pairs")).as("mean_err_ok"),
+        (col("max_err") <= lit(maxCapMicro)).as("max_err_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q256 oracle: blocked pairs + exact string-set shingle Jaccard
+    * (list_intersect/list_distinct — integer counts), same decile and
+    * micro-sum arithmetic; the envelope booleans are asserted TRUE. */
+  val qMinhashCalibrationSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, substr(text, 1, 10) AS blk,
+      |    list_distinct(CASE WHEN len(t) < 8 THEN [t]
+      |      ELSE [substr(t, i, 8) FOR i IN range(1, len(t) - 6)] END) AS s
+      |  FROM (SELECT doc_id, text, lower(text) AS t FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s))::BIGINT AS inter,
+      |    len(list_distinct(a.s || b.s))::BIGINT AS un
+      |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      |cells AS (
+      |  SELECT (inter * 10) // un AS bucket,
+      |    CAST(round(CAST(inter AS DOUBLE) / CAST(un AS DOUBLE)
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS tj_micro
+      |  FROM pairs)
+      |SELECT bucket, COUNT(*)::BIGINT AS n_pairs,
+      |  CAST(SUM(tj_micro) AS BIGINT) AS sum_tj_micro,
+      |  CAST(SUM(tj_micro) AS DOUBLE) / 1000000.0::DOUBLE
+      |    / CAST(COUNT(*) AS DOUBLE) AS mean_true_jaccard,
+      |  TRUE AS mean_err_ok, TRUE AS max_err_ok
+      |FROM cells GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Q141: leakage-safe train/val/test split — the assignment is a hash of
     * the near-dup COMPONENT representative, not of the document, so near-
     * duplicate documents can never straddle a split boundary (the

@@ -726,4 +726,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+
+  test("q256 minhash calibration: ties to a string-set + signature recompute") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byBlk = docs.groupBy(_._2.substring(0, 10))
+    case class Cell(bucket: Long, tjMicro: Long, errMicro: Long)
+    val cells = byBlk.values.toSeq.flatMap { ds =>
+      ds.toSeq.sortBy(_._1).combinations(2).map { p =>
+        val Seq((ia, ta), (ib, tb)) = p
+        val sa = graft.functions.fasthash.shingleSet(ta, 8).toSet
+        val sb = graft.functions.fasthash.shingleSet(tb, 8).toSet
+        val inter = (sa & sb).size.toLong
+        val un = (sa | sb).size.toLong
+        val siga = graft.functions.fasthash.minhashSignature(ta, 64, 8)
+        val sigb = graft.functions.fasthash.minhashSignature(tb, 64, 8)
+        val agree = siga.zip(sigb).count { case (x, y) => x == y }.toLong
+        val tj = Math.round(inter.toDouble / un.toDouble * 1e6)
+        Cell(inter * 10L / un, tj, Math.abs(agree * 15625L - tj))
+      }
+    }
+    val got = Dedup.qMinhashCalibration(t).collect()
+    val byBucket = cells.groupBy(_.bucket)
+    assert(got.length == byBucket.size)
+    got.foreach { r =>
+      val cs = byBucket(r.getLong(0))
+      assert(r.getLong(1) == cs.length.toLong, s"bucket ${r.getLong(0)} n")
+      assert(r.getLong(2) == cs.map(_.tjMicro).sum, s"bucket ${r.getLong(0)} tj sum")
+      assert(r.getBoolean(4) == (cs.map(_.errMicro).sum <= 100000L * cs.length),
+        s"bucket ${r.getLong(0)} mean envelope")
+      assert(r.getBoolean(5) == (cs.map(_.errMicro).max <= 450000L),
+        s"bucket ${r.getLong(0)} max envelope")
+      // and the envelopes genuinely hold on this corpus
+      assert(r.getBoolean(4) && r.getBoolean(5))
+    }
+  }
+
 }
