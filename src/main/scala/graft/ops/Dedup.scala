@@ -1945,6 +1945,122 @@ object Dedup {
       |  TRUE AS mean_err_ok, TRUE AS max_err_ok
       |FROM cells GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Q257: layered-dedup agreement audit — production pipelines stack
+    * dedup layers (exact hash → near-dup components → sketch-based), and
+    * the question that decides whether a layer earns its cost is how much
+    * of its removal set the OTHER layers already caught. This compares
+    * the three fully-replayable removal sets — exact md5 duplicates
+    * (keep-min per hash), q37 fuzzy components (id ≠ representative), and
+    * SimHash components over the q131 verified pairs (the oracle-exact
+    * simhash face) — emitting per-method totals (self rows) and pairwise
+    * overlap rows with removal-set Jaccard. Overlap rows appear only when
+    * the intersection is non-empty (sparse by construction; both engines
+    * agree).
+    *
+    * Scale: each removal set is its standalone plan (window per hash /
+    * star contraction); the comparison is one union + a self-equi-join ON
+    * doc_id (bounded by 3 methods per doc) + a 3-row broadcast of totals. */
+  def qDedupMethodAgreement(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exactRemoved = t.documents
+      .withColumn("keep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"), lit("exact").as("method"))
+    def removedOf(pairs: DataFrame, name: String): DataFrame =
+      componentLabels(pairs, t.documents.select(col("doc_id").as("id")))
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"), lit(name).as("method"))
+    val removed = exactRemoved
+      .union(removedOf(qFuzzyPairs(t).select(col("id_a"), col("id_b")), "fuzzy"))
+      .union(removedOf(qSimhashGate(t).select(col("id_a"), col("id_b")), "simhash"))
+    val perMethod = removed.groupBy(col("method"))
+      .agg(count(lit(1)).as("n_removed"))
+    val l = removed.select(col("doc_id"), col("method").as("method_a"))
+    val r = removed.select(col("doc_id"), col("method").as("method_b"))
+    val overlap = l.join(r, Seq("doc_id"))
+      .filter(col("method_a") < col("method_b"))
+      .groupBy(col("method_a"), col("method_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perMethod.select(col("method").as("method_a"),
+        col("n_removed").as("n_a"))), Seq("method_a"))
+      .join(broadcast(perMethod.select(col("method").as("method_b"),
+        col("n_removed").as("n_b"))), Seq("method_b"))
+    val self = perMethod.select(col("method").as("method_a"),
+      col("method").as("method_b"), col("n_removed").as("n_both"),
+      col("n_removed").as("n_a"), col("n_removed").as("n_b"))
+    overlap.select(col("method_a"), col("method_b"), col("n_both"),
+        col("n_a"), col("n_b"))
+      .union(self)
+      .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("removal_jaccard"))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
+  /** q257 oracle: the q37 closure + a renamed clone of it over the q131
+    * simhash pair CTE (two recursive closures in one WITH RECURSIVE;
+    * renamed, never nested — the q228 no-shadowing rule), plus an md5
+    * keep-min window. */
+  def qDedupMethodAgreementSql: String = {
+    val shClosure =
+      """se AS (
+        |  SELECT id_a AS a, id_b AS b FROM shp
+        |  UNION SELECT id_b, id_a FROM shp
+        |), sreach AS (
+        |  SELECT a AS x, b AS y FROM se
+        |  UNION
+        |  SELECT sreach.x, se.b FROM sreach JOIN se ON sreach.y = se.a
+        |), srep AS (
+        |  SELECT v.doc_id AS id,
+        |    LEAST(v.doc_id, COALESCE(MIN(sreach.y), v.doc_id)) AS keep_id
+        |  FROM documents v LEFT JOIN sreach ON sreach.x = v.doc_id
+        |  GROUP BY v.doc_id
+        |)""".stripMargin
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |$simhashBandsCtes,
+      |shp AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.chunk = b.chunk AND a.cv = b.cv
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING MAX(bit_count(xor(a.cv0, b.cv0)) + bit_count(xor(a.cv1, b.cv1))
+      |           + bit_count(xor(a.cv2, b.cv2)) + bit_count(xor(a.cv3, b.cv3))
+      |         ) <= 3),
+      |$shClosure,
+      |removed AS (
+      |  SELECT doc_id, 'exact' AS method FROM (
+      |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |    FROM documents) WHERE doc_id <> keep
+      |  UNION ALL
+      |  SELECT id AS doc_id, 'fuzzy' AS method FROM rep WHERE id <> keep_id
+      |  UNION ALL
+      |  SELECT id AS doc_id, 'simhash' AS method FROM srep WHERE id <> keep_id),
+      |per_method AS (
+      |  SELECT method, COUNT(*)::BIGINT AS n_removed FROM removed GROUP BY method),
+      |overlap AS (
+      |  SELECT l.method AS method_a, r.method AS method_b,
+      |    COUNT(*)::BIGINT AS n_both
+      |  FROM removed l JOIN removed r
+      |    ON l.doc_id = r.doc_id AND l.method < r.method
+      |  GROUP BY 1, 2),
+      |rows_ AS (
+      |  SELECT o.method_a, o.method_b, pa.n_removed AS n_a,
+      |    pb.n_removed AS n_b, o.n_both
+      |  FROM overlap o
+      |  JOIN per_method pa ON pa.method = o.method_a
+      |  JOIN per_method pb ON pb.method = o.method_b
+      |  UNION ALL
+      |  SELECT method, method, n_removed, n_removed, n_removed
+      |  FROM per_method)
+      |SELECT method_a, method_b, n_a, n_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE)
+      |    AS removal_jaccard
+      |FROM rows_ ORDER BY method_a, method_b""".stripMargin
+  }
+
   /** Q141: leakage-safe train/val/test split — the assignment is a hash of
     * the near-dup COMPONENT representative, not of the document, so near-
     * duplicate documents can never straddle a split boundary (the

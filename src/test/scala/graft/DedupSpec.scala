@@ -763,4 +763,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+
+  test("q257 dedup agreement: set algebra ties to the three removal sets") {
+    val t = sf0001
+    // exact: independent driver-side recompute via MessageDigest
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exact = docs.groupBy(d => md5hex(d._2)).values
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    def removalSet(pairs: org.apache.spark.sql.DataFrame): Set[Long] =
+      Dedup.componentLabels(pairs,
+        t.documents.select(col("doc_id").as("id"))).collect()
+        .collect { case r if r.getLong(0) != r.getLong(1) => r.getLong(0) }
+        .toSet
+    val fuzzy = removalSet(Dedup.qFuzzyPairs(t).select(col("id_a"), col("id_b")))
+    val sim = removalSet(Dedup.qSimhashGate(t).select(col("id_a"), col("id_b")))
+    val sets = Map("exact" -> exact, "fuzzy" -> fuzzy, "simhash" -> sim)
+    val got = Dedup.qDedupMethodAgreement(t).collect()
+    val expected = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq
+      if a <= b && (a == b || (sets(a) & sets(b)).nonEmpty)
+      if sets(a).nonEmpty && sets(b).nonEmpty
+    } yield (a, b)).sorted
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq == expected)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val both = (sets(a) & sets(b)).size.toLong
+      assert(r.getLong(2) == sets(a).size.toLong, s"($a,$b) n_a")
+      assert(r.getLong(3) == sets(b).size.toLong, s"($a,$b) n_b")
+      assert(r.getLong(4) == both, s"($a,$b) n_both")
+      assert(r.getDouble(5) == both.toDouble /
+        (sets(a).size + sets(b).size - both).toDouble)
+    }
+  }
+
 }
