@@ -2061,6 +2061,63 @@ object Dedup {
       |FROM rows_ ORDER BY method_a, method_b""".stripMargin
   }
 
+  /** Q258: batch duplicate-exposure audit — near-duplicates that land in
+    * the SAME training batch correlate gradients and waste step budget
+    * (the within-batch face of the Lee 2022 repetition cost); this
+    * composes q253's seeded-permutation blocks with q37's near-dup
+    * components: per contiguous block of 100 docs, how many within-block
+    * doc pairs share a component (Σ c·(c−1)/2 over per-(block, component)
+    * counts — the q185 pricing arithmetic applied to batches), and how
+    * many docs sit in an intra-block duplicate group. A well-mixed
+    * shuffle drives this toward the hypergeometric floor; clumping shows
+    * up immediately.
+    *
+    * Scale: the permutation is bucketRank, the labels are the q37
+    * contraction, the audit is two keyed aggregates — nothing global. */
+  def qBatchDupExposure(t: Tables, block: Int = 100): DataFrame = {
+    val docs = t.fanout(t.documents).select(col("doc_id"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+    val ranked = TextAnalysis.bucketRank(docs, "h", 1L << 52,
+      Seq(col("h"), col("doc_id")), "pos")
+      .withColumn("blk", expr(s"(pos - 1) div $block"))
+      .select(col("doc_id").as("id"), col("blk"))
+    val labels = componentLabels(
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id")))
+    val cells = ranked.join(labels, Seq("id"))
+      .groupBy(col("blk"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy(col("blk"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(expr("c * (c - 1L) div 2L")).as("n_dup_pairs"),
+        sum(when(col("c") >= 2L, col("c")).otherwise(0L)).as("n_dup_docs"))
+      .select(col("blk").as("block"), col("n_docs"),
+        col("n_dup_pairs"), col("n_dup_docs"))
+      .orderBy(col("block"))
+  }
+
+  /** q258 oracle: the q253 ROW_NUMBER permutation + the shared q37
+    * closure, two grouped aggregates. (def: componentsRepCtes init-order
+    * rule.) */
+  def qBatchDupExposureSql(block: Int = 100): String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |ranked AS (
+      |  SELECT doc_id,
+      |    (ROW_NUMBER() OVER (ORDER BY
+      |       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT),
+      |       doc_id) - 1) // $block AS blk
+      |  FROM documents),
+      |cells AS (
+      |  SELECT r.blk, p.keep_id, COUNT(*)::BIGINT AS c
+      |  FROM ranked r JOIN rep p ON p.id = r.doc_id
+      |  GROUP BY r.blk, p.keep_id)
+      |SELECT blk AS block, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_dup_pairs,
+      |  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs
+      |FROM cells GROUP BY blk ORDER BY block""".stripMargin
+
   /** Q141: leakage-safe train/val/test split — the assignment is a hash of
     * the near-dup COMPONENT representative, not of the document, so near-
     * duplicate documents can never straddle a split boundary (the

@@ -1266,7 +1266,7 @@ object TextAnalysis {
     * and the row_number window runs partitioned BY BUCKET. Provably equal
     * to the global ROW_NUMBER because the bucket key is monotone in the
     * leading sort key. `span` = exclusive upper bound of microCol. */
-  private def bucketRank(df: DataFrame, microCol: String, span: Long,
+  private[graft] def bucketRank(df: DataFrame, microCol: String, span: Long,
       orderCols: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession

@@ -800,4 +800,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+
+  test("q258 batch dup exposure: ties to an independent permutation + labels") {
+    val t = sf0001
+    val ids = t.documents.select("doc_id").collect().map(_.getLong(0))
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString, 16) >> 4
+    }
+    val blocks = ids.sortBy(id => (h(id), id)).grouped(100).zipWithIndex
+      .map { case (b, i) => i.toLong -> b.toSeq }.toMap
+    val labels = Dedup.componentLabels(
+      Dedup.qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      t.documents.select(col("doc_id").as("id"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.qBatchDupExposure(t).collect()
+    assert(got.length == blocks.size)
+    var totalDupPairs = 0L
+    got.foreach { r =>
+      val members = blocks(r.getLong(0))
+      val byComp = members.groupBy(labels)
+      assert(r.getLong(1) == members.length.toLong)
+      val dupPairs = byComp.values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+      assert(r.getLong(2) == dupPairs, s"block ${r.getLong(0)} dup pairs")
+      assert(r.getLong(3) ==
+        byComp.values.filter(_.size >= 2).map(_.size.toLong).sum,
+        s"block ${r.getLong(0)} dup docs")
+      totalDupPairs += dupPairs
+    }
+    // sanity vs the global pair bound: within-block pairs can never exceed
+    // all component pairs in the corpus
+    val allPairs = labels.toSeq.groupBy(_._2).values
+      .map(g => g.size.toLong * (g.size - 1) / 2).sum
+    assert(totalDupPairs <= allPairs)
+  }
+
 }
