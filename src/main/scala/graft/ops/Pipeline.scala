@@ -123,10 +123,8 @@ object Pipeline {
       threshold: Double = 0.1, damping: Double = 0.85,
       iterations: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reps = Dedup.componentsMinId(
-      Dedup.qFuzzyPairs(t).select(col("id_a"), col("id_b")),
-      t.documents.select(col("doc_id").as("id")))
-      .select(col("keep_id").as("doc_id"))
+    val reps = Dedup.fuzzyLabelsCached(t)
+      .select(col("label").as("doc_id")).distinct()
     val kept = t.documents.join(reps, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
       .localCheckpoint(eager = false)
