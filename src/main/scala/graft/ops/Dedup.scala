@@ -432,11 +432,22 @@ object Dedup {
     * never n². The pigeonhole guarantee (hamming ≤ 3 over 4 chunks ⇒
     * some chunk equal) makes the equi-join lossless for the emitted
     * distance, so this IS the exact hamming-≤3 pair set. */
-  /** The oracle-replayable SimHash band rows shared by q131/q185:
-    * (doc_id, cv0..cv3, chunk, cv) — one 64-column signature aggregate,
-    * then a single projection + explode for the 4 band rows per doc
-    * (q128: a 4-way union of selects recomputes the pipeline per branch). */
-  private def simhashBands(t: Tables): DataFrame = {
+  /** The oracle-replayable SimHash band rows shared by q131/q185/q186/
+    * q195/q257: (doc_id, cv0..cv3, chunk, cv) — one 64-column signature
+    * aggregate, then a single projection + explode for the 4 band rows
+    * per doc (q128: a 4-way union of selects recomputes the pipeline per
+    * branch). Session-cached (the fuzzyLabelsCached contract): FIVE
+    * consumers, one deterministic build, bit-identical hits; the table is
+    * 4 small rows per doc, so the checkpoint is cheap at any SF. */
+  private val bandsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def simhashBands(t: Tables): DataFrame =
+    bandsCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#simhash-bands",
+      simhashBandsBuild(t).localCheckpoint())
+
+  private def simhashBandsBuild(t: Tables): DataFrame = {
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("cnt"))
