@@ -1223,4 +1223,104 @@ object Similarity {
       |  (ss / 1000000000000.0::DOUBLE - CAST(n AS DOUBLE))
       |    / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE), 0.0) AS mean_cos
       |FROM fin ORDER BY dim""".stripMargin
+
+  /** Q259: exact KNN-Shapley data valuation over the embedding corpus —
+    * the Shapley value of every train point under a K-NN utility, via the
+    * closed-form sorted-pass recurrence (Jia et al., "Efficient
+    * Task-Specific Data Valuation for Nearest Neighbor Algorithms",
+    * VLDB 2019). No Monte-Carlo: for each test probe, rank train points
+    * by similarity and walk the suffix recurrence
+    *   s_N = 1[y_N = y] / N
+    *   s_i = s_{i+1} + (1[y_i = y] − 1[y_{i+1} = y]) · min(K,i)/(K·i)
+    * Data valuation is the selection primitive the dedup/quality/mixing
+    * blocks feed: it prices each training point's marginal contribution
+    * to held-out accuracy.
+    *
+    * Hash-gate discipline: similarities are the q38 sequential-double
+    * cosine (bit-identical to DuckDB's list_cosine_similarity), ranks are
+    * (sim DESC, train_id) total orders, and every recurrence term is
+    * micro-rounded to an exact BIGINT before the suffix sum (weights are
+    * positive, integer 0-dp rounding is cross-engine-safe; the signed
+    * indicator difference multiplies the rounded weight as an exact
+    * integer), so per-point values are order-independent integer sums.
+    * sv_mean is one division of exact integers — emitted raw.
+    *
+    * Scale: probes broadcast — one map-side pass over the train corpus
+    * (the q38 asymmetry); the per-probe suffix sum is a window partitioned
+    * by probe, and because the terms are exact integers the two-phase
+    * bucket prefix (TextAnalysis.bucketRank idiom: suffix = total − prefix
+    * + current) swaps in per probe when a single probe's ranking no longer
+    * fits one task. */
+  def qKnnShapley(t: Tables, k: Int = 5, nProbes: Int = 16): DataFrame = {
+    val emb = t.embeddings
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pid"), col("embedding").as("emb_p"),
+        col("label").as("plabel"))
+    val train = emb.filter(col("vec_id") >= nProbes)
+      .select(col("vec_id").as("train_id"), col("embedding").as("emb_t"),
+        col("label"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("s").desc, col("train_id"))
+    val wAll = Window.partitionBy(col("pid"))
+    val scored = t.fanout(train).crossJoin(broadcast(probes))
+      .withColumn("s", graft.plans.CosineSim.cosine(col("emb_p"), col("emb_t")))
+      .withColumn("ind", when(col("label") === col("plabel"), 1L).otherwise(0L))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ind_next", lead(col("ind"), 1).over(w))
+    val terms = ranked.withColumn("term_micro",
+      when(col("rnk") === col("n"),
+        col("ind") * round(lit(1e6) / col("n")).cast("long"))
+        .otherwise((col("ind") - col("ind_next")) *
+          round(lit(1e6) * least(lit(k), col("rnk")) /
+            (lit(k) * col("rnk"))).cast("long")))
+    val wSuffix = Window.partitionBy(col("pid")).orderBy(col("rnk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sv = terms.withColumn("sv_micro", sum(col("term_micro")).over(wSuffix))
+    sv.groupBy(col("train_id"), col("label"))
+      .agg(sum(col("sv_micro")).cast("long").as("sv_total_micro"),
+        count(lit(1)).as("n_probes"))
+      .withColumn("sv_mean", col("sv_total_micro").cast("double") /
+        (lit(1e6) * col("n_probes")))
+      .select(col("train_id"), col("label"), col("sv_total_micro"),
+        col("n_probes"), col("sv_mean"))
+      .orderBy(col("train_id"))
+  }
+
+  /** q259 oracle: the identical recurrence — same rank total order, same
+    * micro-rounded integer terms, same suffix window sum. */
+  val qKnnShapleySql: String =
+    """WITH probes AS MATERIALIZED (
+      |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS emb, label AS plabel
+      |  FROM embeddings WHERE vec_id < 16),
+      |train AS MATERIALIZED (
+      |  SELECT vec_id AS train_id, CAST(embedding AS DOUBLE[]) AS emb, label
+      |  FROM embeddings WHERE vec_id >= 16),
+      |scored AS (
+      |  SELECT p.pid, tr.train_id, tr.label,
+      |    list_cosine_similarity(p.emb, tr.emb) AS s,
+      |    CASE WHEN tr.label = p.plabel THEN 1 ELSE 0 END AS ind
+      |  FROM probes p CROSS JOIN train tr),
+      |ranked AS (
+      |  SELECT pid, train_id, label, ind,
+      |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY s DESC, train_id) AS rnk,
+      |    COUNT(*) OVER (PARTITION BY pid) AS n,
+      |    LEAD(ind) OVER (PARTITION BY pid ORDER BY s DESC, train_id) AS ind_next
+      |  FROM scored),
+      |terms AS (
+      |  SELECT pid, train_id, label, rnk,
+      |    CASE WHEN rnk = n THEN ind * CAST(round(1e6 / n) AS BIGINT)
+      |         ELSE (ind - ind_next) *
+      |           CAST(round(1e6 * LEAST(5, rnk) / (5 * rnk)) AS BIGINT)
+      |    END AS term_micro
+      |  FROM ranked),
+      |sv AS (
+      |  SELECT pid, train_id, label,
+      |    SUM(term_micro) OVER (PARTITION BY pid ORDER BY rnk
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sv_micro
+      |  FROM terms)
+      |SELECT train_id, label, CAST(SUM(sv_micro) AS BIGINT) AS sv_total_micro,
+      |  CAST(COUNT(*) AS BIGINT) AS n_probes,
+      |  CAST(CAST(SUM(sv_micro) AS BIGINT) AS DOUBLE) / (1e6 * COUNT(*)) AS sv_mean
+      |FROM sv GROUP BY train_id, label ORDER BY train_id""".stripMargin
 }

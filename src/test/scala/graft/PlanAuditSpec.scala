@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "q157_silhouette",      // a/b distances ARE corpus × broadcast centroids (k rows)
     "q166_knn_binary",      // Hamming scan: codes × broadcast probes (q38 contract)
     "q165_retrieval_metrics", // composes the q166 scan + the q38 ground truth
-    "q251_semantic_decontamination") // train scan × broadcast eval holdout (benchmark-sized by construction)
+    "q251_semantic_decontamination", // train scan × broadcast eval holdout (benchmark-sized by construction)
+    "q259_knn_shapley")     // valuation scan: train corpus × broadcast probes (q38 contract)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -262,4 +262,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q259 KNN-Shapley matches an in-memory recompute + the efficiency axiom") {
+    val t = sf0001
+    val got = Similarity.qKnnShapley(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val all = t.embeddings.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val (probes, train) = all.partition(_._1 < 16)
+    assert(probes.length == 16 && train.nonEmpty)
+    val k = 5
+    val sv = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    probes.foreach { case (_, ep, yl) =>
+      val ranked = train.map { case (tid, et, ty) =>
+        (tid, graft.functions.fasthash.cosine(ep, et), if (ty == yl) 1L else 0L)
+      }.sortBy { case (tid, s, _) => (-s, tid) }
+      val n = ranked.length
+      val terms = Array.tabulate(n) { i =>
+        val rnk = i + 1
+        if (rnk == n) ranked(i)._3 * Math.round(1e6 / n)
+        else (ranked(i)._3 - ranked(i + 1)._3) *
+          Math.round(1e6 * math.min(k, rnk) / (k * rnk))
+      }
+      var acc = 0L
+      val sfx = new Array[Long](n)
+      var i = n - 1
+      while (i >= 0) { acc += terms(i); sfx(i) = acc; i -= 1 }
+      (0 until n).foreach(j => sv(ranked(j)._1) += sfx(j))
+      // efficiency axiom: Shapley values sum to the utility of the full
+      // train set = the top-K label-match share. Each micro-rounded term
+      // (err ≤ 0.5µ) appears in rank-many suffix sums, so the slack is
+      // Σ_j j·0.5µ ≈ n²/4 µ; utilities are multiples of 1/K = 0.2, so
+      // the bound still separates adjacent utility levels for n ≤ ~900
+      val topK = ranked.take(k).map(_._3).sum.toDouble / k
+      val slack = n.toLong * n / 4 * 1e-6
+      assert(math.abs(sfx.sum.toDouble / 1e6 - topK) <= slack,
+        s"efficiency violated: ${sfx.sum / 1e6} vs $topK (slack $slack)")
+    }
+    assert(got.keySet == train.map(_._1).toSet)
+    got.foreach { case (tid, (svMicro, nProbes)) =>
+      assert(nProbes == probes.length, s"train $tid: probe count")
+      assert(svMicro == sv(tid), s"train $tid: ${svMicro} vs ${sv(tid)}")
+    }
+  }
+
 }
