@@ -5445,4 +5445,207 @@ object TextAnalysis {
       |           0.0::DOUBLE) AS kappa
       |FROM m""".stripMargin
   }
+
+  // ------------------------------------------------------------------ q260
+
+  /** The three deterministic weak labelers behind q260 — binary
+    * "high-quality" votes from integer-exact predicates over the q26
+    * feature counts (token length, alpha mass, lexical diversity). No
+    * float thresholds anywhere, so the DuckDB oracle replays the votes
+    * verbatim; one narrow projection, linear scan at any scale. */
+  private def dsVotes(t: Tables): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    t.fanout(t.documents).select(
+      col("doc_id"),
+      when(size(toks) >= 30, 1L).otherwise(0L).as("v1"),
+      when(length(regexp_replace(col("text"), "[^\\p{L}]", "")) * 2 >=
+        length(col("text")), 1L).otherwise(0L).as("v2"),
+      when(size(array_distinct(toks)) * 2 >= size(toks), 1L).otherwise(0L)
+        .as("v3"))
+  }
+
+  /** One EM round's M-step masses over a micro-grid posterior: all exact
+    * BIGINT sums, so the derived rates are single divisions of exact
+    * integers (bit-identical on replay, any aggregation order). */
+  private case class DsRound(cnt: Long, sp: Long, sn: Long,
+      a: Array[Long], b: Array[Long]) {
+    def alpha(j: Int): Double = a(j).toDouble / sp.toDouble
+    def beta(j: Int): Double = b(j).toDouble / sn.toDouble
+    def pi: Double = sp.toDouble / (1000000L * cnt).toDouble
+  }
+  private case class DsModel(rounds: Seq[DsRound], nPos: Long, postMass: Long)
+
+  /** Trained Dawid–Skene state per (session, sfDir, rounds) — the
+    * weightsCache warm-structure contract: the EM sequence is fully
+    * deterministic (micro-grid posteriors, exact integer masses), so a
+    * cache hit is bit-identical to a refit. */
+  private val dsCache =
+    scala.collection.concurrent.TrieMap[String, Option[DsModel]]()
+
+  private def dawidSkeneCached(t: Tables, rounds: Int): Option[DsModel] =
+    dsCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#ds#$rounds",
+      dawidSkeneTrain(t, rounds))
+
+  /** Fixed-round binary Dawid–Skene EM (Dawid & Skene 1979): posterior
+    * class probabilities live on the exact micro grid (pm = round(1e6·p),
+    * positive — integer 0-dp rounding is cross-engine-safe), the M-step
+    * sensitivity/specificity/prior masses are exact BIGINT sums of grid
+    * values (order-independent), and the E-step per-document update is one
+    * fixed left-associated double expression over those exact scalars —
+    * the q139/q190 replayable-iteration discipline. Each round is one
+    * aggregate over the checkpointed vote table + a bounded 8-long driver
+    * fetch (the logitTrain shape); per-document work never leaves the
+    * executors. */
+  private def dawidSkeneTrain(t: Tables, rounds: Int): Option[DsModel] = {
+    val votes = dsVotes(t).localCheckpoint()
+    var cur = votes.withColumn("pm",
+      round(lit(1e6) * (col("v1") + col("v2") + col("v3")) / lit(3))
+        .cast("long"))
+    val hist = scala.collection.mutable.ArrayBuffer.empty[DsRound]
+    var r = 0
+    while (r < rounds) {
+      val row = cur.agg(
+        count(lit(1)), sum(col("pm")),
+        sum(col("pm") * col("v1")), sum(col("pm") * col("v2")),
+        sum(col("pm") * col("v3")),
+        sum((lit(1000000L) - col("pm")) * (lit(1L) - col("v1"))),
+        sum((lit(1000000L) - col("pm")) * (lit(1L) - col("v2"))),
+        sum((lit(1000000L) - col("pm")) * (lit(1L) - col("v3")))).collect()(0)
+      if (row.getLong(0) == 0L) return None
+      val cnt = row.getLong(0)
+      val sp = row.getLong(1)
+      val sn = 1000000L * cnt - sp
+      // the E-step divides by the class masses; a corpus whose three
+      // labelers unanimously agree on every document has no signal for
+      // the model — fail loudly rather than emit NaN rates (q222 class)
+      require(sp > 0L && sn > 0L,
+        s"degenerate Dawid-Skene class mass (sp=$sp, sn=$sn): all three " +
+          "weak labelers are unanimous on every document")
+      val st = DsRound(cnt, sp, sn,
+        Array(row.getLong(2), row.getLong(3), row.getLong(4)),
+        Array(row.getLong(5), row.getLong(6), row.getLong(7)))
+      hist += st
+      val l1 = lit(st.pi) *
+        when(col("v1") === 1L, lit(st.alpha(0))).otherwise(lit(1.0 - st.alpha(0))) *
+        when(col("v2") === 1L, lit(st.alpha(1))).otherwise(lit(1.0 - st.alpha(1))) *
+        when(col("v3") === 1L, lit(st.alpha(2))).otherwise(lit(1.0 - st.alpha(2)))
+      val l0 = lit(1.0 - st.pi) *
+        when(col("v1") === 1L, lit(1.0 - st.beta(0))).otherwise(lit(st.beta(0))) *
+        when(col("v2") === 1L, lit(1.0 - st.beta(1))).otherwise(lit(st.beta(1))) *
+        when(col("v3") === 1L, lit(1.0 - st.beta(2))).otherwise(lit(st.beta(2)))
+      val p = when(l1 + l0 === 0.0, lit(0.5)).otherwise(l1 / (l1 + l0))
+      cur = cur.withColumn("pm", round(p * lit(1e6)).cast("long"))
+      r += 1
+    }
+    val fin = cur.agg(
+      sum(when(col("pm") > 500000L, 1L).otherwise(0L)),
+      sum(col("pm"))).collect()(0)
+    Some(DsModel(hist.toSeq, fin.getLong(0), fin.getLong(1)))
+  }
+
+  /** Q260: Dawid–Skene weak-supervision label model over the corpus's
+    * heuristic quality labelers — the Snorkel-style step a training-data
+    * pipeline uses to fuse noisy filters into calibrated labels WITHOUT
+    * ground truth: fixed-round EM jointly estimates each labeler's
+    * sensitivity/specificity and a per-document posterior. Emits one row
+    * per annotator: the exact integer M-step masses, the derived rates
+    * (raw — single divisions of exact integers), the class prior, and the
+    * final posterior census (n_pos, total posterior mass).
+    *
+    * Scale: each EM round is one map-side-combinable aggregate over a
+    * 4-column vote table + an 8-long driver fetch; the corpus never
+    * leaves the executors and no per-round shuffle grows with data. */
+  def qDawidSkene(t: Tables, rounds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    dawidSkeneCached(t, rounds) match {
+      case None => Tables.emptyFrame(spark,
+        "annotator" -> StringType, "match_mass" -> LongType,
+        "pos_mass" -> LongType, "sensitivity" -> DoubleType,
+        "miss_mass" -> LongType, "neg_mass" -> LongType,
+        "specificity" -> DoubleType, "pi" -> DoubleType,
+        "n_pos" -> LongType, "post_mass" -> LongType)
+      case Some(m) =>
+        val st = m.rounds.last
+        import spark.implicits._
+        Seq("a1_length", "a2_alpha", "a3_distinct").zipWithIndex.map {
+          case (nm, j) =>
+            (nm, st.a(j), st.sp, st.alpha(j), st.b(j), st.sn, st.beta(j),
+              st.pi, m.nPos, m.postMass)
+        }.toDF("annotator", "match_mass", "pos_mass", "sensitivity",
+          "miss_mass", "neg_mass", "specificity", "pi", "n_pos", "post_mass")
+          .orderBy(col("annotator"))
+    }
+  }
+
+  /** q260 oracle: the EM chain replayed as chained MATERIALIZED CTEs —
+    * votes → micro posterior p0 → (masses s_r → rates d_r → posterior
+    * p_r) × rounds — with the identical left-associated update expression
+    * and ::DOUBLE literal discipline. */
+  def qDawidSkeneSql(rounds: Int = 5): String = {
+    val base =
+      """v AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END AS v1,
+        |    CASE WHEN 2 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) >= length(text) THEN 1 ELSE 0 END AS v2,
+        |    CASE WHEN 2 * len(list_distinct(toks)) >= len(toks) THEN 1 ELSE 0 END AS v3
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+        |        FROM documents)),
+        |p0 AS MATERIALIZED (
+        |  SELECT doc_id, v1, v2, v3,
+        |    CAST(round(1e6 * (v1 + v2 + v3) / 3) AS BIGINT) AS pm FROM v)""".stripMargin
+    val chain = (1 to rounds).map { r =>
+      val p = s"p${r - 1}"
+      s"""s$r AS MATERIALIZED (
+         |  SELECT COUNT(*) AS cnt, CAST(SUM(pm) AS BIGINT) AS sp,
+         |    CAST(1000000 * COUNT(*) - SUM(pm) AS BIGINT) AS sn,
+         |    CAST(SUM(pm * v1) AS BIGINT) AS a1, CAST(SUM(pm * v2) AS BIGINT) AS a2, CAST(SUM(pm * v3) AS BIGINT) AS a3,
+         |    CAST(SUM((1000000 - pm) * (1 - v1)) AS BIGINT) AS b1,
+         |    CAST(SUM((1000000 - pm) * (1 - v2)) AS BIGINT) AS b2,
+         |    CAST(SUM((1000000 - pm) * (1 - v3)) AS BIGINT) AS b3
+         |  FROM $p),
+         |d$r AS MATERIALIZED (
+         |  SELECT CAST(a1 AS DOUBLE) / CAST(sp AS DOUBLE) AS al1,
+         |    CAST(a2 AS DOUBLE) / CAST(sp AS DOUBLE) AS al2,
+         |    CAST(a3 AS DOUBLE) / CAST(sp AS DOUBLE) AS al3,
+         |    CAST(b1 AS DOUBLE) / CAST(sn AS DOUBLE) AS be1,
+         |    CAST(b2 AS DOUBLE) / CAST(sn AS DOUBLE) AS be2,
+         |    CAST(b3 AS DOUBLE) / CAST(sn AS DOUBLE) AS be3,
+         |    CAST(sp AS DOUBLE) / CAST(1000000 * cnt AS DOUBLE) AS pi
+         |  FROM s$r),
+         |p$r AS MATERIALIZED (
+         |  SELECT doc_id, v1, v2, v3,
+         |    CAST(round(CASE WHEN l1 + l0 = 0.0::DOUBLE THEN 0.5::DOUBLE ELSE l1 / (l1 + l0) END * 1e6) AS BIGINT) AS pm
+         |  FROM (SELECT p.doc_id, p.v1, p.v2, p.v3,
+         |      d.pi * (CASE WHEN p.v1 = 1 THEN d.al1 ELSE 1.0::DOUBLE - d.al1 END)
+         |           * (CASE WHEN p.v2 = 1 THEN d.al2 ELSE 1.0::DOUBLE - d.al2 END)
+         |           * (CASE WHEN p.v3 = 1 THEN d.al3 ELSE 1.0::DOUBLE - d.al3 END) AS l1,
+         |      (1.0::DOUBLE - d.pi)
+         |           * (CASE WHEN p.v1 = 1 THEN 1.0::DOUBLE - d.be1 ELSE d.be1 END)
+         |           * (CASE WHEN p.v2 = 1 THEN 1.0::DOUBLE - d.be2 ELSE d.be2 END)
+         |           * (CASE WHEN p.v3 = 1 THEN 1.0::DOUBLE - d.be3 ELSE d.be3 END) AS l0
+         |    FROM $p p CROSS JOIN d$r d))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $base,
+       |$chain,
+       |fin AS MATERIALIZED (
+       |  SELECT CAST(SUM(CASE WHEN pm > 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(SUM(pm) AS BIGINT) AS post_mass FROM p$rounds)
+       |SELECT * FROM (
+       |  SELECT 'a1_length' AS annotator, s.a1 AS match_mass, s.sp AS pos_mass,
+       |    d.al1 AS sensitivity, s.b1 AS miss_mass, s.sn AS neg_mass,
+       |    d.be1 AS specificity, d.pi AS pi, f.n_pos, f.post_mass
+       |  FROM s$rounds s CROSS JOIN d$rounds d CROSS JOIN fin f
+       |  UNION ALL
+       |  SELECT 'a2_alpha', s.a2, s.sp, d.al2, s.b2, s.sn, d.be2, d.pi,
+       |    f.n_pos, f.post_mass
+       |  FROM s$rounds s CROSS JOIN d$rounds d CROSS JOIN fin f
+       |  UNION ALL
+       |  SELECT 'a3_distinct', s.a3, s.sp, d.al3, s.b3, s.sn, d.be3, d.pi,
+       |    f.n_pos, f.post_mass
+       |  FROM s$rounds s CROSS JOIN d$rounds d CROSS JOIN fin f)
+       |ORDER BY annotator""".stripMargin
+  }
 }

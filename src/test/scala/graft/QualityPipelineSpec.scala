@@ -1760,4 +1760,62 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q260 Dawid-Skene matches an in-memory EM recompute") {
+    val t = sf0001
+    val got = TextAnalysis.qDawidSkene(t).collect()
+    assert(got.map(_.getString(0)).toSeq ==
+      Seq("a1_length", "a2_alpha", "a3_distinct"))
+    // independent vote derivation + the exact micro-grid EM, all in memory
+    val votes = t.documents.select("doc_id", "text").collect().map { r =>
+      val txt = r.getString(1)
+      val toks = txt.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val v1 = if (toks.length >= 30) 1L else 0L
+      val v2 = if (2L * txt.replaceAll("[^\\p{L}]", "").length >= txt.length) 1L else 0L
+      val v3 = if (2L * toks.distinct.length >= toks.length) 1L else 0L
+      Array(v1, v2, v3)
+    }
+    var pm = votes.map(v => Math.round(1e6 * (v(0) + v(1) + v(2)) / 3))
+    var last: (Long, Long, Long, Array[Long], Array[Long]) = null
+    for (_ <- 1 to 5) {
+      val cnt = votes.length.toLong
+      val sp = pm.sum
+      val sn = 1000000L * cnt - sp
+      val a = Array.tabulate(3)(j => votes.indices.map(i => pm(i) * votes(i)(j)).sum)
+      val b = Array.tabulate(3)(j =>
+        votes.indices.map(i => (1000000L - pm(i)) * (1L - votes(i)(j))).sum)
+      last = (cnt, sp, sn, a, b)
+      val al = a.map(_.toDouble / sp.toDouble)
+      val be = b.map(_.toDouble / sn.toDouble)
+      val pi = sp.toDouble / (1000000L * cnt).toDouble
+      pm = votes.map { v =>
+        val l1 = (0 until 3).foldLeft(pi)((acc, j) =>
+          acc * (if (v(j) == 1L) al(j) else 1.0 - al(j)))
+        val l0 = (0 until 3).foldLeft(1.0 - pi)((acc, j) =>
+          acc * (if (v(j) == 1L) 1.0 - be(j) else be(j)))
+        val p = if (l1 + l0 == 0.0) 0.5 else l1 / (l1 + l0)
+        Math.round(p * 1e6)
+      }
+    }
+    val (cnt, sp, sn, a, b) = last
+    got.zipWithIndex.foreach { case (r, j) =>
+      assert(r.getLong(1) == a(j), s"annotator $j match_mass")
+      assert(r.getLong(2) == sp && r.getLong(5) == sn)
+      assert(r.getDouble(3) == a(j).toDouble / sp.toDouble, s"$j sensitivity")
+      assert(r.getLong(4) == b(j), s"annotator $j miss_mass")
+      assert(r.getDouble(6) == b(j).toDouble / sn.toDouble, s"$j specificity")
+      assert(r.getDouble(7) == sp.toDouble / (1000000L * cnt).toDouble)
+      assert(r.getLong(8) == pm.count(_ > 500000L), "n_pos")
+      assert(r.getLong(9) == pm.sum, "post_mass")
+      // rates are probabilities; the EM must keep them in [0, 1]
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // posterior separation: unanimous-positive documents must end above
+    // unanimous-negative ones (the label model orders by vote agreement)
+    val pos = votes.indices.filter(i => votes(i).sum == 3L).map(pm)
+    val neg = votes.indices.filter(i => votes(i).sum == 0L).map(pm)
+    if (pos.nonEmpty && neg.nonEmpty)
+      assert(pos.min > neg.max, "posterior does not separate unanimous votes")
+  }
+
 }
