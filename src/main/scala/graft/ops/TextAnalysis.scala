@@ -4663,6 +4663,116 @@ object TextAnalysis {
       |  sum_nll / CAST(n_bigrams AS DOUBLE) < 10.0 AS keep
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Q261: interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 with one estimated
+    * discount) — the n-gram smoothing a perplexity-filter pipeline
+    * actually ships; q152 is the add-1 baseline this upgrades:
+    *   p(w|a)   = max(c(a,w) − D, 0)/c(a) + (D·N1+(a·)/c(a))·p_cont(w)
+    *   p_cont(w)= N1+(·w)/N1+(··),   D = n₁/(n₁ + 2·n₂)
+    * All counts are exact integers off one bigram aggregate; D and the
+    * continuation probabilities are single divisions of exact ints; the
+    * per-bigram probability is one fixed left-associated IEEE expression
+    * whose nll carries round(6) (the log rule), summed on the DECIMAL
+    * grid exactly as q152. The continuation term is strictly positive
+    * for every observed bigram, so the log never sees zero.
+    *
+    * Scale: two vocabulary-level aggregates (bigram counts + the
+    * context/continuation marginals) joined back to the corpus-sized
+    * bigram instance stream — all map-side combinable; the build sides
+    * are |V|-proportional (broadcast per the q152 contract; template
+    * vocab here, dimension-table-sized in a real corpus). */
+  def qKneserNey(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val empty = () => graft.Tables.emptyFrame(t.spark, "doc_id" -> LongType,
+      "n_bigrams" -> LongType, "avg_nll" -> DoubleType,
+      "discount" -> DoubleType, "keep" -> BooleanType)
+    if (t.documents.isEmpty) return empty()
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val bf = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    // corpus scalars (bounded 3-long fetch): distinct-bigram total + the
+    // singleton/doubleton counts behind the Good-Turing discount estimate
+    val gRow = bf.agg(count(lit(1)),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)),
+      sum(when(col("c") === 2L, 1L).otherwise(0L))).collect()(0)
+    val nbb = gRow.getLong(0)
+    if (nbb == 0L) return empty()
+    val n1 = gRow.getLong(1)
+    val n2 = gRow.getLong(2)
+    val d = if (n1 + 2L * n2 == 0L) 0.5
+            else n1.toDouble / (n1 + 2L * n2).toDouble
+    val ctx = bf.groupBy(col("a"))
+      .agg(sum(col("c")).as("ca"), count(lit(1)).as("n1fwd"))
+    val cont = bf.groupBy(col("b")).agg(count(lit(1)).as("n1bwd"))
+    bi.join(bf, Seq("a", "b"))
+      .join(broadcast(ctx), Seq("a"))
+      .join(broadcast(cont), Seq("b"))
+      .withColumn("pkn",
+        greatest(col("c").cast("double") - lit(d), lit(0.0)) /
+          col("ca").cast("double") +
+          lit(d) * col("n1fwd").cast("double") / col("ca").cast("double") *
+            (col("n1bwd").cast("double") / lit(nbb.toDouble)))
+      .withColumn("nll", round(-log(col("pkn")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast(DecimalType(28, 6))).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", col("sum_nll") / col("n_bigrams").cast("double"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        lit(d).as("discount"), (col("avg_nll") < lit(8.0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q261 oracle: same counts, same one-row discount CTE, same
+    * left-associated probability expression under round(-ln, 6). */
+  val qKneserNeySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |      x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |bi AS MATERIALIZED (
+      |  SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+      |bf AS MATERIALIZED (
+      |  SELECT a, b, COUNT(*)::BIGINT AS c FROM bi GROUP BY a, b),
+      |g AS MATERIALIZED (
+      |  SELECT COUNT(*)::BIGINT AS nbb,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM bf),
+      |dd AS MATERIALIZED (
+      |  SELECT nbb, CASE WHEN n1 + 2 * n2 = 0 THEN 0.5::DOUBLE
+      |    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+      |  FROM g),
+      |ctx AS MATERIALIZED (
+      |  SELECT a, CAST(SUM(c) AS BIGINT) AS ca, COUNT(*)::BIGINT AS n1fwd
+      |  FROM bf GROUP BY a),
+      |cont AS MATERIALIZED (
+      |  SELECT b, COUNT(*)::BIGINT AS n1bwd FROM bf GROUP BY b),
+      |nll AS (
+      |  SELECT bi.doc_id,
+      |    round(-ln(
+      |      greatest(CAST(bf.c AS DOUBLE) - dd.d, 0.0::DOUBLE)
+      |        / CAST(ctx.ca AS DOUBLE)
+      |      + dd.d * CAST(ctx.n1fwd AS DOUBLE) / CAST(ctx.ca AS DOUBLE)
+      |        * (CAST(cont.n1bwd AS DOUBLE) / CAST(dd.nbb AS DOUBLE))), 6) AS nll
+      |  FROM bi JOIN bf USING (a, b) JOIN ctx ON bi.a = ctx.a
+      |    JOIN cont ON bi.b = cont.b, dd),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) AS sum_nll
+      |  FROM nll GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  sum_nll / CAST(n_bigrams AS DOUBLE) AS avg_nll,
+      |  dd.d AS discount,
+      |  sum_nll / CAST(n_bigrams AS DOUBLE) < 8.0::DOUBLE AS keep
+      |FROM agg, dd ORDER BY doc_id""".stripMargin
+
   /** Q229: Gini coefficient of token mass across documents — the
     * inequality audit a mixing/selection pass (q122/q144/q208) runs to
     * see how concentrated the corpus's token budget is in long documents

@@ -1818,4 +1818,55 @@ class QualityPipelineSpec extends SparkSpec {
       assert(pos.min > neg.max, "posterior does not separate unanimous votes")
   }
 
+  test("q261 Kneser-Ney: per-context normalization + in-memory recompute") {
+    val t = sf0001
+    val got = TextAnalysis.qKneserNey(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // independent counts off the raw text
+    val docs = t.documents.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9']+").filter(_.nonEmpty)
+    }
+    val bigrams = docs.flatMap { case (id, tk) =>
+      tk.sliding(2).collect { case Array(a, b) => (id, a, b) }
+    }
+    val bf = bigrams.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.length.toLong }
+    val nbb = bf.size.toLong
+    val n1 = bf.values.count(_ == 1L).toLong
+    val n2 = bf.values.count(_ == 2L).toLong
+    val d = n1.toDouble / (n1 + 2L * n2).toDouble
+    val ca = bf.toSeq.groupBy(_._1._1).map { case (a, v) => a -> v.map(_._2).sum }
+    val n1fwd = bf.keys.toSeq.groupBy(_._1).map { case (a, v) => a -> v.length.toLong }
+    val n1bwd = bf.keys.toSeq.groupBy(_._2).map { case (b, v) => b -> v.length.toLong }
+    def pkn(a: String, b: String): Double =
+      math.max(bf((a, b)).toDouble - d, 0.0) / ca(a).toDouble +
+        d * n1fwd(a).toDouble / ca(a).toDouble *
+          (n1bwd(b).toDouble / nbb.toDouble)
+    // interpolated-KN normalization: summing p(w|a) over the whole vocab
+    // (observed continuations get the max-term, every vocab word gets the
+    // backoff term) must give exactly 1 per context
+    val vocab = n1bwd.keys.toSeq
+    n1fwd.keys.take(20).foreach { a =>
+      val seen = bf.keys.filter(_._1 == a).map(_._2).toSet
+      val total = vocab.map { w =>
+        val backoff = d * n1fwd(a) / ca(a) * (n1bwd(w).toDouble / nbb)
+        if (seen(w)) math.max(bf((a, w)).toDouble - d, 0.0) / ca(a) + backoff
+        else backoff
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$a' sums to $total")
+    }
+    // per-doc nll replay with the query's round(6)+decimal-sum discipline
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val nlls = bs.map { case (_, a, b) => BigDecimal(r6(-math.log(pkn(a, b)))) }
+      id -> (bs.length.toLong, (nlls.sum.toDouble) / bs.length.toDouble)
+    }
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, (n, nll)) =>
+      assert(got(id)._1 == n, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - nll) < 1e-9, s"doc $id avg_nll")
+    }
+  }
+
 }
