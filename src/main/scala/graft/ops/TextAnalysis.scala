@@ -4353,19 +4353,30 @@ object TextAnalysis {
     * pays one explode + one co-partitioned join on the term + one
     * per-doc aggregate. The training itself is the cached q244 loop —
     * one fetch per (session, sfDir, rounds). */
-  def qBpeEncode(t: Tables, rounds: Int = 8): DataFrame = {
+  /** The distinct-token vocabulary run through the trained merge chain —
+    * (term, syms) with syms the space-separated encoded symbols ending in
+    * the `</w>` marker. Shared by q247 (symbol counts) and q262 (census +
+    * round-trip audit); vocab-bounded, K scan-stage replaces. */
+  private def bpeEncodedVocab(t: Tables, rounds: Int): DataFrame = {
     val merges = bpeMerges(t, rounds)
-    val toks = t.fanout(t.documents)
-      .select(col("doc_id"), col("n_chars"),
-        explode(text.tokenize(col("text"))).as("term"))
-    val vocab0 = toks.select(col("term")).distinct()
+    val vocab0 = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("term"))
+      .select(col("term")).distinct()
       .withColumn("syms",
         concat(regexp_replace(col("term"), "(.)", "$1 "), lit("</w>")))
-    val encoded = merges.foldLeft(vocab0) { case (v, (_, pair, merged, _)) =>
+    merges.foldLeft(vocab0) { case (v, (_, pair, merged, _)) =>
       v.withColumn("syms",
         trim(replace(concat(lit(" "), col("syms"), lit(" ")),
           lit(s" $pair "), lit(s" $merged "))))
-    }.select(col("term"), size(split(col("syms"), " ")).cast("long").as("n_syms"))
+    }
+  }
+
+  def qBpeEncode(t: Tables, rounds: Int = 8): DataFrame = {
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), col("n_chars"),
+        explode(text.tokenize(col("text"))).as("term"))
+    val encoded = bpeEncodedVocab(t, rounds)
+      .select(col("term"), size(split(col("syms"), " ")).cast("long").as("n_syms"))
     toks.join(encoded, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -4379,10 +4390,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** q247 oracle: the q244 training chain (shared CTE text) + a distinct
-    * -vocab encode chain ev0..evK applying each round's 1-row best via
-    * scalar subqueries, joined back to the corpus tokens per document. */
-  def qBpeEncodeSql(rounds: Int = 8): String = {
+  /** The distinct-vocab encode chain ev0..evK (the SQL face of
+    * [[bpeEncodedVocab]]): each round's 1-row best merge applied via
+    * scalar subqueries against the training chain's b$r CTEs. Shared by
+    * the q247 and q262 oracles; must be composed after [[bpeChainCtes]]. */
+  private def bpeEvCtes(rounds: Int): String = {
     val evCtes = (1 to rounds).map { r =>
       s"""ev$r AS MATERIALIZED (
          |  SELECT term,
@@ -4391,12 +4403,19 @@ object TextAnalysis {
          |      (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM b$r))) AS syms
          |  FROM ev${r - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${bpeChainCtes(rounds)},
-       |ev0 AS MATERIALIZED (
+    s"""ev0 AS MATERIALIZED (
        |  SELECT DISTINCT term,
        |    regexp_replace(term, '(.)', '\\1 ', 'g') || '</w>' AS syms
        |  FROM toks),
-       |$evCtes,
+       |$evCtes""".stripMargin
+  }
+
+  /** q247 oracle: the q244 training chain (shared CTE text) + the
+    * distinct-vocab encode chain, joined back to the corpus tokens per
+    * document. */
+  def qBpeEncodeSql(rounds: Int = 8): String = {
+    s"""WITH ${bpeChainCtes(rounds)},
+       |${bpeEvCtes(rounds)},
        |enc AS (SELECT term,
        |  CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_syms FROM ev$rounds),
        |dt AS (
@@ -4455,6 +4474,73 @@ object TextAnalysis {
       |FROM (${qBpeEncodeSql(rounds)}) e
       |JOIN documents d USING (doc_id)
       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** Q262: BPE symbol-vocabulary CENSUS + decode round-trip audit — the
+    * post-training sanity gate a tokenizer-prep pipeline ships alongside
+    * its merge table: one row per symbol the trained encoder actually
+    * emits, with its character mass (marker stripped), whether it is a
+    * learned-merge product, how many vocabulary-term positions use it,
+    * its corpus-frequency-weighted occurrence count, and the lossless-
+    * decode property (symbols re-concatenated equal term + '</w>')
+    * asserted over every term that uses the symbol. A census like this is
+    * what catches a corrupted merge table before a 100 TB encode run:
+    * any lost/duplicated character shows up as a FALSE `all_roundtrip`
+    * or a shifted `corpus_occ` mass.
+    *
+    * Scale shape: the encode chain is the shared vocab-bounded
+    * [[bpeEncodedVocab]] (K scan-stage replaces, no shuffle); the corpus
+    * pays one token-frequency aggregate; the census itself is one
+    * explode + one aggregate over the vocab-bounded table. `is_merge`
+    * comes from the cached ≤K-row merge table (a bounded literal lookup,
+    * the Lloyd-centroid contract). All columns exact (strings, BIGINTs,
+    * booleans) — no float discipline needed. */
+  def qBpeRoundtrip(t: Tables, rounds: Int = 8): DataFrame = {
+    val mergedSyms = bpeMerges(t, rounds).map(_._3)
+    val tf = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+    val enc = bpeEncodedVocab(t, rounds)
+      .withColumn("rt",
+        replace(col("syms"), lit(" "), lit("")) === concat(col("term"), lit("</w>")))
+    enc.join(tf, Seq("term"))
+      .select(col("f"), col("rt"), explode(split(col("syms"), " ")).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_term_uses"),
+        sum(col("f")).as("corpus_occ"),
+        bool_and(col("rt")).as("all_roundtrip"))
+      .select(col("symbol"),
+        length(replace(col("symbol"), lit("</w>"), lit(""))).cast("long").as("sym_chars"),
+        col("symbol").isin(mergedSyms: _*).as("is_merge"),
+        col("n_term_uses"), col("corpus_occ"), col("all_roundtrip"))
+      .orderBy(col("symbol"))
+  }
+
+  /** q262 oracle: the training chain + encode chain (shared CTE text), a
+    * token-frequency CTE, the merge products derived independently from
+    * the b$r CTEs, and one census aggregate. */
+  def qBpeRoundtripSql(rounds: Int = 8): String = {
+    val mt = (1 to rounds)
+      .map(r => s"SELECT replace(pair, ' ', '') AS m FROM b$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeChainCtes(rounds)},
+       |${bpeEvCtes(rounds)},
+       |tf AS MATERIALIZED (
+       |  SELECT term, COUNT(*)::BIGINT AS f FROM toks GROUP BY term),
+       |mt AS (
+       |  $mt),
+       |sy AS (
+       |  SELECT unnest(string_split(e.syms, ' ')) AS symbol, tf.f,
+       |    (replace(e.syms, ' ', '') = e.term || '</w>') AS rt
+       |  FROM ev$rounds e JOIN tf USING (term))
+       |SELECT symbol,
+       |  CAST(len(replace(symbol, '</w>', '')) AS BIGINT) AS sym_chars,
+       |  symbol IN (SELECT m FROM mt) AS is_merge,
+       |  COUNT(*)::BIGINT AS n_term_uses,
+       |  CAST(SUM(f) AS BIGINT) AS corpus_occ,
+       |  bool_and(rt) AS all_roundtrip
+       |FROM sy
+       |GROUP BY symbol ORDER BY symbol""".stripMargin
+  }
 
   /** q244 oracle: the q135 word-frequency base + K chained MATERIALIZED
     * per-round CTE triples (pairs → 1-row best → rewritten vocab), best

@@ -1760,6 +1760,28 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q262 BPE census: round-trip holds and symbol mass conserves") {
+    val t = sf0001
+    val got = TextAnalysis.qBpeRoundtrip(t).collect()
+    assert(got.nonEmpty)
+    // the lossless-decode property: every symbol's using terms round-trip
+    got.foreach(r => assert(r.getBoolean(5), s"roundtrip broken at ${r.getString(0)}"))
+    // a symbol not produced by a learned merge is a single char or the
+    // bare end-of-word marker
+    got.filter(!_.getBoolean(2)).foreach { r =>
+      val s = r.getString(0)
+      assert(s == "</w>" || s.length == 1, s"unexpected non-merge symbol $s")
+    }
+    // conservation against the raw corpus: character mass and end-of-word
+    // mass both tie to the token instances exactly
+    val toks = t.documents.select("text").collect().flatMap(
+      _.getString(0).toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+    val charMass = got.map(r => r.getLong(1) * r.getLong(4)).sum
+    assert(charMass == toks.map(_.length.toLong).sum)
+    val eowMass = got.filter(_.getString(0).endsWith("</w>")).map(_.getLong(4)).sum
+    assert(eowMass == toks.length.toLong)
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
