@@ -5844,4 +5844,93 @@ object TextAnalysis {
        |  FROM s$rounds s CROSS JOIN d$rounds d CROSS JOIN fin f)
        |ORDER BY annotator""".stripMargin
   }
+
+  /** Q263: data-diet selection by EL2N score (Paul, Ganguli & Dziugaite
+    * 2021, "Deep Learning on a Data Diet") — score every document by the
+    * trained classifier's error norm |p − y| (the 1-D EL2N of the
+    * logistic model) and PRUNE the easiest examples, keeping the hardest
+    * `keepPct`%: the data-selection step that follows training (q139),
+    * calibration (q188), acquisition (q198) and ranking eval (q200/q206)
+    * in the classifier loop. Emits the per-source retention profile —
+    * the budget statistic a mixing pipeline consumes after pruning.
+    *
+    * Determinism: scores land on the integer micro grid
+    * (round(|p−y|·1e6) — the libm-exp discipline; integer rounding is
+    * away-from-zero on both engines); keep = global rank by
+    * (score DESC, doc_id ASC) ≤ budget = (keepPct·n)//100, a total order
+    * with an exact integer budget. Kept-score sums are BIGINT micro sums;
+    * retention is one raw division of exact integers.
+    *
+    * Scale shape: scoring is one linear scan over the cached feature
+    * frame; the global rank is the bucketRank two-phase prefix (no
+    * single-partition sort; implemented ascending with the mirrored
+    * tie-break, rank_desc = n+1−rank_asc); one equi join back to sources
+    * + one |sources|-row aggregate. Ninth consumer of the session weight
+    * cache — a cache hit scores without retraining. */
+  def qDataDiet(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      keepPct: Int = 70): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "source" -> StringType,
+            "n_docs" -> LongType, "n_kept" -> LongType,
+            "kept_score_micro" -> LongType, "retention" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val scored = feats.select(col("doc_id"),
+            round(abs(p - col("y")) * lit(1000000.0), 0).cast("long").as("sm"))
+          val n = scored.count()
+          val budget = keepPct.toLong * n / 100L
+          // ascending bucketRank with the mirrored tie-break: global
+          // (sm DESC, doc_id ASC) rank r_desc = n + 1 − r_asc
+          val ranked = bucketRank(scored, "sm", 1000001L,
+            Seq(col("sm"), col("doc_id").desc), "r_asc")
+          val kept = ranked.filter(col("r_asc") >= lit(n + 1L - budget))
+            .select(col("doc_id"), col("sm"))
+          t.documents.select(col("doc_id"), col("source"))
+            .join(kept, Seq("doc_id"), "left")
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              count(col("sm")).as("n_kept"),
+              coalesce(sum(col("sm")), lit(0L)).as("kept_score_micro"))
+            .select(col("source"), col("n_docs"), col("n_kept"),
+              col("kept_score_micro"),
+              (col("n_kept").cast("double") / col("n_docs").cast("double"))
+                .as("retention"))
+            .orderBy(col("source"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q263 oracle: the shared weight chain + a global ROW_NUMBER over the
+    * micro scores (the two-phase prefix is a Spark execution detail) and
+    * the same integer budget. */
+  def qDataDietSql(rounds: Int = 16, lr: Double = 8.0,
+      keepPct: Int = 70): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(round(abs(($p) - y) * 1000000.0::DOUBLE) AS BIGINT) AS sm
+       |  FROM f, $wFinal w),
+       |ranked AS (
+       |  SELECT doc_id, sm,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sm DESC, doc_id) AS BIGINT) AS r,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM scored),
+       |kept AS (
+       |  SELECT doc_id, sm FROM ranked WHERE r <= ($keepPct * n) // 100)
+       |SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+       |  CAST(COUNT(k.sm) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(SUM(k.sm), 0) AS BIGINT) AS kept_score_micro,
+       |  CAST(COUNT(k.sm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS retention
+       |FROM documents d LEFT JOIN kept k USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
 }

@@ -1782,6 +1782,29 @@ class QualityPipelineSpec extends SparkSpec {
     assert(eowMass == toks.length.toLong)
   }
 
+  test("q263 data diet: budget exact, retention ties, selection is hardest-first") {
+    val t = sf0001
+    val n = t.documents.count()
+    val got = TextAnalysis.qDataDiet(t).collect()
+    assert(got.map(_.getLong(1)).sum == n)
+    // the kept count equals the integer budget exactly
+    assert(got.map(_.getLong(2)).sum == 70L * n / 100L)
+    got.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+    // keepPct = 100 keeps everything; its score mass is the corpus total
+    val all = TextAnalysis.qDataDiet(t, keepPct = 100).collect()
+    assert(all.forall(r => r.getLong(2) == r.getLong(1)))
+    val totalMass = all.map(_.getLong(3)).sum
+    val keptMass = got.map(_.getLong(3)).sum
+    assert(keptMass <= totalMass)
+    // hardest-first: mean kept EL2N at 70% is at least the corpus mean
+    val budget = 70L * n / 100L
+    assert(keptMass.toDouble / budget.toDouble >=
+      totalMass.toDouble / n.toDouble, "selection not hardest-first")
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
