@@ -5907,6 +5907,120 @@ object TextAnalysis {
     } finally { feats.unpersist(); () }
   }
 
+  /** Q264: pairwise source Jensen–Shannon divergence matrix — the
+    * corpus-mixing audit that says HOW DIFFERENT two slices' unigram
+    * distributions are (Lin 1991): JSD(a,b) = ½KL(a‖m) + ½KL(b‖m),
+    * m = ½(a+b), bounded in [0, ln 2] and symmetric — the standard
+    * distance for judging whether sources can share a mixing weight
+    * (q207's DoReMi weights) or a tokenizer (q255's fertility), and the
+    * document-level dual of q211's per-domain cross-entropy.
+    *
+    * Exactness: pa, pb are single IEEE divisions of exact counts; each
+    * KL term pa·ln(2·pa/(pa+pb)) carries libm ln, so per-TERM values are
+    * rounded to the micro grid and summed as BIGINT (the q204 MI-cell /
+    * q207 per-token-nll discipline — order-independent, exact). The
+    * final jsd is one raw division of the exact integer sum. Terms with
+    * pa = 0 contribute 0 to KL(a‖m) and are simply absent.
+    *
+    * Scale shape: one corpus-sized (source, term) aggregate, then
+    * everything is vocab-bounded: the per-source totals are a ≤|sources|
+    * driver fetch (the Lloyd contract) whose source dimension re-enters
+    * as an exploded literal array (never a 1-row cross join — the q114
+    * rule), the opposing counts arrive by one co-partitioned left join
+    * on (source, term), and the matrix is |sources|² rows. The count
+    * table is localCheckpointed once (the bounded-fetch doubles as its
+    * materialization), so the corpus is scanned exactly once. */
+  def qSourceJsd(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val st = t.fanout(t.documents)
+      .select(col("source"), explode(text.tokenize(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ntRows = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    if (ntRows.isEmpty)
+      return Tables.emptyFrame(spark, "source_a" -> StringType,
+        "source_b" -> StringType, "n_terms_a" -> LongType,
+        "n_terms_b" -> LongType, "kl_a_micro" -> LongType,
+        "kl_b_micro" -> LongType, "jsd" -> DoubleType)
+    val bDim = array(ntRows.map { case (s, n) =>
+      struct(lit(s).as("src_b"), lit(n).as("nb")) }: _*)
+    val naDf = broadcast(st.sparkSession.createDataFrame(
+      spark.sparkContext.parallelize(ntRows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source", StringType),
+        org.apache.spark.sql.types.StructField("na", LongType)))))
+    val ex = st.join(naDf, Seq("source"))
+      .select(col("source").as("src_a"), col("term"),
+        col("c").as("ca"), col("na"), explode(bDim).as("b"))
+      .select(col("src_a"), col("term"), col("ca"), col("na"),
+        col("b.src_b").as("src_b"), col("b.nb").as("nb"))
+      .filter(col("src_a") =!= col("src_b"))
+    val wc = ex.join(
+      st.select(col("source").as("src_b"), col("term"), col("c").as("cb0")),
+      Seq("src_b", "term"), "left")
+      .withColumn("cb", coalesce(col("cb0"), lit(0L)))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val s = wc.select(col("src_a"), col("src_b"),
+      round(lit(1000000.0) * pa * log(lit(2.0) * pa / (pa + pb)), 0)
+        .cast("long").as("term_micro"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_micro")).as("kl_micro"))
+    val s2 = s.select(col("src_a").as("sb"), col("src_b").as("sa"),
+      col("n_terms").as("n_terms_b"), col("kl_micro").as("kl_b_micro"))
+    s.join(s2, col("src_a") === col("sa") && col("src_b") === col("sb"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a").as("source_a"), col("src_b").as("source_b"),
+        col("n_terms").as("n_terms_a"), col("n_terms_b"),
+        col("kl_micro").as("kl_a_micro"), col("kl_b_micro"),
+        ((col("kl_micro") + col("kl_b_micro")).cast("double") /
+          lit(2000000.0)).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q264 oracle: the same count tables, the source dimension as a plain
+    * join (bounded), identical IEEE term expressions micro-summed. */
+  val qSourceJsdSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |st AS MATERIALIZED (
+      |  SELECT source, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+      |nt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+      |ex AS (
+      |  SELECT a.source AS src_a, a.term, a.c AS ca, na.n AS na,
+      |    b.source AS src_b, b.n AS nb
+      |  FROM st a JOIN nt na ON a.source = na.source
+      |  JOIN nt b ON b.source <> a.source),
+      |wc AS (
+      |  SELECT ex.*, COALESCE(sb.c, 0) AS cb
+      |  FROM ex LEFT JOIN st sb
+      |    ON sb.source = ex.src_b AND sb.term = ex.term),
+      |tm AS (
+      |  SELECT src_a, src_b,
+      |    CAST(round(1000000.0::DOUBLE
+      |      * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |      * ln(2.0::DOUBLE * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |           / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |              + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))) AS BIGINT)
+      |      AS term_micro
+      |  FROM wc),
+      |s AS (
+      |  SELECT src_a, src_b, COUNT(*)::BIGINT AS n_terms,
+      |    CAST(SUM(term_micro) AS BIGINT) AS kl_micro
+      |  FROM tm GROUP BY 1, 2)
+      |SELECT s1.src_a AS source_a, s1.src_b AS source_b,
+      |  s1.n_terms AS n_terms_a, s2.n_terms AS n_terms_b,
+      |  s1.kl_micro AS kl_a_micro, s2.kl_micro AS kl_b_micro,
+      |  CAST(s1.kl_micro + s2.kl_micro AS DOUBLE) / 2000000.0::DOUBLE AS jsd
+      |FROM s s1 JOIN s s2 ON s1.src_a = s2.src_b AND s1.src_b = s2.src_a
+      |WHERE s1.src_a < s1.src_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** q263 oracle: the shared weight chain + a global ROW_NUMBER over the
     * micro scores (the two-phase prefix is a Spark execution detail) and
     * the same integer budget. */

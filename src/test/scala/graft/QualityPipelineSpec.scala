@@ -1805,6 +1805,49 @@ class QualityPipelineSpec extends SparkSpec {
       totalMass.toDouble / n.toDouble, "selection not hardest-first")
   }
 
+  test("q264 source JSD: matches an in-memory recompute; symmetric and bounded") {
+    val t = sf0001
+    val got = TextAnalysis.qSourceJsd(t).collect()
+    // independent recompute from raw text
+    val bySrc = t.documents.select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        val counts = rows.flatMap(
+          _.getString(1).toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+          .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+        s -> counts
+      }
+    def klMicro(a: Map[String, Long], b: Map[String, Long]): (Long, Long) = {
+      val na = a.values.sum.toDouble
+      val nb = b.values.sum.toDouble
+      val terms = a.toSeq.map { case (tk, ca) =>
+        val pa = ca.toDouble / na
+        val pb = b.getOrElse(tk, 0L).toDouble / nb
+        val x = 1000000.0 * pa * math.log(2.0 * pa / (pa + pb))
+        // half away from zero (Math.round is half-up and differs on
+        // negative .5 boundaries; KL terms can be negative)
+        if (x >= 0) Math.floor(x + 0.5).toLong else -Math.floor(-x + 0.5).toLong
+      }
+      (terms.length.toLong, terms.sum)
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = for {
+      i <- srcs.indices; j <- srcs.indices if srcs(i) < srcs(j)
+    } yield (srcs(i), srcs(j))
+    assert(got.length == expected.length)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (ntA, klA) = klMicro(bySrc(a), bySrc(b))
+      val (ntB, klB) = klMicro(bySrc(b), bySrc(a))
+      assert(r.getLong(2) == ntA && r.getLong(3) == ntB, s"term counts off at ($a,$b)")
+      assert(r.getLong(4) == klA && r.getLong(5) == klB, s"kl mass off at ($a,$b)")
+      val jsd = r.getDouble(6)
+      assert(jsd == (klA + klB).toDouble / 2000000.0)
+      // JSD bounds (micro-grid slack on the lower edge)
+      assert(jsd >= -1e-6 && jsd <= math.log(2.0) + 1e-6, s"jsd out of range: $jsd")
+    }
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
