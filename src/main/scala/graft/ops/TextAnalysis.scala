@@ -5907,6 +5907,88 @@ object TextAnalysis {
     } finally { feats.unpersist(); () }
   }
 
+  /** Q265: greedy bigram decode walk — deterministic Markov-chain text
+    * generation from the corpus bigram graph (the synthetic-data /
+    * LM-smoke-test step: "what does the corpus model actually say?").
+    * From each of the `nSeeds` most frequent tokens, repeatedly follow
+    * the most frequent observed successor (argmax count, ties by token
+    * ascending) for `steps` steps; a token with no observed successor
+    * ends its walk early. Emits (seed, step, token, supporting count) —
+    * step 0 carries the seed's unigram frequency.
+    *
+    * Fully integer/string-exact — no floats anywhere: the argmax is a
+    * per-prev ROW_NUMBER over (count DESC, token), the walk a pure
+    * function iteration, so the whole generation hash-gates.
+    *
+    * Scale shape: one corpus bigram aggregate; the per-prev argmax is a
+    * key-partitioned window over bounded successor groups (never a
+    * global sort); the argmax table is localCheckpointed once and each
+    * of the K steps joins the ≤nSeeds-row frontier (broadcast by
+    * construction) against it — K vocab-bounded scans, nothing
+    * corpus-proportional after the first aggregate. The oracle replays
+    * the walk as a recursive CTE (the q227 sequential-walk precedent). */
+  def qGreedyDecode(t: Tables, steps: Int = 10, nSeeds: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    if (t.documents.isEmpty)
+      return Tables.emptyFrame(spark, "seed" -> StringType,
+        "step" -> LongType, "token" -> StringType, "c" -> LongType)
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    val uf = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val bf = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val am = bf.withColumn("rn", row_number().over(
+        Window.partitionBy(col("a")).orderBy(col("c").desc, col("b"))))
+      .filter(col("rn") === 1).select(col("a"), col("b"), col("c"))
+      .localCheckpoint()
+    val seeds = uf.orderBy(col("f").desc, col("w")).limit(nSeeds)
+    var cur = seeds.select(col("w").as("seed"), lit(0L).as("step"),
+      col("w").as("token"), col("f").as("c"))
+    var out = cur
+    for (_ <- 1 to steps) {
+      cur = broadcast(cur).as("w").join(am.as("m"), col("w.token") === col("m.a"))
+        .select(col("w.seed").as("seed"), (col("w.step") + lit(1L)).as("step"),
+          col("m.b").as("token"), col("m.c").as("c"))
+      out = out.unionByName(cur)
+    }
+    out.orderBy(col("seed"), col("step"))
+  }
+
+  /** q265 oracle: the same bigram argmax table + the walk as a recursive
+    * CTE over it. */
+  def qGreedyDecodeSql(steps: Int = 10, nSeeds: Int = 5): String =
+    s"""WITH RECURSIVE toks AS MATERIALIZED (
+       |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |         x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |uf AS (SELECT w, COUNT(*)::BIGINT AS f
+       |       FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+       |bf AS MATERIALIZED (
+       |  SELECT a, b, COUNT(*)::BIGINT AS c FROM (
+       |    SELECT tk[i] AS a, tk[i+1] AS b
+       |    FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks)
+       |    ) GROUP BY a, b),
+       |am AS MATERIALIZED (
+       |  SELECT a, b, c FROM (
+       |    SELECT a, b, c,
+       |      ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+       |    FROM bf) WHERE rn = 1),
+       |seeds AS (SELECT w AS seed, f AS c FROM uf ORDER BY f DESC, w LIMIT $nSeeds),
+       |walk AS (
+       |  SELECT seed, CAST(0 AS BIGINT) AS step, seed AS token, c FROM seeds
+       |  UNION ALL
+       |  SELECT w.seed, w.step + 1, m.b, m.c
+       |  FROM walk w JOIN am m ON m.a = w.token
+       |  WHERE w.step < $steps)
+       |SELECT seed, step, token, c FROM walk ORDER BY seed, step""".stripMargin
+
   /** Q264: pairwise source Jensen–Shannon divergence matrix — the
     * corpus-mixing audit that says HOW DIFFERENT two slices' unigram
     * distributions are (Lin 1991): JSD(a,b) = ½KL(a‖m) + ½KL(b‖m),

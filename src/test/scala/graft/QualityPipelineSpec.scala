@@ -1848,6 +1848,37 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q265 greedy decode: matches an in-memory walk over the bigram argmax") {
+    val t = sf0001
+    val got = TextAnalysis.qGreedyDecode(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val docs = t.documents.select("text").collect()
+      .map(_.getString(0).toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+    val uni = docs.flatten.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val big = docs.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val am = big.toSeq.groupBy(_._1._1).map { case (a, succ) =>
+      val best = succ.map { case ((_, b), c) => (b, c) }.minBy { case (b, c) => (-c, b) }
+      a -> best
+    }
+    val seeds = uni.toSeq.sortBy { case (w, f) => (-f, w) }.take(5)
+    val expected = seeds.flatMap { case (seed, f) =>
+      val walk = scala.collection.mutable.ArrayBuffer((seed, 0L, seed, f))
+      var tok = seed
+      var step = 1L
+      var dead = false
+      while (step <= 10L && !dead) {
+        am.get(tok) match {
+          case Some((nxt, c)) =>
+            walk += ((seed, step, nxt, c)); tok = nxt; step += 1
+          case None => dead = true
+        }
+      }
+      walk
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
