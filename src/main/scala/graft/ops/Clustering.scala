@@ -1103,4 +1103,74 @@ object Clustering {
        |             / nullif(CAST(n * (n - 1) // 2 AS DOUBLE), 0.0::DOUBLE),
        |           0.0::DOUBLE) AS ari
        |FROM agg""".stripMargin
+
+  /** Q266: embedding-space outlier audit — the semantic-outlier removal
+    * step (the within-cluster dual of SemDeDup's near-dup pruning; cf.
+    * SemDeDup/D4's "far from every prototype" filtering): assign every
+    * embedding to its q119 Lloyd centroid, then flag the globally
+    * LEAST-similar `pct`% (lowest cosine to own centroid — vectors no
+    * prototype represents well) and report the per-cluster census: size,
+    * outlier count, exact similarity mass, mean similarity. Feeding a
+    * curation pipeline, this is the "drop the semantic junk tail" audit.
+    *
+    * Determinism: similarities land on the integer micro grid
+    * (round(sim·1e6) — integer rounding is away-from-zero on both
+    * engines; sims come from the shared round(6)-disciplined Lloyd
+    * rounds); the outlier set is a global rank by (sim_micro ASC,
+    * vec_id ASC) ≤ budget = (pct·n)//100 — total order, exact integer
+    * budget; per-cluster similarity mass is a BIGINT micro sum and the
+    * mean one fixed IEEE sequence over exact integers.
+    *
+    * Scale shape: the Lloyd rounds are q119's shape (broadcast
+    * centroids, no vector shuffle); the assignment projection is
+    * localCheckpointed (3 narrow columns) so the count action, the
+    * bucketRank offsets fetch, and the rank join all reuse one
+    * materialization instead of re-running the assignment; the global
+    * rank is the two-phase bucket prefix (micro key shifted to [0, 2e6]
+    * — never a single-partition sort); the census is one k-row
+    * aggregate. */
+  def qEmbeddingOutliers(t: Tables, k: Int = 8, updates: Int = 2,
+      pct: Int = 5): DataFrame = {
+    val sm = kmeansAssignments(t, k, updates)
+      .select(col("vec_id"), col("cid"),
+        round(col("sim") * lit(1000000.0), 0).cast("long").as("smk"))
+      .withColumn("shifted", col("smk") + lit(1000000L))
+      .localCheckpoint()
+    val n = sm.count()
+    val budget = pct.toLong * n / 100L
+    val rk = TextAnalysis.bucketRank(sm, "shifted", 2000001L,
+      Seq(col("shifted"), col("vec_id")), "r")
+    rk.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("r") <= budget, 1L).otherwise(0L)).as("n_outliers"),
+        sum(col("smk")).as("sim_micro_sum"))
+      .select(col("cid").as("cluster"), col("n_members"), col("n_outliers"),
+        col("sim_micro_sum"),
+        (col("sim_micro_sum").cast("double") /
+          (lit(1000000.0) * col("n_members").cast("double"))).as("mean_sim"))
+      .orderBy(col("cluster"))
+  }
+
+  /** q266 oracle: the shared kmeans rounds + a global ROW_NUMBER over the
+    * micro similarities (the two-phase prefix is a Spark execution
+    * detail) and the same k-row census. */
+  def qEmbeddingOutliersSql(k: Int = 8, updates: Int = 2,
+      pct: Int = 5): String =
+    s"""WITH ${kmeansCtes(k, updates)},
+       |sm AS (
+       |  SELECT vec_id, cid,
+       |    CAST(round(sim * 1000000.0::DOUBLE) AS BIGINT) AS smk
+       |  FROM a$updates),
+       |rk AS (
+       |  SELECT vec_id, cid, smk,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY smk, vec_id) AS BIGINT) AS r,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM sm)
+       |SELECT cid AS cluster, COUNT(*)::BIGINT AS n_members,
+       |  CAST(SUM(CASE WHEN r <= ($pct * n) // 100 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  CAST(SUM(smk) AS BIGINT) AS sim_micro_sum,
+       |  CAST(SUM(smk) AS DOUBLE)
+       |    / (1000000.0::DOUBLE * CAST(COUNT(*) AS DOUBLE)) AS mean_sim
+       |FROM rk GROUP BY cid ORDER BY cluster""".stripMargin
 }

@@ -455,4 +455,31 @@ class ClusteringSpec extends SparkSpec {
     assert(math.abs(ariRow.getDouble(5) - ari) < 1e-12)
     assert(ariRow.getDouble(5) >= -1.0 && ariRow.getDouble(5) <= 1.0)
   }
+
+  test("q266 embedding outliers: recompute from the q119 assignment") {
+    val t = sf0001
+    // q119 exposes round(sim, 6); rebuild the micro key from it — the
+    // decimal image equals round(sim·1e6) exactly on the micro grid
+    val assign = Clustering.qKmeansStep(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(1000000)).toLong))
+    val n = assign.length.toLong
+    val budget = 5L * n / 100L
+    val outliers = assign.sortBy { case (v, _, sm) => (sm, v) }
+      .take(budget.toInt).map(_._1).toSet
+    val got = Clustering.qEmbeddingOutliers(t).collect()
+    assert(got.map(_.getLong(1)).sum == n)
+    assert(got.map(_.getLong(2)).sum == budget)
+    val byCid = assign.groupBy(_._2)
+    got.foreach { r =>
+      val cid = r.getLong(0)
+      val members = byCid(cid)
+      assert(r.getLong(1) == members.length.toLong)
+      assert(r.getLong(2) == members.count(m => outliers(m._1)).toLong)
+      assert(r.getLong(3) == members.map(_._3).sum)
+      assert(r.getDouble(4) ==
+        r.getLong(3).toDouble / (1000000.0 * r.getLong(1).toDouble))
+    }
+  }
 }
