@@ -119,6 +119,30 @@ object Multimodal {
     def synthesizeAvi(id: Long, w: Int, h: Int, nFrames: Int = 2): Array[Byte] = {
       val rowLen = ((w * 3 + 3) / 4) * 4
       val frameLen = rowLen * h
+      // frame content: one continuous splitmix64 byte stream across all
+      // frames (byte-identical to the original inline writer)
+      var s = id
+      val frames = Seq.fill(nFrames) {
+        val fb = new Array[Byte](frameLen)
+        var i = 0
+        while (i < frameLen) {
+          s = fasthash.splitmix64(s)
+          fb(i) = (s & 0xFF).toByte
+          i += 1
+        }
+        fb
+      }
+      aviFromFrames(w, h, frames)
+    }
+
+    /** Wrap caller-supplied bottom-up DIB frame rasters in the
+      * uncompressed-AVI container (the [[synthesizeAvi]] writer factored
+      * over frame content — q267 re-encodes decoded frame subsets through
+      * it). Every frame must be rowLen·h bytes for the declared dims. */
+    def aviFromFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val rowLen = ((w * 3 + 3) / 4) * 4
+      val frameLen = rowLen * h
+      val nFrames = frames.length
       val avihLen = 56
       val strhLen = 56
       val strfLen = 40
@@ -164,17 +188,11 @@ object Multimodal {
       buf.putInt(frameLen)                // biSizeImage
       buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
       fcc("LIST"); buf.putInt(moviLen); fcc("movi")
-      var f = 0
-      var s = id
-      while (f < nFrames) {
+      frames.foreach { fb =>
+        require(fb.length == frameLen,
+          s"frame raster ${fb.length} bytes, want $frameLen for ${w}x$h")
         fcc("00db"); buf.putInt(frameLen)
-        var i = 0
-        while (i < frameLen) {
-          s = fasthash.splitmix64(s)
-          buf.put((s & 0xFF).toByte)
-          i += 1
-        }
-        f += 1
+        buf.put(fb)
       }
       buf.array()
     }
@@ -339,6 +357,52 @@ object Multimodal {
         i += 1
       }
       code
+    }
+
+    /** A cell-painted bottom-up DIB frame raster (BGR24, 4-byte row
+      * padding): constant `cell`-px gray blocks derived from
+      * (id, frame, cx, cy) — the video analog of [[synthesizeCellPng]].
+      * With cell = 4 on a 36×32 raster the painted grid ALIGNS with
+      * dHash's 9×8 cell grid, so each hash bit compares two whole painted
+      * values — deterministic, content-rich codes. */
+    def cellFrame(id: Long, frame: Int, w: Int, h: Int, cell: Int): Array[Byte] = {
+      val rowLen = ((w * 3 + 3) / 4) * 4
+      val buf = new Array[Byte](rowLen * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (fasthash.splitmix64(id ^ (frame.toLong * 977003L) ^
+            ((x / cell) * 1300501L) ^ ((y / cell) * 58511L)) & 0xFFL).toByte
+          val o = y * rowLen + x * 3
+          buf(o) = v; buf(o + 1) = v; buf(o + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      buf
+    }
+
+    /** Decode a bottom-up BGR24 DIB raster into a BufferedImage (the
+      * frame-decode half of the q267 pipeline; [[aviFrameChunks]] slices
+      * the raster bytes out of the container). */
+    def dibToImage(bytes: Array[Byte], w: Int, h: Int): java.awt.image.BufferedImage = {
+      val rowLen = ((w * 3 + 3) / 4) * 4
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (h - 1 - y) * rowLen + x * 3
+          val b = bytes(o) & 0xFF; val g = bytes(o + 1) & 0xFF
+          val r = bytes(o + 2) & 0xFF
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      img
     }
 
     /** Synthesize a frame-block WAV: 65 frames × `frameLen` samples, the
@@ -841,6 +905,82 @@ object Multimodal {
       t.fanout(t.documents)
         .select(col("doc_id").as("media_id"), audioHashPairUdf(col("doc_id")).as("c")),
       maxHamming)
+
+  /** The q267 per-row codec pipeline: synthesize a cell-painted AVI,
+    * demux every frame back out of the container, dHash each; build the
+    * TEMPORALLY SUBSAMPLED copy from the DECODED even-index frames,
+    * re-encode it through the AVI writer, demux again, dHash again. */
+  private val videoHashSetsUdf = udf { (id: Long) =>
+    val w = 36; val h = 32
+    val nf = (id % 6 + 4).toInt
+    val frames = (0 until nf).map(f => Codecs.cellFrame(id, f, w, h, 4))
+    val avi = Codecs.aviFromFrames(w, h, frames)
+    def hashes(payload: Array[Byte]): Array[Long] =
+      Codecs.aviFrameChunks(payload).map { case (o, l) =>
+        Codecs.dHash(Codecs.dibToImage(
+          java.util.Arrays.copyOfRange(payload, o, o + l), w, h))
+      }.toArray
+    val decoded = Codecs.aviFrameChunks(avi).map { case (o, l) =>
+      java.util.Arrays.copyOfRange(avi, o, o + l) }
+    val copyAvi = Codecs.aviFromFrames(w, h,
+      decoded.zipWithIndex.collect { case (fb, i) if i % 2 == 0 => fb })
+    (hashes(avi), hashes(copyAvi))
+  }
+
+  /** Q267: video near-dup by keyframe perceptual-hash sets — the third
+    * modality of the q236/q237 family: find each video's temporally
+    * SUBSAMPLED copy (every other frame, re-encoded through the
+    * container) by exact frame-dHash blocking and set-overlap verify.
+    * The pipeline is real end to end: synthesize cell-painted AVI →
+    * RIFF demux → per-frame DIB decode → dHash → subsample → re-encode →
+    * demux → dHash → frame-hash equi-join → per-pair overlap count.
+    *
+    * HASH GATE (the q236/q237 envelope): uncompressed DIB frames
+    * round-trip the container BYTE-EXACTLY, so every copy frame's dHash
+    * equals its source frame's and the blind blocked search MUST find
+    * the self pair with overlap = the copy's distinct hash count —
+    * `found` and `overlap_ok` asserted TRUE by the oracle, which
+    * replays the id set and the integer frame counts (nf = id%6+4,
+    * n_copy = (nf+1)//2). A demux-offset, DIB-orientation, or hash
+    * regression fails the driver compare.
+    *
+    * Scale shape: per-row bounded codec work on the fanned-out scan
+    * (q72's fanout-first invariant), ONE frame-hash equi-join (never
+    * all-pairs), one aggregate per pair side. A frame hash shared by
+    * many videos is the q185 mega-bucket class — the priced bucket-cap
+    * governor applies unchanged if real content makes one. */
+  def qVideoDedup(t: Tables): DataFrame = {
+    val codes = t.fanout(t.documents)
+      .select(col("doc_id").as("media_id"), videoHashSetsUdf(col("doc_id")).as("c"))
+      .select(col("media_id"), col("c._1").as("h_orig"), col("c._2").as("h_copy"))
+      .localCheckpoint()
+    val orig = codes.select(col("media_id").as("id_o"),
+      explode(array_distinct(col("h_orig"))).as("fh"))
+    val copy = codes.select(col("media_id").as("id_c"),
+      explode(array_distinct(col("h_copy"))).as("fh"))
+    val shared = copy.join(orig, Seq("fh"))
+      .groupBy(col("id_c"), col("id_o")).agg(count(lit(1)).as("n_shared"))
+    val selfPairs = shared.filter(col("id_c") === col("id_o"))
+      .select(col("id_c").as("media_id"), col("n_shared"))
+    codes.select(col("media_id"),
+        size(array_distinct(col("h_copy"))).cast("long").as("nd_copy"))
+      .join(selfPairs, Seq("media_id"), "left")
+      .select(col("media_id"),
+        expr("media_id % 6 + 4").cast("long").as("nf"),
+        expr("(media_id % 6 + 4 + 1) div 2").cast("long").as("n_copy"),
+        col("n_shared").isNotNull.as("found"),
+        (coalesce(col("n_shared"), lit(0L)) === col("nd_copy")).as("overlap_ok"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q267 oracle: the id set, the replayable frame counts, and both
+    * envelope booleans asserted TRUE. */
+  val qVideoDedupSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 6 + 4 AS BIGINT) AS nf,
+      |  CAST((doc_id % 6 + 4 + 1) // 2 AS BIGINT) AS n_copy,
+      |  TRUE AS found, TRUE AS overlap_ok
+      |FROM documents ORDER BY media_id""".stripMargin
 
   /** q237 oracle: the id set with both envelope booleans asserted TRUE. */
   val qAudioDedupSql: String =

@@ -192,4 +192,39 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == sf0001.documents.count().toInt)
     assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)))
   }
+
+  test("q267 video frames: container round-trip byte-exact; copy hashes subset") {
+    val C = Multimodal.Codecs
+    (0L until 32L).foreach { id =>
+      val w = 36; val h = 32
+      val nf = (id % 6 + 4).toInt
+      val frames = (0 until nf).map(f => C.cellFrame(id, f, w, h, 4))
+      val avi = C.aviFromFrames(w, h, frames)
+      // demux returns every frame raster byte-identically
+      val chunks = C.aviFrameChunks(avi)
+      assert(chunks.length == nf)
+      val decoded = chunks.map { case (o, l) =>
+        java.util.Arrays.copyOfRange(avi, o, o + l) }
+      decoded.zip(frames).foreach { case (d, f) =>
+        assert(java.util.Arrays.equals(d, f), s"id $id: frame round-trip broken") }
+      // the re-encoded even-frame copy demuxes to the same bytes again
+      val copyFrames = decoded.zipWithIndex.collect { case (fb, i) if i % 2 == 0 => fb }
+      val copyAvi = C.aviFromFrames(w, h, copyFrames)
+      val copyDec = C.aviFrameChunks(copyAvi).map { case (o, l) =>
+        java.util.Arrays.copyOfRange(copyAvi, o, o + l) }
+      assert(copyDec.length == (nf + 1) / 2)
+      val ho = decoded.map(fb => C.dHash(C.dibToImage(fb, w, h)))
+      val hc = copyDec.map(fb => C.dHash(C.dibToImage(fb, w, h)))
+      assert(hc.toSet.subsetOf(ho.toSet), s"id $id: copy hashes not a subset")
+      // frame content varies: a video's own frames hash distinctly
+      assert(ho.distinct.size == ho.size, s"id $id: frame-hash collision")
+    }
+    val rows = Multimodal.qVideoDedup(sf0001).collect()
+    assert(rows.length == sf0001.documents.count().toInt)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) % 6 + 4)
+      assert(r.getLong(2) == (r.getLong(1) + 1) / 2)
+      assert(r.getBoolean(3) && r.getBoolean(4), s"rediscovery broken: $r")
+    }
+  }
 }
