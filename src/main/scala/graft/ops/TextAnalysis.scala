@@ -196,6 +196,75 @@ object TextAnalysis {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Q268: language-ID confusion matrix — the eval of the q28 filter
+    * against the corpus's ground-truth `lang` column: per class,
+    * true/predicted/correct counts and precision/recall/F1. THE check a
+    * pipeline runs before trusting a heuristic language filter to route
+    * 100 TB (langid failure modes are per-class: a marker list that
+    * over-fires on one language shows up as that class's precision
+    * collapsing, invisible in overall accuracy).
+    *
+    * Exactness: counts are exact BIGINTs from one (lang, pred) cell
+    * aggregate; precision/recall are single IEEE divisions (nullif'd —
+    * a class can have zero predictions), F1 one fixed sequence over
+    * them, null-propagating identically cross-engine.
+    *
+    * Scale shape: one corpus scan → a ≤|classes|² cell aggregate;
+    * the per-class marginals are two tiny aggregates full-outer-joined
+    * on the class key (never a scalar cross join — the q114 rule). */
+  def qLangIdConfusion(t: Tables): DataFrame = {
+    val cells = t.fanout(t.documents)
+      .select(text.langId(col("text")).as("lang_pred"), col("lang"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    val byTrue = cells.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("lang_pred") === col("lang"), col("n")).otherwise(0L))
+          .as("n_correct"))
+      .withColumnRenamed("lang", "class")
+    val byPred = cells.groupBy(col("lang_pred")).agg(sum(col("n")).as("n_pred"))
+      .withColumnRenamed("lang_pred", "class")
+    byTrue.join(byPred, Seq("class"), "full_outer")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("prec", col("n_correct").cast("double") /
+        nullif(col("n_pred").cast("double"), lit(0.0)))
+      .withColumn("rec", col("n_correct").cast("double") /
+        nullif(col("n_true").cast("double"), lit(0.0)))
+      .withColumn("f1", lit(2.0) * col("prec") * col("rec") /
+        nullif(col("prec") + col("rec"), lit(0.0)))
+      .orderBy(col("class"))
+  }
+
+  /** q268 oracle: the q28 prediction query as a derived table + the same
+    * cell aggregate, marginal full-outer join, and nullif'd metrics. */
+  def qLangIdConfusionSql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, lang_pred, COUNT(*)::BIGINT AS n
+       |  FROM ($qLangIdSql) GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT lang AS class, CAST(SUM(n) AS BIGINT) AS n_true,
+       |    CAST(SUM(CASE WHEN lang_pred = lang THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_correct
+       |  FROM cells GROUP BY 1),
+       |bp AS (
+       |  SELECT lang_pred AS class, CAST(SUM(n) AS BIGINT) AS n_pred
+       |  FROM cells GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(bt.class, bp.class) AS class,
+       |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+       |    COALESCE(n_correct, 0) AS n_correct
+       |  FROM bt FULL OUTER JOIN bp ON bt.class = bp.class),
+       |m AS (
+       |  SELECT class, n_true, n_pred, n_correct,
+       |    CAST(n_correct AS DOUBLE) / nullif(CAST(n_pred AS DOUBLE), 0.0) AS prec,
+       |    CAST(n_correct AS DOUBLE) / nullif(CAST(n_true AS DOUBLE), 0.0) AS rec
+       |  FROM j)
+       |SELECT class, n_true, n_pred, n_correct, prec, rec,
+       |  2.0::DOUBLE * prec * rec / nullif(prec + rec, 0.0::DOUBLE) AS f1
+       |FROM m ORDER BY class""".stripMargin
+
   /** Document fingerprint: 64-bit minhash over 8-char shingles plus exact
     * md5 — the dedup keys for the Dedup operators (rows-only: xxhash64 is
     * Spark-specific). md5 column is itself oracle-checked in Dedup. */

@@ -1879,6 +1879,34 @@ class QualityPipelineSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("q268 langid confusion: ties to the q28 predictions exactly") {
+    val t = sf0001
+    val preds = TextAnalysis.qLangId(t).collect()
+      .map(r => (r.getString(2), r.getString(1))) // (true, pred)
+    val got = TextAnalysis.qLangIdConfusion(t).collect()
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted
+    assert(got.map(_.getString(0)).toSeq == classes.toSeq)
+    got.foreach { r =>
+      val c = r.getString(0)
+      val nTrue = preds.count(_._1 == c).toLong
+      val nPred = preds.count(_._2 == c).toLong
+      val nCorrect = preds.count(p => p._1 == c && p._2 == c).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nTrue, nPred, nCorrect)))
+      if (nPred > 0) assert(r.getDouble(4) == nCorrect.toDouble / nPred)
+      else assert(r.isNullAt(4))
+      if (nTrue > 0) assert(r.getDouble(5) == nCorrect.toDouble / nTrue)
+      else assert(r.isNullAt(5))
+    }
+    // corpus-shape consistency (NOT a textbook range — the heuristic is
+    // measurably weak against this synthetic ground truth, ~0.29 micro
+    // accuracy at sf0.001, which is precisely what the eval is for):
+    // marginals conserve the corpus and accuracy equals diag/total
+    assert(got.map(_.getLong(1)).sum == preds.length.toLong)
+    assert(got.map(_.getLong(2)).sum == preds.length.toLong)
+    val correct = got.map(_.getLong(3)).sum
+    assert(correct == preds.count(p => p._1 == p._2).toLong)
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
