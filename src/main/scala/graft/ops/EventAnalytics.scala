@@ -384,6 +384,92 @@ object EventAnalytics {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM fit ORDER BY event_type""".stripMargin
 
+  /** Q269: Holt linear-trend smoothing per channel (Holt 1957 double
+    * exponential smoothing) — the one-step-ahead volume forecaster that
+    * upgrades q160's global linear fit and gives q107's anomaly gate an
+    * adaptive baseline: per event type, walk the observed daily counts in
+    * order and maintain level/trend with α = ½, β = ¼, emitting the
+    * one-step forecast and its error at every day.
+    *
+    * FULLY INTEGER recurrence — no float discipline needed: counts enter
+    * as exact micro units (y·10⁶) and the dyadic smoothing constants are
+    * arithmetic SHIFTS, exact and identical cross-engine on BIGINT (the
+    * q131 shiftright ≡ >> rule):
+    *   l_t = (y_t·10⁶ + l_{t-1} + t_{t-1}) >> 1
+    *   t_t = t_{t-1} + ((l_t − l_{t-1} − t_{t-1}) >> 2)
+    *   forecast_t = l_{t-1} + t_{t-1} (NULL at the first observation).
+    *
+    * Scale shape: one corpus daily aggregate, then a flatMapGroups
+    * kernel per event type — the bounded-group contract holds because a
+    * channel's day count grows with the TIME SPAN, not data volume (the
+    * q190 class); the oracle replays the walk as a recursive CTE over
+    * per-channel day ranks (the q227 precedent). */
+  def qHoltTrend(t: Tables): DataFrame = {
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.select(col("event_type"), col("x"), col("y"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val days = it.toSeq.sortBy(_._2)
+        var lm = 0L; var tm = 0L; var first = true
+        days.iterator.map { case (_, x, y) =>
+          val ym = y * 1000000L
+          if (first) {
+            lm = ym; tm = 0L; first = false
+            (k, x, y, lm, tm, None: Option[Long])
+          } else {
+            val fm = lm + tm
+            val l2 = (ym + fm) >> 1
+            val t2 = tm + ((l2 - lm - tm) >> 2)
+            lm = l2; tm = t2
+            (k, x, y, lm, tm, Some(fm))
+          }
+        }
+      }
+      .toDF("event_type", "x", "y", "level_micro", "trend_micro", "forecast_micro")
+      .withColumn("err_micro",
+        when(col("forecast_micro").isNull, lit(null))
+          .otherwise(col("y") * lit(1000000L) - col("forecast_micro"))
+          .cast("long"))
+      .orderBy(col("event_type"), col("x"))
+  }
+
+  /** q269 oracle: the daily aggregate ranked per channel + the identical
+    * shift recurrence as a recursive CTE. */
+  val qHoltTrendSql: String =
+    """WITH RECURSIVE daily0 AS MATERIALIZED (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |daily AS MATERIALIZED (
+      |  SELECT event_type, x, y,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+      |  FROM daily0),
+      |walk AS (
+      |  SELECT event_type, rn, x, y,
+      |    y * 1000000 AS lm, CAST(0 AS BIGINT) AS tm,
+      |    CAST(NULL AS BIGINT) AS fm
+      |  FROM daily WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.rn, d.x, d.y,
+      |    (d.y * 1000000 + w.lm + w.tm) >> 1 AS lm,
+      |    w.tm + ((((d.y * 1000000 + w.lm + w.tm) >> 1) - w.lm - w.tm) >> 2) AS tm,
+      |    w.lm + w.tm AS fm
+      |  FROM walk w JOIN daily d
+      |    ON d.event_type = w.event_type AND d.rn = w.rn + 1)
+      |SELECT event_type, x, y, lm AS level_micro, tm AS trend_micro,
+      |  fm AS forecast_micro,
+      |  CASE WHEN fm IS NULL THEN NULL
+      |       ELSE y * 1000000 - fm END AS err_micro
+      |FROM walk ORDER BY event_type, x""".stripMargin
+
   /** Q170: A/B experiment readout — hash-split users into two arms (the
     * q63 md5 assignment discipline: deterministic, partition-independent,
     * exactly what an experimentation platform does), measure per-arm

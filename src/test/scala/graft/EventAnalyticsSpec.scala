@@ -700,4 +700,39 @@ class EventAnalyticsSpec extends SparkSpec {
           "oracle scenario list — qMarkovAttributionSql must be regenerated")
     }
   }
+
+  test("q269 Holt trend: matches an in-memory shift-recurrence walk") {
+    val t = sf0001
+    val got = EventAnalytics.qHoltTrend(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    // daily counts recomputed from raw events
+    val daily = t.events.selectExpr("event_type",
+        "cast(datediff(cast(ts as date), date'2024-01-01') as long) as x")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expected = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { ch =>
+      val days = daily.filter(_._1._1 == ch).toSeq
+        .map { case ((_, x), y) => (x, y) }.sortBy(_._1)
+      var lm = 0L; var tm = 0L; var first = true
+      days.map { case (x, y) =>
+        val ym = y * 1000000L
+        if (first) { lm = ym; tm = 0L; first = false; (ch, x, y, lm, tm, None) }
+        else {
+          val fm = lm + tm
+          val l2 = (ym + fm) >> 1
+          val t2 = tm + ((l2 - lm - tm) >> 2)
+          lm = l2; tm = t2
+          (ch, x, y, lm, tm, Some(fm))
+        }
+      }
+    }
+    assert(got.toSeq == expected)
+    // the smoother tracks: every non-first row's error is bounded by the
+    // raw day-to-day count swing in micro units
+    val maxSwing = expected.map(_._3).max * 1000000L
+    got.flatMap(_._6).zip(got.filter(_._6.isDefined)).foreach { case (fm, r) =>
+      assert(math.abs(r._3 * 1000000L - fm) <= 2 * maxSwing)
+    }
+  }
 }
