@@ -1746,6 +1746,59 @@ object Dedup {
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
+  /** Q270: INCREMENTAL connected-component maintenance — the production
+    * "nightly crawl batch" dedup path: given the stored per-doc component
+    * labels for the existing corpus (docs below the id cutoff) and a new
+    * batch (docs at/above it), update every label by contracting ONLY the
+    * delta candidate pairs plus one star edge per stored non-root doc —
+    * never the full pair-graph history. Connectivity is preserved exactly
+    * (each stored component collapses to its label star, delta pairs
+    * bridge stars and attach the batch), so the incremental labels are
+    * PROVABLY the full-recompute labels — and the oracle asserts exactly
+    * that: it computes the full transitive closure blind, and the hash
+    * gate IS the incremental-equals-full proof at every SF.
+    *
+    * Scale shape: this is why incremental wins at 100 TB — the
+    * contraction input is |delta pairs| + (#stored docs − #stored
+    * components) star edges, independent of how many historical pair
+    * generations built the stored state; the star edges enter pre-
+    * contracted, so the O(log n) rounds converge on the delta's
+    * diameter. Cutoff = (max_id+1)·4/5 (a bounded max fetch); pairs come
+    * from the session pair cache (the q32 generator runs once). */
+  def qIncrementalComponents(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    if (t.documents.isEmpty)
+      return Tables.emptyFrame(spark, "doc_id" -> LongType,
+        "label" -> LongType, "is_new" -> BooleanType)
+    val maxId = t.documents.agg(max(col("doc_id"))).head().getLong(0)
+    val cutoff = (maxId + 1L) * 4L / 5L
+    val pairs = fuzzyPairsCached(t)
+    // the "stored" state: labels for the pre-batch corpus only
+    val oldLabels = componentLabels(
+      pairs.filter(col("id_a") < cutoff && col("id_b") < cutoff),
+      t.documents.select(col("doc_id").as("id")).filter(col("id") < cutoff))
+    val labelEdges = oldLabels.filter(col("id") =!= col("label"))
+      .select(col("id").as("id_a"), col("label").as("id_b"))
+    val deltaPairs = pairs
+      .filter(col("id_a") >= cutoff || col("id_b") >= cutoff)
+      .select(col("id_a"), col("id_b"))
+    componentLabels(deltaPairs.unionByName(labelEdges),
+        t.documents.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("label"),
+        (col("id") >= cutoff).as("is_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q270 oracle: the FULL transitive closure (blind to the incremental
+    * construction) — hash equality proves incremental = full. */
+  def qIncrementalComponentsSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |cut AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS c FROM documents)
+      |SELECT r.id AS doc_id, r.keep_id AS label, r.id >= cut.c AS is_new
+      |FROM rep r CROSS JOIN cut
+      |ORDER BY doc_id""".stripMargin
+
   /** Q252: near-dup component-size distribution + discrete power-law fit —
     * the corpus-shape statistic dedup capacity planning runs on (how big do
     * duplicate clusters get, and how heavy is the tail?): the q37 component

@@ -836,4 +836,24 @@ class DedupSpec extends SparkSpec {
     assert(totalDupPairs <= allPairs)
   }
 
+  test("q270 incremental components equal the full recompute exactly") {
+    val t = sf0001
+    val got = Dedup.qIncrementalComponents(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the full-graph recompute through the same engine surface
+    val full = Dedup.componentLabels(
+        Dedup.qFuzzyPairs(t).select(col("id_a"), col("id_b")),
+        t.documents.select(col("doc_id").as("id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.length == t.documents.count().toInt)
+    val maxId = got.map(_._1).max
+    val cutoff = (maxId + 1L) * 4L / 5L
+    got.foreach { case (id, label, isNew) =>
+      assert(label == full(id), s"doc $id: incremental $label != full ${full(id)}")
+      assert(isNew == (id >= cutoff))
+      assert(label <= id) // min-id labels
+    }
+    // the batch split is non-degenerate at this SF
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
 }
