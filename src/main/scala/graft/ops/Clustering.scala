@@ -1104,6 +1104,110 @@ object Clustering {
        |           0.0::DOUBLE) AS ari
        |FROM agg""".stripMargin
 
+  /** Q271: facility-location greedy coreset (Nemhauser et al. 1978
+    * submodular greedy over F(S) = Σ_x max_{c∈S} sim(x,c) — the standard
+    * coverage-maximizing data-selection objective; Gonzalez/q153 is its
+    * max-min robustness dual): restricted to a fixed candidate POOL
+    * (vec_id < `pool`, the production shape — pool-seeded coresets keep
+    * each greedy round one linear pass), pick `k` centers, each round
+    * taking the candidate with the largest exact marginal coverage gain.
+    *
+    * FULLY INTEGER greedy — no float discipline beyond the established
+    * cosine micro grid: sims enter as round(cos·1e6) BIGINTs, per-round
+    * gains are BIGINT sums of clamped deltas (order-independent, exact),
+    * the argmax orders by (gain DESC, cid) — a total order — and the
+    * cumulative coverage is a driver-side exact integer prefix. Emits
+    * (rank, cid, gain_micro, coverage_micro).
+    *
+    * Scale shape: ONE corpus × pool similarity matrix (broadcast pool,
+    * the q38/q153 scan class), localCheckpointed; each of the k rounds
+    * is one map-side-combinable aggregate over it plus a 1-row bounded
+    * fetch (the Lloyd contract) and an O(corpus) coverage update,
+    * checkpointed per round. The oracle replays the rounds as chained
+    * MATERIALIZED CTEs (the q153 recipe). */
+  def qFacilityLocation(t: Tables, k: Int = 8, pool: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = t.spark
+    import spark.implicits._
+    val emb = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val poolRows = emb.filter(col("vec_id") < pool)
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (poolRows.isEmpty)
+      return Tables.emptyFrame(spark, "rank" -> LongType, "cid" -> LongType,
+        "gain_micro" -> LongType, "coverage_micro" -> LongType)
+    val poolDf = poolRows.toSeq.toDF("cid", "c")
+    val m = emb.crossJoin(broadcast(poolDf))
+      .select(col("vec_id"), col("cid"),
+        round(graft.plans.CosineSim.cosineD(col("e"), col("c")) * lit(1000000.0), 0)
+          .cast("long").as("sm"))
+      .localCheckpoint()
+    var cov = m.select(col("vec_id")).distinct()
+      .withColumn("cov", lit(0L)).localCheckpoint()
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var coverage = 0L
+    for (r <- 1L to k.toLong) {
+      val picked = chosen.map(_._2)
+      val best = m.join(cov, Seq("vec_id"))
+        .filter(if (picked.isEmpty) lit(true) else !col("cid").isin(picked.toSeq: _*))
+        .groupBy(col("cid"))
+        .agg(sum(greatest(col("sm") - col("cov"), lit(0L))).as("gain"))
+        .orderBy(col("gain").desc, col("cid")).limit(1)
+        .collect().head
+      val (cid, gain) = (best.getLong(0), best.getLong(1))
+      coverage += gain
+      chosen += ((r, cid, gain, coverage))
+      cov = cov.join(m.filter(col("cid") === cid).select(col("vec_id"), col("sm")),
+          Seq("vec_id"))
+        .select(col("vec_id"), greatest(col("cov"), col("sm")).as("cov"))
+        .localCheckpoint()
+    }
+    chosen.toSeq.toDF("rank", "cid", "gain_micro", "coverage_micro")
+      .orderBy(col("rank"))
+  }
+
+  /** q271 oracle: the corpus × pool micro matrix + k chained MATERIALIZED
+    * (gains → pick → coverage) CTE triples, cumulative coverage as a
+    * prefix window over the k picks. */
+  def qFacilityLocationSql(k: Int = 8, pool: Int = 64): String = {
+    val rounds = (1 to k).map { r =>
+      val notIn =
+        if (r == 1) ""
+        else "  WHERE m.cid NOT IN (" +
+          (1 until r).map(i => s"SELECT cid FROM s$i").mkString(" UNION ALL ") + ")\n"
+      s"""g$r AS MATERIALIZED (
+         |  SELECT m.cid, CAST(SUM(greatest(m.sm - c.cov, 0)) AS BIGINT) AS gain
+         |  FROM m JOIN c${r - 1} c USING (vec_id)
+         |$notIn  GROUP BY m.cid),
+         |s$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS rank, cid, gain
+         |  FROM g$r ORDER BY gain DESC, cid LIMIT 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT c.vec_id, greatest(c.cov, m.sm) AS cov
+         |  FROM c${r - 1} c JOIN m
+         |    ON m.vec_id = c.vec_id AND m.cid = (SELECT cid FROM s$r))""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |pool AS MATERIALIZED (
+       |  SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < $pool),
+       |m AS MATERIALIZED (
+       |  SELECT emb.vec_id, p.cid,
+       |    CAST(round(list_cosine_similarity(emb.e, p.c) * 1000000.0::DOUBLE)
+       |      AS BIGINT) AS sm
+       |  FROM emb, pool p),
+       |c0 AS MATERIALIZED (SELECT vec_id, CAST(0 AS BIGINT) AS cov FROM emb),
+       |$rounds,
+       |picks AS ($picks)
+       |SELECT rank, cid, gain AS gain_micro,
+       |  CAST(SUM(gain) OVER (ORDER BY rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS coverage_micro
+       |FROM picks ORDER BY rank""".stripMargin
+  }
+
   /** Q266: embedding-space outlier audit — the semantic-outlier removal
     * step (the within-cluster dual of SemDeDup's near-dup pruning; cf.
     * SemDeDup/D4's "far from every prototype" filtering): assign every

@@ -456,6 +456,44 @@ class ClusteringSpec extends SparkSpec {
     assert(ariRow.getDouble(5) >= -1.0 && ariRow.getDouble(5) <= 1.0)
   }
 
+  test("q271 facility location: matches an in-memory greedy; gains non-increasing") {
+    val t = sf0001
+    val got = Clustering.qFacilityLocation(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vecs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // half away from zero (Math.round is half-up; cosines can be negative)
+    def micro(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val poolV = vecs.filter(_._1 < 64)
+    val sm = poolV.map { case (cid, c) =>
+      cid -> vecs.map { case (x, e) => x -> micro(cos(e, c)) }.toMap
+    }.toMap
+    var cov = vecs.map(_._1 -> 0L).toMap
+    var picked = Set.empty[Long]
+    var coverage = 0L
+    val expected = (1L to 8L).map { r =>
+      val (cid, gain) = sm.keys.filterNot(picked).toSeq.map { c =>
+        c -> vecs.map { case (x, _) => math.max(sm(c)(x) - cov(x), 0L) }.sum
+      }.minBy { case (c, g) => (-g, c) }
+      picked += cid
+      coverage += gain
+      cov = cov.map { case (x, v) => x -> math.max(v, sm(cid)(x)) }
+      (r, cid, gain, coverage)
+    }
+    assert(got.toSeq == expected)
+    // submodularity: marginal gains are non-increasing down the greedy order
+    val gains = got.map(_._3)
+    gains.zip(gains.tail).foreach { case (a, b) => assert(a >= b, "gains increased") }
+  }
+
   test("q266 embedding outliers: recompute from the q119 assignment") {
     val t = sf0001
     // q119 exposes round(sim, 6); rebuild the micro key from it — the

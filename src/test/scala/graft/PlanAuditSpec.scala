@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q165_retrieval_metrics", // composes the q166 scan + the q38 ground truth
     "q251_semantic_decontamination", // train scan × broadcast eval holdout (benchmark-sized by construction)
     "q259_knn_shapley",     // valuation scan: train corpus × broadcast probes (q38 contract)
-    "q266_embedding_outliers") // composes the q119 Lloyd assignment stage
+    "q266_embedding_outliers", // composes the q119 Lloyd assignment stage
+    "q271_facility_location") // coverage gains ARE corpus × broadcast pool (q153 class)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
