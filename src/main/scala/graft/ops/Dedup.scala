@@ -1746,6 +1746,59 @@ object Dedup {
       |SELECT keep_id, CAST(COUNT(*) AS BIGINT) AS component_size
       |FROM rep GROUP BY keep_id ORDER BY keep_id""".stripMargin
 
+  /** Q272: blocking-recall audit — the question every blocked dedup
+    * family must answer on the record: WHAT DOES THE BLOCK MISS? All
+    * document pairs are scored with the exact q32 similarity (integer
+    * bucketing: decile = ((g − l)·10) div g over the 40-char prefix
+    * levenshtein, truncating division on non-negative ints — identical
+    * cross-engine) and each decile reports how many of its pairs the
+    * prefix-10 block would have generated. Deciles 9–10 are the
+    * above-threshold region: their block_rate IS the generator's recall;
+    * low-decile rates show the block's selectivity. Complements q201
+    * (which prices the candidate population) and q256 (which calibrates
+    * the minhash estimator) with the third axis — candidate RECALL.
+    *
+    * Scale: the exact arm is all-pairs BY AUDIT SEMANTICS (the q36/q121
+    * adjudication class — it exists to measure the block, so it cannot
+    * use the block); run it at audit SFs or on a q63-style hash slice at
+    * corpus scale. One aggregate over the pair stream, no materialized
+    * pair table. */
+  def qBlockingRecall(t: Tables): DataFrame = {
+    val a = t.fanout(t.documents).select(col("doc_id").as("id_a"),
+      substring(col("text"), 1, 40).as("p_a"),
+      substring(col("text"), 1, 10).as("b_a"))
+    val b = t.documents.select(col("doc_id").as("id_b"),
+      substring(col("text"), 1, 40).as("p_b"),
+      substring(col("text"), 1, 10).as("b_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("g", greatest(length(col("p_a")), length(col("p_b"))))
+      // Myers bit-parallel native expression: ~5× Spark's DP levenshtein
+      // on this 12.5M-pair audit arm (plans/Levenshtein64)
+      .withColumn("l", graft.plans.Levenshtein64.lev(col("p_a"), col("p_b")))
+      .filter(col("g") > 0)
+      .select(expr("((g - l) * 10) div g").cast("long").as("bucket"),
+        when(col("b_a") === col("b_b"), 1L).otherwise(0L).as("blocked"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("blocked")).as("n_blocked"))
+      .withColumn("block_rate",
+        col("n_blocked").cast("double") / col("n_pairs").cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q272 oracle: the same all-pairs integer bucketing in DuckDB. */
+  val qBlockingRecallSql: String =
+    """WITH p AS (
+      |  SELECT greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) AS g,
+      |    levenshtein(substr(a.text,1,40), substr(b.text,1,40)) AS l,
+      |    (substr(a.text,1,10) = substr(b.text,1,10)) AS blocked
+      |  FROM documents a JOIN documents b ON a.doc_id < b.doc_id),
+      |bk AS (SELECT ((g - l) * 10) // g AS bucket, blocked FROM p WHERE g > 0)
+      |SELECT bucket, COUNT(*)::BIGINT AS n_pairs,
+      |  CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+      |  CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS block_rate
+      |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Q270: INCREMENTAL connected-component maintenance — the production
     * "nightly crawl batch" dedup path: given the stored per-doc component
     * labels for the existing corpus (docs below the id cutoff) and a new

@@ -836,6 +836,48 @@ class DedupSpec extends SparkSpec {
     assert(totalDupPairs <= allPairs)
   }
 
+  test("q272 blocking recall: matches an in-memory all-pairs recompute") {
+    val t = sf0001
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(b.length)
+    }
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val cells = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for (i <- docs.indices; j <- (i + 1) until docs.length) {
+      val pa = docs(i)._2.take(40); val pb = docs(j)._2.take(40)
+      val g = math.max(pa.length, pb.length)
+      if (g > 0) {
+        val bucket = ((g - lev(pa, pb)).toLong * 10L) / g
+        val blocked = if (docs(i)._2.take(10) == docs(j)._2.take(10)) 1L else 0L
+        val (n, bl) = cells.getOrElse(bucket, (0L, 0L))
+        cells(bucket) = (n + 1L, bl + blocked)
+      }
+    }
+    val got = Dedup.qBlockingRecall(t).collect()
+    assert(got.map(_.getLong(0)).toSeq == cells.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (n, bl) = cells(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2)) == ((n, bl)), s"bucket ${r.getLong(0)}")
+      assert(r.getDouble(3) == bl.toDouble / n.toDouble)
+    }
+    // the above-threshold region brackets the q32 generator's pair count
+    val q32n = Dedup.qFuzzyPairs(t).count()
+    val ge9 = got.filter(_.getLong(0) >= 9L).map(_.getLong(2)).sum
+    val ge8 = got.filter(_.getLong(0) >= 8L).map(_.getLong(2)).sum
+    assert(ge9 <= q32n && q32n <= ge8, s"$ge9 <= $q32n <= $ge8 violated")
+  }
+
   test("q270 incremental components equal the full recompute exactly") {
     val t = sf0001
     val got = Dedup.qIncrementalComponents(t).collect()

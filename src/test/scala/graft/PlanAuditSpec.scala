@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "q251_semantic_decontamination", // train scan × broadcast eval holdout (benchmark-sized by construction)
     "q259_knn_shapley",     // valuation scan: train corpus × broadcast probes (q38 contract)
     "q266_embedding_outliers", // composes the q119 Lloyd assignment stage
-    "q271_facility_location") // coverage gains ARE corpus × broadcast pool (q153 class)
+    "q271_facility_location", // coverage gains ARE corpus × broadcast pool (q153 class)
+    "q272_blocking_recall") // recall audit IS all-pairs by semantics (q36/q121 class)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -104,6 +104,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Levenshtein64 matches UTF8String.levenshteinDistance on random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.plans.Levenshtein64
+    // deterministic xorshift; covers the bit-parallel path (shorter ≤64),
+    // the long fallback, empties, and the non-ASCII fallback
+    var s = 0xBEEFL
+    def next(n: Int): Int = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; math.floorMod(s, n).toInt }
+    val alphabets = Seq("ab", "abcdefg", "abcdefghijklmnopqrstuvwxyz 0123", "äöüabc日本")
+    for (_ <- 1 to 400) {
+      val alpha = alphabets(next(alphabets.size))
+      def mk(maxLen: Int) = (0 until next(maxLen)).map(_ => alpha(next(alpha.length))).mkString
+      val (x, y) = (mk(90), mk(90))
+      val (ux, uy) = (UTF8String.fromString(x), UTF8String.fromString(y))
+      val got = Levenshtein64.dist(ux, uy)
+      val want = ux.levenshteinDistance(uy)
+      assert(got == want, s"lev('$x','$y'): got $got want $want")
+    }
+    // codegen path: no UDF fallback and a known value
+    import spark.implicits._
+    val df = Seq(("kitten", "sitting")).toDF("a", "b")
+      .select(Levenshtein64.lev(col("a"), col("b")).as("d"))
+    assert(df.head().getInt(0) == 3)
+    assert(!plan(df).contains("ScalaUDF"), "Levenshtein64 fell back to UDF path")
+  }
+
   test("knn brute force broadcasts the probe side") {
     val p = plan(Similarity.qKnnBruteForce(sf0001))
     assert(p.contains("Broadcast"), "probes not broadcast")
