@@ -370,6 +370,34 @@ object fasthash {
   def sortedShingleHashesUdf(shingleLen: Int) =
     udf((text: String) => sortedShingleHashes(text, shingleLen))
 
+  /** q33's word-3-gram set (lower, split on single space KEEPING empties —
+    * jaccard3's definition, which the DuckDB oracle replays) as sorted
+    * distinct hashes — the q191 merge-intersect form: built once per doc
+    * behind a barrier, so pair verification never re-tokenizes. Hash-set
+    * sizes equal string-set sizes absent a 64-bit collision within one
+    * pair's grams (P ≈ 2⁻⁵² at ~50 grams/doc). */
+  def sortedGram3Hashes(text: String): Array[Long] = {
+    val set = new java.util.HashSet[String]()
+    if (text != null) {
+      val t = text.toLowerCase.split(" ", -1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + 3 <= t.length) {
+        sb.setLength(0)
+        sb.append(t(i)).append(' ').append(t(i + 1)).append(' ').append(t(i + 2))
+        set.add(sb.toString); i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = hashString(it.next(), 0x9E3779B9L); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  val sortedGram3HashesUdf = udf((text: String) => sortedGram3Hashes(text))
+
   def minhashSignatureUdf(numHashes: Int, shingleLen: Int) =
     udf((text: String) => minhashSignature(text, numHashes, shingleLen))
 

@@ -75,26 +75,40 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup pairs, same blocking. Set arithmetic is
     * integer-exact so the similarity is hash-safe as a rounded double. */
   def qJaccardPairs(t: Tables): DataFrame = {
-    // Carry the raw text through the blocked join and run ONE pair-level
-    // jaccard kernel per candidate (fasthash.jaccard3, same gram/set
-    // definition as the oracle). Materializing gram ARRAYS before the join
-    // instead backfires: Catalyst inlines the deterministic gram UDF
-    // through the broadcast join and re-evaluates it per reference —
-    // measured ~8× slower than recomputing grams per pair (~12k pairs).
-    val a = t.documents.select(col("doc_id").as("id_a"), col("text").as("t_a"),
-      substring(col("text"), 1, 10).as("blk"))
-    val b = t.documents.select(col("doc_id").as("id_b"), col("text").as("t_b"),
-      substring(col("text"), 1, 10).as("blk"))
+    // The q191 build-once shape (r9 invariant: pair kernels > ~10 µs get
+    // per-doc sorted gram-hash arrays + a ~1 µs merge-intersect): each
+    // doc's q33-gram hash set is built ONCE behind a localCheckpoint
+    // barrier — the barrier is what stops Catalyst inlining the
+    // deterministic gram UDF through the join and re-evaluating it per
+    // reference (the old per-pair jaccard3 kernel was ~17 µs/pair =
+    // 20 s warm over sf1.0's 1.2M candidates; this form is 3.5 s).
+    val gh = t.fanout(t.documents)
+      .select(col("doc_id"), substring(col("text"), 1, 10).as("blk"),
+        fasthash.sortedGram3HashesUdf(col("text")).as("gh"))
+      .localCheckpoint()
+    val a = gh.select(col("doc_id").as("id_a"), col("blk"), col("gh").as("ha"))
+    val b = gh.select(col("doc_id").as("id_b"), col("blk"), col("gh").as("hb"))
+    val spark = t.documents.sparkSession
+    import spark.implicits._
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(fasthash.jaccard3Udf(col("t_a"), col("t_b")), 6))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      // one text-kernel eval per blocked pair + no sort-sampling re-run
-      // (in-session A/B at sf0.3: 2.17 s with the barrier vs 3.71 s
-      // without — the q189 inlining postmortem applies to this
-      // filter/sort pair; q34's LSH variant keeps filter-first instead
-      // because its PRE-threshold candidate population is millions of
-      // rows and materializing them costs more than the re-evaluation)
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (ia, ib, ha, hb) =>
+        var i = 0; var j = 0; var inter = 0
+        while (i < ha.length && j < hb.length) {
+          if (ha(i) == hb(j)) { inter += 1; i += 1; j += 1 }
+          else if (ha(i) < hb(j)) i += 1
+          else j += 1
+        }
+        val uni = ha.length + hb.length - inter
+        // same IEEE division as the jaccard3 reference kernel
+        (ia, ib, inter.toDouble / math.max(uni, 1).toDouble)
+      })
+      .toDF("id_a", "id_b", "j")
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      // barrier before filter + sort: no sort-sampling re-run of the
+      // blocked join (the q189 postmortem; same placement as before)
       .localCheckpoint()
       .filter(col("jaccard") > 0.3)
       .orderBy(col("id_a"), col("id_b"))
