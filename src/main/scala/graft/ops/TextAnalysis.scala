@@ -3056,6 +3056,157 @@ object TextAnalysis {
       |FROM (SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $topK)
       |ORDER BY rank""".stripMargin
 
+  /** Q273: composed passage-retrieval EVAL gate — the q226-class
+    * composition for the retrieval side: q99's sliding-window chunking →
+    * chunk-level BM25 (q123's formula over passages) → ranked top-k →
+    * rank-quality metrics (running precision/recall, binary-relevance
+    * DCG) against an in-corpus ground truth (a chunk containing EVERY
+    * query term is relevant — replayable, and exactly the all-terms-
+    * present proxy retrieval evals bootstrap from when no human labels
+    * exist). One gated query proves the chunker, the scorer, the ranker,
+    * and the metric layer compose without drift.
+    *
+    * Exactness: chunk ids are (doc_id, idx) integers; scores carry
+    * round(6) (ln in the idf); relevance and hit counts are integers;
+    * precision/recall single raw divisions; DCG terms micro-rounded
+    * BIGINTs (log2 has the established ulp envelope). The top-k windows
+    * run post-limit on ≤topK rows (bounded by construction — the q138
+    * contract); corpus-level stats ride the driver as bounded fetches
+    * (n_chunks, sum_len, n_relevant — three longs).
+    *
+    * Scale shape: chunking is one explode; scoring touches only chunks
+    * containing a query term (the inverted-index asymmetry, candidates ≈
+    * Σ df); the head is TakeOrderedAndProject. Nothing joins corpus ×
+    * corpus. */
+  def qPassageRetrieval(t: Tables,
+      query: Seq[String] = Seq("spark", "window", "join"),
+      size: Int = 8, stride: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    val chunks = toks.select(col("doc_id"), posexplode(expr(
+      s"""CASE WHEN size(toks) < $size THEN cast(array() as array<array<string>>)
+         |ELSE transform(sequence(0, (size(toks) - $size) div $stride),
+         |               i -> slice(toks, i * $stride + 1, $size))
+         |END""".stripMargin)).as(Seq("idx0", "ct")))
+      .select(col("doc_id"), col("idx0").cast("long").as("idx"), col("ct"))
+    val lens = chunks.select(col("doc_id"), col("idx"),
+      org.apache.spark.sql.functions.size(col("ct")).cast("long").as("len"))
+    val Array(nChunks, sumLen) = lens
+      .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    // the q123 empty-corpus guard: a folded 0/0 throws under ANSI
+    val avgdl = lit(if (nChunks == 0L) 0.0 else sumLen.toDouble / nChunks.toDouble)
+    val tf = chunks.select(col("doc_id"), col("idx"), explode(col("ct")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("idx"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(1.0) +
+        ((lit(nChunks) - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5))))
+    val scored = tf.join(broadcast(dfs), "term")
+      .join(lens, Seq("doc_id", "idx"))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len").cast("double") / avgdl)))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(round(sum(col("term_score")), 6).as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .withColumn("relevant", col("n_hit_terms") === lit(query.size.toLong))
+      // one materialization feeds the n_relevant fetch AND the top-k
+      .localCheckpoint()
+    val nRelevant = scored.filter(col("relevant")).count()
+    val wo = Window.orderBy(col("score").desc, col("doc_id"), col("idx"))
+    val wRun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.orderBy(col("score").desc, col("doc_id"), col("idx")).limit(topK)
+      .withColumn("rank", row_number().over(wo).cast("long"))
+      .withColumn("hits_at",
+        sum(when(col("relevant"), 1L).otherwise(0L)).over(wRun))
+      .withColumn("prec_at",
+        col("hits_at").cast("double") / col("rank").cast("double"))
+      .withColumn("recall_at",
+        if (nRelevant == 0L) lit(null).cast("double")
+        else col("hits_at").cast("double") / lit(nRelevant.toDouble))
+      .withColumn("dcg_micro_at",
+        sum(when(col("relevant"),
+          round(lit(1000000.0) / log2(col("rank").cast("double") + lit(1.0)), 0)
+            .cast("long")).otherwise(0L)).over(wRun))
+      .select(col("rank"), col("doc_id"), col("idx"), col("score"),
+        col("n_hit_terms"), col("relevant"), col("hits_at"),
+        col("prec_at"), col("recall_at"), col("dcg_micro_at"))
+      .orderBy(col("rank"))
+  }
+
+  /** q273 oracle: the full chain replayed — q99's chunk CTEs, the q123
+    * BM25 formula over passages, the relevance count as a 1-row CTE, and
+    * the same bounded top-k windows. */
+  def qPassageRetrievalSql(
+      query: Seq[String] = Seq("spark", "window", "join"),
+      size: Int = 8, stride: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): String = {
+    val terms = query.map(q => "'" + q.replace("'", "''") + "'").mkString(", ")
+    val nq = query.size
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |                x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+       |    list_slice(toks, i * $stride + 1, i * $stride + $size) AS ct
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(CASE WHEN len(toks) >= $size
+       |                       THEN (len(toks) - $size) // $stride + 1
+       |                       ELSE 0 END)) AS i
+       |        FROM toks)),
+       |lens AS (SELECT doc_id, idx, CAST(len(ct) AS BIGINT) AS len FROM chunks),
+       |stats AS (SELECT COUNT(*)::BIGINT AS n,
+       |                 CAST(SUM(len) AS BIGINT) AS sum_len FROM lens),
+       |ctoks AS (SELECT doc_id, idx, unnest(ct) AS term FROM chunks),
+       |tf AS (SELECT doc_id, idx, term, COUNT(*)::BIGINT AS tf FROM ctoks
+       |       WHERE term IN ($terms) GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.idx,
+       |    round(SUM(
+       |      ln(1.0::DOUBLE + (CAST(s.n - dfs.df AS DOUBLE) + 0.5::DOUBLE)
+       |                       / (CAST(dfs.df AS DOUBLE) + 0.5::DOUBLE))
+       |      * (CAST(tf.tf AS DOUBLE) * ($k1::DOUBLE + 1.0::DOUBLE))
+       |      / (CAST(tf.tf AS DOUBLE)
+       |         + $k1::DOUBLE * (1.0::DOUBLE - $b::DOUBLE
+       |            + $b::DOUBLE * CAST(l.len AS DOUBLE)
+       |              / (CAST(s.sum_len AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6)
+       |      AS score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_hit_terms
+       |  FROM tf JOIN dfs USING (term)
+       |  JOIN lens l ON l.doc_id = tf.doc_id AND l.idx = tf.idx, stats s
+       |  GROUP BY 1, 2),
+       |rel AS (SELECT COUNT(*)::BIGINT AS nr FROM scored WHERE n_hit_terms = $nq),
+       |top AS (SELECT * FROM scored ORDER BY score DESC, doc_id, idx LIMIT $topK),
+       |rk AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER
+       |    (ORDER BY score DESC, doc_id, idx) AS BIGINT) AS rank
+       |  FROM top)
+       |SELECT rank, doc_id, idx, score, n_hit_terms,
+       |  (n_hit_terms = $nq) AS relevant,
+       |  CAST(SUM(CASE WHEN n_hit_terms = $nq THEN 1 ELSE 0 END)
+       |    OVER w AS BIGINT) AS hits_at,
+       |  CAST(SUM(CASE WHEN n_hit_terms = $nq THEN 1 ELSE 0 END)
+       |    OVER w AS DOUBLE) / CAST(rank AS DOUBLE) AS prec_at,
+       |  CAST(SUM(CASE WHEN n_hit_terms = $nq THEN 1 ELSE 0 END)
+       |    OVER w AS DOUBLE) / nullif(CAST(rel.nr AS DOUBLE), 0.0::DOUBLE)
+       |    AS recall_at,
+       |  CAST(SUM(CASE WHEN n_hit_terms = $nq THEN
+       |      CAST(round(1000000.0::DOUBLE
+       |        / log2(CAST(rank AS DOUBLE) + 1.0::DOUBLE)) AS BIGINT)
+       |    ELSE 0 END) OVER w AS BIGINT) AS dcg_micro_at
+       |FROM rk, rel
+       |WINDOW w AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Q145: deterministic weighted mixture schedule — the training-order
     * interleave that realizes q122's mixture weights as a SEQUENCE:
     * stride scheduling (Waldspurger & Weihl 1995), emission key

@@ -1907,6 +1907,59 @@ class QualityPipelineSpec extends SparkSpec {
     assert(correct == preds.count(p => p._1 == p._2).toLong)
   }
 
+  test("q273 passage retrieval: matches an in-memory chunk-BM25 recompute") {
+    val t = sf0001
+    val query = Seq("spark", "window", "join")
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, txt) =>
+      val tk = txt.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      if (tk.length < 8) Nil
+      else (0 to (tk.length - 8) / 4).map(i =>
+        ((id, i.toLong), tk.slice(i * 4, i * 4 + 8)))
+    }
+    val n = chunks.length.toLong
+    val avgdl = chunks.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val tf = chunks.map { case (k, ct) =>
+      k -> query.map(q => q -> ct.count(_ == q).toLong).filter(_._2 > 0).toMap
+    }.filter(_._2.nonEmpty).toMap
+    val dfm = query.map(q => q -> tf.values.count(_.contains(q)).toLong)
+      .filter(_._2 > 0).toMap
+    val scored = tf.map { case (k, m) =>
+      val s = m.map { case (q, c) =>
+        val idf = math.log(1.0 + ((n - dfm(q)).toDouble + 0.5) / (dfm(q).toDouble + 0.5))
+        idf * (c.toDouble * (1.2 + 1.0)) /
+          (c.toDouble + 1.2 * (1.0 - 0.75 + 0.75 * 8.0 / avgdl))
+      }.sum
+      (k, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, m.size.toLong)
+    }.toSeq
+    val nRel = scored.count(_._3 == 3L).toLong
+    val top = scored.sortBy { case ((d, i), s, _) => (-s, d, i) }.take(20)
+    val got = TextAnalysis.qPassageRetrieval(t).collect()
+    assert(got.length == top.length)
+    var hits = 0L
+    var dcg = 0L
+    got.zip(top).zipWithIndex.foreach { case ((r, ((d, i), s, nh)), z) =>
+      val rank = (z + 1).toLong
+      assert(r.getLong(0) == rank)
+      assert((r.getLong(1), r.getLong(2)) == ((d, i)), s"rank $rank id mismatch")
+      assert(r.getDouble(3) == s, s"rank $rank score ${r.getDouble(3)} want $s")
+      assert(r.getLong(4) == nh)
+      val rel = nh == 3L
+      assert(r.getBoolean(5) == rel)
+      if (rel) {
+        hits += 1
+        dcg += math.floor(1000000.0 /
+          (math.log((rank + 1).toDouble) / math.log(2.0)) + 0.5).toLong
+      }
+      assert(r.getLong(6) == hits)
+      assert(r.getDouble(7) == hits.toDouble / rank.toDouble)
+      assert(r.getDouble(8) == hits.toDouble / nRel.toDouble)
+      assert(r.getLong(9) == dcg, s"rank $rank dcg ${r.getLong(9)} want $dcg")
+    }
+    assert(nRel > 0 && hits > 0, "degenerate ground truth at sf0.001")
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
