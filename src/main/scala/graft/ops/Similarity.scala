@@ -1224,6 +1224,85 @@ object Similarity {
       |    / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE), 0.0) AS mean_cos
       |FROM fin ORDER BY dim""".stripMargin
 
+  /** Q274: dimension-budget audit — retrieval overlap of PREFIX-truncated
+    * embeddings against the full vectors (the eval behind Matryoshka
+    * representations, Kusupati et al. 2022, and every PCA-style storage/
+    * speed budget call): for each probe and each dim prefix d ∈ {64, 32,
+    * 16, 8}, rank the corpus by the d-prefix cosine and report how many
+    * of the full-dim top-k survive. The d = 64 row is the k-identity
+    * sanity face; the drop-off across d prices what each halving of the
+    * vector budget costs in retrieval quality.
+    *
+    * Exactness: prefix cosines land on the integer micro grid (the q266
+    * discipline), ranks are (sm DESC, train_id) total orders, overlap is
+    * an integer count per (probe, d), recall one raw division. A
+    * (probe, d) cell with ZERO overlap is absent from the output by
+    * construction (semi-join + aggregate, identical both engines) — the
+    * absence is the signal.
+    *
+    * Scale shape: ONE corpus scan computes all four prefix cosines per
+    * (probe, vector) pair (probes broadcast, the q38 asymmetry — nothing
+    * but 8·4·k rows survive the per-probe TakeOrdered windows); the
+    * overlap is an equi-join of two ≤8·4·k-row lists. */
+  def qDimBudget(t: Tables, k: Int = 10, nProbes: Int = 8,
+      dims: Seq[Int] = Seq(64, 32, 16, 8)): DataFrame = {
+    val full = dims.max
+    val probes = t.embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val train = t.fanout(t.embeddings).filter(col("vec_id") >= nProbes)
+      .select(col("vec_id").as("train_id"), col("embedding").as("te"))
+    val smCols = dims.map { d =>
+      struct(lit(d).as("d"),
+        round(graft.plans.CosineSim.cosine(
+          slice(col("pe"), 1, d), slice(col("te"), 1, d)) * lit(1000000.0), 0)
+          .cast("long").as("sm"))
+    }
+    val w = Window.partitionBy(col("pid"), col("d"))
+      .orderBy(col("sm").desc, col("train_id"))
+    val ranked = train.crossJoin(broadcast(probes))
+      .select(col("pid"), col("train_id"), explode(array(smCols: _*)).as("x"))
+      .select(col("pid"), col("train_id"), col("x.d").as("d"), col("x.sm").as("sm"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pid"), col("d"), col("train_id"))
+      .localCheckpoint() // one scan feeds both join sides below
+    val fullSet = ranked.filter(col("d") === full)
+      .select(col("pid"), col("train_id"))
+    ranked.join(fullSet, Seq("pid", "train_id"), "left_semi")
+      .groupBy(col("pid"), col("d")).agg(count(lit(1)).as("n_overlap"))
+      .select(col("pid"), col("d").cast("long").as("d"), col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall_at_k"))
+      .orderBy(col("pid"), col("d"))
+  }
+
+  /** q274 oracle: the same prefix-cosine micro ranking via list_slice +
+    * a dims VALUES table, semi-joined against the full-dim top-k. */
+  def qDimBudgetSql(k: Int = 10, nProbes: Int = 8,
+      dims: Seq[Int] = Seq(64, 32, 16, 8)): String = {
+    val full = dims.max
+    val vals = dims.map(d => s"($d)").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT p.vec_id AS pid, t.vec_id AS train_id, dims.d,
+       |    CAST(round(list_cosine_similarity(
+       |      list_slice(CAST(p.embedding AS DOUBLE[]), 1, dims.d),
+       |      list_slice(CAST(t.embedding AS DOUBLE[]), 1, dims.d))
+       |      * 1000000.0::DOUBLE) AS BIGINT) AS sm
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $nProbes) p
+       |  JOIN embeddings t ON t.vec_id >= $nProbes
+       |  CROSS JOIN (VALUES $vals) dims(d)),
+       |ranked AS (
+       |  SELECT pid, d, train_id,
+       |    ROW_NUMBER() OVER (PARTITION BY pid, d
+       |      ORDER BY sm DESC, train_id) AS rn
+       |  FROM m),
+       |top AS (SELECT pid, d, train_id FROM ranked WHERE rn <= $k),
+       |fullset AS (SELECT pid, train_id FROM top WHERE d = $full)
+       |SELECT t.pid, CAST(t.d AS BIGINT) AS d,
+       |  COUNT(*)::BIGINT AS n_overlap,
+       |  CAST(COUNT(*) AS DOUBLE) / ${k}.0::DOUBLE AS recall_at_k
+       |FROM top t SEMI JOIN fullset f ON f.pid = t.pid AND f.train_id = t.train_id
+       |GROUP BY t.pid, t.d ORDER BY pid, d""".stripMargin
+  }
+
   /** Q259: exact KNN-Shapley data valuation over the embedding corpus —
     * the Shapley value of every train point under a K-NN utility, via the
     * closed-form sorted-pass recurrence (Jia et al., "Efficient

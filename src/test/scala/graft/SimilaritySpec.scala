@@ -262,6 +262,45 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q274 dim budget: matches an in-memory prefix-cosine recompute") {
+    val t = sf0001
+    val all = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (probes, train) = all.partition(_._1 < 8)
+    def micro(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val dims = Seq(64, 32, 16, 8)
+    val expected = scala.collection.mutable.Map.empty[(Long, Int), Set[Long]]
+    probes.foreach { case (pid, pe) =>
+      dims.foreach { d =>
+        val top = train.map { case (tid, te) =>
+          (tid, micro(graft.functions.fasthash.cosine(pe.take(d), te.take(d))))
+        }.sortBy { case (tid, sm) => (-sm, tid) }.take(10).map(_._1).toSet
+        expected((pid, d)) = top
+      }
+    }
+    val got = Similarity.qDimBudget(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    probes.foreach { case (pid, _) =>
+      val full = expected((pid, 64))
+      assert(full.size == 10)
+      dims.foreach { d =>
+        val ov = (expected((pid, d)) intersect full).size.toLong
+        got.get((pid, d)) match {
+          case Some((n, rec)) =>
+            assert(n == ov, s"probe $pid d $d: overlap $n want $ov")
+            assert(rec == ov.toDouble / 10.0)
+          case None => assert(ov == 0L, s"probe $pid d $d: missing but overlap $ov")
+        }
+      }
+      // the full-dim row is the identity sanity face
+      assert(got((pid, 64))._1 == 10L)
+    }
+  }
+
   test("q259 KNN-Shapley matches an in-memory recompute + the efficiency axiom") {
     val t = sf0001
     val got = Similarity.qKnnShapley(t).collect()
