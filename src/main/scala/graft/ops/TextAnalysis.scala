@@ -3207,6 +3207,64 @@ object TextAnalysis {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Q275: Horvitz–Thompson sampled-total estimator audit (Horvitz &
+    * Thompson 1952) — the "estimate what you can't afford to scan"
+    * pattern a 100 TB pipeline uses for cost accounting: each document
+    * enters the sample with a KNOWN per-source inclusion probability
+    * (dyadic — even sources π = ½, odd π = ¼, realized by the q63
+    * deterministic md5-threshold draw) and the character-mass total is
+    * estimated as Σ x_i/π_i over the sample only. Because the rates are
+    * dyadic, every HT weight is an exact integer (2 or 4) and the
+    * estimate is an exact BIGINT — the audit emits the true total beside
+    * it (it IS an audit), so the realized per-source estimator error is
+    * on the record, fully replayable, no probabilistic envelope needed.
+    *
+    * Scale shape: one linear scan, one |sources|-row aggregate; in
+    * production the true-total column is dropped and only the sample is
+    * scanned — the point of the estimator. */
+  def qHorvitzThompson(t: Tables): DataFrame = {
+    val even = expr("substring(source, 4)").cast("long") % 2 === 0
+    val sampled = substring(md5(col("doc_id").cast("string")), 1, 2) <
+      when(even, lit("80")).otherwise(lit("40"))
+    t.fanout(t.documents)
+      .select(col("source"), col("n_chars"), sampled.as("s"),
+        when(even, lit(2L)).otherwise(lit(4L)).as("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("n_chars")).as("true_chars"),
+        sum(when(col("s"), col("n_chars") * col("w")).otherwise(0L))
+          .as("ht_chars"))
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        when(expr("substring(source, 4)").cast("long") % 2 === 0, 0.5)
+          .otherwise(0.25).as("pi"),
+        col("true_chars"), col("ht_chars"),
+        ((col("ht_chars") - col("true_chars")).cast("double") /
+          nullif(col("true_chars").cast("double"), lit(0.0))).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  /** q275 oracle: the same md5 draw, integer HT weights, and one rollup. */
+  val qHorvitzThompsonSql: String =
+    """WITH d AS (
+      |  SELECT source, n_chars,
+      |    (CAST(substr(source, 4) AS BIGINT) % 2 = 0) AS even,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |      CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+      |           THEN '80' ELSE '40' END AS s
+      |  FROM documents)
+      |SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+      |       THEN 0.5::DOUBLE ELSE 0.25::DOUBLE END AS pi,
+      |  CAST(SUM(n_chars) AS BIGINT) AS true_chars,
+      |  CAST(SUM(CASE WHEN s THEN n_chars * (CASE WHEN even THEN 2 ELSE 4 END)
+      |           ELSE 0 END) AS BIGINT) AS ht_chars,
+      |  CAST(SUM(CASE WHEN s THEN n_chars * (CASE WHEN even THEN 2 ELSE 4 END)
+      |           ELSE 0 END) - SUM(n_chars) AS DOUBLE)
+      |    / nullif(CAST(SUM(n_chars) AS DOUBLE), 0.0::DOUBLE) AS rel_err
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Q145: deterministic weighted mixture schedule — the training-order
     * interleave that realizes q122's mixture weights as a SEQUENCE:
     * stride scheduling (Waldspurger & Weihl 1995), emission key

@@ -1960,6 +1960,37 @@ class QualityPipelineSpec extends SparkSpec {
     assert(nRel > 0 && hits > 0, "degenerate ground truth at sf0.001")
   }
 
+  test("q275 Horvitz-Thompson: matches an in-memory recompute of the draw") {
+    val t = sf0001
+    val docs = t.documents.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex2(id: Long): String = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      f"${h(0) & 0xFF}%02x"
+    }
+    val got = TextAnalysis.qHorvitzThompson(t).collect()
+    val bySrc = docs.groupBy(_._2)
+    assert(got.length == bySrc.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val even = src.substring(3).toLong % 2 == 0
+      val thr = if (even) "80" else "40"
+      val w = if (even) 2L else 4L
+      val members = bySrc(src)
+      val sampled = members.filter(m => hex2(m._1) < thr)
+      assert(r.getLong(1) == members.length.toLong)
+      assert(r.getLong(2) == sampled.length.toLong, s"$src sample count")
+      assert(r.getDouble(3) == (if (even) 0.5 else 0.25))
+      val trueChars = members.map(_._3).sum
+      val ht = sampled.map(_._3 * w).sum
+      assert(r.getLong(4) == trueChars && r.getLong(5) == ht)
+      assert(r.getDouble(6) == (ht - trueChars).toDouble / trueChars.toDouble)
+      // the draw is non-degenerate: something sampled, something not
+      assert(sampled.nonEmpty && sampled.length < members.length)
+    }
+  }
+
   test("q260 Dawid-Skene matches an in-memory EM recompute") {
     val t = sf0001
     val got = TextAnalysis.qDawidSkene(t).collect()
