@@ -470,6 +470,137 @@ object EventAnalytics {
       |       ELSE y * 1000000 - fm END AS err_micro
       |FROM walk ORDER BY event_type, x""".stripMargin
 
+  /** The q276 SPRT constants: micro-grid log-likelihood terms and Wald
+    * boundaries, computed ONCE on the driver and interpolated as integer
+    * literals into BOTH the Spark plan and the oracle SQL — no
+    * cross-engine libm exposure at all. */
+  private def sprtConsts(p0: Double, p1: Double, alpha: Double,
+      beta: Double): (Long, Long, Long, Long) = (
+    Math.round(1e6 * math.log(p1 / p0)),
+    Math.round(1e6 * math.log((1.0 - p1) / (1.0 - p0))),
+    Math.round(1e6 * math.log((1.0 - beta) / alpha)),
+    Math.round(1e6 * math.log(beta / (1.0 - alpha))))
+
+  /** Q276: sequential probability ratio test (Wald 1945) on the A/B
+    * conversion stream — the EARLY-STOPPING decision rule an
+    * experimentation platform runs instead of the fixed-horizon q170
+    * z-test: walk each arm's users in id order, accumulate the Bernoulli
+    * log-likelihood ratio of H1 (p = p1) vs H0 (p = p0), stop the first
+    * time it crosses a Wald boundary. Emits per arm: totals, the final
+    * LLR, the decision, and the crossing point.
+    *
+    * FULLY INTEGER audit: the per-outcome LLR terms and both boundaries
+    * are micro-grid integers computed once on the driver (no libm in
+    * either engine), so LLR_n = c1·k_n + c0·(n − k_n) is an exact BIGINT
+    * and every crossing comparison is integer-exact.
+    *
+    * Scale shape: the per-arm ordered prefix uses the two-phase bucket
+    * prefix (value-monotone user-id buckets, per-(arm,bucket) sums ride
+    * the driver, windows partitioned BY BUCKET — the q144/q181 idiom;
+    * never a per-arm single-partition sort); the crossing fetch-back is
+    * a 2-row broadcast join. The oracle replays the walk with plain
+    * per-arm cumulative windows (an execution detail, not semantics). */
+  def qSprt(t: Tables, salt: String = "exp1", p0: Double = 0.02,
+      p1: Double = 0.04, alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    val (c1m, c0m, upM, downM) = sprtConsts(p0, p1, alpha, beta)
+    val users = t.events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("ts").cast("date") < lit("2024-01-03").cast("date"), 1L)
+        .otherwise(0L)).as("x"))
+      .withColumn("arm",
+        conv(substring(md5(concat(lit(salt), lit(":"),
+          col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 2)
+      .localCheckpoint() // feeds the max fetch, bucket sums, and the walk
+    val maxUidRow = users.agg(max(col("user_id"))).head()
+    if (maxUidRow.isNullAt(0))
+      return Tables.emptyFrame(spark,
+        "arm" -> org.apache.spark.sql.types.LongType,
+        "n_users" -> org.apache.spark.sql.types.LongType,
+        "n_conv" -> org.apache.spark.sql.types.LongType,
+        "final_llr_micro" -> org.apache.spark.sql.types.LongType,
+        "decision" -> org.apache.spark.sql.types.StringType,
+        "cross_n" -> org.apache.spark.sql.types.LongType,
+        "cross_llr_micro" -> org.apache.spark.sql.types.LongType)
+    val span = maxUidRow.getLong(0) + 1L
+    val b = users.withColumn("bkt", expr(s"(user_id * 101L) div ${span}L"))
+    val bsums = b.groupBy(col("arm"), col("bkt"))
+      .agg(sum(col("x")).as("bk"), count(lit(1)).as("bn"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    val offs = bsums.groupBy(_._1._1).toSeq.flatMap { case (arm, rows) =>
+      var ka = 0L; var na = 0L
+      rows.sortBy(_._1._2).map { case ((_, bkt), (bk, bn)) =>
+        val o = (arm, bkt, ka, na); ka += bk; na += bn; o
+      }
+    }
+    val offDf = broadcast(offs.toDF("arm", "bkt", "k_off", "n_off"))
+    val w = Window.partitionBy(col("arm"), col("bkt")).orderBy(col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = b.join(offDf, Seq("arm", "bkt"))
+      .withColumn("k", col("k_off") + sum(col("x")).over(w))
+      .withColumn("n", col("n_off") + count(lit(1)).over(w))
+      .withColumn("llr", lit(c1m) * col("k") + lit(c0m) * (col("n") - col("k")))
+    val crossed = walk
+      .filter(col("llr") >= upM || col("llr") <= downM)
+      .groupBy(col("arm")).agg(min(col("n")).as("cross_n"))
+      .select(col("arm").as("c_arm"), col("cross_n"))
+    val atCross = walk.as("wk").join(broadcast(crossed),
+        col("wk.arm") === col("c_arm") && col("wk.n") === col("cross_n"))
+      .select(col("wk.arm").as("arm"), col("cross_n"),
+        col("wk.llr").as("cross_llr_micro"))
+    val tot = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_conv"))
+    tot.join(broadcast(atCross), Seq("arm"), "left")
+      .select(col("arm"), col("n_users"), col("n_conv"),
+        (lit(c1m) * col("n_conv") +
+          lit(c0m) * (col("n_users") - col("n_conv"))).as("final_llr_micro"),
+        when(col("cross_n").isNull, "continue")
+          .when(col("cross_llr_micro") >= upM, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        col("cross_n"), col("cross_llr_micro"))
+      .orderBy(col("arm"))
+  }
+
+  /** q276 oracle: the same users CTE and integer constants, the walk as
+    * plain per-arm cumulative windows. */
+  def qSprtSql(salt: String = "exp1", p0: Double = 0.02, p1: Double = 0.04,
+      alpha: Double = 0.05, beta: Double = 0.05): String = {
+    val (c1m, c0m, upM, downM) = sprtConsts(p0, p1, alpha, beta)
+    s"""WITH users AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase'
+       |             AND CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-03'
+       |             THEN 1 ELSE 0 END)::BIGINT AS x,
+       |    CAST(('0x' || substr(md5('$salt' || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 2 AS arm
+       |  FROM events GROUP BY user_id),
+       |walk AS (
+       |  SELECT arm, user_id,
+       |    CAST(SUM(x) OVER (PARTITION BY arm ORDER BY user_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY arm ORDER BY user_id) AS BIGINT) AS n
+       |  FROM users),
+       |l AS (SELECT arm, n, $c1m * k + $c0m * (n - k) AS llr FROM walk),
+       |cr AS (SELECT arm, CAST(MIN(n) AS BIGINT) AS cross_n FROM l
+       |       WHERE llr >= $upM OR llr <= $downM GROUP BY arm),
+       |tot AS (SELECT arm, COUNT(*)::BIGINT AS n_users,
+       |        CAST(SUM(x) AS BIGINT) AS n_conv FROM users GROUP BY arm)
+       |SELECT t.arm, t.n_users, t.n_conv,
+       |  CAST($c1m * t.n_conv + $c0m * (t.n_users - t.n_conv) AS BIGINT)
+       |    AS final_llr_micro,
+       |  CASE WHEN cr.cross_n IS NULL THEN 'continue'
+       |       WHEN lx.llr >= $upM THEN 'accept_h1'
+       |       ELSE 'accept_h0' END AS decision,
+       |  cr.cross_n, CAST(lx.llr AS BIGINT) AS cross_llr_micro
+       |FROM tot t LEFT JOIN cr ON cr.arm = t.arm
+       |LEFT JOIN l lx ON lx.arm = t.arm AND lx.n = cr.cross_n
+       |ORDER BY t.arm""".stripMargin
+  }
+
   /** Q170: A/B experiment readout — hash-split users into two arms (the
     * q63 md5 assignment discipline: deterministic, partition-independent,
     * exactly what an experimentation platform does), measure per-arm

@@ -701,6 +701,52 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q276 SPRT: matches an in-memory sequential walk") {
+    val t = sf0001
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def armOf(uid: Long): Long = {
+      val h = md.digest(s"exp1:$uid".getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2
+    }
+    val cutoff = java.sql.Date.valueOf("2024-01-03")
+    val users = t.events.selectExpr("user_id", "event_type", "cast(ts as date) as d")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDate(2)))
+      .groupBy(_._1).map { case (uid, evs) =>
+        (uid, armOf(uid),
+          if (evs.exists(e => e._2 == "purchase" && e._3.before(cutoff))) 1L else 0L)
+      }.toSeq
+    val c1m = Math.round(1e6 * math.log(0.04 / 0.02))
+    val c0m = Math.round(1e6 * math.log(0.96 / 0.98))
+    val upM = Math.round(1e6 * math.log(0.95 / 0.05))
+    val downM = Math.round(1e6 * math.log(0.05 / 0.95))
+    val got = EventAnalytics.qSprt(t).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val arm = r.getLong(0)
+      val walk = users.filter(_._2 == arm).sortBy(_._1)
+      assert(r.getLong(1) == walk.length.toLong)
+      val nConv = walk.map(_._3).sum
+      assert(r.getLong(2) == nConv)
+      assert(r.getLong(3) == c1m * nConv + c0m * (walk.length - nConv))
+      var k = 0L; var crossed: Option[(Long, Long)] = None
+      walk.zipWithIndex.foreach { case ((_, _, x), i) =>
+        k += x
+        val n = (i + 1).toLong
+        val llr = c1m * k + c0m * (n - k)
+        if (crossed.isEmpty && (llr >= upM || llr <= downM))
+          crossed = Some((n, llr))
+      }
+      crossed match {
+        case Some((n, llr)) =>
+          assert(r.getLong(5) == n && r.getLong(6) == llr, s"arm $arm crossing")
+          assert(r.getString(4) == (if (llr >= upM) "accept_h1" else "accept_h0"))
+        case None =>
+          assert(r.getString(4) == "continue" && r.isNullAt(5) && r.isNullAt(6))
+      }
+    }
+  }
+
   test("q269 Holt trend: matches an in-memory shift-recurrence walk") {
     val t = sf0001
     val got = EventAnalytics.qHoltTrend(t).collect()
