@@ -1208,6 +1208,89 @@ object Clustering {
        |FROM picks ORDER BY rank""".stripMargin
   }
 
+  /** Q277: c-TF-IDF cluster labeling (Grootendorst 2022's BERTopic
+    * labeling step) — give every q119 Lloyd cluster its top descriptive
+    * terms: W(t,c) = tf(t,c) · ln(1 + A / f(t)), with f(t) the term's
+    * corpus frequency and A the average token mass per cluster — the
+    * class-based TF-IDF that turns an unlabeled embedding clustering
+    * into a human-readable topic table (docs join embeddings on
+    * doc_id = vec_id, the q226 linkage).
+    *
+    * Exactness: tf and f(t) are exact integers; A is one IEEE division
+    * of two driver-fetched integers (identical both engines); the ln
+    * factor is micro-rounded PER TERM (q204 discipline) so every weight
+    * is an exact BIGINT product; per-cluster ranking orders by
+    * (weight DESC, term) — total. Top-`topK` per cluster.
+    *
+    * Scale shape: Lloyd is q119's; one (cid, term) aggregate; the ln
+    * factor table is vocab-bounded and broadcast; ranking windows
+    * partition by cluster over vocab-bounded groups. */
+  def qClusterLabels(t: Tables, k: Int = 8, updates: Int = 2,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = kmeansAssignments(t, k, updates)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val ct = t.fanout(t.documents)
+      .select(col("doc_id"), explode(graft.functions.text.tokenize(col("text"))).as("term"))
+      .join(asg, Seq("doc_id"))
+      .groupBy(col("cid"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the stats fetch, f(t), and the ranking
+    val st = ct.agg(countDistinct(col("cid")), sum(col("tf"))).head()
+    if (st.isNullAt(1))
+      return Tables.emptyFrame(t.spark,
+        "cid" -> org.apache.spark.sql.types.LongType,
+        "rank" -> org.apache.spark.sql.types.LongType,
+        "term" -> org.apache.spark.sql.types.StringType,
+        "tf" -> org.apache.spark.sql.types.LongType,
+        "f_t" -> org.apache.spark.sql.types.LongType,
+        "weight_micro" -> org.apache.spark.sql.types.LongType)
+    val a = st.getLong(1).toDouble / st.getLong(0).toDouble
+    val ft = ct.groupBy(col("term")).agg(sum(col("tf")).as("f_t"))
+      .withColumn("lnf_micro",
+        round(log(lit(1.0) + lit(a) / col("f_t").cast("double"))
+          * lit(1000000.0), 0).cast("long"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("weight_micro").desc, col("term"))
+    ct.join(broadcast(ft), Seq("term"))
+      .withColumn("weight_micro", col("tf") * col("lnf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("cid"), col("rank"), col("term"), col("tf"), col("f_t"),
+        col("weight_micro"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
+  /** q277 oracle: the shared kmeans rounds + the identical micro c-TF-IDF
+    * math, A derived from the same two integers in a 1-row stats CTE. */
+  def qClusterLabelsSql(k: Int = 8, updates: Int = 2, topK: Int = 5): String =
+    s"""WITH ${kmeansCtes(k, updates)},
+       |ct AS MATERIALIZED (
+       |  SELECT a.cid, tk.term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |                 x -> len(x) > 0)) AS term
+       |        FROM documents) tk
+       |  JOIN a$updates a ON a.vec_id = tk.doc_id
+       |  GROUP BY 1, 2),
+       |st AS (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) AS ncl,
+       |              CAST(SUM(tf) AS BIGINT) AS tot FROM ct),
+       |ft AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS f_t,
+       |    CAST(round(ln(1.0::DOUBLE
+       |      + (CAST(st.tot AS DOUBLE) / CAST(st.ncl AS DOUBLE))
+       |        / CAST(SUM(tf) AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+       |      AS lnf_micro
+       |  FROM ct, st GROUP BY term, st.tot, st.ncl),
+       |ranked AS (
+       |  SELECT ct.cid, ct.term, ct.tf, ft.f_t,
+       |    ct.tf * ft.lnf_micro AS weight_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY ct.cid
+       |      ORDER BY ct.tf * ft.lnf_micro DESC, ct.term) AS BIGINT) AS rank
+       |  FROM ct JOIN ft USING (term))
+       |SELECT cid, rank, term, tf, f_t, weight_micro
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY cid, rank""".stripMargin
+
   /** Q266: embedding-space outlier audit — the semantic-outlier removal
     * step (the within-cluster dual of SemDeDup's near-dup pruning; cf.
     * SemDeDup/D4's "far from every prototype" filtering): assign every

@@ -494,6 +494,40 @@ class ClusteringSpec extends SparkSpec {
     gains.zip(gains.tail).foreach { case (a, b) => assert(a >= b, "gains increased") }
   }
 
+  test("q277 cluster labels: matches an in-memory c-TF-IDF recompute") {
+    val t = sf0001
+    val asg = Clustering.qKmeansStep(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // vec_id -> cid
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => asg.contains(d._1))
+    val ct = docs.flatMap { case (id, txt) =>
+      txt.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+        .map(term => (asg(id), term))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nCl = ct.keys.map(_._1).toSeq.distinct.size.toLong
+    val tot = ct.values.sum
+    val a = tot.toDouble / nCl.toDouble
+    val ft = ct.toSeq.groupBy(_._1._2).map { case (term, rows) =>
+      term -> rows.map(_._2).sum
+    }
+    def micro(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val weights = ct.map { case ((cid, term), tf) =>
+      (cid, term, tf, ft(term), tf * micro(math.log(1.0 + a / ft(term).toDouble)))
+    }.toSeq
+    val expected = weights.groupBy(_._1).toSeq.flatMap { case (cid, rows) =>
+      rows.sortBy { case (_, term, _, _, w) => (-w, term) }.take(5).zipWithIndex
+        .map { case ((_, term, tf, f, w), i) => (cid, (i + 1).toLong, term, tf, f, w) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Clustering.qClusterLabels(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected)
+  }
+
   test("q266 embedding outliers: recompute from the q119 assignment") {
     val t = sf0001
     // q119 exposes round(sim, 6); rebuild the micro key from it — the
