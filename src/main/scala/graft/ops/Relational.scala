@@ -1442,4 +1442,95 @@ object Relational {
       |       ELSE 'update' END AS action
       |FROM snap FULL OUTER JOIN updates ON key = u_key
       |ORDER BY key""".stripMargin
+
+  /** Q278: RFM customer segmentation (Hughes 1994's recency/frequency/
+    * monetary scoring — the classic revenue-analytics partition, still
+    * the standard first segmentation every warehouse ships): per
+    * purchasing customer, recency = days since last order, frequency =
+    * order count, monetary = lifetime spend; each dimension quintiled by
+    * exact global rank, segment = the 3-digit RFM code, rolled up to
+    * per-segment census + spend.
+    *
+    * Exactness: monetary keys are exact cents (round(p·100) BIGINT per
+    * order, summed); quintile q = ((rank−1)·5) div n + 1 over total-order
+    * ranks (key, custkey) — pure integer math; recency score inverts the
+    * quintile (recent = 5). Per-segment spend stays a BIGINT cents sum;
+    * avg spend is one raw division of exact integers.
+    *
+    * Scale shape: one orders aggregate; the three global ranks use the
+    * bucketRank two-phase prefix (never a single-partition sort); the
+    * rollup is a ≤125-row aggregate. */
+  def qRfmSegments(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types._
+    val maxRow = t.orders.agg(max(col("o_orderdate").cast("date"))).head()
+    if (maxRow.isNullAt(0))
+      return Tables.emptyFrame(t.spark, "segment" -> LongType,
+        "n_cust" -> LongType, "orders_sum" -> LongType,
+        "m_cents_sum" -> LongType, "avg_spend" -> DoubleType)
+    val maxD = maxRow.getDate(0).toString
+    val cust = t.orders.groupBy(col("o_custkey").as("ck"))
+      .agg(datediff(lit(maxD).cast("date"), max(col("o_orderdate").cast("date")))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * lit(100.0), 0).cast("long")).as("m_cents"))
+      .localCheckpoint() // feeds three rank passes + the span fetches
+    val n = cust.count()
+    val Array(maxR, maxF, maxM) = cust
+      .agg(max(col("r_days")), max(col("f")), max(col("m_cents"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    def quintile(keyCol: String, span: Long, out: String)(df: DataFrame): DataFrame =
+      TextAnalysis.bucketRank(df, keyCol, span + 1L,
+          Seq(col(keyCol), col("ck")), s"${out}_rank")
+        .withColumn(out,
+          expr(s"((${out}_rank - 1L) * 5L) div ${n}L") + lit(1L))
+        .drop(s"${out}_rank")
+    val scored = quintile("m_cents", maxM, "q_m")(
+      quintile("f", maxF, "q_f")(
+        quintile("r_days", maxR, "q_r")(cust)))
+      .withColumn("segment",
+        (lit(6L) - col("q_r")) * 100L + col("q_f") * 10L + col("q_m"))
+    scored.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("f")).as("orders_sum"),
+        sum(col("m_cents")).as("m_cents_sum"))
+      .select(col("segment"), col("n_cust"), col("orders_sum"),
+        col("m_cents_sum"),
+        (col("m_cents_sum").cast("double") /
+          (lit(100.0) * col("n_cust").cast("double"))).as("avg_spend"))
+      .orderBy(col("segment"))
+  }
+
+  /** q278 oracle: the same cents-exact aggregate, global ROW_NUMBER ranks
+    * (the two-phase prefix is an execution detail), identical integer
+    * quintile math. */
+  val qRfmSegmentsSql: String =
+    """WITH mx AS (SELECT CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS d
+      |            FROM orders),
+      |cust AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)), mx.d) AS BIGINT)
+      |      AS r_days,
+      |    COUNT(*)::BIGINT AS f,
+      |    CAST(SUM(CAST(round(o_totalprice * 100.0::DOUBLE) AS BIGINT)) AS BIGINT)
+      |      AS m_cents
+      |  FROM orders, mx GROUP BY o_custkey, mx.d),
+      |st AS (SELECT COUNT(*)::BIGINT AS n FROM cust),
+      |rk AS (
+      |  SELECT ck, r_days, f, m_cents,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY r_days, ck) AS BIGINT) AS rr,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY f, ck) AS BIGINT) AS rf,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY m_cents, ck) AS BIGINT) AS rm
+      |  FROM cust),
+      |sc AS (
+      |  SELECT ck, f, m_cents,
+      |    (6 - (((rr - 1) * 5) // st.n + 1)) * 100
+      |      + (((rf - 1) * 5) // st.n + 1) * 10
+      |      + (((rm - 1) * 5) // st.n + 1) AS segment
+      |  FROM rk, st)
+      |SELECT CAST(segment AS BIGINT) AS segment, COUNT(*)::BIGINT AS n_cust,
+      |  CAST(SUM(f) AS BIGINT) AS orders_sum,
+      |  CAST(SUM(m_cents) AS BIGINT) AS m_cents_sum,
+      |  CAST(SUM(m_cents) AS DOUBLE)
+      |    / (100.0::DOUBLE * CAST(COUNT(*) AS DOUBLE)) AS avg_spend
+      |FROM sc GROUP BY segment ORDER BY segment""".stripMargin
 }

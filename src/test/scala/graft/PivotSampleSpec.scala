@@ -88,4 +88,33 @@ class PivotSampleSpec extends SparkSpec {
     assert(sampledMean > popMean,
       s"PPS sample mean $sampledMean not above population mean $popMean")
   }
+  test("q278 RFM: matches an in-memory quintile recompute") {
+    val t = sf0001
+    val orders = t.orders.selectExpr("o_custkey",
+        "cast(o_orderdate as date) as d", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+    val maxD = orders.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val cust = orders.groupBy(_._1).map { case (ck, os) =>
+      val last = os.map(_._2.toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+      (ck, maxD.toEpochDay - last.toEpochDay,
+        os.length.toLong, os.map(o => math.round(o._3 * 100.0)).sum)
+    }.toSeq
+    val n = cust.length.toLong
+    def quint(key: Seq[(Long, Long)]): Map[Long, Long] =
+      key.sortBy(identity).zipWithIndex.map { case ((k, ck), i) =>
+        ck -> ((i.toLong * 5L) / n + 1L)
+      }.toMap
+    val qr = quint(cust.map(c => (c._2, c._1)).map { case (k, ck) => (k, ck) })
+    val qf = quint(cust.map(c => (c._3, c._1)))
+    val qm = quint(cust.map(c => (c._4, c._1)))
+    val expected = cust.groupBy(c =>
+        (6L - qr(c._1)) * 100L + qf(c._1) * 10L + qm(c._1))
+      .map { case (seg, cs) =>
+        (seg, cs.length.toLong, cs.map(_._3).sum, cs.map(_._4).sum)
+      }.toSeq.sortBy(_._1)
+    val got = Relational.qRfmSegments(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+    assert(got.map(_._2).sum == n)
+  }
 }

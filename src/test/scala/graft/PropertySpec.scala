@@ -107,4 +107,5 @@ class PropertySpec extends AnyFunSuite {
       assert(grams.length == expected)
     }
   }
+
 }
