@@ -1443,6 +1443,84 @@ object Relational {
       |FROM snap FULL OUTER JOIN updates ON key = u_key
       |ORDER BY key""".stripMargin
 
+  /** Q279: ABC revenue classification (Pareto/80-15-5 inventory
+    * analysis — the other classic warehouse segmentation beside q278's
+    * RFM): rank parts by exact cents revenue, walk the descending
+    * cumulative share, class A while cumulative ≤ 80% of total, B while
+    * ≤ 95%, C after; emit the 3-row class census.
+    *
+    * Exactness: per-row revenue cents = round(extprice·(1−disc)·100) —
+    * an integer on both engines (positive product, same IEEE sequence);
+    * per-part and cumulative sums exact BIGINTs; the class boundaries
+    * are integer cross-multiplications (100·cum ≤ 80·total), no float
+    * anywhere until the final share divisions.
+    *
+    * Scale shape: one lineitem aggregate; the descending cumulative uses
+    * the two-phase bucket prefix (revenue-monotone buckets, offsets ride
+    * the driver, windows partitioned BY BUCKET — the q144 idiom); the
+    * census is a 3-row aggregate. */
+  def qAbcClassification(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val rev = t.fanout(t.lineitem)
+      .select(col("l_partkey").as("pkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0), 0)
+          .cast("long").as("cents"))
+      .groupBy(col("pkey")).agg(sum(col("cents")).as("rev"))
+      .localCheckpoint() // feeds the stats fetch, bucket sums, and the walk
+    val stRow = rev.agg(max(col("rev")), coalesce(sum(col("rev")), lit(0L))).head()
+    if (stRow.isNullAt(0))
+      return Tables.emptyFrame(t.spark, "class" -> StringType,
+        "n_parts" -> LongType, "rev_cents" -> LongType, "share" -> DoubleType)
+    val (maxRev, total) = (stRow.getLong(0), stRow.getLong(1))
+    val b = rev.withColumn("bkt", expr(s"(rev * 101L) div ${maxRev + 1L}L"))
+    // offsets = revenue mass in HIGHER buckets (descending walk)
+    val bsums = b.groupBy(col("bkt")).agg(sum(col("rev")).as("br"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    var acc = 0L
+    val offs = bsums.map { case (k, v) => val o = (k, acc); acc += v; o }
+    import t.spark.implicits._
+    val offDf = broadcast(offs.toSeq.toDF("bkt", "off"))
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("rev").desc, col("pkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offDf, Seq("bkt"))
+      .withColumn("cum", col("off") + sum(col("rev")).over(w))
+      .withColumn("class",
+        when(col("cum") * 100L <= lit(80L) * total, "A")
+          .when(col("cum") * 100L <= lit(95L) * total, "B")
+          .otherwise("C"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"))
+      .select(col("class"), col("n_parts"), col("rev_cents"),
+        (col("rev_cents").cast("double") / lit(total.toDouble)).as("share"))
+      .orderBy(col("class"))
+  }
+
+  /** q279 oracle: the same cents aggregate and integer boundaries, the
+    * cumulative as one plain descending window. */
+  val qAbcClassificationSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey AS pkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * (1.0::DOUBLE - l_discount)
+      |      * 100.0::DOUBLE) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY l_partkey),
+      |st AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM rev),
+      |walk AS (
+      |  SELECT pkey, rev,
+      |    CAST(SUM(rev) OVER (ORDER BY rev DESC, pkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM rev),
+      |cls AS (
+      |  SELECT CASE WHEN cum * 100 <= 80 * st.total THEN 'A'
+      |              WHEN cum * 100 <= 95 * st.total THEN 'B'
+      |              ELSE 'C' END AS class, rev, st.total
+      |  FROM walk, st)
+      |SELECT class, COUNT(*)::BIGINT AS n_parts,
+      |  CAST(SUM(rev) AS BIGINT) AS rev_cents,
+      |  CAST(SUM(rev) AS DOUBLE) / CAST(ANY_VALUE(total) AS DOUBLE) AS share
+      |FROM cls GROUP BY class ORDER BY class""".stripMargin
+
   /** Q278: RFM customer segmentation (Hughes 1994's recency/frequency/
     * monetary scoring — the classic revenue-analytics partition, still
     * the standard first segmentation every warehouse ships): per

@@ -88,6 +88,29 @@ class PivotSampleSpec extends SparkSpec {
     assert(sampledMean > popMean,
       s"PPS sample mean $sampledMean not above population mean $popMean")
   }
+  test("q279 ABC: matches an in-memory Pareto walk; classes conserve") {
+    val t = sf0001
+    val rows = t.lineitem.selectExpr("l_partkey", "l_extendedprice", "l_discount")
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * (1.0 - r.getDouble(2)) * 100.0)))
+    val rev = rows.groupBy(_._1).map { case (p, rs) => (p, rs.map(_._2).sum) }.toSeq
+    val total = rev.map(_._2).sum
+    var cum = 0L
+    val classes = rev.sortBy { case (p, r) => (-r, p) }.map { case (p, r) =>
+      cum += r
+      (if (cum * 100L <= 80L * total) "A"
+       else if (cum * 100L <= 95L * total) "B" else "C", r)
+    }
+    val expected = classes.groupBy(_._1).map { case (c, rs) =>
+      (c, rs.length.toLong, rs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.qAbcClassification(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected)
+    assert(got.map(_._3).sum == total)
+    assert(got.map(_._1).toSet == Set("A", "B", "C"))
+  }
+
   test("q278 RFM: matches an in-memory quintile recompute") {
     val t = sf0001
     val orders = t.orders.selectExpr("o_custkey",
