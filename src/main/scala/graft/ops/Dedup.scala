@@ -2860,4 +2860,217 @@ object Dedup {
        |FROM inter i JOIN sz sa ON i.ia = sa.doc_id JOIN sz sb ON i.ib = sb.doc_id
        |WHERE 2000000 * i.m >= $thrCoef * greatest(sa.n + sb.n - i.m, 1)""".stripMargin
   }
+
+  // --------------------------------------- pair-graph structure audits
+
+  /** Q280: source-partition modularity of the near-dup graph (Newman &
+    * Girvan 2004): does duplication concentrate WITHIN sources (syndication
+    * / template reuse inside a feed) or cut across them (true cross-source
+    * copying)? Communities are the document sources; per source s,
+    * e_s = intra-source edges and d_s = degree mass; Q = Σ_s (e_s/m −
+    * (d_s/2m)²), emitted as exact cross-multiplied integers
+    * q_num = 4m·Σe_s − Σd_s² over q_den = 4m² plus the single-division
+    * double. Complements q254 (the pairwise cross-source count matrix)
+    * with the one-number partition-quality statistic.
+    *
+    * Scale shape: two equi-joins of the pair list against a 2-column
+    * (doc_id, source) projection + one per-source aggregate; globals ride
+    * windows over the ≤|sources| row table (bounded-table window rule).
+    * Integer overflow: d_s² needs d_s ≤ ~3e9 — at 100 TB switch q_num to
+    * DECIMAL(38,0); the modularity double is unaffected.
+    *
+    * Graph inputs are the session-cached fuzzy pair list (warm-structure
+    * contract), so composed audits never rebuild the blocked join. */
+  def qGraphModularity(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val e = fuzzyPairsCached(t)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+    // one endpoint row per (edge, side); the a-side row carries the
+    // intra-source flag so each intra edge is counted exactly once
+    val ends = e.select(col("sa").as("source"),
+        when(col("sa") === col("sb"), 1L).otherwise(0L).as("intra"))
+      .unionAll(e.select(col("sb").as("source"), lit(0L).as("intra")))
+    src.select(col("source")).distinct()
+      .join(ends, Seq("source"), "left")
+      .groupBy(col("source"))
+      .agg(coalesce(sum(col("intra")), lit(0L)).as("intra_edges"),
+        count(col("intra")).as("degree_sum"))
+      .withColumn("tot_deg", expr("sum(degree_sum)").over(w))
+      .withColumn("m_edges", expr("tot_deg div 2L"))
+      .withColumn("q_num",
+        lit(4L) * col("m_edges") * expr("sum(intra_edges)").over(w) -
+          expr("sum(degree_sum * degree_sum)").over(w))
+      .withColumn("modularity",
+        when(col("m_edges") === 0L, lit(null).cast("double"))
+          .otherwise(col("q_num").cast("double") /
+            (lit(4L) * col("m_edges") * col("m_edges")).cast("double")))
+      .select(col("source"), col("intra_edges"), col("degree_sum"),
+        col("m_edges"), col("q_num"), col("modularity"))
+      .orderBy(col("source"))
+  }
+
+  /** q280 oracle: the shared q32 pair CTE + the same endpoint stream and
+    * integer cross-multiplied modularity (reach/rep CTEs unused → not
+    * evaluated). */
+  val qGraphModularitySql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |ej AS (
+      |  SELECT da.source AS sa, db.source AS sb
+      |  FROM pairs p JOIN documents da ON da.doc_id = p.a
+      |               JOIN documents db ON db.doc_id = p.b),
+      |ends AS (
+      |  SELECT sa AS source, CASE WHEN sa = sb THEN 1 ELSE 0 END AS intra FROM ej
+      |  UNION ALL SELECT sb AS source, 0 AS intra FROM ej),
+      |per AS (
+      |  SELECT s.source, CAST(COALESCE(SUM(e.intra), 0) AS BIGINT) AS intra_edges,
+      |    CAST(COUNT(e.intra) AS BIGINT) AS degree_sum
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  LEFT JOIN ends e ON e.source = s.source GROUP BY s.source)
+      |SELECT source, intra_edges, degree_sum,
+      |  CAST(SUM(degree_sum) OVER () // 2 AS BIGINT) AS m_edges,
+      |  CAST(4 * (SUM(degree_sum) OVER () // 2) * SUM(intra_edges) OVER ()
+      |       - SUM(degree_sum * degree_sum) OVER () AS BIGINT) AS q_num,
+      |  CASE WHEN SUM(degree_sum) OVER () = 0 THEN NULL
+      |       ELSE CAST(4 * (SUM(degree_sum) OVER () // 2) * SUM(intra_edges) OVER ()
+      |                 - SUM(degree_sum * degree_sum) OVER () AS DOUBLE)
+      |            / CAST(4 * (SUM(degree_sum) OVER () // 2)
+      |                     * (SUM(degree_sum) OVER () // 2) AS DOUBLE)
+      |  END AS modularity
+      |FROM per ORDER BY source""".stripMargin
+
+  /** Q281: triangle census of the near-dup graph — n_edges, wedges
+    * (Σ d(d−1)/2), triangles (ordered 2-path + closing-edge semi-join,
+    * the standard distributed triangle plan), and the global clustering
+    * coefficient 3T/W. High transitivity says near-duplication forms
+    * template CLIQUES (one canonical doc replaces many); low says chains
+    * (OCR drift / partial copies) where min-id contraction over-merges.
+    * All counts integer-exact; the coefficient is one division.
+    *
+    * Scale shape: the triangle join is two equi-joins on the canonical
+    * (a<b) pair list — candidate 2-paths are bounded by Σ d², which the
+    * q201/q243 block governors already price; one tagged-union aggregate
+    * produces the row (q171 one-plan rule, no 1-row-join BNLJ). */
+  def qTriangleCensus(t: Tables): DataFrame = {
+    val pairs = fuzzyPairsCached(t)
+    val deg = pairs.select(col("id_a").as("v"))
+      .unionAll(pairs.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val wedges = deg.select(expr("(d * (d - 1)) div 2").as("x"))
+    val tri = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(pairs.select(col("id_a").as("b"), col("id_b").as("c")), Seq("b"))
+      .join(pairs.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"),
+        "left_semi")
+      .select(lit(1L).as("x"))
+    pairs.select(lit("e").as("k"), lit(1L).as("x"))
+      .unionAll(wedges.select(lit("w").as("k"), col("x")))
+      .unionAll(tri.select(lit("t").as("k"), col("x")))
+      .agg(
+        coalesce(sum(when(col("k") === "e", col("x"))), lit(0L)).as("n_edges"),
+        coalesce(sum(when(col("k") === "w", col("x"))), lit(0L)).as("n_wedges"),
+        coalesce(sum(when(col("k") === "t", col("x"))), lit(0L)).as("n_triangles"))
+      .withColumn("global_cc",
+        when(col("n_wedges") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_triangles") * 3L).cast("double") /
+            col("n_wedges").cast("double")))
+  }
+
+  /** q281 oracle: same pair CTE, ordered 2-path triangle join, scalar
+    * subquery assembly (oracle-side only; the Spark plan is the tagged
+    * union). */
+  val qTriangleCensusSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+      |  GROUP BY v),
+      |wed AS (SELECT CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT) AS w FROM deg),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+      |  WHERE EXISTS (SELECT 1 FROM pairs e3 WHERE e3.a = e1.a AND e3.b = e2.b))
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+      |  (SELECT w FROM wed) AS n_wedges,
+      |  (SELECT t FROM tri) AS n_triangles,
+      |  CASE WHEN (SELECT w FROM wed) = 0 THEN NULL
+      |       ELSE CAST(3 * (SELECT t FROM tri) AS DOUBLE)
+      |            / CAST((SELECT w FROM wed) AS DOUBLE) END AS global_cc""".stripMargin
+
+  /** Q283: pair-retention (ROUGE-1) audit — for every near-dup pair, the
+    * unigram-multiset overlap Σ_w min(cnt_a, cnt_b) and both recall
+    * directions (Lin 2004's ROUGE-1 between the two members). This is the
+    * information-loss ledger for dedup: recall_b ≈ 1 says dropping b loses
+    * nothing a doesn't carry; low recall flags pairs the 40-char-prefix
+    * similarity admitted but whose bodies diverge (the q272 recall axis at
+    * token granularity).
+    *
+    * Scale shape: token counts are one explode + groupBy over only the
+    * documents that appear in pairs (semi-join first); the overlap is one
+    * (doc, token)-keyed equi-join per side — no per-pair re-tokenization
+    * (the q191 build-once rule: the token table is built once and joined,
+    * never recomputed per pair). */
+  def qPairRetention(t: Tables): DataFrame = {
+    val pairs = fuzzyPairsCached(t)
+    val inPairs = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val toks = t.documents.join(inPairs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds two overlap joins + the length aggregate
+    val len = toks.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+    val ov = pairs
+      .join(toks.select(col("doc_id").as("id_a"), col("token"), col("c").as("ca")),
+        Seq("id_a"))
+      .join(toks.select(col("doc_id").as("id_b"), col("token"), col("c").as("cb")),
+        Seq("id_b", "token"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    pairs
+      .join(ov, Seq("id_a", "id_b"), "left")
+      .join(len.select(col("doc_id").as("id_a"), col("len").as("len_a")), Seq("id_a"), "left")
+      .join(len.select(col("doc_id").as("id_b"), col("len").as("len_b")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("len_a"), lit(0L)).as("len_a"),
+        coalesce(col("len_b"), lit(0L)).as("len_b"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("recall_a",
+        when(col("len_a") === 0L, lit(null).cast("double"))
+          .otherwise(col("overlap").cast("double") / col("len_a").cast("double")))
+      .withColumn("recall_b",
+        when(col("len_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("overlap").cast("double") / col("len_b").cast("double")))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q283 oracle: pair CTE + the q25 tokenizer regex, multiset overlap via
+    * LEAST over the (doc, token) count join. */
+  val qPairRetentionSql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                         x -> len(x) > 0)) AS token
+      |    FROM documents)
+      |  GROUP BY doc_id, token),
+      |ln AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS l FROM tok GROUP BY doc_id),
+      |ov AS (
+      |  SELECT p.a, p.b, CAST(SUM(LEAST(ta.c, tb.c)) AS BIGINT) AS ov
+      |  FROM pairs p JOIN tok ta ON ta.doc_id = p.a
+      |               JOIN tok tb ON tb.doc_id = p.b AND tb.token = ta.token
+      |  GROUP BY p.a, p.b)
+      |SELECT p.a AS id_a, p.b AS id_b,
+      |  CAST(COALESCE(la.l, 0) AS BIGINT) AS len_a,
+      |  CAST(COALESCE(lb.l, 0) AS BIGINT) AS len_b,
+      |  CAST(COALESCE(o.ov, 0) AS BIGINT) AS overlap,
+      |  CASE WHEN COALESCE(la.l, 0) = 0 THEN NULL
+      |       ELSE CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(la.l AS DOUBLE) END AS recall_a,
+      |  CASE WHEN COALESCE(lb.l, 0) = 0 THEN NULL
+      |       ELSE CAST(COALESCE(o.ov, 0) AS DOUBLE) / CAST(lb.l AS DOUBLE) END AS recall_b
+      |FROM pairs p
+      |LEFT JOIN ov o ON o.a = p.a AND o.b = p.b
+      |LEFT JOIN ln la ON la.doc_id = p.a
+      |LEFT JOIN ln lb ON lb.doc_id = p.b
+      |ORDER BY id_a, id_b""".stripMargin
 }

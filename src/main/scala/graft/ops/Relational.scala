@@ -1611,4 +1611,67 @@ object Relational {
       |  CAST(SUM(m_cents) AS DOUBLE)
       |    / (100.0::DOUBLE * CAST(COUNT(*) AS DOUBLE)) AS avg_spend
       |FROM sc GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** Q285: robust location statistics per order priority — the 10%
+    * trimmed mean and winsorized mean (Tukey) of order totals, exact to
+    * the cent. With rows ranked (cents, o_orderkey) per group and
+    * k = ⌊n/10⌋: the trimmed sum covers ranks (k, n−k]; the winsorized sum
+    * is the ALGEBRAIC identity trim_sum + k·(lo + hi) where lo/hi are the
+    * boundary order statistics — no second clamp pass over the data. Means
+    * are single divisions of exact integers (raw-emit rule).
+    *
+    * Scale shape: one per-group window rank + one aggregate. Groups here
+    * are the 5 priorities (~n/5 rows per window task); for a high-
+    * cardinality value column at 100 TB the rank phase swaps to the
+    * TextAnalysis.bucketRank two-phase prefix — the statistics and the
+    * boundary identity are unchanged. */
+  def qRobustStats(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("priority")).orderBy(col("cents"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("priority"))
+    t.orders.select(col("o_orderpriority").as("priority"), col("o_orderkey"),
+        round(col("o_totalprice") * lit(100.0), 0).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("k", expr("n div 10L"))
+      .groupBy(col("priority"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        max(when(col("rn") === col("k") + 1L, col("cents"))).as("lo_cents"),
+        max(when(col("rn") === col("n") - col("k"), col("cents"))).as("hi_cents"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("cents"))).as("trim_sum_cents"))
+      .withColumn("trimmed_mean", col("trim_sum_cents").cast("double") /
+        ((col("n") - lit(2L) * col("k")) * lit(100L)).cast("double"))
+      .withColumn("winsor_mean",
+        (col("trim_sum_cents") + col("k") * (col("lo_cents") + col("hi_cents")))
+          .cast("double") / (col("n") * lit(100L)).cast("double"))
+      .orderBy(col("priority"))
+  }
+
+  /** q285 oracle: same cents grid, same per-priority rank window, same
+    * boundary-identity winsorized sum. */
+  val qRobustStatsSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority AS priority, o_orderkey,
+      |    CAST(round(o_totalprice * 100.0::DOUBLE) AS BIGINT) AS cents
+      |  FROM orders),
+      |rk AS (
+      |  SELECT priority, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY priority
+      |                            ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM r),
+      |g AS (
+      |  SELECT priority, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(MAX(n // 10) AS BIGINT) AS k,
+      |    CAST(MAX(CASE WHEN rn = n // 10 + 1 THEN cents END) AS BIGINT) AS lo_cents,
+      |    CAST(MAX(CASE WHEN rn = n - n // 10 THEN cents END) AS BIGINT) AS hi_cents,
+      |    CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents END)
+      |         AS BIGINT) AS trim_sum_cents
+      |  FROM rk GROUP BY priority)
+      |SELECT priority, n, k, lo_cents, hi_cents, trim_sum_cents,
+      |  CAST(trim_sum_cents AS DOUBLE)
+      |    / CAST((n - 2 * k) * 100 AS DOUBLE) AS trimmed_mean,
+      |  CAST(trim_sum_cents + k * (lo_cents + hi_cents) AS DOUBLE)
+      |    / CAST(n * 100 AS DOUBLE) AS winsor_mean
+      |FROM g ORDER BY priority""".stripMargin
 }

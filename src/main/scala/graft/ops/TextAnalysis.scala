@@ -6407,4 +6407,58 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN kept k USING (doc_id)
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
+
+  /** Q287: corpus readability per source — Flesch Reading Ease (Flesch
+    * 1948) computed MICRO-AVERAGED from per-source integer totals: words
+    * (the q24/q25 tokenizer census), sentence marks (runs of [.!?], min 1
+    * per doc), and syllables by the standard vowel-group proxy (runs of
+    * [aeiouy] in lowercased text). FRE = 206.835 − 1.015·(W/S) −
+    * 84.6·(Y/W) on the exact totals — integer sums, then a fixed IEEE
+    * sequence of two divisions/two multiplies/two subtractions identical
+    * in both engines (raw-emit; decimal constants written ::DOUBLE in the
+    * oracle — the q179 literal-arithmetic rule). Readability gates are a
+    * standard pretraining quality filter (e.g. C4/Gopher-class heuristic
+    * batteries); micro-averaging keeps the statistic replayable where a
+    * mean-of-per-doc-scores would need a float sum.
+    *
+    * Scale shape: pure scan-stage regexp counters + one per-source
+    * aggregate — no shuffle beyond the final ≤|sources| groups. */
+  def qReadability(t: Tables): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    t.fanout(t.documents)
+      .select(col("source"),
+        size(toks).cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+          .as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("syllables"))
+      .withColumn("flesch",
+        when(col("words") === 0L, lit(null).cast("double")) // ANSI 0-div guard
+          .otherwise(lit(206.835) -
+            lit(1.015) * (col("words").cast("double") / col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") / col("words").cast("double"))))
+      .orderBy(col("source"))
+  }
+
+  /** q287 oracle: the q25 tokenizer census + the same regexp counters and
+    * ::DOUBLE-disciplined constant arithmetic. */
+  val qReadabilitySql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                         x -> len(x) > 0)) AS BIGINT) AS w,
+      |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+      |  FROM documents)
+      |SELECT source, COUNT(*)::BIGINT AS n_docs,
+      |  CAST(SUM(w) AS BIGINT) AS words,
+      |  CAST(SUM(s) AS BIGINT) AS sentences,
+      |  CAST(SUM(y) AS BIGINT) AS syllables,
+      |  CASE WHEN SUM(w) = 0 THEN NULL
+      |       ELSE 206.835::DOUBLE
+      |    - 1.015::DOUBLE * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE))
+      |    - 84.6::DOUBLE * (CAST(SUM(y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) END AS flesch
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

@@ -898,4 +898,71 @@ class DedupSpec extends SparkSpec {
     // the batch split is non-degenerate at this SF
     assert(got.exists(_._3) && got.exists(!_._3))
   }
+
+  test("q280 modularity: matches an in-memory recompute off the pair graph") {
+    val t = sf001
+    val pairs = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = pairs.length.toLong
+    val deg = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val intra = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    pairs.foreach { case (a, b) =>
+      deg(src(a)) += 1L; deg(src(b)) += 1L
+      if (src(a) == src(b)) intra(src(a)) += 1L
+    }
+    val got = ops.Dedup.qGraphModularity(t).collect()
+    assert(got.map(_.getString(0)).toSeq == src.values.toSeq.distinct.sorted)
+    got.foreach { r =>
+      assert(r.getLong(1) == intra(r.getString(0)))
+      assert(r.getLong(2) == deg(r.getString(0)))
+      assert(r.getLong(3) == m)
+    }
+    assert(m > 0, "sf0.01 pair graph must be non-empty for this spec")
+    val qNum = 4L * m * intra.values.toSeq.sum -
+      deg.values.toSeq.map(d => d * d).sum
+    assert(got.head.getLong(4) == qNum)
+    assert(math.abs(got.head.getDouble(5) -
+      qNum.toDouble / (4L * m * m).toDouble) < 1e-12)
+  }
+
+  test("q281 triangle census: matches brute-force wedge/triangle counts") {
+    val t = sf001
+    val pairSet = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    pairSet.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+    val wedges = deg.values.toSeq.map(d => d * (d - 1L) / 2L).sum
+    val verts = deg.keys.toSeq.sorted
+    val tris = pairSet.toSeq.map { case (a, b) =>
+      verts.count(c => c > b && pairSet((b, c)) && pairSet((a, c))).toLong
+    }.sum
+    val r = Dedup.qTriangleCensus(t).collect().head
+    assert(r.getLong(0) == pairSet.size.toLong)
+    assert(r.getLong(1) == wedges)
+    assert(r.getLong(2) == tris)
+    if (wedges > 0)
+      assert(math.abs(r.getDouble(3) - 3.0 * tris / wedges.toDouble) < 1e-12)
+  }
+
+  test("q283 retention: overlap bounded by lengths and exact on every pair") {
+    val t = sf001
+    val got = Dedup.qPairRetention(t).collect()
+    assert(got.nonEmpty)
+    val texts = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def cnt(s: String): Map[String, Long] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    got.foreach { r =>
+      val ca = cnt(texts(r.getLong(0))); val cb = cnt(texts(r.getLong(1)))
+      val ov = ca.toSeq.map { case (k, c) => math.min(c, cb.getOrElse(k, 0L)) }.sum
+      assert(r.getLong(2) == ca.values.toSeq.sum)
+      assert(r.getLong(3) == cb.values.toSeq.sum)
+      assert(r.getLong(4) == ov)
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      assert(math.abs(r.getDouble(5) - ov.toDouble / r.getLong(2).toDouble) < 1e-12)
+    }
+  }
 }

@@ -140,4 +140,30 @@ class PivotSampleSpec extends SparkSpec {
     assert(got.toSeq == expected)
     assert(got.map(_._2).sum == n)
   }
+
+  test("q285 robust stats: matches an in-memory trimmed/winsorized recompute") {
+    val t = sf0001
+    val rows = t.orders.selectExpr("o_orderpriority", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100.0)))
+    val got = Relational.qRobustStats(t).collect()
+    assert(got.nonEmpty)
+    got.foreach { g =>
+      val cents = rows.filter(_._1 == g.getString(0))
+        .sortBy(x => (x._3, x._2)).map(_._3)
+      val n = cents.length; val k = n / 10
+      val trimmed = cents.slice(k, n - k)
+      assert(g.getLong(1) == n.toLong); assert(g.getLong(2) == k.toLong)
+      assert(g.getLong(3) == cents(k))
+      assert(g.getLong(4) == cents(n - k - 1))
+      assert(g.getLong(5) == trimmed.sum)
+      // winsorized sum via explicit clamp equals the boundary identity
+      val winsor = cents.map(c =>
+        math.max(cents(k), math.min(cents(n - k - 1), c))).sum
+      assert(g.getLong(5) + k * (cents(k) + cents(n - k - 1)) == winsor)
+      assert(math.abs(g.getDouble(6) -
+        trimmed.sum.toDouble / ((n - 2 * k) * 100).toDouble) < 1e-9)
+      assert(math.abs(g.getDouble(7) - winsor.toDouble / (n * 100).toDouble) < 1e-9)
+    }
+  }
 }

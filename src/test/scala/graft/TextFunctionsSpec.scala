@@ -110,4 +110,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("q287 readability: matches a JVM regex recompute of the Flesch inputs") {
+    val t = sf0001
+    val docs = t.documents.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def words(s: String) = s.toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty).toLong
+    def marks(s: String) = math.max("[.!?]+".r.findAllIn(s).length.toLong, 1L)
+    def syll(s: String) = "[aeiouy]+".r.findAllIn(s.toLowerCase).length.toLong
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      src -> ((ds.length.toLong, ds.toSeq.map(d => words(d._2)).sum,
+        ds.toSeq.map(d => marks(d._2)).sum, ds.toSeq.map(d => syll(d._2)).sum))
+    }
+    val got = graft.ops.TextAnalysis.qReadability(t).collect()
+    assert(got.map(_.getString(0)).toSeq == got.map(_.getString(0)).toSeq.sorted)
+    got.foreach { r =>
+      val e = exp(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == e)
+      val f = 206.835 - 1.015 * (e._2.toDouble / e._3.toDouble) -
+        84.6 * (e._4.toDouble / e._2.toDouble)
+      assert(math.abs(r.getDouble(5) - f) < 1e-9)
+    }
+    assert(exp.keySet == got.map(_.getString(0)).toSet)
+  }
 }
