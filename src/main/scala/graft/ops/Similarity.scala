@@ -1411,4 +1411,216 @@ object Similarity {
       |  CAST(COUNT(*) AS BIGINT) AS n_probes,
       |  CAST(CAST(SUM(sv_micro) AS BIGINT) AS DOUBLE) / (1e6 * COUNT(*)) AS sv_mean
       |FROM sv GROUP BY train_id, label ORDER BY train_id""".stripMargin
+
+  /** Q282: MMR-diversified top-k retrieval (Carbonell & Goldstein 1998):
+    * per probe, fetch the top-C candidates by cosine relevance, then
+    * greedily select k maximizing λ·rel − (1−λ)·max_sim-to-selected with
+    * λ = 0.7. The selection runs ENTIRELY on the micro-integer grid —
+    * score = 7·rel_micro − 3·maxsim_micro (λ scaled by 10), ties broken
+    * by vec_id — so every greedy comparison is exact integer arithmetic
+    * and the sequential walk replays cross-engine (the q227 class, here
+    * unrolled as k chained CTE rounds since k is fixed).
+    *
+    * Scale shape: candidate generation is the q38 broadcast-probe scan
+    * (at corpus scale, the ANN ladder front-ends it); the greedy phase
+    * touches only C candidates per probe inside one flatMapGroups task
+    * (C²·k integer ops — bounded-group kernel rule). */
+  def qMmrRerank(t: Tables, nProbes: Int = 3, cand: Int = 20, k: Int = 5): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    def microAway(x: Double): Long = { // signed micro grid: half away from zero
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val probes = t.embeddings.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("rel").desc, col("nid"))
+    val candDf = t.fanout(t.embeddings)
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .crossJoin(broadcast(probes))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("rel",
+        round(graft.plans.CosineSim.cosine(col("pe"), col("ne")) * lit(1000000.0), 0)
+          .cast("long"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cand)
+      .select(col("pid"), col("nid"), col("rel"), col("ne"))
+    candDf.as[(Long, Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (pid, it) =>
+        val cs = it.toArray.sortBy(c => (-c._3, c._2))
+        val n = cs.length
+        val sim = Array.ofDim[Long](n, n)
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val s = microAway(fasthash.cosine(cs(i)._4, cs(j)._4))
+            sim(i)(j) = s; sim(j)(i) = s; j += 1
+          }
+          i += 1
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+        var r = 1
+        while (r <= k && selected.length < n) {
+          var best = -1; var bestScore = Long.MinValue
+          var c = 0
+          while (c < n) {
+            if (!selected.contains(c)) {
+              var ms = 0L; var first = true
+              selected.foreach { s =>
+                if (first || sim(c)(s) > ms) { ms = sim(c)(s); first = false }
+              }
+              val sc = 7L * cs(c)._3 - 3L * (if (selected.isEmpty) 0L else ms)
+              if (sc > bestScore || (sc == bestScore && best >= 0 && cs(c)._2 < cs(best)._2)) {
+                best = c; bestScore = sc
+              }
+            }
+            c += 1
+          }
+          out += ((pid, r.toLong, cs(best)._2, cs(best)._3, bestScore))
+          selected += best; r += 1
+        }
+        out.iterator
+      }
+      .toDF("probe_id", "rank", "vec_id", "rel_micro", "score_micro")
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
+  /** q282 oracle: candidate + pairwise-sim micro tables, then the k greedy
+    * rounds UNROLLED as chained MATERIALIZED CTEs (argmax per round via
+    * ROW_NUMBER; the fixed-round iterative-oracle pattern — q119/q139). */
+  def qMmrRerankSql(nProbes: Int = 3, cand: Int = 20, k: Int = 5): String = {
+    val steps = (2 to k).map { r =>
+      val p = r - 1
+      s"""s$r AS MATERIALIZED (
+         |  SELECT c.pid, c.nid, c.rel, 7 * c.rel - 3 * COALESCE(m.ms, 0) AS score
+         |  FROM cand c
+         |  LEFT JOIN (
+         |    SELECT p.pid, p.a, MAX(p.s) AS ms
+         |    FROM psim p JOIN ksel$p kk ON kk.pid = p.pid AND kk.nid = p.b
+         |    GROUP BY p.pid, p.a) m ON m.pid = c.pid AND m.a = c.nid
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ksel$p kk WHERE kk.pid = c.pid AND kk.nid = c.nid)),
+         |sel$r AS MATERIALIZED (
+         |  SELECT pid, $r AS rank, nid, rel, score FROM (
+         |    SELECT pid, nid, rel, score,
+         |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY score DESC, nid) AS rn
+         |    FROM s$r) WHERE rn = 1),
+         |ksel$r AS (SELECT pid, nid FROM ksel$p UNION ALL SELECT pid, nid FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(r => s"SELECT * FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH cand0 AS MATERIALIZED (
+       |  SELECT p.vec_id AS pid, n.vec_id AS nid,
+       |    CAST(round(list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+       |      CAST(n.embedding AS DOUBLE[])) * 1000000.0::DOUBLE) AS BIGINT) AS rel
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $nProbes) p
+       |  JOIN embeddings n ON n.vec_id != p.vec_id),
+       |cand AS MATERIALIZED (
+       |  SELECT pid, nid, rel FROM (
+       |    SELECT pid, nid, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rel DESC, nid) AS rn
+       |    FROM cand0) WHERE rn <= $cand),
+       |psim AS MATERIALIZED (
+       |  SELECT c1.pid, c1.nid AS a, c2.nid AS b,
+       |    CAST(round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+       |      CAST(e2.embedding AS DOUBLE[])) * 1000000.0::DOUBLE) AS BIGINT) AS s
+       |  FROM cand c1 JOIN cand c2 ON c1.pid = c2.pid AND c1.nid != c2.nid
+       |  JOIN embeddings e1 ON e1.vec_id = c1.nid
+       |  JOIN embeddings e2 ON e2.vec_id = c2.nid),
+       |sel1 AS MATERIALIZED (
+       |  SELECT pid, 1 AS rank, nid, rel, 7 * rel AS score FROM (
+       |    SELECT pid, nid, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY 7 * rel DESC, nid) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |ksel1 AS (SELECT pid, nid FROM sel1),
+       |$steps
+       |SELECT pid AS probe_id, CAST(rank AS BIGINT) AS rank, nid AS vec_id,
+       |  rel AS rel_micro, CAST(score AS BIGINT) AS score_micro
+       |FROM ($unions) ORDER BY probe_id, rank""".stripMargin
+  }
+
+  /** Q284: diagonal-covariance Fréchet distance between embedding label
+    * groups (the FID construction of Heusel et al. 2017 restricted to
+    * diagonal Σ, per dim): for every label pair and dimension,
+    * term_d = (μ₁−μ₂)² + σ₁² + σ₂² − 2σ₁σ₂ — summing term_d over dims IS
+    * the squared 2-Wasserstein distance between the diagonal Gaussians.
+    * A distribution-drift audit for embedding corpora (did a new batch's
+    * embedding distribution move?): per-dim rows localize WHICH
+    * dimensions drifted. The oracle gates the per-dim terms; the summary
+    * sum lives in the spec (float sums over dims are aggregation-order
+    * territory — per-dim emission avoids them entirely).
+    *
+    * Exactness: per-element micro/pico grid sums (round at 0 dp is the
+    * cross-engine-safe rounding, incl. negatives — both engines round
+    * half away from zero); μ and σ² are fixed IEEE sequences over the
+    * exact integer sums; sqrt is correctly rounded; var clamped at 0
+    * before sqrt (float cancellation on near-constant dims).
+    *
+    * Scale shape: one posexplode scan + one (label, dim) aggregate
+    * (64·|labels| groups), then a bounded self-join — the corpus pass is
+    * a single map-side-combinable aggregate. */
+  def qLabelFrechet(t: Tables): DataFrame = {
+    val stats = t.fanout(t.embeddings)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("p", "f")))
+      .select(col("label"), (col("p") + 1).cast("long").as("dim"),
+        col("f").cast("double").as("v"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("v") * lit(1000000.0), 0).cast("long")).as("s_micro"),
+        sum(round(col("v") * col("v") * lit(1000000000000.0), 0).cast("long"))
+          .as("ss_pico"))
+    def side(s: String) = stats.select(col("label").as(s"label_$s"), col("dim"),
+      col("n").as(s"n_$s"), col("s_micro").as(s"s_$s"), col("ss_pico").as(s"q_$s"))
+    def mu(s: String) = (col(s"s_$s").cast("double") / lit(1000000.0)) /
+      col(s"n_$s").cast("double")
+    def vr(s: String) = greatest(
+      (col(s"q_$s").cast("double") / lit(1000000000000.0)) /
+        col(s"n_$s").cast("double") - col(s"mu_$s") * col(s"mu_$s"), lit(0.0))
+    side("a").join(side("b"), Seq("dim")).filter(col("label_a") < col("label_b"))
+      .withColumn("mu_a", mu("a")).withColumn("mu_b", mu("b"))
+      .withColumn("var_a", vr("a")).withColumn("var_b", vr("b"))
+      .withColumn("term",
+        (col("mu_a") - col("mu_b")) * (col("mu_a") - col("mu_b")) +
+          col("var_a") + col("var_b") -
+          lit(2.0) * sqrt(col("var_a")) * sqrt(col("var_b")))
+      .select(col("label_a"), col("label_b"), col("dim"), col("n_a"), col("n_b"),
+        col("mu_a"), col("mu_b"), col("var_a"), col("var_b"), col("term"))
+      .orderBy(col("label_a"), col("label_b"), col("dim"))
+  }
+
+  /** q284 oracle: generate_subscripts explode, identical grid sums and
+    * IEEE sequences (constants ::DOUBLE — the q179 literal rule). */
+  val qLabelFrechetSql: String =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS BIGINT) AS dim,
+      |    unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT label, dim, COUNT(*)::BIGINT AS n,
+      |    CAST(SUM(CAST(round(v * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS s_micro,
+      |    CAST(SUM(CAST(round(v * v * 1000000000000.0::DOUBLE) AS BIGINT)) AS BIGINT)
+      |      AS ss_pico
+      |  FROM e GROUP BY label, dim),
+      |j AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, a.dim,
+      |    a.n AS n_a, b.n AS n_b,
+      |    (CAST(a.s_micro AS DOUBLE) / 1000000.0::DOUBLE) / CAST(a.n AS DOUBLE) AS mu_a,
+      |    (CAST(b.s_micro AS DOUBLE) / 1000000.0::DOUBLE) / CAST(b.n AS DOUBLE) AS mu_b,
+      |    a.ss_pico AS qa, b.ss_pico AS qb
+      |  FROM st a JOIN st b ON a.dim = b.dim AND a.label < b.label),
+      |v AS (
+      |  SELECT label_a, label_b, dim, n_a, n_b, mu_a, mu_b,
+      |    GREATEST((CAST(qa AS DOUBLE) / 1000000000000.0::DOUBLE)
+      |             / CAST(n_a AS DOUBLE) - mu_a * mu_a, 0.0::DOUBLE) AS var_a,
+      |    GREATEST((CAST(qb AS DOUBLE) / 1000000000000.0::DOUBLE)
+      |             / CAST(n_b AS DOUBLE) - mu_b * mu_b, 0.0::DOUBLE) AS var_b
+      |  FROM j)
+      |SELECT label_a, label_b, dim, n_a, n_b, mu_a, mu_b, var_a, var_b,
+      |  (mu_a - mu_b) * (mu_a - mu_b) + var_a + var_b
+      |    - 2.0::DOUBLE * sqrt(var_a) * sqrt(var_b) AS term
+      |FROM v ORDER BY label_a, label_b, dim""".stripMargin
 }

@@ -6408,6 +6408,111 @@ object TextAnalysis {
        |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  /** Q286: confident-learning label-noise estimate (Northcutt, Jiang &
+    * Chuang 2021, binary form) off the shared cached classifier: per-class
+    * confidence thresholds t_c = mean predicted class-probability among
+    * examples LABELED c; an example is confidently class c when its class-c
+    * probability clears t_c; the confident joint C[y][ŷ] over decisively
+    * assigned examples estimates the label-noise mass as its off-diagonal
+    * fraction. The labels audited are the Gopher-rule gate y itself — the
+    * audit asks how much of the rule labeling the model confidently
+    * contradicts (the label-errors-in-quality-gates question a training
+    * pipeline runs before trusting its filters).
+    *
+    * Exactness: probabilities live on the micro grid (round at 0 dp of
+    * p·1e6 — cross-engine safe); the threshold test is the integer
+    * cross-multiplication cm·n_c ≥ S_c (mean comparison without division);
+    * the four threshold sums ride the driver as one bounded fetch (the
+    * k-means-centroid contract); counts exact, noise rate one division.
+    *
+    * Scale shape: training is the cached 16-round GD (weightsCache); the
+    * audit is two linear scans (threshold aggregate, cell aggregate) plus
+    * windows over the ≤4-row cell table. */
+  def qLabelNoise(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = t.documents.sparkSession
+    val feats = logitFeatures(t).cache()
+    try {
+      logitTrainCached(t, feats, rounds, lr) match {
+        case None =>
+          Tables.emptyFrame(spark, "y" -> LongType, "yhat" -> LongType,
+            "n" -> LongType, "n_assigned" -> LongType, "off_diag" -> LongType,
+            "noise_rate" -> DoubleType)
+        case Some(w) =>
+          val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+            lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+          val p = lit(1.0) / (lit(1.0) + exp(-z))
+          val scored = feats.select(col("y").cast("long").as("y"),
+            round(p * lit(1000000.0), 0).cast("long").as("cm"))
+          val th = scored.agg(
+            coalesce(sum(when(col("y") === 1L, col("cm"))), lit(0L)),
+            coalesce(sum(when(col("y") === 1L, 1L)), lit(0L)),
+            coalesce(sum(when(col("y") === 0L, lit(1000000L) - col("cm"))), lit(0L)),
+            coalesce(sum(when(col("y") === 0L, 1L)), lit(0L))).collect()(0)
+          val (s1, n1, s0, n0) =
+            (th.getLong(0), th.getLong(1), th.getLong(2), th.getLong(3))
+          val conf1 = lit(n1) > 0L && col("cm") * lit(n1) >= lit(s1)
+          val conf0 = lit(n0) > 0L &&
+            (lit(1000000L) - col("cm")) * lit(n0) >= lit(s0)
+          val yhat = when(conf1 && !conf0, 1L).when(conf0 && !conf1, 0L)
+            .when(conf1 && conf0, when(col("cm") >= 500000L, 1L).otherwise(0L))
+            .otherwise(lit(null).cast("long"))
+          val all = Window.partitionBy()
+          scored.withColumn("yhat", yhat).filter(col("yhat").isNotNull)
+            .groupBy(col("y"), col("yhat")).agg(count(lit(1)).as("n"))
+            .withColumn("n_assigned", sum(col("n")).over(all))
+            .withColumn("off_diag",
+              sum(when(col("y") =!= col("yhat"), col("n")).otherwise(0L)).over(all))
+            .withColumn("noise_rate",
+              col("off_diag").cast("double") / col("n_assigned").cast("double"))
+            .select(col("y"), col("yhat"), col("n"), col("n_assigned"),
+              col("off_diag"), col("noise_rate"))
+            .orderBy(col("y"), col("yhat"))
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** q286 oracle: the weight chain + the same micro thresholds via a
+    * 1-row CTE cross join and identical decision CASE. */
+  def qLabelNoiseSql(rounds: Int = 16, lr: Double = 8.0): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    val p = s"1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))"
+    s"""WITH $chain,
+       |sc AS MATERIALIZED (
+       |  SELECT CAST(y AS BIGINT) AS y,
+       |    CAST(round(($p) * 1000000.0::DOUBLE) AS BIGINT) AS cm
+       |  FROM f, $wFinal w),
+       |th AS (
+       |  SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN cm END), 0) AS BIGINT) AS s1,
+       |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+       |    CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1000000 - cm END), 0) AS BIGINT) AS s0,
+       |    CAST(COALESCE(SUM(CASE WHEN y = 0 THEN 1 END), 0) AS BIGINT) AS n0
+       |  FROM sc),
+       |lab AS (
+       |  SELECT s.y,
+       |    CASE
+       |      WHEN (t.n1 > 0 AND s.cm * t.n1 >= t.s1)
+       |       AND NOT (t.n0 > 0 AND (1000000 - s.cm) * t.n0 >= t.s0) THEN 1
+       |      WHEN (t.n0 > 0 AND (1000000 - s.cm) * t.n0 >= t.s0)
+       |       AND NOT (t.n1 > 0 AND s.cm * t.n1 >= t.s1) THEN 0
+       |      WHEN (t.n1 > 0 AND s.cm * t.n1 >= t.s1)
+       |       AND (t.n0 > 0 AND (1000000 - s.cm) * t.n0 >= t.s0)
+       |        THEN CASE WHEN s.cm >= 500000 THEN 1 ELSE 0 END
+       |      ELSE NULL END AS yhat
+       |  FROM sc s, th t),
+       |cells AS (
+       |  SELECT y, CAST(yhat AS BIGINT) AS yhat, COUNT(*)::BIGINT AS n
+       |  FROM lab WHERE yhat IS NOT NULL GROUP BY y, yhat)
+       |SELECT y, yhat, n,
+       |  CAST(SUM(n) OVER () AS BIGINT) AS n_assigned,
+       |  CAST(SUM(CASE WHEN y != yhat THEN n ELSE 0 END) OVER () AS BIGINT) AS off_diag,
+       |  CAST(SUM(CASE WHEN y != yhat THEN n ELSE 0 END) OVER () AS DOUBLE)
+       |    / CAST(SUM(n) OVER () AS DOUBLE) AS noise_rate
+       |FROM cells ORDER BY y, yhat""".stripMargin
+  }
+
   /** Q287: corpus readability per source — Flesch Reading Ease (Flesch
     * 1948) computed MICRO-AVERAGED from per-source integer totals: words
     * (the q24/q25 tokenizer census), sentence marks (runs of [.!?], min 1

@@ -2100,4 +2100,57 @@ class QualityPipelineSpec extends SparkSpec {
     }
   }
 
+
+  test("q286 label noise: matches an in-memory confident-joint recompute") {
+    val t = sf0001
+    val wRow = TextAnalysis.qLogitClassifier(t).collect().last
+    val w = (1 to 6).map(i => wRow.getDouble(i)).toArray
+    val stop = graft.functions.text.stopwords
+    def featsOf(s: String): (Long, Array[Double]) = {
+      val toks = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(stop.contains).toLong
+      val nd = toks.distinct.length.toLong
+      val y = if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+      val den = math.max(nt, 1L).toDouble
+      val f1 = 1.0 - math.abs(nt.toDouble - 50.0) / 30.0
+      val f2 = 1.0 - math.abs(nc.toDouble / den - 4.5) * 2.0
+      val f3 = ns.toDouble * 20.0 / den - 1.0
+      val f4 = nd.toDouble * 2.0 / den - 1.0
+      (y, Array(f1, f2, f3, f4, Seq(f1, f2, f3, f4).min))
+    }
+    val scored = t.documents.select("text").collect().map(_.getString(0)).map { txt =>
+      val (y, f) = featsOf(txt)
+      val z = w(0) + w(1) * f(0) + w(2) * f(1) + w(3) * f(2) + w(4) * f(3) + w(5) * f(4)
+      val p = 1.0 / (1.0 + math.exp(-z))
+      (y, math.floor(p * 1000000.0 + 0.5).toLong)
+    }
+    val pos = scored.filter(_._1 == 1L); val neg = scored.filter(_._1 == 0L)
+    val s1 = pos.map(_._2).sum; val n1 = pos.length.toLong
+    val s0 = neg.map(1000000L - _._2).sum; val n0 = neg.length.toLong
+    val cells = scored.flatMap { case (y, cm) =>
+      val c1 = n1 > 0 && cm * n1 >= s1
+      val c0 = n0 > 0 && (1000000L - cm) * n0 >= s0
+      val yhat = (c1, c0) match {
+        case (true, false) => Some(1L)
+        case (false, true) => Some(0L)
+        case (true, true)  => Some(if (cm >= 500000L) 1L else 0L)
+        case _             => None
+      }
+      yhat.map(h => (y, h))
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+      .toSeq.sortBy(c => (c._1, c._2))
+    val got = TextAnalysis.qLabelNoise(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == cells)
+    val full = TextAnalysis.qLabelNoise(t).collect()
+    val assigned = cells.map(_._3).sum
+    val off = cells.filter(c => c._1 != c._2).map(_._3).sum
+    full.foreach { r =>
+      assert(r.getLong(3) == assigned); assert(r.getLong(4) == off)
+      assert(math.abs(r.getDouble(5) - off.toDouble / assigned.toDouble) < 1e-12)
+    }
+  }
 }

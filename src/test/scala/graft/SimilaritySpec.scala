@@ -344,4 +344,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+
+  test("q282 MMR: matches an in-memory greedy recompute; diversifies") {
+    val t = sf0001
+    val embs = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def micro(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val got = Similarity.qMmrRerank(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    (0L until 3L).foreach { pid =>
+      val cand = embs.keys.toSeq.filter(_ != pid)
+        .map(n => (n, micro(graft.functions.fasthash.cosine(embs(pid), embs(n)))))
+        .sortBy(c => (-c._2, c._1)).take(20)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val chosen = scala.collection.mutable.ArrayBuffer[Long]()
+      (1 to 5).foreach { r =>
+        val best = cand.filterNot(c => chosen.contains(c._1)).map { c =>
+          val ms = if (chosen.isEmpty) 0L
+            else chosen.map(s => micro(graft.functions.fasthash.cosine(embs(c._1), embs(s)))).max
+          (c._1, c._2, 7L * c._2 - 3L * ms)
+        }.minBy(x => (-x._3, x._1))
+        sel += ((best._1, best._2, best._3)); chosen += best._1
+      }
+      val mine = sel.zipWithIndex.map { case ((nid, rel, sc), i) =>
+        (pid, (i + 1).toLong, nid, rel, sc) }
+      assert(got.filter(_._1 == pid).toSeq == mine.toSeq)
+    }
+    // rank-1 is the pure-relevance argmax; later scores stay inside the
+    // λ-envelope 7·rel ∓ 3·|maxsim| (maxsim may be negative → a bonus)
+    got.filter(_._2 == 1L).foreach(r => assert(r._5 == 7L * r._4))
+    got.filter(_._2 > 1L).foreach(r =>
+      assert(r._5 >= 7L * r._4 - 3000000L && r._5 <= 7L * r._4 + 3000000L))
+  }
+
+  test("q284 Frechet: per-dim terms match a recompute and are non-negative") {
+    val t = sf0001
+    val rows = Similarity.qLabelFrechet(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(9) >= -1e-12))
+    val byLabel = t.embeddings.select("label", "embedding").collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Float](1).toArray)
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2) }
+    val first = rows.head
+    val (la, lb, dim) = (first.getLong(0), first.getLong(1), first.getLong(2).toInt)
+    def stats(l: Long) = {
+      val vs = byLabel(l).map(_(dim - 1).toDouble)
+      val sm = vs.map(v => math.round(v * 1000000.0)).sum // positive-skew data: JVM round ok for spec tolerance
+      val qs = vs.map(v => math.round(v * v * 1000000000000.0)).sum
+      val n = vs.length.toDouble
+      val mu = (sm.toDouble / 1000000.0) / n
+      val vr = math.max((qs.toDouble / 1000000000000.0) / n - mu * mu, 0.0)
+      (mu, vr)
+    }
+    val (muA, vrA) = stats(la); val (muB, vrB) = stats(lb)
+    assert(math.abs(first.getDouble(5) - muA) < 1e-6)
+    assert(math.abs(first.getDouble(7) - vrA) < 1e-6)
+    val term = (muA - muB) * (muA - muB) + vrA + vrB -
+      2.0 * math.sqrt(vrA) * math.sqrt(vrB)
+    assert(math.abs(first.getDouble(9) - term) < 1e-6)
+  }
 }
