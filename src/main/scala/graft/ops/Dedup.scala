@@ -2997,6 +2997,68 @@ object Dedup {
       |       ELSE CAST(3 * (SELECT t FROM tri) AS DOUBLE)
       |            / CAST((SELECT w FROM wed) AS DOUBLE) END AS global_cc""".stripMargin
 
+  /** Q291: degree assortativity of the near-dup graph (Newman 2002) —
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * list. Positive r: heavy template families link to each other (hub
+    * cores that min-id contraction collapses well); negative r: hubs
+    * attach to leaves (star/chain shapes where a bucket governor matters
+    * most). Fully integer until ONE final division: with both edge
+    * orientations emitted, Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − Σx·Σy) / (M·Σx² − (Σx)²) exactly — numerator and
+    * denominator are exact BIGINTs, r is a single division (raw-emit).
+    *
+    * Scale shape: one degree aggregate + two equi-joins of the edge list
+    * against the 2-column degree table + one aggregate — the q280 plan
+    * class. */
+  def qDegreeAssortativity(t: Tables): DataFrame = {
+    val pairs = fuzzyPairsCached(t)
+    val deg = pairs.select(col("id_a").as("v"))
+      .unionAll(pairs.select(col("id_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val sym = pairs.select(col("id_a").as("u"), col("id_b").as("w"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("w")))
+      .join(deg.select(col("v").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("v").as("w"), col("d").as("dw")), Seq("w"))
+    sym.agg(count(lit(1)).as("m2"),
+        coalesce(sum(col("du") * col("dw")), lit(0L)).as("sxy"),
+        coalesce(sum(col("du")), lit(0L)).as("sx"),
+        coalesce(sum(col("du") * col("du")), lit(0L)).as("sxx"))
+      .withColumn("num", col("m2") * col("sxy") - col("sx") * col("sx"))
+      .withColumn("den", col("m2") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("assortativity",
+        when(col("den") === 0L, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("den").cast("double")))
+      .select(col("m2"), col("sxy"), col("sx"), col("sxx"),
+        col("num"), col("den"), col("assortativity"))
+  }
+
+  /** q291 oracle: same symmetrized-edge degree join and integer Pearson
+    * algebra. */
+  val qDegreeAssortativitySql: String =
+    s"""WITH RECURSIVE $componentsRepCtes,
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT a AS v FROM pairs UNION ALL SELECT b AS v FROM pairs)
+      |  GROUP BY v),
+      |sym AS (
+      |  SELECT du.d AS du, dw.d AS dw
+      |  FROM (SELECT a AS u, b AS w FROM pairs
+      |        UNION ALL SELECT b AS u, a AS w FROM pairs) s
+      |  JOIN deg du ON du.v = s.u JOIN deg dw ON dw.v = s.w),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+      |    CAST(COALESCE(SUM(du * dw), 0) AS BIGINT) AS sxy,
+      |    CAST(COALESCE(SUM(du), 0) AS BIGINT) AS sx,
+      |    CAST(COALESCE(SUM(du * du), 0) AS BIGINT) AS sxx
+      |  FROM sym)
+      |SELECT m2, sxy, sx, sxx,
+      |  CAST(m2 * sxy - sx * sx AS BIGINT) AS num,
+      |  CAST(m2 * sxx - sx * sx AS BIGINT) AS den,
+      |  CASE WHEN m2 * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST(m2 * sxy - sx * sx AS DOUBLE)
+      |            / CAST(m2 * sxx - sx * sx AS DOUBLE) END AS assortativity
+      |FROM agg""".stripMargin
+
   /** Q283: pair-retention (ROUGE-1) audit — for every near-dup pair, the
     * unigram-multiset overlap Σ_w min(cnt_a, cnt_b) and both recall
     * directions (Lin 2004's ROUGE-1 between the two members). This is the

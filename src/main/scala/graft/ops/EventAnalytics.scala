@@ -2290,4 +2290,79 @@ object EventAnalytics {
       |    / nullif(CAST(COUNT(*) AS DOUBLE), 0.0::DOUBLE) AS frac_late,
       |  CAST(MAX(late_us) AS BIGINT) AS max_late_us
       |FROM late, d GROUP BY delay_min ORDER BY delay_min""".stripMargin
+
+  /** Q290: autocorrelation function of the daily event-count series,
+    * lags 1..maxLag — the stationarity/seasonality diagnostic that sits
+    * under every forecasting choice (q269 Holt assumes short memory; a
+    * slow ACF decay says difference first; a lag-7 spike confirms the
+    * q192 weekly season). EXACT integer algebra end to end: with n days
+    * and total S, the centered product Σ(n·y_t − S)(n·y_{t+k} − S) and
+    * the variance Σ(n·y_t − S)² are both BIGINTs (n² times the usual
+    * sums), so acf_k is ONE division of exact integers (raw-emit).
+    * Gapped days pair only with existing day+k (n_pairs on the record).
+    * At 100 TB daily aggregates stay tiny; the integer forms switch to
+    * DECIMAL if n·y outgrows 2⁶³.
+    *
+    * Scale shape: one corpus aggregate to daily counts; everything after
+    * runs on the ≤|days|·maxLag bounded table (window + self-join —
+    * bounded-table rule). */
+  def qAcf(t: Tables, maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t.events
+      .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("day_x"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // bounded daily table feeds three derived branches
+    val w = Window.partitionBy(lit(0))
+    val st = daily
+      .withColumn("x", count(lit(1)).over(w) * col("y") - sum(col("y")).over(w))
+      .select(col("day_x"), col("x"))
+    val lags = explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)).as("lag")
+    val a = st.select(col("day_x"), col("x").as("xa"), lags)
+    val b = st.select(col("day_x").as("day_b"), col("x").as("xb"))
+    val prods = a.join(b, col("day_b") === col("day_x") + col("lag"))
+      .select(col("lag"), (col("xa") * col("xb")).as("pv"),
+        lit(null).cast("long").as("sv"))
+    val sqs = st.select(lags, lit(null).cast("long").as("pv"),
+      (col("x") * col("x")).as("sv"))
+    prods.unionAll(sqs)
+      .groupBy(col("lag"))
+      .agg(count(col("pv")).as("n_pairs"),
+        coalesce(sum(col("pv")), lit(0L)).as("num_scaled"),
+        coalesce(sum(col("sv")), lit(0L)).as("den_scaled"))
+      .withColumn("acf",
+        when(col("den_scaled") === 0L, lit(null).cast("double"))
+          .otherwise(col("num_scaled").cast("double") /
+            col("den_scaled").cast("double")))
+      .orderBy(col("lag"))
+  }
+
+  /** q290 oracle: same daily census, centered-integer products over a
+    * range(1, maxLag+1) lag table. */
+  def qAcfSql(maxLag: Int = 7): String =
+    s"""WITH daily AS MATERIALIZED (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1),
+      |st AS MATERIALIZED (
+      |  SELECT day_x,
+      |    CAST(COUNT(*) OVER () * y - SUM(y) OVER () AS BIGINT) AS x
+      |  FROM daily),
+      |lags AS (SELECT CAST(unnest(range(1, ${maxLag + 1})) AS BIGINT) AS lag),
+      |num AS (
+      |  SELECT l.lag, COUNT(*)::BIGINT AS n_pairs,
+      |    CAST(COALESCE(SUM(a.x * b.x), 0) AS BIGINT) AS num_scaled
+      |  FROM lags l JOIN st a ON TRUE JOIN st b ON b.day_x = a.day_x + l.lag
+      |  GROUP BY l.lag),
+      |den AS (
+      |  SELECT l.lag, CAST(COALESCE(SUM(a.x * a.x), 0) AS BIGINT) AS den_scaled
+      |  FROM lags l JOIN st a ON TRUE GROUP BY l.lag)
+      |SELECT l.lag, COALESCE(n.n_pairs, 0) AS n_pairs,
+      |  COALESCE(n.num_scaled, 0) AS num_scaled, d.den_scaled,
+      |  CASE WHEN d.den_scaled = 0 THEN NULL
+      |       ELSE CAST(COALESCE(n.num_scaled, 0) AS DOUBLE)
+      |            / CAST(d.den_scaled AS DOUBLE) END AS acf
+      |FROM lags l LEFT JOIN num n ON n.lag = l.lag
+      |JOIN den d ON d.lag = l.lag ORDER BY l.lag""".stripMargin
 }

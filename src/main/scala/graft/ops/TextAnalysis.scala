@@ -6513,6 +6513,303 @@ object TextAnalysis {
        |FROM cells ORDER BY y, yhat""".stripMargin
   }
 
+  /** Q288: decision-stump induction over the quality gate — the exact
+    * best-split search of CART/C4.5 for ONE feature (token count): every
+    * distinct value v is a candidate threshold x ≤ v; the information
+    * gain H(parent) − Σ(n_side/n)·H(side) is computed from PREFIX counts
+    * over the value census (one ordered O(n) frame — never the
+    * unbounded-FOLLOWING O(n²) frame, the q259 rule), and the winning
+    * split is a single integer MAX over the q206 argmax encoding
+    * gain_micro·10⁵ + (99999 − v) (ties → smaller threshold; v < 10⁵ by
+    * corpus contract). This is the inner loop of distributed tree
+    * induction (per-feature split search over histogram prefixes —
+    * exactly how Spark MLlib/XGBoost shape it), here exact and gated.
+    *
+    * Exactness: counts integer; entropies are fixed IEEE sequences over
+    * single divisions of exact integers; the gain lands on the micro grid
+    * (log-ulp rule) and every comparison after that is integer. */
+  def qDecisionStump(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val wPfx = w.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def h(n: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+      when(n === 0L || pos === 0L || pos === n, lit(0.0)).otherwise {
+        val p = pos.cast("double") / n.cast("double")
+        val q = (n - pos).cast("double") / n.cast("double")
+        -(p * log(p) + q * log(q))
+      }
+    val toks = text.tokenize(col("text"))
+    val counts = t.fanout(t.documents).select(
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+        .cast("long").as("n_tok_chars"),
+      size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+        .cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val y = when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
+      (col("n_tok_chars") >= col("n_tokens") * 4 &&
+        col("n_tok_chars") <= col("n_tokens") * 5) &&
+      (col("n_stop") * 20 >= col("n_tokens")) &&
+      (col("n_distinct") * 2 >= col("n_tokens")), 1L).otherwise(0L)
+    counts.select(col("n_tokens").as("v"), y.as("y"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"), sum(col("y")).as("p"))
+      .withColumn("n_le", sum(col("cnt")).over(wPfx))
+      .withColumn("pos_le", sum(col("p")).over(wPfx))
+      .withColumn("n", sum(col("cnt")).over(w))
+      .withColumn("pos", sum(col("p")).over(w))
+      .withColumn("n_gt", col("n") - col("n_le"))
+      .withColumn("pos_gt", col("pos") - col("pos_le"))
+      .withColumn("gain_micro", round((h(col("n"), col("pos")) -
+        (col("n_le").cast("double") / col("n").cast("double")) *
+          h(col("n_le"), col("pos_le")) -
+        (col("n_gt").cast("double") / col("n").cast("double")) *
+          h(col("n_gt"), col("pos_gt"))) * lit(1000000.0), 0).cast("long"))
+      .withColumn("best_enc",
+        max(col("gain_micro") * lit(100000L) + (lit(99999L) - col("v"))).over(w))
+      .select(col("v"), col("n_le"), col("pos_le"), col("n_gt"), col("pos_gt"),
+        col("gain_micro"),
+        expr("best_enc div 100000L").as("best_gain_micro"),
+        (lit(99999L) - col("best_enc") % lit(100000L)).as("best_v"))
+      .orderBy(col("v"))
+  }
+
+  /** q288 oracle: same census, explicit ROWS prefix frame, identical
+    * entropy IEEE sequence and argmax encoding. */
+  def qDecisionStumpSql: String = {
+    val sw = text.stopwords.map(s => s"'$s'").mkString(", ")
+    def h(n0: String, pos0: String): String = {
+      val n = s"($n0)"; val pos = s"($pos0)" // substituted exprs need parens
+      s"""CASE WHEN $n = 0 OR $pos = 0 OR $pos = $n THEN 0.0::DOUBLE
+         |ELSE -((CAST($pos AS DOUBLE) / CAST($n AS DOUBLE))
+         |         * ln(CAST($pos AS DOUBLE) / CAST($n AS DOUBLE))
+         |       + (CAST($n - $pos AS DOUBLE) / CAST($n AS DOUBLE))
+         |         * ln(CAST($n - $pos AS DOUBLE) / CAST($n AS DOUBLE))) END"""
+        .stripMargin.replace("\n", " ")
+    }
+    s"""WITH c AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT)
+       |      AS n_tok_chars,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT text,
+       |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |                      x -> len(x) > 0) AS toks
+       |        FROM documents)),
+       |cells AS (
+       |  SELECT n_tokens AS v, COUNT(*)::BIGINT AS cnt,
+       |    CAST(SUM(CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+       |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+       |      AND (n_stop * 20 >= n_tokens)
+       |      AND (n_distinct * 2 >= n_tokens) THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |  FROM c GROUP BY n_tokens),
+       |pfx AS (
+       |  SELECT v,
+       |    CAST(SUM(cnt) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_le,
+       |    CAST(SUM(p) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_le,
+       |    CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+       |    CAST(SUM(p) OVER () AS BIGINT) AS pos
+       |  FROM cells),
+       |g AS (
+       |  SELECT v, n_le, pos_le, n - n_le AS n_gt, pos - pos_le AS pos_gt,
+       |    CAST(round((${h("n", "pos")}
+       |      - (CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE)) * ${h("n_le", "pos_le")}
+       |      - (CAST(n - n_le AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * ${h("n - n_le", "pos - pos_le")}) * 1000000.0::DOUBLE) AS BIGINT)
+       |      AS gain_micro
+       |  FROM pfx)
+       |SELECT v, n_le, pos_le, CAST(n_gt AS BIGINT) AS n_gt,
+       |  CAST(pos_gt AS BIGINT) AS pos_gt, gain_micro,
+       |  CAST(MAX(gain_micro * 100000 + (99999 - v)) OVER () // 100000 AS BIGINT)
+       |    AS best_gain_micro,
+       |  CAST(99999 - MAX(gain_micro * 100000 + (99999 - v)) OVER () % 100000 AS BIGINT)
+       |    AS best_v
+       |FROM g ORDER BY v""".stripMargin
+  }
+
+  /** Q289: weight-of-evidence / information-value binning (the
+    * credit-scoring WOE/IV battery applied to a pretraining quality gate):
+    * documents bucketed by token-count bins, per bin the Gopher-gate
+    * positive/negative census, WOE = ln(pct_pos/pct_neg) and
+    * IV = Σ(pct_pos − pct_neg)·WOE — the standard strength-of-evidence
+    * score for a candidate filter feature (IV < 0.02 ⇒ the feature carries
+    * no signal about the gate; > 0.3 ⇒ strong).
+    *
+    * Exactness: the share difference is the exact rational
+    * (pos·N − neg·P)/(P·N); WOE's log runs through round(6) (the r9
+    * exp/log ulp rule) and the IV terms land on the micro grid, summed as
+    * BIGINT over the ≤13-row bin table. Bins with a zero side emit NULL
+    * woe and a zero IV term (the standard WOE convention).
+    *
+    * Scale shape: one tokenize scan + one bin aggregate; windows over the
+    * bounded bin table. */
+  def qWoeIv(t: Tables, binWidth: Int = 10, maxBin: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = text.tokenize(col("text"))
+    val counts = t.fanout(t.documents).select(
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+        .cast("long").as("n_tok_chars"),
+      size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+        .cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+    val y = when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
+      (col("n_tok_chars") >= col("n_tokens") * 4 &&
+        col("n_tok_chars") <= col("n_tokens") * 5) &&
+      (col("n_stop") * 20 >= col("n_tokens")) &&
+      (col("n_distinct") * 2 >= col("n_tokens")), 1L).otherwise(0L)
+    val w = Window.partitionBy(lit(0))
+    counts
+      .select(least(expr(s"n_tokens div ${binWidth}L"), lit(maxBin.toLong)).as("bin"),
+        y.as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+      .withColumn("p_tot", sum(col("pos")).over(w))
+      .withColumn("n_tot", sum(col("neg")).over(w))
+      .withColumn("woe",
+        when(col("pos") > 0L && col("neg") > 0L,
+          round(log((col("pos") * col("n_tot")).cast("double") /
+            (col("neg") * col("p_tot")).cast("double")), 6)))
+      .withColumn("iv_term_micro",
+        when(col("woe").isNotNull,
+          round(((col("pos") * col("n_tot") - col("neg") * col("p_tot")).cast("double") /
+            (col("p_tot") * col("n_tot")).cast("double")) * col("woe") *
+            lit(1000000.0), 0).cast("long")).otherwise(lit(0L)))
+      .withColumn("iv_total_micro", sum(col("iv_term_micro")).over(w))
+      .select(col("bin"), col("n"), col("pos"), col("neg"), col("p_tot"),
+        col("n_tot"), col("woe"), col("iv_term_micro"), col("iv_total_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** q289 oracle: the logit-feature gate defs + the same exact-rational
+    * WOE/IV arithmetic over the bounded bin table. */
+  def qWoeIvSql(binWidth: Int = 10, maxBin: Int = 12): String = {
+    val sw = text.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT)
+       |      AS n_tok_chars,
+       |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT text,
+       |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |                      x -> len(x) > 0) AS toks
+       |        FROM documents)),
+       |b AS (
+       |  SELECT LEAST(n_tokens // $binWidth, $maxBin) AS bin,
+       |    CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+       |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+       |      AND (n_stop * 20 >= n_tokens)
+       |      AND (n_distinct * 2 >= n_tokens) THEN 1 ELSE 0 END AS y
+       |  FROM c),
+       |cells AS (
+       |  SELECT CAST(bin AS BIGINT) AS bin, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(y) AS BIGINT) AS pos,
+       |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+       |  FROM b GROUP BY bin),
+       |tot AS (
+       |  SELECT *, CAST(SUM(pos) OVER () AS BIGINT) AS p_tot,
+       |    CAST(SUM(neg) OVER () AS BIGINT) AS n_tot
+       |  FROM cells),
+       |wv AS (
+       |  SELECT *,
+       |    CASE WHEN pos > 0 AND neg > 0
+       |         THEN round(ln(CAST(pos * n_tot AS DOUBLE)
+       |                       / CAST(neg * p_tot AS DOUBLE)), 6) END AS woe
+       |  FROM tot),
+       |iv AS (
+       |  SELECT *,
+       |    CASE WHEN woe IS NOT NULL
+       |         THEN CAST(round((CAST(pos * n_tot - neg * p_tot AS DOUBLE)
+       |                          / CAST(p_tot * n_tot AS DOUBLE)) * woe
+       |                         * 1000000.0::DOUBLE) AS BIGINT)
+       |         ELSE 0 END AS iv_term_micro
+       |  FROM wv)
+       |SELECT bin, n, pos, neg, p_tot, n_tot, woe,
+       |  CAST(iv_term_micro AS BIGINT) AS iv_term_micro,
+       |  CAST(SUM(iv_term_micro) OVER () AS BIGINT) AS iv_total_micro
+       |FROM iv ORDER BY bin""".stripMargin
+  }
+
+  /** Q292: Hill tail-index estimator over the token-frequency
+    * distribution (Hill 1975) — the MLE of the Pareto exponent from the
+    * top-k order statistics: α̂ = k / Σᵢ ln(fᵢ/f₍ₖ₊₁₎). Complements q117's
+    * Zipf least-squares slope with the estimator actually used for
+    * heavy-tail diagnostics; a tail index drifting across snapshots flags
+    * boilerplate floods or over-aggressive dedup in the head vocabulary.
+    * k = 20 by corpus contract: the synthetic template pool holds exactly
+    * 31 distinct tokens (the q203 saturation invariant), so the k+1-st
+    * order statistic must exist at every SF.
+    *
+    * Exactness: frequencies are exact; each log ratio runs through the
+    * micro grid (round at 0 dp of ln·1e6 — the r9 log-ulp rule), the sum
+    * is a BIGINT window over the k-row table, and α̂ is one division of
+    * exact integers. Emits the k head rows (rank, token, freq, ratio) so
+    * the estimator is fully auditable.
+    *
+    * Scale shape: one tokenize scan + vocabulary aggregate; the rank
+    * window runs over the vocabulary-bounded census (the corpus-scale
+    * form swaps in bucketRank). */
+  def qHillTail(t: Tables, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val freq = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    freq
+      .withColumn("rank",
+        row_number().over(w.orderBy(col("freq").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k + 1)
+      .localCheckpoint() // bounded k+1 rows; stops the census re-running per window
+      .withColumn("fref", max(when(col("rank") === (k + 1).toLong, col("freq"))).over(w))
+      .filter(col("rank") <= k.toLong && col("fref").isNotNull)
+      .withColumn("lr_micro",
+        round(log(col("freq").cast("double") / col("fref").cast("double")) *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("sum_lr_micro", sum(col("lr_micro")).over(w))
+      .withColumn("hill_alpha",
+        when(col("sum_lr_micro") === 0L, lit(null).cast("double"))
+          .otherwise(lit(k * 1000000L).cast("double") /
+            col("sum_lr_micro").cast("double")))
+      .select(col("rank"), col("token"), col("freq"), col("fref"),
+        col("lr_micro"), col("sum_lr_micro"), col("hill_alpha"))
+      .orderBy(col("rank"))
+  }
+
+  /** q292 oracle: the q25 tokenizer census, the same rank cut and
+    * micro-grid log ratios. */
+  def qHillTailSql(k: Int = 20): String =
+    s"""WITH freq AS MATERIALIZED (
+      |  SELECT token, COUNT(*)::BIGINT AS freq FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                              x -> len(x) > 0)) AS token
+      |    FROM documents)
+      |  GROUP BY token),
+      |rk AS (
+      |  SELECT token, freq,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+      |  FROM freq),
+      |cut AS (SELECT * FROM rk WHERE rank <= ${k + 1}),
+      |wr AS (
+      |  SELECT *, CAST(MAX(CASE WHEN rank = ${k + 1} THEN freq END) OVER () AS BIGINT)
+      |    AS fref
+      |  FROM cut),
+      |lr AS (
+      |  SELECT rank, token, freq, fref,
+      |    CAST(round(ln(CAST(freq AS DOUBLE) / CAST(fref AS DOUBLE))
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS lr_micro
+      |  FROM wr WHERE rank <= $k AND fref IS NOT NULL)
+      |SELECT rank, token, freq, fref, lr_micro,
+      |  CAST(SUM(lr_micro) OVER () AS BIGINT) AS sum_lr_micro,
+      |  CASE WHEN SUM(lr_micro) OVER () = 0 THEN NULL
+      |       ELSE CAST(${k * 1000000L} AS DOUBLE)
+      |            / CAST(SUM(lr_micro) OVER () AS DOUBLE) END AS hill_alpha
+      |FROM lr ORDER BY rank""".stripMargin
+
   /** Q287: corpus readability per source — Flesch Reading Ease (Flesch
     * 1948) computed MICRO-AVERAGED from per-source integer totals: words
     * (the q24/q25 tokenizer census), sentence marks (runs of [.!?], min 1

@@ -965,4 +965,25 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - ov.toDouble / r.getLong(2).toDouble) < 1e-12)
     }
   }
+
+  test("q291 assortativity: matches an in-memory integer Pearson recompute") {
+    val t = sf001
+    val pairs = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    pairs.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+    val sym = pairs.flatMap { case (a, b) => Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val m2 = sym.length.toLong
+    val sxy = sym.map { case (x, yy) => x * yy }.sum
+    val sx = sym.map(_._1).sum
+    val sxx = sym.map(x => x._1 * x._1).sum
+    val r = Dedup.qDegreeAssortativity(t).collect().head
+    assert(r.getLong(0) == m2); assert(r.getLong(1) == sxy)
+    assert(r.getLong(2) == sx); assert(r.getLong(3) == sxx)
+    assert(r.getLong(4) == m2 * sxy - sx * sx)
+    assert(r.getLong(5) == m2 * sxx - sx * sx)
+    if (m2 * sxx - sx * sx != 0L)
+      assert(math.abs(r.getDouble(6) -
+        (m2 * sxy - sx * sx).toDouble / (m2 * sxx - sx * sx).toDouble) < 1e-12)
+  }
 }

@@ -781,4 +781,27 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(r._3 * 1000000L - fm) <= 2 * maxSwing)
     }
   }
+
+  test("q290 ACF: matches an in-memory centered-integer recompute") {
+    val t = sf0001
+    val daily = t.events
+      .selectExpr("datediff(cast(ts as date), date'2024-01-01') as d")
+      .collect().map(_.getInt(0).toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val n = daily.size.toLong; val tot = daily.values.toSeq.sum
+    val x = daily.map { case (d, y) => d -> (n * y - tot) }
+    val den = x.values.toSeq.map(v => v * v).sum
+    val got = graft.ops.EventAnalytics.qAcf(t).collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val prods = x.toSeq.flatMap { case (d, xa) =>
+        x.get(d + k).map(xb => xa * xb) }
+      assert(r.getLong(1) == prods.length.toLong)
+      assert(r.getLong(2) == prods.sum)
+      assert(r.getLong(3) == den)
+      if (den != 0L)
+        assert(math.abs(r.getDouble(4) - prods.sum.toDouble / den.toDouble) < 1e-12)
+    }
+  }
 }

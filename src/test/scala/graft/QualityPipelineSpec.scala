@@ -2153,4 +2153,70 @@ class QualityPipelineSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - off.toDouble / assigned.toDouble) < 1e-12)
     }
   }
+
+  test("q288 stump and q289 WOE/IV: match in-memory recomputes of the gate census") {
+    val t = sf0001
+    def countsOf(s: String): (Long, Long) = { // (n_tokens, y)
+      val toks = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(graft.functions.text.stopwords.contains).toLong
+      val nd = toks.distinct.length.toLong
+      val y = if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+      (nt, y)
+    }
+    val docs = t.documents.select("text").collect().map(_.getString(0)).map(countsOf)
+    // ---- q288 ----
+    val cells = docs.groupBy(_._1).map { case (v, xs) =>
+      (v, xs.length.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val n = cells.map(_._2).sum; val pos = cells.map(_._3).sum
+    def h(nn: Long, pp: Long): Double =
+      if (nn == 0L || pp == 0L || pp == nn) 0.0
+      else {
+        val p = pp.toDouble / nn.toDouble; val q = (nn - pp).toDouble / nn.toDouble
+        -(p * math.log(p) + q * math.log(q))
+      }
+    var nLe = 0L; var posLe = 0L
+    val gains = cells.map { case (v, c, pp) =>
+      nLe += c; posLe += pp
+      val g = h(n, pos) - (nLe.toDouble / n.toDouble) * h(nLe, posLe) -
+        ((n - nLe).toDouble / n.toDouble) * h(n - nLe, pos - posLe)
+      (v, nLe, posLe, math.round(g * 1e6))
+    }
+    val bestEnc = gains.map { case (v, _, _, g) => g * 100000L + (99999L - v) }.max
+    val got288 = TextAnalysis.qDecisionStump(t).collect()
+    assert(got288.length == cells.length)
+    got288.zip(gains).foreach { case (r, (v, le, ple, g)) =>
+      assert(r.getLong(0) == v); assert(r.getLong(1) == le)
+      assert(r.getLong(2) == ple); assert(r.getLong(5) == g)
+      assert(r.getLong(6) == bestEnc / 100000L)
+      assert(r.getLong(7) == 99999L - bestEnc % 100000L)
+    }
+    // ---- q289 ----
+    val bins = docs.groupBy(d => math.min(d._1 / 10L, 12L)).map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val pTot = bins.map(_._3).sum; val nTot = bins.map(x => x._2 - x._3).sum
+    val got289 = TextAnalysis.qWoeIv(t).collect()
+    assert(got289.map(_.getLong(0)).toSeq == bins.map(_._1))
+    var ivTot = 0L
+    val terms = bins.map { case (b, c, pp) =>
+      val neg = c - pp
+      if (pp > 0L && neg > 0L) {
+        val woe = math.round(math.log((pp * nTot).toDouble / (neg * pTot).toDouble) * 1e6) / 1e6
+        val term = math.round(((pp * nTot - neg * pTot).toDouble /
+          (pTot * nTot).toDouble) * woe * 1e6)
+        (b, c, pp, neg, Some(woe), term)
+      } else (b, c, pp, neg, None: Option[Double], 0L)
+    }
+    ivTot = terms.map(_._6).sum
+    got289.zip(terms).foreach { case (r, (b, c, pp, neg, woe, term)) =>
+      assert(r.getLong(1) == c); assert(r.getLong(2) == pp); assert(r.getLong(3) == neg)
+      woe match {
+        case Some(wv) => assert(math.abs(r.getDouble(6) - wv) < 1e-9)
+        case None     => assert(r.isNullAt(6))
+      }
+      assert(r.getLong(7) == term); assert(r.getLong(8) == ivTot)
+    }
+  }
 }

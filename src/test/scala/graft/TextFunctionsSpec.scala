@@ -133,4 +133,30 @@ class TextFunctionsSpec extends SparkSpec {
     }
     assert(exp.keySet == got.map(_.getString(0)).toSet)
   }
+
+  test("q292 Hill tail: matches an in-memory order-statistic recompute") {
+    val t = sf0001
+    val freq = t.documents.select("text").collect().map(_.getString(0))
+      .flatMap(_.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (tok, xs) => tok -> xs.length.toLong }
+    val ranked = freq.toSeq.sortBy { case (tok, f) => (-f, tok) }
+    assert(ranked.length >= 21, "template vocab must cover k+1=21 ranks")
+    val fref = ranked(20)._2
+    val got = graft.ops.TextAnalysis.qHillTail(t).collect()
+    assert(got.length == 20)
+    var sumLr = 0L
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getString(1) == ranked(i)._1)
+      assert(r.getLong(2) == ranked(i)._2)
+      assert(r.getLong(3) == fref)
+      val lr = math.round(math.log(ranked(i)._2.toDouble / fref.toDouble) * 1e6)
+      assert(r.getLong(4) == lr)
+      sumLr += lr
+    }
+    got.foreach { r =>
+      assert(r.getLong(5) == sumLr)
+      assert(math.abs(r.getDouble(6) - 20000000.0 / sumLr.toDouble) < 1e-9)
+    }
+  }
 }
