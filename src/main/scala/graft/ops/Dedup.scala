@@ -3135,4 +3135,109 @@ object Dedup {
       |LEFT JOIN ln la ON la.doc_id = p.a
       |LEFT JOIN ln lb ON lb.doc_id = p.b
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Q295: k-core decomposition of the near-dup graph (Seidman 1983) by
+    * iterative peeling — round r removes every still-alive node whose
+    * current degree is < k, then drops its edges; survivors after
+    * convergence form the k-core. On a dup graph the 2-core separates
+    * REAL duplication structure (cliques — template families where
+    * everyone matches everyone) from incidental chains and stars that
+    * dissolve under peeling; removed_round is each node's peel depth.
+    *
+    * Determinism: peeling is confluent — the set removed per round is a
+    * pure function of the previous round's graph, no ordering anywhere;
+    * all arithmetic is integer degrees. The round count is FIXED
+    * (`rounds`, oracle-unrolled as chained MATERIALIZED CTEs, the
+    * q119/q139 shape) and the emitted `converged` flag (computed
+    * identically both engines: no removal in the final round) lets the
+    * spec assert the fixpoint was actually reached at shipped SFs.
+    *
+    * Scale shape: inputs are the session-cached fuzzy pair list; each
+    * round is one degree aggregate + two semi-joins, localCheckpointed
+    * (the star-contraction lineage rule, Dedup.starContract) — never a
+    * driver union-find. At 100 TB the same loop runs on the governed
+    * pair generator (governedFuzzyPairs). */
+  def qKCore(t: Tables, k: Int = 2, rounds: Int = 8): DataFrame = {
+    val pairs = fuzzyPairsCached(t)
+    var alive = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct().localCheckpoint()
+    var edges = pairs
+    val removed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      val degs = edges.select(col("id_a").as("id"))
+        .unionAll(edges.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      val withDeg = alive.join(degs, Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0L)).as("d"))
+        .localCheckpoint()
+      removed += withDeg.filter(col("d") < k)
+        .select(col("id"), lit(r.toLong).as("removed_round"))
+      alive = withDeg.filter(col("d") >= k).select(col("id")).localCheckpoint()
+      edges = edges
+        .join(alive.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(alive.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+        .localCheckpoint()
+      r += 1
+    }
+    val finalDeg = edges.select(col("id_a").as("id"))
+      .unionAll(edges.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg_final"))
+    val kept = alive.join(finalDeg, Seq("id"), "left")
+      .select(col("id"), lit(null).cast("long").as("removed_round"),
+        coalesce(col("deg_final"), lit(0L)).as("deg_final"))
+    val gone = removed.reduce(_ unionAll _)
+      .select(col("id"), col("removed_round"), lit(null).cast("long").as("deg_final"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    kept.unionAll(gone)
+      .withColumn("in_core", col("removed_round").isNull)
+      .withColumn("converged",
+        coalesce(max(col("removed_round")).over(w), lit(0L)) < lit(rounds.toLong))
+      .select(col("id").as("doc_id"), col("removed_round"), col("deg_final"),
+        col("in_core"), col("converged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q295 oracle: the peel rounds unrolled as chained MATERIALIZED CTEs
+    * over the shared q32 pair graph (ed0..edR renamed away from the
+    * closure CTEs' `e` — the q228 no-shadowing rule). */
+  def qKCoreSql(k: Int = 2, rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""dg$r AS MATERIALIZED (
+         |  SELECT n.id, COALESCE(c.d, 0) AS d FROM al${r - 1} n
+         |  LEFT JOIN (SELECT v AS id, COUNT(*)::BIGINT AS d FROM (
+         |      SELECT a AS v FROM ed${r - 1} UNION ALL SELECT b FROM ed${r - 1})
+         |    GROUP BY v) c ON c.id = n.id),
+         |vic$r AS MATERIALIZED (
+         |  SELECT id, CAST($r AS BIGINT) AS removed_round FROM dg$r WHERE d < $k),
+         |al$r AS MATERIALIZED (SELECT id FROM dg$r WHERE d >= $k),
+         |ed$r AS MATERIALIZED (
+         |  SELECT a, b FROM ed${r - 1}
+         |  WHERE a IN (SELECT id FROM al$r) AND b IN (SELECT id FROM al$r))""".stripMargin
+    }.mkString(",\n")
+    val vicUnion = (1 to rounds).map(r => s"SELECT * FROM vic$r").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $componentsRepCtes,
+       |ed0 AS MATERIALIZED (SELECT a, b FROM pairs),
+       |al0 AS MATERIALIZED (
+       |  SELECT DISTINCT v AS id FROM (
+       |    SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)),
+       |$steps,
+       |fdeg AS (
+       |  SELECT v AS id, COUNT(*)::BIGINT AS deg_final FROM (
+       |    SELECT a AS v FROM ed$rounds UNION ALL SELECT b FROM ed$rounds)
+       |  GROUP BY v),
+       |gone AS (
+       |  $vicUnion),
+       |uni AS (
+       |  SELECT n.id, CAST(NULL AS BIGINT) AS removed_round,
+       |    CAST(COALESCE(f.deg_final, 0) AS BIGINT) AS deg_final
+       |  FROM al$rounds n LEFT JOIN fdeg f ON f.id = n.id
+       |  UNION ALL
+       |  SELECT id, CAST(removed_round AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM gone)
+       |SELECT id AS doc_id, removed_round, deg_final,
+       |  removed_round IS NULL AS in_core,
+       |  COALESCE(MAX(removed_round) OVER (), 0) < $rounds AS converged
+       |FROM uni ORDER BY doc_id""".stripMargin
+  }
 }

@@ -2365,4 +2365,186 @@ object EventAnalytics {
       |            / CAST(d.den_scaled AS DOUBLE) END AS acf
       |FROM lags l LEFT JOIN num n ON n.lag = l.lag
       |JOIN den d ON d.lag = l.lag ORDER BY l.lag""".stripMargin
+
+  /** Q296: periodogram of the daily event-count series — the DFT power
+    * at harmonics k = 1..maxK (up to Nyquist, 2k ≤ N), the frequency-
+    * domain face of the q290 ACF / q192 seasonal pair: a lag-7 ACF spike
+    * and a k = N/7 periodogram peak are the same weekly season seen from
+    * the two sides of the Wiener–Khinchin identity.
+    *
+    * Exactness: t is the dense rank over present days and the angle is
+    * 2π·((k·t) mod N)/N — the mod keeps the argument in [0, 2π) so both
+    * engines evaluate the SAME IEEE double; cos/sin re-enter libm and
+    * are micro-rounded per term (the r9 exp/log rule), so each
+    * contribution y_t·cos_micro is an exact BIGINT and the DFT sums are
+    * order-independent. Power is the raw double re² + im² of exact
+    * integers (same IEEE sequence cross-engine). Gapped days compress
+    * (documented): the transform is over the OBSERVED series index.
+    *
+    * Scale shape: one corpus aggregate to daily counts; the k × days
+    * grid (≤ 10·|days|) rides the bounded-table window rule. */
+  def qPeriodogram(t: Tables, maxK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val daily = t.events
+      .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("day_x"))
+      .agg(count(lit(1)).as("y"))
+    val idx = daily
+      .withColumn("tt",
+        row_number().over(w.orderBy(col("day_x"))).cast("long") - lit(1L))
+      .withColumn("n", count(lit(1)).over(w))
+    val ks = explode(array((1 to maxK).map(k => lit(k.toLong)): _*)).as("k")
+    idx.select(col("tt"), col("n"), col("y"), ks)
+      .filter(col("k") * lit(2L) <= col("n"))
+      .withColumn("theta",
+        lit(2.0) * lit(math.Pi) * ((col("k") * col("tt")) % col("n")).cast("double") /
+          col("n").cast("double"))
+      .withColumn("cm", round(cos(col("theta")) * lit(1000000.0), 0).cast("long"))
+      .withColumn("sm", round(sin(col("theta")) * lit(1000000.0), 0).cast("long"))
+      .groupBy(col("k"))
+      .agg(max(col("n")).as("n_days"),
+        sum(col("y") * col("cm")).as("re_scaled"),
+        sum(col("y") * col("sm")).as("im_scaled"))
+      .withColumn("power_scaled",
+        col("re_scaled").cast("double") * col("re_scaled").cast("double") +
+          col("im_scaled").cast("double") * col("im_scaled").cast("double"))
+      .orderBy(col("k"))
+  }
+
+  /** q296 oracle: same dense day index, mod-reduced angle, micro trig
+    * terms, BIGINT DFT sums. */
+  def qPeriodogramSql(maxK: Int = 10): String =
+    s"""WITH daily AS MATERIALIZED (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1),
+      |idx AS MATERIALIZED (
+      |  SELECT day_x, y,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY day_x) - 1 AS BIGINT) AS tt,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM daily),
+      |ks AS (SELECT CAST(unnest(range(1, ${maxK + 1})) AS BIGINT) AS k),
+      |terms AS (
+      |  SELECT k.k, i.n, i.y,
+      |    CAST(round(cos(2.0::DOUBLE * pi() * CAST((k.k * i.tt) % i.n AS DOUBLE)
+      |        / CAST(i.n AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS cm,
+      |    CAST(round(sin(2.0::DOUBLE * pi() * CAST((k.k * i.tt) % i.n AS DOUBLE)
+      |        / CAST(i.n AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS sm
+      |  FROM ks k JOIN idx i ON k.k * 2 <= i.n)
+      |SELECT k, CAST(MAX(n) AS BIGINT) AS n_days,
+      |  CAST(SUM(y * cm) AS BIGINT) AS re_scaled,
+      |  CAST(SUM(y * sm) AS BIGINT) AS im_scaled,
+      |  CAST(CAST(SUM(y * cm) AS BIGINT) AS DOUBLE)
+      |    * CAST(CAST(SUM(y * cm) AS BIGINT) AS DOUBLE)
+      |  + CAST(CAST(SUM(y * sm) AS BIGINT) AS DOUBLE)
+      |    * CAST(CAST(SUM(y * sm) AS BIGINT) AS DOUBLE) AS power_scaled
+      |FROM terms GROUP BY k ORDER BY k""".stripMargin
+
+  /** Q294: Benjamini–Hochberg FDR control over the per-day event-type
+    * mix — m simultaneous χ² goodness-of-fit tests (one per day, the
+    * day's 5-type mix vs the corpus mix) with the step-up rule at
+    * α = 0.05. THE multiple-testing discipline every drift-monitoring
+    * battery needs once it fires a test per day/segment (q107/q108/q215
+    * each test alone; at m tests, α per test inflates the family-wise
+    * false-alarm rate — BH bounds the FALSE DISCOVERY rate instead,
+    * Benjamini & Hochberg 1995).
+    *
+    * Exactness: χ² uses the q253 missing-cell identity (Σ_all e = n_d ⇒
+    * χ² = Σ_present((o−e)²/e − e) + n_d) with per-cell terms micro-
+    * rounded and BIGINT-summed; with T = 5 types, df = T−1 = 4 and the
+    * χ²₍₄₎ survival is ELEMENTARY: p = exp(−x/2)·(1 + x/2) — one exp,
+    * micro-rounded (the r9 rule). The step-up test p₍ᵢ₎ ≤ α·i/m is the
+    * integer cross-multiplication 20·p_micro·m ≤ 1e6·i (α = 1/20), and
+    * i* = max passing rank, so every reject flag is exact. Rank ties
+    * break (p_micro, day_x) on both engines.
+    *
+    * Scale shape: one (day × type) aggregate; everything after runs on
+    * the ≤|days| bounded table (windows over lit(0) — bounded-table
+    * rule). At 100 TB the per-day cells stay one map-side-combinable
+    * aggregate. */
+  def qBhFdr(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val cells = t.events
+      .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("day_x"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("n_d", sum(col("o")).over(Window.partitionBy(col("day_x"))))
+      .withColumn("n_t", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("n", sum(col("o")).over(w))
+    val terms = withTotals
+      .withColumn("e",
+        (col("n_d") * col("n_t")).cast("double") / col("n").cast("double"))
+      .withColumn("term_micro",
+        round(((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e") - col("e")) *
+          lit(1000000.0), 0).cast("long"))
+    val perDay = terms.groupBy(col("day_x"))
+      .agg(max(col("n_d")).as("n_d"), sum(col("term_micro")).as("tsum"))
+      .withColumn("chi2_micro", col("tsum") + col("n_d") * lit(1000000L))
+      .withColumn("h", col("chi2_micro").cast("double") / lit(2000000.0))
+      .withColumn("p_micro",
+        round(exp(-col("h")) * (lit(1.0) + col("h")) * lit(1000000.0), 0)
+          .cast("long"))
+    val ranked = perDay
+      .withColumn("rank",
+        row_number().over(w.orderBy(col("p_micro"), col("day_x"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("passes",
+        when(lit(20L) * col("p_micro") * col("m") <= lit(1000000L) * col("rank"),
+          col("rank")).otherwise(lit(null).cast("long")))
+      .withColumn("i_star", coalesce(max(col("passes")).over(w), lit(0L)))
+    ranked.select(col("day_x"), col("chi2_micro"), col("p_micro"),
+        col("rank"), col("m"), col("i_star"),
+        (col("rank") <= col("i_star")).as("rejected"))
+      .orderBy(col("day_x"))
+  }
+
+  /** q294 oracle: the q253 χ² identity per day, elementary df=4
+    * survival, integer cross-multiplied BH step-up. */
+  def qBhFdrSql(): String =
+    """WITH cells AS (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    event_type, COUNT(*)::BIGINT AS o
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT day_x, event_type, o,
+      |    CAST(SUM(o) OVER (PARTITION BY day_x) AS BIGINT) AS n_d,
+      |    CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS n_t,
+      |    CAST(SUM(o) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |terms AS (
+      |  SELECT day_x, n_d,
+      |    CAST(round(((CAST(o AS DOUBLE) - CAST(n_d * n_t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(o AS DOUBLE) - CAST(n_d * n_t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n_d * n_t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      - CAST(n_d * n_t AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS term_micro
+      |  FROM tot),
+      |per_day AS MATERIALIZED (
+      |  SELECT day_x, CAST(MAX(n_d) AS BIGINT) AS n_d,
+      |    CAST(SUM(term_micro) + MAX(n_d) * 1000000 AS BIGINT) AS chi2_micro
+      |  FROM terms GROUP BY day_x),
+      |pv AS (
+      |  SELECT day_x, chi2_micro,
+      |    CAST(round(exp(-(CAST(chi2_micro AS DOUBLE) / 2000000.0::DOUBLE))
+      |      * (1.0::DOUBLE + CAST(chi2_micro AS DOUBLE) / 2000000.0::DOUBLE)
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS p_micro
+      |  FROM per_day),
+      |ranked AS (
+      |  SELECT day_x, chi2_micro, p_micro,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY p_micro, day_x) AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+      |  FROM pv),
+      |star AS (
+      |  SELECT *, CAST(COALESCE(MAX(CASE WHEN 20 * p_micro * m <= 1000000 * rank
+      |      THEN rank END) OVER (), 0) AS BIGINT) AS i_star
+      |  FROM ranked)
+      |SELECT day_x, chi2_micro, p_micro, rank, m, i_star,
+      |  rank <= i_star AS rejected
+      |FROM star ORDER BY day_x""".stripMargin
 }

@@ -1623,4 +1623,97 @@ object Similarity {
       |  (mu_a - mu_b) * (mu_a - mu_b) + var_a + var_b
       |    - 2.0::DOUBLE * sqrt(var_a) * sqrt(var_b) AS term
       |FROM v ORDER BY label_a, label_b, dim""".stripMargin
+
+  /** Q297: Johnson–Lindenstrauss random-projection distortion audit — a
+    * signed ±1 projection (Achlioptas 2003's database-friendly JL) from
+    * d = 64 to m = `projDims` dims, with the sign matrix derived from
+    * md5(j, i) so BOTH engines build the identical projection. For a
+    * deterministic structured pair sample (vec_id deltas 1/17/257 —
+    * co-partitioned shift equi-joins, never an all-pairs scan) the audit
+    * emits the original and projected squared distances and their
+    * distortion ratio — the measurement that licenses every
+    * project-then-search shortcut in the ANN ladder.
+    *
+    * Exactness: embeddings are micro-quantized per component
+    * (round(x·1e6) BIGINT — the float→double cast is exact), signs are
+    * exact ±1, so projections, both squared distances, and every
+    * comparison are PURE INTEGER ARITHMETIC end to end — the whole audit
+    * hash-gates with no envelope. Bounds: |q| ≤ ~2e6 ⇒ |proj| ≤ 1.3e8,
+    * proj² ≤ 1.7e16·m — BIGINT-safe through m ≤ 512.
+    *
+    * Scale shape: one posexplode (N·64 rows) + one (dim-key) aggregate
+    * per side; pair joins are equi-joins on shifted vec_id
+    * (co-partitioned); the per-(pair, dim) streams aggregate map-side.
+    * The 16-row dim table and the md5 signs fold into codegen. */
+  def qJlDistortion(t: Tables, projDims: Int = 16): DataFrame = {
+    val deltas = Seq(1L, 17L, 257L)
+    val e = t.fanout(t.embeddings)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * lit(1000000.0), 0).cast("long").as("q"))
+      .localCheckpoint() // feeds the projection AND the original-distance join
+    val js = explode(array((0 until projDims).map(j => lit(j.toLong)): _*)).as("j")
+    val proj = e.select(col("vec_id"), col("dim"), col("q"), js)
+      .withColumn("sign",
+        when(substring(md5(concat_ws("-", lit("jl"), col("j"), col("dim"))), 1, 1)
+          < lit("8"), 1L).otherwise(-1L))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("sign") * col("q")).as("p"))
+    val dl = explode(array(deltas.map(lit(_)): _*)).as("delta")
+    val origA = e.select(col("vec_id").as("id_a"), col("dim"), col("q").as("qa"), dl)
+    val origB = e.select(col("vec_id").as("id_b"), col("dim"), col("q").as("qb"))
+    val d2 = origA
+      .join(origB, col("id_b") === col("id_a") + col("delta") && origB("dim") === origA("dim"))
+      .groupBy(col("id_a"), col("delta"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("orig_d2"))
+    val projA = proj.select(col("vec_id").as("id_a"), col("j"), col("p").as("pa"), dl)
+    val projB = proj.select(col("vec_id").as("id_b"), col("j"), col("p").as("pb"))
+    val p2 = projA
+      .join(projB, col("id_b") === col("id_a") + col("delta") && projB("j") === projA("j"))
+      .groupBy(col("id_a"), col("delta"))
+      .agg(sum((col("pa") - col("pb")) * (col("pa") - col("pb"))).as("proj_d2"))
+    d2.join(p2, Seq("id_a", "delta"))
+      .withColumn("ratio",
+        when(col("orig_d2") === 0L, lit(null).cast("double"))
+          .otherwise(col("proj_d2").cast("double") /
+            (lit(projDims.toLong) * col("orig_d2")).cast("double")))
+      .select(col("id_a"), (col("id_a") + col("delta")).as("id_b"), col("delta"),
+        col("orig_d2"), col("proj_d2"), col("ratio"))
+      .orderBy(col("delta"), col("id_a"))
+  }
+
+  /** q297 oracle: generate_subscripts explode, identical md5 sign matrix,
+    * pure-integer distances. */
+  def qJlDistortionSql(projDims: Int = 16): String =
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS BIGINT) AS dim,
+      |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 1000000.0::DOUBLE) AS BIGINT) AS q
+      |  FROM embeddings),
+      |js AS (SELECT CAST(unnest(range(0, $projDims)) AS BIGINT) AS j),
+      |proj AS MATERIALIZED (
+      |  SELECT e.vec_id, js.j,
+      |    CAST(SUM(CASE WHEN substr(md5('jl' || '-' || CAST(js.j AS VARCHAR)
+      |        || '-' || CAST(e.dim AS VARCHAR)), 1, 1) < '8'
+      |      THEN e.q ELSE -e.q END) AS BIGINT) AS p
+      |  FROM e CROSS JOIN js GROUP BY e.vec_id, js.j),
+      |ds AS (SELECT CAST(unnest([1, 17, 257]) AS BIGINT) AS delta),
+      |d2 AS (
+      |  SELECT a.vec_id AS id_a, d.delta,
+      |    CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS orig_d2
+      |  FROM ds d JOIN e a ON TRUE
+      |  JOIN e b ON b.vec_id = a.vec_id + d.delta AND b.dim = a.dim
+      |  GROUP BY a.vec_id, d.delta),
+      |p2 AS (
+      |  SELECT a.vec_id AS id_a, d.delta,
+      |    CAST(SUM((a.p - b.p) * (a.p - b.p)) AS BIGINT) AS proj_d2
+      |  FROM ds d JOIN proj a ON TRUE
+      |  JOIN proj b ON b.vec_id = a.vec_id + d.delta AND b.j = a.j
+      |  GROUP BY a.vec_id, d.delta)
+      |SELECT d2.id_a, d2.id_a + d2.delta AS id_b, d2.delta, d2.orig_d2, p2.proj_d2,
+      |  CASE WHEN d2.orig_d2 = 0 THEN NULL
+      |       ELSE CAST(p2.proj_d2 AS DOUBLE)
+      |            / CAST($projDims * d2.orig_d2 AS DOUBLE) END AS ratio
+      |FROM d2 JOIN p2 ON p2.id_a = d2.id_a AND p2.delta = d2.delta
+      |ORDER BY d2.delta, d2.id_a""".stripMargin
 }

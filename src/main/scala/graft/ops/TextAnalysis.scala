@@ -6863,4 +6863,132 @@ object TextAnalysis {
       |    - 1.015::DOUBLE * (CAST(SUM(w) AS DOUBLE) / CAST(SUM(s) AS DOUBLE))
       |    - 84.6::DOUBLE * (CAST(SUM(y) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)) END AS flesch
       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** Q293: multinomial Naive Bayes on the Gopher-gate label — the
+    * CLOSED-FORM counterpart to q139's iterative logit: training is ONE
+    * counting aggregate (Laplace-smoothed per-class token likelihoods +
+    * priors), the model every large-scale pipeline reaches for first
+    * because it trains in a single distributed pass with no driver
+    * round-trips at all. Emits the confusion matrix + accuracy of the
+    * trained model scored back over the corpus.
+    *
+    * Exactness: token/class counts are integers; each log-likelihood
+    * ln((cnt+1)/(tok_c+V)) and log-prior ln((n_c+1)/(n+2)) is a single
+    * division of exact integers through ln, micro-rounded (the q207
+    * per-term rule), so every document score is an exact BIGINT sum of
+    * cnt·ll_micro and the argmax is an integer comparison (ties → class
+    * 0 on both engines via strict >).
+    *
+    * Scale shape: explode + one (term, class) aggregate; the likelihood
+    * grid is vocab-bounded (broadcast side); scoring is one equi-join of
+    * the per-doc term counts against the grid + a per-doc aggregate —
+    * all map-side-combinable, zero iterations. */
+  def qNaiveBayes(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val lab = logitFeatures(t).select(col("doc_id"), col("y").cast("long").as("y"))
+      .localCheckpoint() // labels feed training counts AND scoring
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val dt = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // term counts feed class totals AND doc scoring
+    // one row per vocab term with both class counts (every dt term has a
+    // labeled doc, so the pivot covers the full vocabulary); class totals
+    // and V ride windows over the vocab-bounded table
+    val perTerm = dt.join(lab, Seq("doc_id"))
+      .groupBy(col("term")).agg(
+        coalesce(sum(when(col("y") === 0L, col("c"))), lit(0L)).as("c0"),
+        coalesce(sum(when(col("y") === 1L, col("c"))), lit(0L)).as("c1"))
+    val ll = perTerm
+      .withColumn("tok0", sum(col("c0")).over(w))
+      .withColumn("tok1", sum(col("c1")).over(w))
+      .withColumn("v_size", count(lit(1)).over(w))
+      .select(col("term"),
+        round(log((col("c0") + lit(1L)).cast("double") /
+          (col("tok0") + col("v_size")).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("ll0"),
+        round(log((col("c1") + lit(1L)).cast("double") /
+          (col("tok1") + col("v_size")).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("ll1"))
+    val docSums = dt.join(ll, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("ll0")).as("s0"), sum(col("c") * col("ll1")).as("s1"))
+    // priors: one bounded 1-row fetch of two exact integers (the q286
+    // threshold-literal pattern), micro-rounded half-away-from-zero on
+    // the driver — identical to Spark round()/DuckDB std::round on
+    // negatives
+    val pr = lab.agg(coalesce(sum(col("y")), lit(0L)), count(lit(1))).collect()(0)
+    val n1 = pr.getLong(0); val n = pr.getLong(1)
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val lp0 = microAway(math.log((n - n1 + 1).toDouble / (n + 2).toDouble))
+    val lp1 = microAway(math.log((n1 + 1).toDouble / (n + 2).toDouble))
+    val scored = lab.join(docSums, Seq("doc_id"), "left")
+      .withColumn("score0", lit(lp0) + coalesce(col("s0"), lit(0L)))
+      .withColumn("score1", lit(lp1) + coalesce(col("s1"), lit(0L)))
+      .withColumn("yhat", when(col("score1") > col("score0"), 1L).otherwise(0L))
+    scored.groupBy(col("y"), col("yhat")).agg(count(lit(1)).as("n"))
+      .withColumn("n_docs", sum(col("n")).over(w))
+      .withColumn("acc",
+        sum(when(col("y") === col("yhat"), col("n")).otherwise(lit(0L))).over(w)
+          .cast("double") / col("n_docs").cast("double"))
+      .select(col("y"), col("yhat"), col("n"), col("n_docs"), col("acc"))
+      .orderBy(col("y"), col("yhat"))
+  }
+
+  /** q293 oracle: the shared Gopher-label CTEs + the same Laplace grid,
+    * micro log terms, and integer argmax (CTE names avoid c/f0/f — the
+    * q228 rule). (def: interpolates logitFeatureCtes, the q230 rule.) */
+  def qNaiveBayesSql(): String =
+    s"""WITH ${logitFeatureCtes},
+      |lab AS MATERIALIZED (SELECT doc_id, CAST(y AS BIGINT) AS y FROM f),
+      |tk AS MATERIALIZED (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                         x -> len(x) > 0)) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |tcls AS MATERIALIZED (
+      |  SELECT t.term, l.y, CAST(SUM(t.c) AS BIGINT) AS cnt
+      |  FROM tk t JOIN lab l USING (doc_id) GROUP BY t.term, l.y),
+      |vsz AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v_size FROM tk),
+      |ctot AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN y = 0 THEN cnt END), 0) AS BIGINT) AS tok0,
+      |    CAST(COALESCE(SUM(CASE WHEN y = 1 THEN cnt END), 0) AS BIGINT) AS tok1
+      |  FROM tcls),
+      |ll AS MATERIALIZED (
+      |  SELECT v.term,
+      |    CAST(round(ln(CAST(COALESCE(c0.cnt, 0) + 1 AS DOUBLE)
+      |      / CAST(ct.tok0 + s.v_size AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS ll0,
+      |    CAST(round(ln(CAST(COALESCE(c1.cnt, 0) + 1 AS DOUBLE)
+      |      / CAST(ct.tok1 + s.v_size AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT) AS ll1
+      |  FROM (SELECT DISTINCT term FROM tk) v
+      |  CROSS JOIN vsz s CROSS JOIN ctot ct
+      |  LEFT JOIN (SELECT term, cnt FROM tcls WHERE y = 0) c0 ON c0.term = v.term
+      |  LEFT JOIN (SELECT term, cnt FROM tcls WHERE y = 1) c1 ON c1.term = v.term),
+      |ds AS (
+      |  SELECT t.doc_id, CAST(SUM(t.c * g.ll0) AS BIGINT) AS s0,
+      |    CAST(SUM(t.c * g.ll1) AS BIGINT) AS s1
+      |  FROM tk t JOIN ll g ON g.term = t.term GROUP BY t.doc_id),
+      |pri AS (
+      |  SELECT CAST(SUM(y) AS BIGINT) AS n1, CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+      |sc AS (
+      |  SELECT l.y,
+      |    CASE WHEN CAST(round(ln(CAST(p.n1 + 1 AS DOUBLE)
+      |          / CAST(p.n + 2 AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+      |        + COALESCE(d.s1, 0)
+      |      > CAST(round(ln(CAST(p.n - p.n1 + 1 AS DOUBLE)
+      |          / CAST(p.n + 2 AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+      |        + COALESCE(d.s0, 0)
+      |      THEN 1 ELSE 0 END AS yhat
+      |  FROM lab l CROSS JOIN pri p LEFT JOIN ds d ON d.doc_id = l.doc_id)
+      |SELECT CAST(y AS BIGINT) AS y, CAST(yhat AS BIGINT) AS yhat,
+      |  COUNT(*)::BIGINT AS n,
+      |  CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN y = yhat THEN COUNT(*) ELSE 0 END) OVER () AS DOUBLE)
+      |    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS acc
+      |FROM sc GROUP BY y, yhat ORDER BY y, yhat""".stripMargin
 }

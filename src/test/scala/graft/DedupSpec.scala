@@ -986,4 +986,39 @@ class DedupSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) -
         (m2 * sxy - sx * sx).toDouble / (m2 * sxx - sx * sx).toDouble) < 1e-12)
   }
+
+  test("q295 k-core: matches an in-memory peel and reaches the fixpoint") {
+    val t = sf001
+    val pairs = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var alive = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    var edges = pairs.toSeq
+    val removedAt = collection.mutable.Map[Long, Long]()
+    for (r <- 1 to 8) {
+      val deg = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+      val victims = alive.filter(deg(_) < 2L)
+      victims.foreach(v => removedAt(v) = r.toLong)
+      alive = alive -- victims
+      edges = edges.filter { case (a, b) => alive(a) && alive(b) }
+    }
+    val finalDeg = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    edges.foreach { case (a, b) => finalDeg(a) += 1L; finalDeg(b) += 1L }
+    val rows = Dedup.qKCore(t).collect()
+    assert(rows.length == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (alive(id)) {
+        assert(r.isNullAt(1)); assert(r.getLong(2) == finalDeg(id))
+        assert(r.getBoolean(3))
+      } else {
+        assert(r.getLong(1) == removedAt(id)); assert(r.isNullAt(2))
+        assert(!r.getBoolean(3))
+      }
+      // the fixpoint must be reached within the unrolled rounds at test SFs
+      assert(r.getBoolean(4))
+    }
+    // 2-core survivors genuinely have degree >= 2 in the surviving subgraph
+    assert(alive.forall(finalDeg(_) >= 2L))
+  }
 }

@@ -804,4 +804,71 @@ class EventAnalyticsSpec extends SparkSpec {
         assert(math.abs(r.getDouble(4) - prods.sum.toDouble / den.toDouble) < 1e-12)
     }
   }
+
+  private def microAway(x: Double): Long = {
+    val m = x * 1000000.0
+    (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+  }
+
+  test("q294 BH-FDR: matches an in-memory chi-square + step-up recompute") {
+    val t = sf0001
+    val cells = t.events
+      .selectExpr("datediff(cast(ts as date), date'2024-01-01') as d", "event_type")
+      .collect().map(r => (r.getInt(0).toLong, r.getString(1)))
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }.toSeq
+    val nD = cells.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._3).sum }
+    val nT = cells.groupBy(_._2).map { case (ty, xs) => ty -> xs.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    val chi2 = nD.map { case (d, nd) =>
+      val tsum = cells.filter(_._1 == d).map { case (_, ty, o) =>
+        val e = (nd * nT(ty)).toDouble / n.toDouble
+        microAway(((o.toDouble - e) * (o.toDouble - e) / e - e))
+      }.sum
+      d -> (tsum + nd * 1000000L)
+    }
+    val p = chi2.map { case (d, cm) =>
+      val h = cm.toDouble / 2000000.0
+      d -> microAway(math.exp(-h) * (1.0 + h))
+    }
+    val m = p.size.toLong
+    val ranked = p.toSeq.sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((d, pm), i) => (d, pm, i + 1L) }
+    val iStar = ranked.filter { case (_, pm, i) => 20L * pm * m <= 1000000L * i }
+      .map(_._3).reduceOption(_ max _).getOrElse(0L)
+    val got = graft.ops.EventAnalytics.qBhFdr(t).collect()
+    assert(got.length == p.size)
+    val byDay = ranked.map(r => r._1 -> r).toMap
+    got.foreach { r =>
+      val (d, pm, rk) = byDay(r.getLong(0))
+      assert(r.getLong(1) == chi2(d)); assert(r.getLong(2) == pm)
+      assert(r.getLong(3) == rk); assert(r.getLong(4) == m)
+      assert(r.getLong(5) == iStar)
+      assert(r.getBoolean(6) == (rk <= iStar))
+    }
+  }
+
+  test("q296 periodogram: matches an in-memory micro-trig DFT recompute") {
+    val t = sf0001
+    val daily = t.events
+      .selectExpr("datediff(cast(ts as date), date'2024-01-01') as d")
+      .collect().map(_.getInt(0).toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+      .toSeq.sortBy(_._1)
+    val n = daily.length.toLong
+    val got = graft.ops.EventAnalytics.qPeriodogram(t).collect()
+    assert(got.length == (1 to 10).count(k => 2L * k <= n))
+    got.foreach { r =>
+      val k = r.getLong(0)
+      var re = 0L; var im = 0L
+      daily.zipWithIndex.foreach { case ((_, y), ti) =>
+        val theta = 2.0 * math.Pi * ((k * ti) % n).toDouble / n.toDouble
+        re += y * microAway(math.cos(theta))
+        im += y * microAway(math.sin(theta))
+      }
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == re); assert(r.getLong(3) == im)
+      assert(math.abs(r.getDouble(4) -
+        (re.toDouble * re.toDouble + im.toDouble * im.toDouble)) < 1e-3)
+    }
+  }
 }

@@ -2219,4 +2219,55 @@ class QualityPipelineSpec extends SparkSpec {
       assert(r.getLong(7) == term); assert(r.getLong(8) == ivTot)
     }
   }
+
+  test("q293 naive bayes: matches an in-memory closed-form recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    def tokens(s: String): Array[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    def labelOf(s: String): Long = {
+      val toks = tokens(s)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(graft.functions.text.stopwords.contains).toLong
+      val nd = toks.distinct.length.toLong
+      if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+    }
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lab = docs.map { case (id, s) => id -> labelOf(s) }.toMap
+    val dt = docs.flatMap { case (id, s) =>
+      tokens(s).groupBy(identity).map { case (tk, xs) => (id, tk, xs.length.toLong) } }
+    val c0 = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val c1 = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    dt.foreach { case (id, tk, c) =>
+      if (lab(id) == 1L) c1(tk) += c else c0(tk) += c }
+    val vocab = dt.map(_._2).distinct
+    val v = vocab.length.toLong
+    val tok0 = c0.values.sum; val tok1 = c1.values.sum
+    val ll = vocab.map(tk => tk -> (
+      microAway(math.log((c0(tk) + 1).toDouble / (tok0 + v).toDouble)),
+      microAway(math.log((c1(tk) + 1).toDouble / (tok1 + v).toDouble)))).toMap
+    val n = docs.length.toLong; val n1 = lab.values.sum
+    val lp0 = microAway(math.log((n - n1 + 1).toDouble / (n + 2).toDouble))
+    val lp1 = microAway(math.log((n1 + 1).toDouble / (n + 2).toDouble))
+    val sums = dt.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.map(x => x._3 * ll(x._2)._1).sum, xs.map(x => x._3 * ll(x._2)._2).sum) }
+    val confusion = docs.map { case (id, _) =>
+      val (s0, s1) = sums.getOrElse(id, (0L, 0L))
+      val yhat = if (lp1 + s1 > lp0 + s0) 1L else 0L
+      (lab(id), yhat)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val got = TextAnalysis.qNaiveBayes(t).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == confusion)
+    val correct = confusion.collect { case ((y, yh), c) if y == yh => c }.sum
+    got.foreach { r =>
+      assert(r.getLong(3) == n)
+      assert(math.abs(r.getDouble(4) - correct.toDouble / n.toDouble) < 1e-12)
+    }
+  }
 }

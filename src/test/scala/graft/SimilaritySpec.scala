@@ -406,4 +406,40 @@ class SimilaritySpec extends SparkSpec {
       2.0 * math.sqrt(vrA) * math.sqrt(vrB)
     assert(math.abs(first.getDouble(9) - term) < 1e-6)
   }
+
+  test("q297 JL distortion: matches an in-memory integer recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val emb = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = emb.map { case (id, v) =>
+      id -> v.map(x => microAway(x.toDouble)) }
+    val m = 16
+    val sign = Array.tabulate(m, 64) { (j, i) =>
+      if (md5hex(s"jl-$j-$i").charAt(0) < '8') 1L else -1L }
+    val proj = q.map { case (id, vq) =>
+      id -> Array.tabulate(m)(j => (0 until 64).map(i => sign(j)(i) * vq(i)).sum) }
+    val rows = Similarity.qJlDistortion(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, delta) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(b == a + delta)
+      val od = (0 until 64).map(i => { val d = q(a)(i) - q(b)(i); d * d }).sum
+      val pd = (0 until m).map(j => { val d = proj(a)(j) - proj(b)(j); d * d }).sum
+      assert(r.getLong(3) == od); assert(r.getLong(4) == pd)
+      if (od != 0L)
+        assert(math.abs(r.getDouble(5) - pd.toDouble / (m.toLong * od).toDouble) < 1e-12)
+    }
+    // pair inventory: every delta-shifted id pair present exactly once
+    val ids = emb.keySet
+    val expected = Seq(1L, 17L, 257L).flatMap(d =>
+      ids.filter(i => ids.contains(i + d)).map(i => (i, d))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet == expected)
+  }
 }
