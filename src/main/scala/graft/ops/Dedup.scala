@@ -3240,4 +3240,106 @@ object Dedup {
        |  COALESCE(MAX(removed_round) OVER (), 0) < $rounds AS converged
        |FROM uni ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-edge triangle support within `edges` (id_a, id_b): the count of
+    * common neighbors, via the q281 wedge plan (adjacency self-join +
+    * closing-edge equi-join), with support-0 edges kept by a left
+    * join-back. */
+  private def edgeSupport(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("id_a").as("s"), col("id_b").as("x"))
+      .unionAll(edges.select(col("id_b").as("s"), col("id_a").as("x")))
+    val s1 = sym.select(col("s").as("s1s"), col("x").as("s1x"))
+    val s2 = sym.select(col("s").as("s2s"), col("x").as("s2x"))
+    val sup = edges
+      .join(s1, col("s1s") === col("id_a"))
+      .join(s2, col("s2s") === col("id_b") && col("s2x") === col("s1x"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("sup"))
+    edges.join(sup, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
+  /** Q302: k-truss decomposition of the near-dup graph (Cohen 2008) —
+    * the EDGE-level sibling of q295's k-core: round r removes every
+    * surviving edge supported by fewer than k−2 triangles, until the
+    * 4-truss remains (every surviving edge sits in ≥ 2 triangles of the
+    * surviving subgraph). Where the 2-core keeps cycles, the 4-truss
+    * keeps only the densely-clique-like duplication families — the
+    * strongest structural evidence of template reuse the pair graph can
+    * give without content re-verification.
+    *
+    * Determinism: edge peeling is confluent (the removal set per round
+    * is a pure function of the previous graph); all arithmetic is
+    * integer triangle counts. Fixed rounds + in-plan converged flag
+    * (the q295 contract), oracle-unrolled as chained MATERIALIZED CTEs.
+    *
+    * Scale shape: support is the q281 wedge plan (adjacency self-join,
+    * never per-edge subqueries); each round localCheckpoints the
+    * bounded surviving edge set. */
+  def qKTruss(t: Tables, k: Int = 4, rounds: Int = 4): DataFrame = {
+    val pairs = fuzzyPairsCached(t)
+    var edges = pairs
+    val removed = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    while (r <= rounds) {
+      val sup = edgeSupport(edges).localCheckpoint()
+      removed += sup.filter(col("sup") < (k - 2).toLong)
+        .select(col("id_a"), col("id_b"), lit(r.toLong).as("removed_round"))
+      edges = sup.filter(col("sup") >= (k - 2).toLong)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      r += 1
+    }
+    val kept = edgeSupport(edges)
+      .select(col("id_a"), col("id_b"), lit(null).cast("long").as("removed_round"),
+        col("sup").as("support_final"))
+    val gone = removed.reduce(_ unionAll _)
+      .select(col("id_a"), col("id_b"), col("removed_round"),
+        lit(null).cast("long").as("support_final"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    kept.unionAll(gone)
+      .withColumn("in_truss", col("removed_round").isNull)
+      .withColumn("converged",
+        coalesce(max(col("removed_round")).over(w), lit(0L)) < lit(rounds.toLong))
+      .select(col("id_a"), col("id_b"), col("removed_round"),
+        col("support_final"), col("in_truss"), col("converged"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q302 oracle: peel rounds unrolled over the shared q32 pair graph;
+    * per-round support via the same wedge join (LEFT-join-back keeps
+    * support-0 edges; COUNT(s2.x) counts only closed wedges). */
+  def qKTrussSql(k: Int = 4, rounds: Int = 4): String = {
+    def supCte(name: String, from: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT e.a, e.b, CAST(COUNT(s2.x) AS BIGINT) AS sup
+         |  FROM $from e
+         |  LEFT JOIN (SELECT a AS s, b AS x FROM $from
+         |             UNION ALL SELECT b, a FROM $from) s1 ON s1.s = e.a
+         |  LEFT JOIN (SELECT a AS s, b AS x FROM $from
+         |             UNION ALL SELECT b, a FROM $from) s2
+         |    ON s2.s = e.b AND s2.x = s1.x
+         |  GROUP BY e.a, e.b)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""${supCte(s"sup$r", s"te${r - 1}")},
+         |tvic$r AS MATERIALIZED (
+         |  SELECT a, b, CAST($r AS BIGINT) AS removed_round
+         |  FROM sup$r WHERE sup < ${k - 2}),
+         |te$r AS MATERIALIZED (SELECT a, b FROM sup$r WHERE sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    val vicUnion = (1 to rounds).map(r => s"SELECT * FROM tvic$r").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $componentsRepCtes,
+       |te0 AS MATERIALIZED (SELECT a, b FROM pairs),
+       |$steps,
+       |${supCte("supf", s"te$rounds")},
+       |tgone AS (
+       |  $vicUnion),
+       |tuni AS (
+       |  SELECT a, b, CAST(NULL AS BIGINT) AS removed_round, sup AS support_final
+       |  FROM supf
+       |  UNION ALL
+       |  SELECT a, b, removed_round, CAST(NULL AS BIGINT) FROM tgone)
+       |SELECT a AS id_a, b AS id_b, removed_round, support_final,
+       |  removed_round IS NULL AS in_truss,
+       |  COALESCE(MAX(removed_round) OVER (), 0) < $rounds AS converged
+       |FROM tuni ORDER BY id_a, id_b""".stripMargin
+  }
 }

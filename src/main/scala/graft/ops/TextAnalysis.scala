@@ -6991,4 +6991,410 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN y = yhat THEN COUNT(*) ELSE 0 END) OVER () AS DOUBLE)
       |    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS acc
       |FROM sc GROUP BY y, yhat ORDER BY y, yhat""".stripMargin
+
+  /** Q298: inverted-index postings compression audit — for every vocab
+    * term, the exact bit cost of its doc-id posting list under (a) raw
+    * 64-bit ids, (b) delta + Elias-γ (Elias 1975: 2⌊log₂g⌋+1 bits per
+    * gap), (c) delta + LEB128 varint (⌈bits/7⌉ bytes) — the index-layout
+    * planning pass a retrieval/dedup stack runs before choosing its
+    * posting format. High-df terms (small gaps) compress hardest; the
+    * per-term ratio column makes the df→compression curve auditable.
+    *
+    * Exactness: PURE INTEGER — gaps are id differences (first gap
+    * doc_id+1, so every gap ≥ 1), and ⌊log₂g⌋+1 = length(bin(g)) with
+    * identical no-leading-zero semantics on both engines. No envelope.
+    *
+    * Scale shape: one distinct (term, doc) projection; gaps ride a
+    * term-partitioned lag window (distributed by term — never a global
+    * sort); one aggregate per term. */
+  def qPostingsAudit(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    val posts = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+      .distinct()
+    posts
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + lit(1L)))
+      .withColumn("bits", length(bin(col("gap"))).cast("long"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(lit(2L) * col("bits") - lit(1L)).as("gamma_bits"),
+        sum(expr("(bits + 6) div 7")).as("varint_bytes"))
+      .withColumn("raw_bits", lit(64L) * col("df"))
+      .withColumn("gamma_ratio",
+        col("gamma_bits").cast("double") / col("raw_bits").cast("double"))
+      .select(col("term"), col("df"), col("raw_bits"), col("gamma_bits"),
+        col("varint_bytes"), col("gamma_ratio"))
+      .orderBy(col("term"))
+  }
+
+  /** q298 oracle: same distinct postings, lag gaps, bin()-exact bit
+    * lengths. */
+  val qPostingsAuditSql: String =
+    """WITH posts AS (
+      |  SELECT DISTINCT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                         x -> len(x) > 0)) AS term
+      |    FROM documents)),
+      |gaps AS (
+      |  SELECT term,
+      |    COALESCE(doc_id - lag(doc_id, 1) OVER (PARTITION BY term ORDER BY doc_id),
+      |             doc_id + 1) AS gap
+      |  FROM posts),
+      |bits AS (SELECT term, CAST(length(bin(gap)) AS BIGINT) AS bits FROM gaps)
+      |SELECT term, COUNT(*)::BIGINT AS df,
+      |  CAST(64 * COUNT(*) AS BIGINT) AS raw_bits,
+      |  CAST(SUM(2 * bits - 1) AS BIGINT) AS gamma_bits,
+      |  CAST(SUM((bits + 6) // 7) AS BIGINT) AS varint_bytes,
+      |  CAST(SUM(2 * bits - 1) AS DOUBLE) / CAST(64 * COUNT(*) AS DOUBLE) AS gamma_ratio
+      |FROM bits GROUP BY term ORDER BY term""".stripMargin
+
+  /** Q300: query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2001) — the LM-based ranking that sits beside q123's BM25
+    * in every retrieval stack: score(q,d) ∝ Σ_w ln(tf + μ·p(w|C)) −
+    * |q|·ln(len_d + μ), after dropping the doc-independent Σ_w ln(μ·p_w)
+    * shift (rank-invariant, documented). μ = 2000 (Zhai–Lafferty's
+    * robust default).
+    *
+    * Exactness: corpus stats (T, and cf_w per query term) ride a
+    * broadcast term join (q123's dfs pattern) with T a bounded driver
+    * fetch; each ln enters on the micro grid, so every doc score is an
+    * exact BIGINT and the top-k order (score desc, doc_id) is an integer
+    * sort — TakeOrderedAndProject, never a global sort.
+    *
+    * Scale shape: the match side filters to |q| terms BEFORE any join;
+    * the per-doc penalty is one projection over the cached length table;
+    * top-k is a bounded take. */
+  def qQlmRetrieval(t: Tables, query: Seq[String] = Seq("spark", "window", "join"),
+      mu: Double = 2000.0, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    try {
+      val Array(nDocs, totTok) = lens
+        .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      if (nDocs == 0L || totTok == 0L)
+        return Tables.emptyFrame(t.spark,
+          "rank" -> org.apache.spark.sql.types.LongType,
+          "doc_id" -> org.apache.spark.sql.types.LongType,
+          "score_micro" -> org.apache.spark.sql.types.LongType,
+          "n_terms_hit" -> org.apache.spark.sql.types.LongType,
+          "score" -> org.apache.spark.sql.types.DoubleType)
+      val cf = toks.filter(col("term").isin(query: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val tf = toks.filter(col("term").isin(query: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val matched = tf.join(broadcast(cf), Seq("term"))
+        .withColumn("mup",
+          lit(mu) * col("cf").cast("double") / lit(totTok.toDouble))
+        .withColumn("corr_micro",
+          round(log(col("tf").cast("double") + col("mup")) * lit(1000000.0), 0)
+            .cast("long") -
+          round(log(col("mup")) * lit(1000000.0), 0).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("corr_micro")).as("match_micro"),
+          count(lit(1)).as("n_terms_hit"))
+      val scored = lens.join(matched, Seq("doc_id"), "left")
+        .withColumn("pen_micro",
+          lit(query.length.toLong) *
+            round(log(col("len").cast("double") + lit(mu)) * lit(1000000.0), 0)
+              .cast("long"))
+        .select(col("doc_id"),
+          (coalesce(col("match_micro"), lit(0L)) - col("pen_micro")).as("score_micro"),
+          coalesce(col("n_terms_hit"), lit(0L)).as("n_terms_hit"))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(topK)
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+        .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
+        .select(col("rank"), col("doc_id"), col("score_micro"),
+          col("n_terms_hit"), col("score"))
+        .orderBy(col("rank"))
+    } finally { lens.unpersist(); () }
+  }
+
+  /** q300 oracle, parameterized exactly like qQlmRetrieval (the q123
+    * rule). */
+  def qQlmRetrievalSql(query: Seq[String] = Seq("spark", "window", "join"),
+      mu: Double = 2000.0, topK: Int = 20): String = {
+    val qlist = query.map(q => s"'$q'").mkString(", ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |           x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |lens AS MATERIALIZED (
+      |  SELECT doc_id, COUNT(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+      |tot AS (SELECT CAST(SUM(len) AS BIGINT) AS t FROM lens),
+      |cf AS (
+      |  SELECT term, COUNT(*)::BIGINT AS cf FROM toks
+      |  WHERE term IN ($qlist) GROUP BY term),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM toks
+      |  WHERE term IN ($qlist) GROUP BY doc_id, term),
+      |mt AS (
+      |  SELECT f.doc_id,
+      |    CAST(SUM(
+      |      CAST(round(ln(CAST(f.tf AS DOUBLE)
+      |          + $mu::DOUBLE * CAST(c.cf AS DOUBLE) / CAST(o.t AS DOUBLE))
+      |        * 1000000.0::DOUBLE) AS BIGINT)
+      |      - CAST(round(ln($mu::DOUBLE * CAST(c.cf AS DOUBLE) / CAST(o.t AS DOUBLE))
+      |        * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS match_micro,
+      |    COUNT(*)::BIGINT AS n_terms_hit
+      |  FROM tf f JOIN cf c USING (term) CROSS JOIN tot o
+      |  GROUP BY f.doc_id),
+      |sc AS (
+      |  SELECT l.doc_id,
+      |    CAST(COALESCE(m.match_micro, 0)
+      |      - ${query.length} * CAST(round(ln(CAST(l.len AS DOUBLE) + $mu::DOUBLE)
+      |          * 1000000.0::DOUBLE) AS BIGINT) AS BIGINT) AS score_micro,
+      |    CAST(COALESCE(m.n_terms_hit, 0) AS BIGINT) AS n_terms_hit
+      |  FROM lens l LEFT JOIN mt m ON m.doc_id = l.doc_id
+      |  ORDER BY score_micro DESC, l.doc_id LIMIT $topK)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT)
+      |    AS rank,
+      |  doc_id, score_micro, n_terms_hit,
+      |  CAST(score_micro AS DOUBLE) / 1000000.0::DOUBLE AS score
+      |FROM sc ORDER BY rank""".stripMargin
+  }
+
+  /** The q188/q299/q301 shared binned-calibration aggregate: per
+    * confidence bin (the q188 BIGINT-micro binning off the cached q139
+    * weights), n / positives / Σconf_micro / Σ(conf_micro − y·1e6)².
+    * None on an empty corpus. */
+  private def calibrationBins(t: Tables, rounds: Int, lr: Double,
+      bins: Int): Option[DataFrame] = {
+    val feats = logitFeatures(t).cache()
+    val out = logitTrainCached(t, feats, rounds, lr).map { w =>
+      val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+        lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      feats
+        .select(col("y").cast("long").as("y"),
+          round(p * lit(1000000.0), 0).cast("long").as("cm"))
+        .select(col("y"), col("cm"),
+          expr(s"least((cm * $bins) div 1000000, ${(bins - 1).toLong}L)").as("bin"))
+        .groupBy(col("bin")).agg(
+          count(lit(1)).as("n"),
+          sum(col("y")).as("o"),
+          sum(col("cm")).as("sum_cm"),
+          sum((col("cm") - col("y") * lit(1000000L)) *
+            (col("cm") - col("y") * lit(1000000L))).as("bp_pico"))
+        .localCheckpoint() // bounded ≤bins-row table feeds window fans
+    }
+    feats.unpersist()
+    out
+  }
+
+  /** The shared oracle CTE for [[calibrationBins]] (chains on
+    * logitChainCtes' final weights): one `cal` CTE, ≤bins rows. */
+  private def calibrationBinsCtes(rounds: Int, lr: Double, bins: Int): String = {
+    val (chain, wFinal) = logitChainCtes(rounds, lr)
+    s"""$chain,
+       |cmicro AS (
+       |  SELECT CAST(y AS BIGINT) AS y,
+       |    CAST(round(1.0::DOUBLE / (1.0::DOUBLE + exp(-($logitZExpr)))
+       |      * 1000000.0::DOUBLE) AS BIGINT) AS cm
+       |  FROM f, $wFinal w),
+       |cal AS MATERIALIZED (
+       |  SELECT LEAST((cm * $bins) // 1000000, ${bins - 1}) AS bin,
+       |    COUNT(*)::BIGINT AS n, CAST(SUM(y) AS BIGINT) AS o,
+       |    CAST(SUM(cm) AS BIGINT) AS sum_cm,
+       |    CAST(SUM((cm - y * 1000000) * (cm - y * 1000000)) AS BIGINT) AS bp_pico
+       |  FROM cmicro GROUP BY 1)""".stripMargin
+  }
+
+  /** Q299: isotonic calibration of the q139 classifier (the PAV fit,
+    * Zadrozny & Elkan 2002) via the MAX-MIN CLOSED FORM — over the q188
+    * confidence bins, iso(b) = max_{i≤b} min_{j≥b} wavg(o over bins
+    * i..j), provably equal to pool-adjacent-violators (Ayer et al. 1955)
+    * and, unlike the sequential pooling loop, directly expressible as
+    * bounded joins. The fitted curve is the monotone recalibration map a
+    * production filter applies to classifier scores before thresholding.
+    *
+    * Exactness: every candidate average is ONE double division of exact
+    * integer prefix differences (identical cross-engine), and min/max
+    * over identical double sets is deterministic — no rounding anywhere.
+    * The triple (b, i, j) grid is ≤ bins³ rows, generated by sequence()
+    * explodes over the ≤bins-row table (bounded-table rule; no range
+    * join, no BNLJ).
+    *
+    * Scale shape: training + binning is q188's (cached weights, one
+    * scan); everything after runs on ≤10 rows. */
+  def qIsotonicCalibration(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    calibrationBins(t, rounds, lr, bins) match {
+      case None =>
+        Tables.emptyFrame(t.spark, "bin" -> LongType, "n" -> LongType,
+          "n_pos" -> LongType, "frac_pos" -> DoubleType, "iso" -> DoubleType)
+      case Some(cal) =>
+        val w0 = Window.partitionBy(lit(0))
+        val wr = w0.orderBy(col("bin"))
+        val pre = cal
+          .withColumn("r", row_number().over(wr).cast("long"))
+          .withColumn("nb", count(lit(1)).over(w0))
+          .withColumn("pn", sum(col("n")).over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("po", sum(col("o")).over(
+            wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .localCheckpoint() // ≤bins rows; feeds three self-joins
+        val left = pre.select(col("r").as("i"),
+          (col("pn") - col("n")).as("pn_lo"), (col("po") - col("o")).as("po_lo"))
+        val right = pre.select(col("r").as("j"),
+          col("pn").as("pn_hi"), col("po").as("po_hi"))
+        // sequence() explodes chain across two selects (one generator per
+        // projection)
+        val trips2 = pre.select(col("bin"), col("n"), col("o"), col("r"), col("nb"))
+          .select(col("bin"), col("n"), col("o"), col("r"), col("nb"),
+            explode(expr("sequence(1L, r)")).as("i"))
+          .select(col("bin"), col("n"), col("o"), col("r"), col("i"),
+            explode(expr("sequence(r, nb)")).as("j"))
+        val avgs = trips2.join(left, Seq("i")).join(right, Seq("j"))
+          .withColumn("a",
+            (col("po_hi") - col("po_lo")).cast("double") /
+              (col("pn_hi") - col("pn_lo")).cast("double"))
+        avgs.groupBy(col("bin"), col("n"), col("o"), col("i"))
+          .agg(min(col("a")).as("mn"))
+          .groupBy(col("bin"), col("n"), col("o"))
+          .agg(max(col("mn")).as("iso"))
+          .withColumn("frac_pos", col("o").cast("double") / col("n").cast("double"))
+          .select(col("bin"), col("n"), col("o").as("n_pos"), col("frac_pos"),
+            col("iso"))
+          .orderBy(col("bin"))
+    }
+  }
+
+  /** q299 oracle: shared cal CTE + lateral range() triples, identical
+    * max-min. */
+  def qIsotonicCalibrationSql(rounds: Int = 16, lr: Double = 8.0,
+      bins: Int = 10): String =
+    s"""WITH ${calibrationBinsCtes(rounds, lr, bins)},
+      |pre AS MATERIALIZED (
+      |  SELECT bin, n, o,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS r,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS nb,
+      |    CAST(SUM(n) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pn,
+      |    CAST(SUM(o) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS po
+      |  FROM cal),
+      |tripi AS (
+      |  SELECT bin, n, o, r, nb, CAST(unnest(range(1, r + 1)) AS BIGINT) AS i
+      |  FROM pre),
+      |trips AS (
+      |  SELECT bin, n, o, i, CAST(unnest(range(r, nb + 1)) AS BIGINT) AS j
+      |  FROM tripi),
+      |avgs AS (
+      |  SELECT t.bin, t.n, t.o, t.i,
+      |    CAST(hi.po - (lo.po - lo.o) AS DOUBLE)
+      |      / CAST(hi.pn - (lo.pn - lo.n) AS DOUBLE) AS a
+      |  FROM trips t JOIN pre lo ON lo.r = t.i JOIN pre hi ON hi.r = t.j),
+      |mns AS (
+      |  SELECT bin, n, o, MIN(a) AS mn FROM avgs GROUP BY bin, n, o, i)
+      |SELECT bin, n, o AS n_pos,
+      |  CAST(o AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+      |  MAX(mn) AS iso
+      |FROM mns GROUP BY bin, n, o ORDER BY bin""".stripMargin
+
+  /** Q301: Brier-score decomposition (Murphy 1973) of the q139
+    * classifier — reliability − resolution + uncertainty over the q188
+    * confidence bins, plus the EXACT unbinned Brier score. Complements
+    * q188's ECE (which measures only the reliability axis) with the
+    * proper-scoring-rule account of WHERE forecast quality comes from:
+    * a filter can be perfectly calibrated (REL = 0) yet useless
+    * (RES = 0).
+    *
+    * Exactness: the unbinned Brier numerator Σ(cm − y·1e6)² is an exact
+    * pico-scale BIGINT; per-bin reliability/resolution terms are fixed
+    * IEEE sequences of exact integers (d = Σcm − o·1e6 and
+    * o·N − O·n are BIGINTs), micro-rounded per bin and BIGINT-summed
+    * (the per-entity grid rule) so the bin-ordered sums are
+    * order-independent; REL/RES/UNC/Brier are single divisions of exact
+    * integers. o·N ≤ n² — BIGINT-safe to ~3e9 docs, then DECIMAL.
+    *
+    * Scale shape: q188's one-scan binning; windows over the ≤bins-row
+    * aggregate. */
+  def qBrierDecomposition(t: Tables, rounds: Int = 16, lr: Double = 8.0,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    calibrationBins(t, rounds, lr, bins) match {
+      case None =>
+        Tables.emptyFrame(t.spark, "bin" -> LongType, "n" -> LongType,
+          "n_pos" -> LongType, "gap_pico_num" -> LongType,
+          "reln_micro" -> LongType, "resn_micro" -> LongType,
+          "reliability" -> DoubleType, "resolution" -> DoubleType,
+          "uncertainty" -> DoubleType, "brier" -> DoubleType)
+      case Some(cal) =>
+        val w0 = Window.partitionBy(lit(0))
+        val g = cal
+          .withColumn("nn", sum(col("n")).over(w0))
+          .withColumn("oo", sum(col("o")).over(w0))
+          .withColumn("bp", sum(col("bp_pico")).over(w0))
+          .withColumn("d", col("sum_cm") - col("o") * lit(1000000L))
+          .withColumn("reln_micro",
+            round(col("d").cast("double") * col("d").cast("double") /
+              (col("n").cast("double") * lit(1.0e12)) * lit(1000000.0), 0)
+              .cast("long"))
+          .withColumn("rnum", col("o") * col("nn") - col("oo") * col("n"))
+          .withColumn("resn_micro",
+            round(col("rnum").cast("double") * col("rnum").cast("double") /
+              (col("n").cast("double") * col("nn").cast("double") *
+                col("nn").cast("double")) * lit(1000000.0), 0).cast("long"))
+        g.withColumn("reliability",
+            sum(col("reln_micro")).over(w0).cast("double") /
+              (col("nn").cast("double") * lit(1000000.0)))
+          .withColumn("resolution",
+            sum(col("resn_micro")).over(w0).cast("double") /
+              (col("nn").cast("double") * lit(1000000.0)))
+          .withColumn("uncertainty",
+            (col("oo") * (col("nn") - col("oo"))).cast("double") /
+              (col("nn").cast("double") * col("nn").cast("double")))
+          .withColumn("brier",
+            col("bp").cast("double") / (col("nn").cast("double") * lit(1.0e12)))
+          .select(col("bin"), col("n"), col("o").as("n_pos"),
+            col("d").as("gap_pico_num"), col("reln_micro"), col("resn_micro"),
+            col("reliability"), col("resolution"), col("uncertainty"), col("brier"))
+          .orderBy(col("bin"))
+    }
+  }
+
+  /** q301 oracle: shared cal CTE + identical micro-rounded bin terms and
+    * single-division components. */
+  def qBrierDecompositionSql(rounds: Int = 16, lr: Double = 8.0,
+      bins: Int = 10): String =
+    s"""WITH ${calibrationBinsCtes(rounds, lr, bins)},
+      |g AS (
+      |  SELECT bin, n, o,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS nn,
+      |    CAST(SUM(o) OVER () AS BIGINT) AS oo,
+      |    CAST(SUM(bp_pico) OVER () AS BIGINT) AS bp,
+      |    CAST(sum_cm - o * 1000000 AS BIGINT) AS d,
+      |    CAST(o * SUM(n) OVER () - SUM(o) OVER () * n AS BIGINT) AS rnum
+      |  FROM cal),
+      |terms AS (
+      |  SELECT *,
+      |    CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * 1000000000000.0::DOUBLE)
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS reln_micro,
+      |    CAST(round(CAST(rnum AS DOUBLE) * CAST(rnum AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+      |      * 1000000.0::DOUBLE) AS BIGINT) AS resn_micro
+      |  FROM g)
+      |SELECT bin, n, o AS n_pos, d AS gap_pico_num, reln_micro, resn_micro,
+      |  CAST(SUM(reln_micro) OVER () AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * 1000000.0::DOUBLE) AS reliability,
+      |  CAST(SUM(resn_micro) OVER () AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * 1000000.0::DOUBLE) AS resolution,
+      |  CAST(oo * (nn - oo) AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS uncertainty,
+      |  CAST(bp AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000000000.0::DOUBLE) AS brier
+      |FROM terms ORDER BY bin""".stripMargin
 }

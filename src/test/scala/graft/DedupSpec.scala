@@ -1021,4 +1021,38 @@ class DedupSpec extends SparkSpec {
     // 2-core survivors genuinely have degree >= 2 in the surviving subgraph
     assert(alive.forall(finalDeg(_) >= 2L))
   }
+
+  test("q302 k-truss: matches an in-memory edge peel and reaches the fixpoint") {
+    val t = sf001
+    var edges = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val all = edges
+    def support(es: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+      es.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      es.map(e => e -> (adj(e._1) & adj(e._2)).size.toLong).toMap
+    }
+    val removedAt = collection.mutable.Map[(Long, Long), Long]()
+    for (r <- 1 to 4) {
+      val sup = support(edges)
+      val vic = edges.filter(sup(_) < 2L)
+      vic.foreach(e => removedAt(e) = r.toLong)
+      edges = edges.filterNot(sup(_) < 2L)
+    }
+    val supF = support(edges)
+    val rows = Dedup.qKTruss(t).collect()
+    assert(rows.length == all.length)
+    rows.foreach { r =>
+      val e = (r.getLong(0), r.getLong(1))
+      if (removedAt.contains(e)) {
+        assert(r.getLong(2) == removedAt(e)); assert(r.isNullAt(3))
+        assert(!r.getBoolean(4))
+      } else {
+        assert(r.isNullAt(2)); assert(r.getLong(3) == supF(e))
+        assert(r.getBoolean(4))
+        assert(supF(e) >= 2L) // 4-truss invariant holds in the survivor graph
+      }
+      assert(r.getBoolean(5)) // fixpoint reached within the unrolled rounds
+    }
+  }
 }

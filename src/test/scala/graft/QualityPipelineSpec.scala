@@ -2270,4 +2270,120 @@ class QualityPipelineSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - correct.toDouble / n.toDouble) < 1e-12)
     }
   }
+
+  /** Per-doc (y, conf_micro) under the trained q139 weights — the q286
+    * spec's scored recompute, shared by the q299/q301 specs. */
+  private def scoredDocs(t: graft.Tables): Array[(Long, Long)] = {
+    val wRow = TextAnalysis.qLogitClassifier(t).collect().last
+    val w = (1 to 6).map(i => wRow.getDouble(i)).toArray
+    val stop = graft.functions.text.stopwords
+    t.documents.select("text").collect().map(_.getString(0)).map { s =>
+      val toks = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(stop.contains).toLong
+      val nd = toks.distinct.length.toLong
+      val y = if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+      val den = math.max(nt, 1L).toDouble
+      val f1 = 1.0 - math.abs(nt.toDouble - 50.0) / 30.0
+      val f2 = 1.0 - math.abs(nc.toDouble / den - 4.5) * 2.0
+      val f3 = ns.toDouble * 20.0 / den - 1.0
+      val f4 = nd.toDouble * 2.0 / den - 1.0
+      val z = w(0) + w(1) * f1 + w(2) * f2 + w(3) * f3 + w(4) * f4 +
+        w(5) * Seq(f1, f2, f3, f4).min
+      val p = 1.0 / (1.0 + math.exp(-z))
+      (y, math.floor(p * 1000000.0 + 0.5).toLong)
+    }
+  }
+
+  test("q299 isotonic: max-min equals in-memory PAV on the real bins (and a synthetic fixture)") {
+    val t = sf0001
+    val binned = scoredDocs(t)
+      .map { case (y, cm) => (math.min(cm * 10L / 1000000L, 9L), y) }
+      .groupBy(_._1).map { case (b, xs) =>
+        (b, xs.length.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    def pav(cells: Seq[(Long, Long)]): Seq[Double] = { // (n, o) → pooled means
+      val pools = collection.mutable.ArrayBuffer.empty[(Long, Long, Int)] // n, o, width
+      cells.foreach { case (n, o) =>
+        pools += ((n, o, 1))
+        while (pools.length > 1 && {
+          val (n2, o2, _) = pools(pools.length - 1)
+          val (n1, o1, _) = pools(pools.length - 2)
+          o1 * n2 >= o2 * n1 // prev mean >= next mean → violation, pool
+        }) {
+          val (n2, o2, w2) = pools.remove(pools.length - 1)
+          val (n1, o1, w1) = pools.remove(pools.length - 1)
+          pools += ((n1 + n2, o1 + o2, w1 + w2))
+        }
+      }
+      pools.flatMap { case (n, o, wd) =>
+        Seq.fill(wd)(o.toDouble / n.toDouble) }.toSeq
+    }
+    def maxmin(cells: Seq[(Long, Long)]): Seq[Double] = {
+      val b = cells.length
+      val pn = cells.scanLeft(0L)(_ + _._1); val po = cells.scanLeft(0L)(_ + _._2)
+      (0 until b).map { k =>
+        (0 to k).map { i =>
+          (k until b).map { j =>
+            (po(j + 1) - po(i)).toDouble / (pn(j + 1) - pn(i)).toDouble
+          }.min
+        }.max
+      }
+    }
+    // the equivalence proof on a hand-made NON-monotone fixture (pooling
+    // genuinely fires here)
+    val synth = Seq((10L, 1L), (10L, 8L), (10L, 3L), (10L, 9L), (10L, 2L))
+    assert(pav(synth).zip(maxmin(synth)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(pav(synth) != synth.map(c => c._2.toDouble / c._1.toDouble)) // pooling fired
+    val cells = binned.map(c => (c._2, c._3))
+    val expected = maxmin(cells)
+    assert(pav(cells).zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    val got = TextAnalysis.qIsotonicCalibration(t).collect()
+    assert(got.length == binned.length)
+    got.zip(binned.zip(expected)).foreach { case (r, ((b, n, o), iso)) =>
+      assert(r.getLong(0) == b); assert(r.getLong(1) == n); assert(r.getLong(2) == o)
+      assert(math.abs(r.getDouble(3) - o.toDouble / n.toDouble) < 1e-12)
+      assert(math.abs(r.getDouble(4) - iso) < 1e-12)
+    }
+    // fitted curve is monotone nondecreasing
+    assert(got.map(_.getDouble(4)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("q301 Brier decomposition: matches an in-memory recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val sc = scoredDocs(t)
+    val nn = sc.length.toLong; val oo = sc.map(_._1).sum
+    val bp = sc.map { case (y, cm) =>
+      val d = cm - y * 1000000L; d * d }.sum
+    val bins = sc.map { case (y, cm) => (math.min(cm * 10L / 1000000L, 9L), y, cm) }
+      .groupBy(_._1).map { case (b, xs) =>
+        (b, xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    val terms = bins.map { case (b, n, o, sumCm) =>
+      val d = sumCm - o * 1000000L
+      val reln = microAway(d.toDouble * d.toDouble / (n.toDouble * 1.0e12))
+      val rnum = o * nn - oo * n
+      val resn = microAway(rnum.toDouble * rnum.toDouble /
+        (n.toDouble * nn.toDouble * nn.toDouble))
+      (b, n, o, d, reln, resn)
+    }
+    val rel = terms.map(_._5).sum.toDouble / (nn.toDouble * 1000000.0)
+    val res = terms.map(_._6).sum.toDouble / (nn.toDouble * 1000000.0)
+    val unc = (oo * (nn - oo)).toDouble / (nn.toDouble * nn.toDouble)
+    val brier = bp.toDouble / (nn.toDouble * 1.0e12)
+    val got = TextAnalysis.qBrierDecomposition(t).collect()
+    assert(got.length == terms.length)
+    got.zip(terms).foreach { case (r, (b, n, o, d, reln, resn)) =>
+      assert(r.getLong(0) == b); assert(r.getLong(1) == n); assert(r.getLong(2) == o)
+      assert(r.getLong(3) == d); assert(r.getLong(4) == reln); assert(r.getLong(5) == resn)
+      assert(math.abs(r.getDouble(6) - rel) < 1e-12)
+      assert(math.abs(r.getDouble(7) - res) < 1e-12)
+      assert(math.abs(r.getDouble(8) - unc) < 1e-12)
+      assert(math.abs(r.getDouble(9) - brier) < 1e-12)
+    }
+  }
 }

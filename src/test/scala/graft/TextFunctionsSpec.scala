@@ -159,4 +159,62 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) - 20000000.0 / sumLr.toDouble) < 1e-9)
     }
   }
+
+  test("q298 postings audit: matches an in-memory gap-code recompute") {
+    val t = sf0001
+    val posts = t.documents.select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+          .distinct.map(tok => tok -> r.getLong(0)) }
+      .groupBy(_._1).map { case (tok, xs) => tok -> xs.map(_._2).sorted }
+    val got = graft.ops.TextAnalysis.qPostingsAudit(t).collect()
+    assert(got.map(_.getString(0)).toSet == posts.keySet)
+    got.foreach { r =>
+      val ids = posts(r.getString(0))
+      val gaps = (ids.head + 1L) +: ids.sliding(2).collect {
+        case arr if arr.length == 2 => arr(1) - arr(0) }.toSeq
+      val bits = gaps.map(g => java.lang.Long.toBinaryString(g).length.toLong)
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(r.getLong(2) == 64L * ids.length)
+      assert(r.getLong(3) == bits.map(b => 2L * b - 1L).sum)
+      assert(r.getLong(4) == bits.map(b => (b + 6L) / 7L).sum)
+      assert(math.abs(r.getDouble(5) -
+        bits.map(b => 2L * b - 1L).sum.toDouble / (64.0 * ids.length)) < 1e-12)
+    }
+  }
+
+  test("q300 QLM retrieval: matches an in-memory Dirichlet-smoothed recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val query = Seq("spark", "window", "join"); val mu = 2000.0
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+    val tot = docs.map(_._2.length.toLong).sum
+    val cf = query.map(q =>
+      q -> docs.map(_._2.count(_ == q).toLong).sum).filter(_._2 > 0L).toMap
+    val scores = docs.map { case (id, toks) =>
+      val len = toks.length.toLong
+      val matchMicro = cf.map { case (q, c) =>
+        val tf = toks.count(_ == q).toLong
+        if (tf == 0L) 0L
+        else microAway(math.log(tf.toDouble + mu * c.toDouble / tot.toDouble)) -
+          microAway(math.log(mu * c.toDouble / tot.toDouble))
+      }.sum
+      val pen = query.length.toLong * microAway(math.log(len.toDouble + mu))
+      (id, matchMicro - pen)
+    }
+    val top = scores.sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = graft.ops.TextAnalysis.qQlmRetrieval(t).collect()
+    assert(got.length == top.length)
+    got.zip(top).zipWithIndex.foreach { case ((r, (id, s)), i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert(r.getLong(1) == id)
+      assert(r.getLong(2) == s)
+      assert(math.abs(r.getDouble(4) - s.toDouble / 1e6) < 1e-12)
+    }
+  }
 }
