@@ -2547,4 +2547,136 @@ object EventAnalytics {
       |SELECT day_x, chi2_micro, p_micro, rank, m, i_star,
       |  rank <= i_star AS rejected
       |FROM star ORDER BY day_x""".stripMargin
+
+  /** The q304 shared prefix/SSE scaffold: daily counts → dense index r,
+    * prefix sums S/Q, and the (i, j) segment-SSE table on the micro grid
+    * — sse(i,j) = round((Q_j−Q_{i−1} − (S_j−S_{i−1})²/(j−i+1))·1e6), a
+    * fixed IEEE sequence of exact integers. */
+  private def segmentSse(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy(lit(0))
+    val wr = w0.orderBy(col("day_x"))
+    val pre = t.events
+      .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("day_x"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .withColumn("s", sum(col("y")).over(
+        wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("q", sum(col("y") * col("y")).over(
+        wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint() // bounded |days| table feeds the i/j fan
+    val ends = pre.select(col("r").as("j"), col("day_x").as("day_j"),
+      col("s").as("sj"), col("q").as("qj"),
+      explode(expr("sequence(1L, r)")).as("i"))
+    val starts = pre.select((col("r") + lit(1L)).as("i"),
+      col("s").as("si"), col("q").as("qi"))
+    ends.join(starts, Seq("i"), "left")
+      .select(col("i"), col("j"), col("day_j"),
+        (col("qj") - coalesce(col("qi"), lit(0L))).as("dq"),
+        (col("sj") - coalesce(col("si"), lit(0L))).as("ds"),
+        (col("j") - col("i") + lit(1L)).as("len"))
+      .withColumn("sse_micro",
+        round((col("dq").cast("double") -
+          col("ds").cast("double") * col("ds").cast("double") /
+            col("len").cast("double")) * lit(1000000.0), 0).cast("long"))
+      .select(col("i"), col("j"), col("day_j"), col("sse_micro"))
+  }
+
+  /** Q304: optimal k-segmentation of the daily event-count series by
+    * exact dynamic programming (Bellman 1961) — the best piecewise-
+    * constant fit with m = 1..k segments, the offline gold standard that
+    * calibrates every heuristic changepoint detector (q215 CUSUM flags a
+    * shift; q304 says where the OPTIMAL breaks are and how much SSE each
+    * extra segment buys). Emits the full dp table (m, j): optimal cost
+    * of covering days 1..j with m segments + the argmin split (ties →
+    * smallest i via the q206 integer encoding, cost·64 + i).
+    *
+    * Exactness: segment SSEs enter the DP on the micro grid (exact
+    * BIGINTs), so every DP comparison is integer; splits are decoded
+    * from the same MIN. The oracle unrolls m as chained MATERIALIZED
+    * CTEs (the q119/q139 shape).
+    *
+    * Scale shape: one corpus aggregate to daily counts; the DP runs on
+    * the ≤|days|² bounded SSE table (sequence() explode, no range
+    * join). */
+  def qSegmentationDp(t: Tables, k: Int = 4): DataFrame = {
+    val sse = segmentSse(t).localCheckpoint() // feeds every DP round
+    var dp = sse.filter(col("i") === 1L)
+      .select(lit(1L).as("m"), col("j"), col("day_j"),
+        col("sse_micro").as("dp_micro"), lit(1L).as("split_i"))
+      .localCheckpoint()
+    var out = dp
+    var m = 2
+    while (m <= k) {
+      val prev = dp.select((col("j") + lit(1L)).as("i"),
+        col("dp_micro").as("prev_micro"))
+      val cand = sse.join(prev, Seq("i"))
+        .select(col("j"), col("day_j"),
+          (col("prev_micro") + col("sse_micro")).as("cand"),
+          col("i"))
+        .withColumn("enc", col("cand") * lit(64L) + col("i"))
+        .groupBy(col("j"), col("day_j"))
+        .agg(min(col("enc")).as("enc_min"))
+      dp = cand.select(lit(m.toLong).as("m"), col("j"), col("day_j"),
+          expr("enc_min div 64L").as("dp_micro"),
+          (col("enc_min") % lit(64L)).as("split_i"))
+        .localCheckpoint()
+      out = out.unionAll(dp)
+      m += 1
+    }
+    out.orderBy(col("m"), col("j"))
+  }
+
+  /** q304 oracle: the same prefix/SSE scaffold + the DP rounds unrolled
+    * as chained MATERIALIZED CTEs. */
+  def qSegmentationDpSql(k: Int = 4): String = {
+    val steps = (2 to k).map { m =>
+      s"""cand$m AS (
+         |  SELECT s.j, s.day_j,
+         |    MIN((p.dp_micro + s.sse_micro) * 64 + s.i) AS enc_min
+         |  FROM sse s JOIN dp${m - 1} p ON p.j = s.i - 1
+         |  GROUP BY s.j, s.day_j),
+         |dp$m AS MATERIALIZED (
+         |  SELECT CAST($m AS BIGINT) AS m, j, day_j,
+         |    CAST(enc_min // 64 AS BIGINT) AS dp_micro,
+         |    CAST(enc_min % 64 AS BIGINT) AS split_i
+         |  FROM cand$m)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(m => s"SELECT * FROM dp$m").mkString("\n  UNION ALL ")
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+       |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+       |    COUNT(*)::BIGINT AS y
+       |  FROM events GROUP BY 1),
+       |pre AS MATERIALIZED (
+       |  SELECT day_x, y,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY day_x) AS BIGINT) AS r,
+       |    CAST(SUM(y) OVER (ORDER BY day_x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s,
+       |    CAST(SUM(y * y) OVER (ORDER BY day_x
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS q
+       |  FROM daily),
+       |ends AS (
+       |  SELECT r AS j, day_x AS day_j, s AS sj, q AS qj,
+       |    CAST(unnest(range(1, r + 1)) AS BIGINT) AS i
+       |  FROM pre),
+       |sse AS MATERIALIZED (
+       |  SELECT e.i, e.j, e.day_j,
+       |    CAST(round((CAST(e.qj - COALESCE(p.q, 0) AS DOUBLE)
+       |      - CAST(e.sj - COALESCE(p.s, 0) AS DOUBLE)
+       |        * CAST(e.sj - COALESCE(p.s, 0) AS DOUBLE)
+       |        / CAST(e.j - e.i + 1 AS DOUBLE))
+       |      * 1000000.0::DOUBLE) AS BIGINT) AS sse_micro
+       |  FROM ends e LEFT JOIN pre p ON p.r = e.i - 1),
+       |dp1 AS MATERIALIZED (
+       |  SELECT CAST(1 AS BIGINT) AS m, j, day_j,
+       |    sse_micro AS dp_micro, CAST(1 AS BIGINT) AS split_i
+       |  FROM sse WHERE i = 1),
+       |$steps,
+       |uni AS (
+       |  $union)
+       |SELECT m, j, day_j, dp_micro, split_i
+       |FROM uni ORDER BY m, j""".stripMargin
+  }
 }

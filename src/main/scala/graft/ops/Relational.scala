@@ -1674,4 +1674,104 @@ object Relational {
       |  CAST(trim_sum_cents + k * (lo_cents + hi_cents) AS DOUBLE)
       |    / CAST(n * 100 AS DOUBLE) AS winsor_mean
       |FROM g ORDER BY priority""".stripMargin
+
+  /** Q307: delete-one-group jackknife (Quenouille 1956 / Tukey 1958)
+    * variance of the revenue-per-unit RATIO estimator, grouped by
+    * supplier nation — the classic survey-statistics answer to "what is
+    * the sampling error of a ratio of totals?", where the bootstrap
+    * (q232) resamples rows, the grouped jackknife deletes whole
+    * correlated blocks. Emits each nation's leave-one-out ratio and the
+    * jackknife variance/SE of the full-sample ratio.
+    *
+    * Exactness: revenue cents and quantity units are exact BIGINTs
+    * (q279's cents pattern); each leave-one-out ratio is ONE division of
+    * exact integer window differences; ratios enter the variance on the
+    * 1e-4 grid (rt = round(R_g·1e4) — cents-scale ratios would overflow
+    * the squared-micro sum at 25 groups, documented) so Σrt and Σrt²
+    * are exact BIGINTs and the variance is a fixed IEEE sequence of
+    * exact integers. ANSI-safe: loo denominators nullif'd.
+    *
+    * Scale shape: one lineitem aggregate per (suppkey→nation) join
+    * (broadcast dims); everything after runs on the ≤25-row nation
+    * table. */
+  def qJackknifeRatio(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val g = t.fanout(t.lineitem)
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0), 0)
+          .cast("long").as("cents"),
+        round(col("l_quantity"), 0).cast("long").as("qty"))
+      .join(broadcast(t.supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))), Seq("l_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name"))), Seq("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("cents")).as("rev_g"), sum(col("qty")).as("qty_g"))
+    val loo = g
+      .withColumn("gcnt", count(lit(1)).over(w))
+      .withColumn("t_rev", sum(col("rev_g")).over(w))
+      .withColumn("t_qty", sum(col("qty_g")).over(w))
+      .withColumn("loo_ratio",
+        (col("t_rev") - col("rev_g")).cast("double") /
+          nullif((col("t_qty") - col("qty_g")).cast("double"), lit(0.0)))
+      // dollars-per-unit on the 1e-4 grid: cents/100 then ×1e4 ⇒ ×100
+      .withColumn("rt",
+        round(col("loo_ratio") / lit(100.0) * lit(10000.0), 0).cast("long"))
+    loo
+      .withColumn("sum_rt", sum(col("rt")).over(w))
+      .withColumn("sum_rt2", sum(col("rt") * col("rt")).over(w))
+      .withColumn("full_ratio",
+        col("t_rev").cast("double") /
+          nullif(col("t_qty").cast("double"), lit(0.0)))
+      .withColumn("var_jk",
+        (col("gcnt") - lit(1L)).cast("double") / col("gcnt").cast("double") *
+          (col("sum_rt2").cast("double") / col("gcnt").cast("double") -
+            (col("sum_rt").cast("double") / col("gcnt").cast("double")) *
+              (col("sum_rt").cast("double") / col("gcnt").cast("double"))) /
+          lit(1.0e8))
+      .select(col("n_name"), col("rev_g"), col("qty_g"), col("loo_ratio"),
+        col("rt"), col("gcnt"), col("full_ratio"), col("var_jk"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q307 oracle: same cents/units aggregates, window leave-one-out
+    * differences, 1e-4-grid variance. */
+  val qJackknifeRatioSql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey,
+      |    CAST(round(l_extendedprice * (1.0::DOUBLE - l_discount)
+      |      * 100.0::DOUBLE) AS BIGINT) AS cents,
+      |    CAST(round(l_quantity) AS BIGINT) AS qty
+      |  FROM lineitem),
+      |g AS MATERIALIZED (
+      |  SELECT n.n_name,
+      |    CAST(SUM(li.cents) AS BIGINT) AS rev_g,
+      |    CAST(SUM(li.qty) AS BIGINT) AS qty_g
+      |  FROM li JOIN supplier s ON s.s_suppkey = li.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  GROUP BY n.n_name),
+      |loo AS (
+      |  SELECT *,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS gcnt,
+      |    CAST(SUM(rev_g) OVER () AS BIGINT) AS t_rev,
+      |    CAST(SUM(qty_g) OVER () AS BIGINT) AS t_qty
+      |  FROM g),
+      |rts AS (
+      |  SELECT *,
+      |    CAST(t_rev - rev_g AS DOUBLE)
+      |      / nullif(CAST(t_qty - qty_g AS DOUBLE), 0.0::DOUBLE) AS loo_ratio,
+      |    CAST(round(CAST(t_rev - rev_g AS DOUBLE)
+      |      / nullif(CAST(t_qty - qty_g AS DOUBLE), 0.0::DOUBLE)
+      |      / 100.0::DOUBLE * 10000.0::DOUBLE) AS BIGINT) AS rt
+      |  FROM loo)
+      |SELECT n_name, rev_g, qty_g, loo_ratio, rt, gcnt,
+      |  CAST(t_rev AS DOUBLE) / nullif(CAST(t_qty AS DOUBLE), 0.0::DOUBLE)
+      |    AS full_ratio,
+      |  CAST(gcnt - 1 AS DOUBLE) / CAST(gcnt AS DOUBLE)
+      |    * (CAST(SUM(rt * rt) OVER () AS DOUBLE) / CAST(gcnt AS DOUBLE)
+      |      - (CAST(SUM(rt) OVER () AS DOUBLE) / CAST(gcnt AS DOUBLE))
+      |        * (CAST(SUM(rt) OVER () AS DOUBLE) / CAST(gcnt AS DOUBLE)))
+      |    / 100000000.0::DOUBLE AS var_jk
+      |FROM rts ORDER BY n_name""".stripMargin
 }

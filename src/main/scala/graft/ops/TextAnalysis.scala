@@ -7397,4 +7397,399 @@ object TextAnalysis {
       |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS uncertainty,
       |  CAST(bp AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000000000.0::DOUBLE) AS brier
       |FROM terms ORDER BY bin""".stripMargin
+
+  /** Q306: Simpson's-paradox audit — does the pooled association between
+    * an exposure (token count ≥ 50) and the Gopher-gate outcome REVERSE
+    * inside any source stratum? The aggregation trap every cross-corpus
+    * quality comparison must check before quoting a pooled rate
+    * (Simpson 1951; the stratified sibling of q240's panel logic).
+    * Association direction per 2×2 table is sign(ad − bc) — an EXACT
+    * integer — so "reversed" is a pure integer comparison, and the odds
+    * ratios are emitted as nullif-guarded single divisions for human
+    * reading only.
+    *
+    * Scale shape: one corpus aggregate to per-(source, x, y) cells;
+    * everything after runs on the ≤4·|sources| bounded table. */
+  def qSimpsonsAudit(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val toks = text.tokenize(col("text"))
+    val base = t.fanout(t.documents).select(col("source"),
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+        .cast("long").as("n_tok_chars"),
+      size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+        .cast("long").as("n_stop"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .select(col("source"),
+        (col("n_tokens") >= 50L).cast("long").as("x"),
+        when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
+          (col("n_tok_chars") >= col("n_tokens") * 4 &&
+            col("n_tok_chars") <= col("n_tokens") * 5) &&
+          (col("n_stop") * 20 >= col("n_tokens")) &&
+          (col("n_distinct") * 2 >= col("n_tokens")), 1L).otherwise(0L).as("y"))
+    val cells = base.groupBy(col("source")).agg(
+      sum(when(col("x") === 1L && col("y") === 1L, 1L).otherwise(0L)).as("a"),
+      sum(when(col("x") === 1L && col("y") === 0L, 1L).otherwise(0L)).as("b"),
+      sum(when(col("x") === 0L && col("y") === 1L, 1L).otherwise(0L)).as("c"),
+      sum(when(col("x") === 0L && col("y") === 0L, 1L).otherwise(0L)).as("d"))
+    cells
+      .withColumn("assoc", col("a") * col("d") - col("b") * col("c"))
+      .withColumn("pooled_assoc",
+        sum(col("a")).over(w) * sum(col("d")).over(w) -
+          sum(col("b")).over(w) * sum(col("c")).over(w))
+      .withColumn("or_stratum",
+        (col("a") * col("d")).cast("double") /
+          nullif((col("b") * col("c")).cast("double"), lit(0.0)))
+      .withColumn("reversed",
+        (col("assoc") > 0L && col("pooled_assoc") < 0L) ||
+          (col("assoc") < 0L && col("pooled_assoc") > 0L))
+      .select(col("source"), col("a"), col("b"), col("c"), col("d"),
+        col("assoc"), col("pooled_assoc"), col("or_stratum"), col("reversed"))
+      .orderBy(col("source"))
+  }
+
+  /** q306 oracle: q86 parity census, integer cross-product association
+    * signs. */
+  def qSimpsonsAuditSql(): String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH cn AS (
+      |  SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
+      |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      |  FROM (SELECT source, text,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                      x -> len(x) > 0) AS toks
+      |        FROM documents)),
+      |xy AS (
+      |  SELECT source,
+      |    CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END AS x,
+      |    CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+      |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+      |      AND (n_stop * 20 >= n_tokens)
+      |      AND (n_distinct * 2 >= n_tokens) THEN 1 ELSE 0 END AS y
+      |  FROM cn),
+      |cl AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM xy GROUP BY source)
+      |SELECT source, a, b, c, d,
+      |  CAST(a * d - b * c AS BIGINT) AS assoc,
+      |  CAST(SUM(a) OVER () * SUM(d) OVER ()
+      |     - SUM(b) OVER () * SUM(c) OVER () AS BIGINT) AS pooled_assoc,
+      |  CAST(a * d AS DOUBLE) / nullif(CAST(b * c AS DOUBLE), 0.0::DOUBLE)
+      |    AS or_stratum,
+      |  (a * d - b * c > 0 AND SUM(a) OVER () * SUM(d) OVER ()
+      |     - SUM(b) OVER () * SUM(c) OVER () < 0)
+      |  OR (a * d - b * c < 0 AND SUM(a) OVER () * SUM(d) OVER ()
+      |     - SUM(b) OVER () * SUM(c) OVER () > 0) AS reversed
+      |FROM cl ORDER BY source""".stripMargin
+  }
+
+  /** Q303: unigram-LM tokenizer segmentation (the Viterbi E-step of
+    * SentencePiece's trainer, Kudo 2018) — every vocabulary word is
+    * segmented into the MINIMUM-COST sequence of candidate pieces
+    * (all its substrings of length ≤ 4, priced −ln(cf/F) from
+    * occurrence-weighted corpus counts). Completes the tokenizer-prep
+    * story beside q244's BPE trainer: BPE grows merges bottom-up, the
+    * unigram LM prunes top-down from exactly this DP.
+    *
+    * Exactness: piece costs are micro-rounded single ln's of exact
+    * integer ratios; the DP state packs (cost_micro, n_pieces) into ONE
+    * integer cost·16 + pieces (pieces ≤ maxLen < 16), so every
+    * comparison is an integer MIN and ties resolve to fewer pieces —
+    * deterministic with no path tie-breaking needed. Positions are
+    * unrolled to maxLen = 12 chained CTEs in the oracle (corpus max
+    * token length is 8; longer words are filtered out, documented).
+    *
+    * Scale shape: one explode to the vocab census (the corpus is read
+    * once); pieces, costs, and the DP all live on vocab-bounded tables
+    * (broadcast joins). At 100 TB the vocab census is the only
+    * corpus-scale aggregate — exactly how SentencePiece shards. */
+  def qUnigramSegmentation(t: Tables, maxLen: Int = 12,
+      maxPiece: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy(lit(0))
+    val words = t.fanout(t.documents)
+      .select(explode(text.tokenize(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .withColumn("len", length(col("word")).cast("long"))
+      .filter(col("len") <= maxLen.toLong)
+      .localCheckpoint() // vocab-bounded; feeds pieces AND every DP round
+    val spans = words.select(col("word"), col("wcnt"), col("len"),
+        explode(expr("sequence(1L, len)")).as("s"))
+      .select(col("word"), col("wcnt"), col("len"), col("s"),
+        explode(expr(s"sequence(1L, least(${maxPiece}L, len - s + 1L))")).as("l"))
+    val costs = spans
+      .select(expr("substring(word, cast(s as int), cast(l as int))").as("piece"),
+        col("wcnt"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("cf"))
+      .withColumn("f_tot", sum(col("cf")).over(w0))
+      .select(col("piece"),
+        round(-log(col("cf").cast("double") / col("f_tot").cast("double")) *
+          lit(1000000.0), 0).cast("long").as("cost_micro"))
+      .localCheckpoint() // piece table feeds maxLen DP joins
+    val states = scala.collection.mutable.Map[Int, DataFrame](
+      0 -> words.select(col("word"), col("len"), lit(0L).as("dpval")))
+    var p = 1
+    while (p <= maxLen) {
+      val cands = (1 to math.min(maxPiece, p)).map { l =>
+        states(p - l)
+          .filter(col("len") >= p.toLong)
+          .select(col("word"), col("len"), col("dpval"),
+            expr(s"substring(word, ${p - l + 1}, $l)").as("piece"))
+          .join(broadcast(costs), Seq("piece"))
+          .select(col("word"), col("len"),
+            (col("dpval") + col("cost_micro") * lit(16L) + lit(1L)).as("cand"))
+      }.reduce(_ unionAll _)
+      states(p) = cands.groupBy(col("word"), col("len"))
+        .agg(min(col("cand")).as("dpval")).localCheckpoint()
+      p += 1
+    }
+    val finals = (1 to maxLen).map(pp =>
+      states(pp).filter(col("len") === pp.toLong)).reduce(_ unionAll _)
+    words.join(finals.select(col("word"), col("dpval")), Seq("word"))
+      .select(col("word"), col("wcnt"), col("len"),
+        expr("dpval div 16L").as("cost_micro"),
+        (col("dpval") % lit(16L)).as("n_pieces"))
+      .orderBy(col("word"))
+  }
+
+  /** q303 oracle: vocab census + piece costs, DP positions unrolled as
+    * chained MATERIALIZED CTEs (sg0..sg{maxLen}). */
+  def qUnigramSegmentationSql(maxLen: Int = 12, maxPiece: Int = 4): String = {
+    val steps = (1 to maxLen).map { p =>
+      val arms = (1 to math.min(maxPiece, p)).map { l =>
+        s"""SELECT d.word, d.len,
+           |    d.dpval + c.cost_micro * 16 + 1 AS cand
+           |  FROM sg${p - l} d JOIN pcost c
+           |    ON c.piece = substr(d.word, ${p - l + 1}, $l)
+           |  WHERE d.len >= $p""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""sg$p AS MATERIALIZED (
+         |  SELECT word, len, CAST(MIN(cand) AS BIGINT) AS dpval FROM (
+         |  $arms)
+         |  GROUP BY word, len)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to maxLen).map(p =>
+      s"SELECT word, dpval FROM sg$p WHERE len = $p").mkString("\n  UNION ALL ")
+    s"""WITH wd AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt,
+       |    CAST(length(word) AS BIGINT) AS len
+       |  FROM (SELECT unnest(list_filter(
+       |          string_split_regex(lower(text), '[^a-z0-9'']+'),
+       |          x -> len(x) > 0)) AS word
+       |        FROM documents)
+       |  GROUP BY word HAVING length(word) <= $maxLen),
+       |sp AS (
+       |  SELECT word, wcnt, len, CAST(unnest(range(1, len + 1)) AS BIGINT) AS s
+       |  FROM wd),
+       |sp2 AS (
+       |  SELECT word, wcnt, s,
+       |    CAST(unnest(range(1, least($maxPiece, len - s + 1) + 1)) AS BIGINT) AS l
+       |  FROM sp),
+       |pcost AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(round(-ln(CAST(cf AS DOUBLE) / CAST(SUM(cf) OVER () AS DOUBLE))
+       |      * 1000000.0::DOUBLE) AS BIGINT) AS cost_micro
+       |  FROM (SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+       |          CAST(SUM(wcnt) AS BIGINT) AS cf
+       |        FROM sp2 GROUP BY 1)),
+       |sg0 AS MATERIALIZED (
+       |  SELECT word, len, CAST(0 AS BIGINT) AS dpval FROM wd),
+       |$steps,
+       |fin AS (
+       |  $finals)
+       |SELECT w.word, w.wcnt, w.len,
+       |  CAST(f.dpval // 16 AS BIGINT) AS cost_micro,
+       |  CAST(f.dpval % 16 AS BIGINT) AS n_pieces
+       |FROM wd w JOIN fin f ON f.word = w.word
+       |ORDER BY w.word""".stripMargin
+  }
+
+  /** Q305: mRMR feature selection (max-relevance min-redundancy, Peng
+    * et al. 2005) over the quality-gate feature battery — greedy pick of
+    * k = 3 discrete features maximizing MI with the Gopher label minus
+    * mean MI with the already-selected set. The feature-engineering
+    * audit that says WHICH quality signals earn their pipeline cost
+    * (q204 measures one MI; q305 runs the selection on the full MI
+    * matrix).
+    *
+    * Exactness: all 15 pairwise MIs come from ONE tall self-join into
+    * exact count cells; each cell term (n_uv/N)·ln(N·n_uv/(n_u·n_v)) is
+    * micro-rounded and BIGINT-summed (the q204 rule); greedy scores are
+    * integer combinations (round r multiplies relevance by |S| to stay
+    * integer) and ties resolve by feature name — fully deterministic,
+    * oracle-unrolled.
+    *
+    * Scale shape: one stack projection (6 values/doc), one cell
+    * aggregate; the MI matrix and the greedy walk live on ≤15-row
+    * tables. */
+  def qMrmrSelection(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = text.tokenize(col("text"))
+    val base = t.fanout(t.documents).select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+          .cast("long").as("n_tok_chars"),
+        size(filter(toks, tk => tk.isInCollection(text.stopwords)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        least(expr("n_tokens div 10L"), lit(12L)).as("fa"),
+        expr("CASE lang WHEN 'de' THEN 0L WHEN 'en' THEN 1L WHEN 'es' THEN 2L " +
+          "WHEN 'fr' THEN 3L WHEN 'zh' THEN 4L ELSE 5L END").as("fb"),
+        least(expr("n_chars div 100L"), lit(9L)).as("fc"),
+        (col("n_stop") * 20L >= col("n_tokens")).cast("long").as("fd"),
+        (col("n_distinct") * 2L >= col("n_tokens")).cast("long").as("fe"),
+        when((col("n_tokens") >= 20 && col("n_tokens") <= 80) &&
+          (col("n_tok_chars") >= col("n_tokens") * 4 &&
+            col("n_tok_chars") <= col("n_tokens") * 5) &&
+          (col("n_stop") * 20 >= col("n_tokens")) &&
+          (col("n_distinct") * 2 >= col("n_tokens")), 1L).otherwise(0L).as("yy"))
+    val tall = base.select(col("doc_id"), expr(
+      "stack(6, 'fa', fa, 'fb', fb, 'fc', fc, 'fd', fd, 'fe', fe, 'yy', yy)")
+      .as(Seq("nm", "vl")))
+    val t1 = tall.select(col("doc_id"), col("nm").as("u"), col("vl").as("vu"))
+    val t2 = tall.select(col("doc_id"), col("nm").as("v"), col("vl").as("vv"))
+    val cells = t1.join(t2, Seq("doc_id")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"), col("vu"), col("vv"))
+      .agg(count(lit(1)).as("nuv"))
+    val wu = Window.partitionBy(col("u"), col("v"), col("vu"))
+    val wv = Window.partitionBy(col("u"), col("v"), col("vv"))
+    val wp = Window.partitionBy(col("u"), col("v"))
+    val mi = cells
+      .withColumn("nu", sum(col("nuv")).over(wu))
+      .withColumn("nv", sum(col("nuv")).over(wv))
+      .withColumn("nn", sum(col("nuv")).over(wp))
+      .withColumn("term_micro",
+        round(col("nuv").cast("double") / col("nn").cast("double") *
+          log((col("nn") * col("nuv")).cast("double") /
+            (col("nu") * col("nv")).cast("double")) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("u"), col("v")).agg(sum(col("term_micro")).as("mi_micro"))
+      .localCheckpoint() // ≤15-row MI matrix feeds the greedy rounds
+    val rel = mi.filter(col("v") === "yy")
+      .select(col("u").as("f"), col("mi_micro").as("rel_micro"))
+    val red = mi.filter(col("v") =!= "yy")
+    val redSym = red.select(col("u").as("rf"), col("v").as("other"),
+        col("mi_micro").as("red_mi"))
+      .unionAll(red.select(col("v").as("rf"), col("u").as("other"),
+        col("mi_micro").as("red_mi")))
+      .localCheckpoint() // <=20-row symmetric redundancy table, joined twice
+    // each round attaches the running argmax via FIRST over an ordered
+    // full-frame window (no 1-row scalar joins -- the q114 BNLJ trap);
+    // the next round's redundancy arrives through pure equi joins
+    def o(scoreCol: String) = Window.partitionBy(lit(0))
+      .orderBy(col(scoreCol).desc, col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r1 = rel.withColumn("sel1", first(col("f")).over(o("rel_micro")))
+      .withColumn("rel1", first(col("rel_micro")).over(o("rel_micro")))
+    val redSym2 = redSym.select(col("rf").as("rf2"), col("other").as("other2"),
+      col("red_mi").as("red_mi2"))
+    val r2 = r1.filter(col("f") =!= col("sel1"))
+      .join(redSym, col("rf") === col("f") && col("other") === col("sel1"))
+      .withColumn("score2", col("rel_micro") - col("red_mi"))
+    val r2s = r2
+      .withColumn("sel2", first(col("f")).over(o("score2")))
+      .withColumn("rel2", first(col("rel_micro")).over(o("score2")))
+      .withColumn("sc2", first(col("score2")).over(o("score2")))
+    val r3 = r2s.filter(col("f") =!= col("sel2"))
+      .join(redSym2, col("rf2") === col("f") && col("other2") === col("sel2"))
+      .withColumn("score3",
+        col("rel_micro") * lit(2L) - col("red_mi") - col("red_mi2"))
+    r3.withColumn("sel3", first(col("f")).over(o("score3")))
+      .withColumn("rel3", first(col("rel_micro")).over(o("score3")))
+      .withColumn("sc3", first(col("score3")).over(o("score3")))
+      .withColumn("rk", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("score3").desc, col("f"))))
+      .filter(col("rk") === 1)
+      .select(
+        expr("stack(3, 1L, sel1, rel1, rel1, 1L, " +
+          "2L, sel2, rel2, sc2, 1L, 3L, sel3, rel3, sc3, 2L)")
+          .as(Seq("step", "feature", "rel_micro", "score_scaled", "scale")))
+      .orderBy(col("step"))
+  }
+
+  /** q305 oracle: same stack/cells/micro-MI + the greedy rounds unrolled
+    * with ROW_NUMBER argmaxes. */
+  def qMrmrSelectionSql(): String = {
+    val sw = text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH cn AS (
+      |  SELECT doc_id, lang, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z0-9'']', '', 'g')) AS BIGINT) AS n_tok_chars,
+      |    CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      |  FROM (SELECT doc_id, lang, n_chars, text,
+      |          list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                      x -> len(x) > 0) AS toks
+      |        FROM documents)),
+      |ftr AS (
+      |  SELECT doc_id,
+      |    LEAST(n_tokens // 10, 12) AS fa,
+      |    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+      |      WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END AS fb,
+      |    LEAST(n_chars // 100, 9) AS fc,
+      |    CASE WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END AS fd,
+      |    CASE WHEN n_distinct * 2 >= n_tokens THEN 1 ELSE 0 END AS fe,
+      |    CASE WHEN (n_tokens >= 20 AND n_tokens <= 80)
+      |      AND (n_tok_chars >= n_tokens * 4 AND n_tok_chars <= n_tokens * 5)
+      |      AND (n_stop * 20 >= n_tokens)
+      |      AND (n_distinct * 2 >= n_tokens) THEN 1 ELSE 0 END AS yy
+      |  FROM cn),
+      |tall AS (
+      |  SELECT doc_id, nm, vl FROM ftr
+      |  UNPIVOT (vl FOR nm IN (fa, fb, fc, fd, fe, yy))),
+      |cells AS (
+      |  SELECT a.nm AS u, b.nm AS v, a.vl AS vu, b.vl AS vv,
+      |    COUNT(*)::BIGINT AS nuv
+      |  FROM tall a JOIN tall b ON b.doc_id = a.doc_id AND a.nm < b.nm
+      |  GROUP BY 1, 2, 3, 4),
+      |mi AS MATERIALIZED (
+      |  SELECT u, v, CAST(SUM(term_micro) AS BIGINT) AS mi_micro FROM (
+      |    SELECT u, v,
+      |      CAST(round(CAST(nuv AS DOUBLE) / CAST(SUM(nuv) OVER (PARTITION BY u, v) AS DOUBLE)
+      |        * ln(CAST(SUM(nuv) OVER (PARTITION BY u, v) * nuv AS DOUBLE)
+      |             / CAST(SUM(nuv) OVER (PARTITION BY u, v, vu)
+      |                  * SUM(nuv) OVER (PARTITION BY u, v, vv) AS DOUBLE))
+      |        * 1000000.0::DOUBLE) AS BIGINT) AS term_micro
+      |    FROM cells)
+      |  GROUP BY u, v),
+      |rel AS (SELECT u AS f, mi_micro AS rel_micro FROM mi WHERE v = 'yy'),
+      |redsym AS (
+      |  SELECT u AS f, v AS other, mi_micro FROM mi WHERE v != 'yy'
+      |  UNION ALL SELECT v, u, mi_micro FROM mi WHERE v != 'yy'),
+      |s1 AS MATERIALIZED (
+      |  SELECT f AS sel1, rel_micro AS rel1, rel_micro AS sc1 FROM rel
+      |  ORDER BY rel_micro DESC, f LIMIT 1),
+      |s2 AS MATERIALIZED (
+      |  SELECT r.f AS sel2, r.rel_micro AS rel2,
+      |    r.rel_micro - d.mi_micro AS sc2
+      |  FROM rel r, s1, redsym d
+      |  WHERE r.f != s1.sel1 AND d.f = r.f AND d.other = s1.sel1
+      |  ORDER BY r.rel_micro - d.mi_micro DESC, r.f LIMIT 1),
+      |s3 AS MATERIALIZED (
+      |  SELECT r.f AS sel3, r.rel_micro AS rel3,
+      |    r.rel_micro * 2 - d1.mi_micro - d2.mi_micro AS sc3
+      |  FROM rel r, s1, s2, redsym d1, redsym d2
+      |  WHERE r.f != s1.sel1 AND r.f != s2.sel2
+      |    AND d1.f = r.f AND d1.other = s1.sel1
+      |    AND d2.f = r.f AND d2.other = s2.sel2
+      |  ORDER BY r.rel_micro * 2 - d1.mi_micro - d2.mi_micro DESC, r.f LIMIT 1)
+      |SELECT CAST(step AS BIGINT) AS step, feature,
+      |  CAST(rel_micro AS BIGINT) AS rel_micro,
+      |  CAST(score_scaled AS BIGINT) AS score_scaled, CAST(scale AS BIGINT) AS scale
+      |FROM (
+      |  SELECT 1 AS step, sel1 AS feature, rel1 AS rel_micro, sc1 AS score_scaled,
+      |    1 AS scale FROM s1
+      |  UNION ALL SELECT 2, sel2, rel2, sc2, 1 FROM s2
+      |  UNION ALL SELECT 3, sel3, rel3, sc3, 2 FROM s3)
+      |ORDER BY step""".stripMargin
+  }
 }

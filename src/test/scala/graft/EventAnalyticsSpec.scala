@@ -871,4 +871,40 @@ class EventAnalyticsSpec extends SparkSpec {
         (re.toDouble * re.toDouble + im.toDouble * im.toDouble)) < 1e-3)
     }
   }
+
+  test("q304 segmentation DP: matches an in-memory Bellman recompute") {
+    val t = sf0001
+    val daily = t.events
+      .selectExpr("datediff(cast(ts as date), date'2024-01-01') as d")
+      .collect().map(_.getInt(0).toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+      .toSeq.sortBy(_._1)
+    val n = daily.length
+    val y = daily.map(_._2)
+    def sse(i: Int, j: Int): Long = { // 1-based inclusive
+      val seg = y.slice(i - 1, j)
+      val s = seg.sum; val q = seg.map(v => v * v).sum
+      val v = q.toDouble - s.toDouble * s.toDouble / seg.length.toDouble
+      math.floor(v * 1e6 + 0.5).toLong
+    }
+    val dp = Array.ofDim[Long](5, n + 1)
+    val spl = Array.ofDim[Long](5, n + 1)
+    for (j <- 1 to n) { dp(1)(j) = sse(1, j); spl(1)(j) = 1L }
+    for (m <- 2 to 4; j <- m to n) {
+      val enc = (m to j).map(i => (dp(m - 1)(i - 1) + sse(i, j)) * 64L + i).min
+      dp(m)(j) = enc / 64L; spl(m)(j) = enc % 64L
+    }
+    val got = graft.ops.EventAnalytics.qSegmentationDp(t).collect()
+    assert(got.length == (1 to 4).map(m => n - m + 1).sum)
+    got.foreach { r =>
+      val (m, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      assert(r.getLong(2) == daily(j - 1)._1)
+      assert(r.getLong(3) == dp(m)(j))
+      assert(r.getLong(4) == spl(m)(j))
+    }
+    // more segments never cost more (optimality sanity)
+    val byMj = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    for (m <- 2L to 4L; j <- m to n.toLong)
+      assert(byMj((m, j)) <= byMj((m - 1, j)))
+  }
 }

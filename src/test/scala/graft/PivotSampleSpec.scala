@@ -166,4 +166,39 @@ class PivotSampleSpec extends SparkSpec {
       assert(math.abs(g.getDouble(7) - winsor.toDouble / (n * 100).toDouble) < 1e-9)
     }
   }
+
+  test("q307 jackknife: matches an in-memory leave-one-out recompute") {
+    val t = sf0001
+    val rows = t.lineitem
+      .join(t.supplier, expr("l_suppkey = s_suppkey"))
+      .join(t.nation, expr("s_nationkey = n_nationkey"))
+      .selectExpr("n_name",
+        "cast(round(l_extendedprice * (1.0 - l_discount) * 100.0) as long) as cents",
+        "cast(round(l_quantity) as long) as qty")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val g = rows.groupBy(_._1).map { case (nm, xs) =>
+      (nm, xs.map(_._2).sum, xs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    val tRev = g.map(_._2).sum; val tQty = g.map(_._3).sum
+    val gc = g.length.toLong
+    val rts = g.map { case (_, rev, qty) =>
+      val loo = (tRev - rev).toDouble / (tQty - qty).toDouble
+      math.floor(loo / 100.0 * 10000.0 + 0.5).toLong
+    }
+    val sumRt = rts.sum; val sumRt2 = rts.map(x => x * x).sum
+    val varJk = (gc - 1).toDouble / gc.toDouble *
+      (sumRt2.toDouble / gc.toDouble -
+        (sumRt.toDouble / gc.toDouble) * (sumRt.toDouble / gc.toDouble)) / 1.0e8
+    val got = graft.ops.Relational.qJackknifeRatio(t).collect()
+    assert(got.length == g.length)
+    got.zip(g.zip(rts)).foreach { case (r, ((nm, rev, qty), rt)) =>
+      assert(r.getString(0) == nm)
+      assert(r.getLong(1) == rev); assert(r.getLong(2) == qty)
+      assert(math.abs(r.getDouble(3) -
+        (tRev - rev).toDouble / (tQty - qty).toDouble) < 1e-9)
+      assert(r.getLong(4) == rt)
+      assert(r.getLong(5) == gc)
+      assert(math.abs(r.getDouble(6) - tRev.toDouble / tQty.toDouble) < 1e-9)
+      assert(math.abs(r.getDouble(7) - varJk) < 1e-12)
+    }
+  }
 }

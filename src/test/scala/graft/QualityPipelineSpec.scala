@@ -2386,4 +2386,61 @@ class QualityPipelineSpec extends SparkSpec {
       assert(math.abs(r.getDouble(9) - brier) < 1e-12)
     }
   }
+
+  test("q305 mRMR: matches an in-memory MI-matrix greedy recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val stop = graft.functions.text.stopwords
+    val langIdx = Map("de" -> 0L, "en" -> 1L, "es" -> 2L, "fr" -> 3L, "zh" -> 4L)
+    val docs = t.documents.select("text", "lang", "n_chars").collect().map { r =>
+      val s = r.getString(0)
+      val toks = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(stop.contains).toLong
+      val nd = toks.distinct.length.toLong
+      val y = if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+      Map("fa" -> math.min(nt / 10L, 12L),
+        "fb" -> langIdx.getOrElse(r.getString(1), 5L),
+        "fc" -> math.min(r.getLong(2) / 100L, 9L),
+        "fd" -> (if (ns * 20 >= nt) 1L else 0L),
+        "fe" -> (if (nd * 2 >= nt) 1L else 0L),
+        "yy" -> y)
+    }
+    val names = Seq("fa", "fb", "fc", "fd", "fe", "yy")
+    def mi(u: String, v: String): Long = {
+      val pairs = docs.map(d => (d(u), d(v)))
+      val nn = pairs.length.toLong
+      val nuv = pairs.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+      val nu = pairs.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+      val nv = pairs.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+      nuv.map { case ((a, b), c) =>
+        microAway(c.toDouble / nn.toDouble *
+          math.log((nn * c).toDouble / (nu(a) * nv(b)).toDouble))
+      }.sum
+    }
+    val feats = names.init
+    val rel = feats.map(f => f -> mi(f, "yy")).toMap
+    def red(a: String, b: String): Long =
+      if (a < b) mi(a, b) else mi(b, a)
+    val s1 = feats.map(f => (f, rel(f))).sortBy(x => (-x._2, x._1)).head
+    val c2 = feats.filter(_ != s1._1)
+      .map(f => (f, rel(f) - red(f, s1._1))).sortBy(x => (-x._2, x._1)).head
+    val c3 = feats.filter(f => f != s1._1 && f != c2._1)
+      .map(f => (f, 2L * rel(f) - red(f, s1._1) - red(f, c2._1)))
+      .sortBy(x => (-x._2, x._1)).head
+    val got = TextAnalysis.qMrmrSelection(t).collect()
+    assert(got.length == 3)
+    assert((got(0).getString(1), got(0).getLong(3)) == ((s1._1, s1._2)))
+    assert(got(0).getLong(2) == rel(s1._1))
+    assert((got(1).getString(1), got(1).getLong(3)) == ((c2._1, c2._2)))
+    assert(got(1).getLong(2) == rel(c2._1))
+    assert((got(2).getString(1), got(2).getLong(3)) == ((c3._1, c3._2)))
+    assert(got(2).getLong(2) == rel(c3._1))
+    assert(got.map(_.getLong(4)).toSeq == Seq(1L, 1L, 2L))
+  }
 }

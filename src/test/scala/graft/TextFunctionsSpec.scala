@@ -217,4 +217,80 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - s.toDouble / 1e6) < 1e-12)
     }
   }
+
+  test("q303 unigram segmentation: matches an in-memory Viterbi recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val words = t.documents.select("text").collect().map(_.getString(0))
+      .flatMap(_.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+      .filter(_._1.length <= 12)
+    val cf = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    words.foreach { case (w, c) =>
+      for (s <- 0 until w.length; l <- 1 to math.min(4, w.length - s))
+        cf(w.substring(s, s + l)) += c
+    }
+    val f = cf.values.sum
+    val cost = cf.map { case (p, c) =>
+      p -> microAway(-math.log(c.toDouble / f.toDouble)) }
+    def viterbi(w: String): (Long, Long) = {
+      val dp = Array.fill(w.length + 1)(Long.MaxValue); dp(0) = 0L
+      for (p <- 1 to w.length; l <- 1 to math.min(4, p))
+        if (dp(p - l) != Long.MaxValue) {
+          val cand = dp(p - l) + cost(w.substring(p - l, p)) * 16L + 1L
+          if (cand < dp(p)) dp(p) = cand
+        }
+      (dp(w.length) / 16L, dp(w.length) % 16L)
+    }
+    val got = graft.ops.TextAnalysis.qUnigramSegmentation(t).collect()
+    assert(got.map(_.getString(0)).toSet == words.keySet)
+    got.foreach { r =>
+      val w = r.getString(0)
+      val (c, np) = viterbi(w)
+      assert(r.getLong(1) == words(w))
+      assert(r.getLong(2) == w.length.toLong)
+      assert(r.getLong(3) == c)
+      assert(r.getLong(4) == np)
+      assert(np >= 1L && np <= w.length.toLong)
+    }
+  }
+
+  test("q306 Simpson's audit: matches an in-memory 2x2 recompute") {
+    val t = sf0001
+    val stop = graft.functions.text.stopwords
+    val xy = t.documents.select("source", "text").collect().map { r =>
+      val s = r.getString(1)
+      val toks = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(stop.contains).toLong
+      val nd = toks.distinct.length.toLong
+      val y = if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+      (r.getString(0), if (nt >= 50) 1L else 0L, y)
+    }
+    val cells = xy.groupBy(_._1).map { case (src, xs) =>
+      (src, xs.count(v => v._2 == 1 && v._3 == 1).toLong,
+        xs.count(v => v._2 == 1 && v._3 == 0).toLong,
+        xs.count(v => v._2 == 0 && v._3 == 1).toLong,
+        xs.count(v => v._2 == 0 && v._3 == 0).toLong)
+    }.toSeq.sortBy(_._1)
+    val pa = cells.map(_._2).sum; val pb = cells.map(_._3).sum
+    val pc = cells.map(_._4).sum; val pd = cells.map(_._5).sum
+    val pooled = pa * pd - pb * pc
+    val got = graft.ops.TextAnalysis.qSimpsonsAudit(t).collect()
+    assert(got.length == cells.length)
+    got.zip(cells).foreach { case (r, (src, a, b, c, d)) =>
+      assert(r.getString(0) == src)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((a, b, c, d)))
+      val assoc = a * d - b * c
+      assert(r.getLong(5) == assoc)
+      assert(r.getLong(6) == pooled)
+      assert(r.getBoolean(8) ==
+        ((assoc > 0 && pooled < 0) || (assoc < 0 && pooled > 0)))
+    }
+  }
 }
