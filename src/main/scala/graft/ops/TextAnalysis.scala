@@ -7534,29 +7534,40 @@ object TextAnalysis {
         round(-log(col("cf").cast("double") / col("f_tot").cast("double")) *
           lit(1000000.0), 0).cast("long").as("cost_micro"))
       .localCheckpoint() // piece table feeds maxLen DP joins
-    val states = scala.collection.mutable.Map[Int, DataFrame](
-      0 -> words.select(col("word"), col("len"), lit(0L).as("dpval")))
-    var p = 1
-    while (p <= maxLen) {
-      val cands = (1 to math.min(maxPiece, p)).map { l =>
-        states(p - l)
-          .filter(col("len") >= p.toLong)
-          .select(col("word"), col("len"), col("dpval"),
-            expr(s"substring(word, ${p - l + 1}, $l)").as("piece"))
-          .join(broadcast(costs), Seq("piece"))
-          .select(col("word"), col("len"),
-            (col("dpval") + col("cost_micro") * lit(16L) + lit(1L)).as("cand"))
-      }.reduce(_ unionAll _)
-      states(p) = cands.groupBy(col("word"), col("len"))
-        .agg(min(col("cand")).as("dpval")).localCheckpoint()
-      p += 1
+    // The DP runs as a per-word JVM kernel against the BROADCAST piece
+    // cost map (one bounded fetch — the seed-vocab contract: SentencePiece
+    // caps the candidate piece set, so the map stays broadcast-sized at
+    // any corpus scale; at 100 TB prune the piece census to the top-M
+    // pieces first). A 12-round DataFrame DP paid 12 scheduling-floor
+    // jobs (~4.8 s warm at sf0.1) for the same integer result; the
+    // kernel is one pass. Arithmetic is identical: JVM log + half-up
+    // micro rounding = the in-plan expression sequence.
+    val cmap = costs.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val viterbiUdf = udf { (word: String) =>
+      val ln = word.length
+      val dp = Array.fill(ln + 1)(Long.MaxValue); dp(0) = 0L
+      var p = 1
+      while (p <= ln) {
+        var l = 1
+        val lm = math.min(maxPiece, p)
+        while (l <= lm) {
+          val prev = dp(p - l)
+          if (prev != Long.MaxValue) {
+            val c = cmap(word.substring(p - l, p))
+            val cand = prev + c * 16L + 1L
+            if (cand < dp(p)) dp(p) = cand
+          }
+          l += 1
+        }
+        p += 1
+      }
+      Array(dp(ln) / 16L, dp(ln) % 16L)
     }
-    val finals = (1 to maxLen).map(pp =>
-      states(pp).filter(col("len") === pp.toLong)).reduce(_ unionAll _)
-    words.join(finals.select(col("word"), col("dpval")), Seq("word"))
+    words
+      .withColumn("dp", viterbiUdf(col("word")))
       .select(col("word"), col("wcnt"), col("len"),
-        expr("dpval div 16L").as("cost_micro"),
-        (col("dpval") % lit(16L)).as("n_pieces"))
+        element_at(col("dp"), 1).as("cost_micro"),
+        element_at(col("dp"), 2).as("n_pieces"))
       .orderBy(col("word"))
   }
 
