@@ -3342,4 +3342,118 @@ object Dedup {
        |  COALESCE(MAX(removed_round) OVER (), 0) < $rounds AS converged
        |FROM tuni ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Q310: Bradley–Terry strength ranking of sources (Bradley & Terry
+    * 1952) from near-dup-pair "contests" — for every cross-source
+    * near-dup pair, the longer member wins (ties skipped), and the
+    * classic MM iteration (Hunter 2004) π_i ← W_i / Σ_j g_ij/(π_i+π_j)
+    * turns the win matrix into latent strengths. THE preference-learning
+    * primitive of RLHF data prep, here exercised on the duplication
+    * graph: which source's copy is the canonical (longer) one when
+    * content is shared?
+    *
+    * Determinism (the q190 bounded-driver-solve class): the win matrix
+    * is a ≤|sources|² fetch behind a loud require; each MM round keeps
+    * per-opponent terms on the integer micro grid (BIGINT sums — never
+    * order-dependent float sums) and re-enters the grid through
+    * Affinity.roundMicro (DuckDB round(x,6) bit-for-bit); the oracle
+    * unrolls the rounds as chained MATERIALIZED CTEs over the shared
+    * pair CTE. */
+  def qBradleyTerry(t: Tables, rounds: Int = 8): DataFrame = {
+    val meta = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val contests = fuzzyPairsCached(t)
+      .join(meta.select(col("doc_id").as("id_a"), col("source").as("sa"),
+        col("n_chars").as("ca")), Seq("id_a"))
+      .join(meta.select(col("doc_id").as("id_b"), col("source").as("sb"),
+        col("n_chars").as("cb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb") && col("ca") =!= col("cb"))
+      .select(when(col("ca") > col("cb"), col("sa")).otherwise(col("sb"))
+        .as("winner"),
+        when(col("ca") > col("cb"), col("sb")).otherwise(col("sa")).as("loser"))
+      .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+      .collect() // bounded |sources|² win matrix (q190 contract)
+    require(contests.length <= 1000,
+      s"BT win matrix unexpectedly large: ${contests.length}")
+    val wmap = contests.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val srcs = wmap.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    def g(i: String, j: String): Long =
+      wmap.getOrElse((i, j), 0L) + wmap.getOrElse((j, i), 0L)
+    val winsOf = srcs.map(i =>
+      i -> srcs.filter(_ != i).map(j => wmap.getOrElse((i, j), 0L)).sum).toMap
+    val gamesOf = srcs.map(i =>
+      i -> srcs.filter(_ != i).map(j => g(i, j)).sum).toMap
+    var pi = srcs.map(_ -> 1.0).toMap
+    var r = 1
+    while (r <= rounds) {
+      pi = srcs.map { i =>
+        val dMicro = srcs.filter(j => j != i && g(i, j) > 0L).map { j =>
+          val m = g(i, j).toDouble / (pi(i) + pi(j)) * 1000000.0
+          math.floor(m + 0.5).toLong // positive terms: std::round parity
+        }.sum
+        i -> (if (dMicro == 0L) pi(i)
+              else Affinity.roundMicro((winsOf(i) * 1000000L).toDouble / dMicro.toDouble))
+      }.toMap
+      r += 1
+    }
+    val spark = t.spark
+    import spark.implicits._
+    val ranked = srcs.map(i => (i, winsOf(i), gamesOf(i), pi(i)))
+      .sortBy { case (i, _, _, p) => (-p, i) }
+      .zipWithIndex
+      .map { case ((i, w, gm, p), k) => (i, w, gm, p, k + 1L) }
+      .sortBy(_._1)
+    ranked.toDF("source", "wins", "games", "pi", "rank")
+      .orderBy(col("source"))
+  }
+
+  /** q310 oracle: shared pair CTE → contests → win matrix, MM rounds
+    * unrolled (per-opponent terms as BIGINT micros; round(x, 6) re-entry;
+    * no-games sources carry their π forward). */
+  def qBradleyTerrySql(rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""bd$r AS (
+         |  SELECT gm.i,
+         |    CAST(SUM(CAST(round(CAST(gm.g AS DOUBLE) / (pa.pi + pb.pi)
+         |      * 1000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS d_micro
+         |  FROM gm JOIN bp${r - 1} pa ON pa.source = gm.i
+         |          JOIN bp${r - 1} pb ON pb.source = gm.j
+         |  GROUP BY gm.i),
+         |bp$r AS MATERIALIZED (
+         |  SELECT p.source,
+         |    CASE WHEN d.d_micro IS NULL OR d.d_micro = 0 THEN p.pi
+         |         ELSE round(CAST(w.wins * 1000000 AS DOUBLE)
+         |                    / CAST(d.d_micro AS DOUBLE), 6) END AS pi
+         |  FROM bp${r - 1} p
+         |  LEFT JOIN bd$r d ON d.i = p.source
+         |  JOIN wt w ON w.source = p.source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $componentsRepCtes,
+       |ct AS (
+       |  SELECT CASE WHEN da.n_chars > db.n_chars THEN da.source ELSE db.source END AS winner,
+       |    CASE WHEN da.n_chars > db.n_chars THEN db.source ELSE da.source END AS loser
+       |  FROM pairs p JOIN documents da ON da.doc_id = p.a
+       |               JOIN documents db ON db.doc_id = p.b
+       |  WHERE da.source != db.source AND da.n_chars != db.n_chars),
+       |wm AS MATERIALIZED (
+       |  SELECT winner, loser, COUNT(*)::BIGINT AS w FROM ct GROUP BY 1, 2),
+       |gm AS MATERIALIZED (
+       |  SELECT i, j, CAST(SUM(w) AS BIGINT) AS g FROM (
+       |    SELECT winner AS i, loser AS j, w FROM wm
+       |    UNION ALL SELECT loser, winner, w FROM wm)
+       |  GROUP BY i, j),
+       |wt AS MATERIALIZED (
+       |  SELECT s.source, CAST(COALESCE(ww.wins, 0) AS BIGINT) AS wins,
+       |    CAST(gg.games AS BIGINT) AS games
+       |  FROM (SELECT DISTINCT i AS source FROM gm) s
+       |  LEFT JOIN (SELECT winner AS source, SUM(w) AS wins FROM wm GROUP BY 1) ww
+       |    ON ww.source = s.source
+       |  JOIN (SELECT i AS source, SUM(g) AS games FROM gm GROUP BY 1) gg
+       |    ON gg.source = s.source),
+       |bp0 AS MATERIALIZED (SELECT source, 1.0::DOUBLE AS pi FROM wt),
+       |$steps
+       |SELECT w.source, w.wins, w.games, p.pi,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY p.pi DESC, w.source) AS BIGINT) AS rank
+       |FROM wt w JOIN bp$rounds p ON p.source = w.source
+       |ORDER BY w.source""".stripMargin
+  }
 }

@@ -2679,4 +2679,172 @@ object EventAnalytics {
        |SELECT m, j, day_j, dp_micro, split_i
        |FROM uni ORDER BY m, j""".stripMargin
   }
+
+  /** Q309: robust trend battery over the daily event-count series —
+    * the Theil–Sen slope (median of all pairwise slopes, Sen 1968) and
+    * the Mann–Kendall S test with tie-corrected variance (Mann 1945,
+    * Kendall 1975): the nonparametric pair to q269's Holt fit (which a
+    * single outlier day can bend; the median slope shrugs it off) and
+    * the standard "is there a monotone trend at all?" gate.
+    *
+    * Exactness: every pairwise slope is ONE division of exact integers
+    * (deterministic to compare), and the median is the value at the
+    * lower-median rank of the (slope, i, j) total order; S and the
+    * tie-corrected 18·Var(S) are pure integers; z = (S∓1)/√(var18/18)
+    * is sqrt-of-exact — IEEE sqrt is correctly rounded, safe raw.
+    *
+    * Scale shape: one corpus aggregate to daily counts; the pair fan is
+    * the bounded |days|² sequence() explode. */
+  def qTrendTest(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy(lit(0))
+    val wr = w0.orderBy(col("day_x"))
+    val daily = t.events
+      .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("day_x"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("r", row_number().over(wr).cast("long"))
+      .localCheckpoint() // bounded daily table feeds the pair fan twice
+    // r >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+    // empty like DuckDB's range — the first row must not explode
+    val left = daily.filter(col("r") >= 2L)
+      .select(col("r").as("j"), col("day_x").as("tj"),
+        col("y").as("yj"), explode(expr("sequence(1L, r - 1L)")).as("i"))
+    val right = daily.select(col("r").as("i"), col("day_x").as("ti"),
+      col("y").as("yi"))
+    val pairs = left.join(right, Seq("i"))
+      .select(col("i"), col("j"), col("ti"), col("tj"), col("yi"), col("yj"))
+      .withColumn("slope",
+        (col("yj") - col("yi")).cast("double") /
+          (col("tj") - col("ti")).cast("double"))
+      .withColumn("sgn",
+        when(col("yj") > col("yi"), 1L).when(col("yj") < col("yi"), -1L)
+          .otherwise(0L))
+      .localCheckpoint() // bounded pair table feeds rank + aggregates
+    val ranked = pairs
+      .withColumn("rk", row_number().over(
+        w0.orderBy(col("slope"), col("i"), col("j"))).cast("long"))
+      .withColumn("np", count(lit(1)).over(w0))
+    val medSlope = ranked
+      .filter(col("rk") === (col("np") + lit(1L)) / lit(2L))
+      .select(col("slope").as("slope_median"), col("np").as("n_pairs"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+      .agg(coalesce(sum(col("tc") * (col("tc") - lit(1L)) *
+        (lit(2L) * col("tc") + lit(5L))), lit(0L)).as("tie18"),
+        coalesce(sum(col("tc")), lit(0L)).as("n"))
+    val s = pairs.agg(sum(col("sgn")).as("s_stat"))
+    // three bounded 1-row frames → one row via crossJoin-free stack:
+    // combine through windows over a 1-row union is overkill; these are
+    // driver-bounded fetches (the q286 literal pattern)
+    val Array(slopeMedian, nPairs) = {
+      val r = medSlope.collect()(0); Array(r.getDouble(0), r.getLong(1).toDouble)
+    }
+    val tiesRow = ties.collect()(0)
+    val (tie18, nDays) = (tiesRow.getLong(0), tiesRow.getLong(1))
+    val sStat = s.collect()(0).getLong(0)
+    val var18 = nDays * (nDays - 1L) * (2L * nDays + 5L) - tie18
+    val z =
+      if (var18 == 0L) 0.0
+      else if (sStat > 0L) (sStat - 1L).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else if (sStat < 0L) (sStat + 1L).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val spark = t.spark
+    import spark.implicits._
+    Seq((nDays, nPairs.toLong, slopeMedian, sStat, var18, z))
+      .toDF("n_days", "n_pairs", "slope_median", "s_stat", "var18", "z")
+  }
+
+  /** q309 oracle: same pair fan, lower-median rank, integer tie
+    * correction, sqrt-of-exact z. */
+  val qTrendTestSql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1),
+      |idx AS MATERIALIZED (
+      |  SELECT day_x, y, CAST(ROW_NUMBER() OVER (ORDER BY day_x) AS BIGINT) AS r
+      |  FROM daily),
+      |pj AS (
+      |  SELECT r AS j, day_x AS tj, y AS yj,
+      |    CAST(unnest(range(1, r)) AS BIGINT) AS i
+      |  FROM idx),
+      |pr AS MATERIALIZED (
+      |  SELECT p.i, p.j, a.day_x AS ti, p.tj, a.y AS yi, p.yj,
+      |    CAST(p.yj - a.y AS DOUBLE) / CAST(p.tj - a.day_x AS DOUBLE) AS slope,
+      |    CASE WHEN p.yj > a.y THEN 1 WHEN p.yj < a.y THEN -1 ELSE 0 END AS sgn
+      |  FROM pj p JOIN idx a ON a.r = p.i),
+      |med AS (
+      |  SELECT slope AS slope_median, np AS n_pairs FROM (
+      |    SELECT slope,
+      |      CAST(ROW_NUMBER() OVER (ORDER BY slope, i, j) AS BIGINT) AS rk,
+      |      CAST(COUNT(*) OVER () AS BIGINT) AS np
+      |    FROM pr)
+      |  WHERE rk = (np + 1) // 2),
+      |tie AS (
+      |  SELECT CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tie18,
+      |    CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS n
+      |  FROM (SELECT y, COUNT(*)::BIGINT AS tc FROM daily GROUP BY y)),
+      |ss AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pr)
+      |SELECT t.n AS n_days, m.n_pairs, m.slope_median, s.s_stat,
+      |  CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 AS BIGINT) AS var18,
+      |  CASE
+      |    WHEN t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 = 0 THEN 0.0::DOUBLE
+      |    WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+      |      / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 AS DOUBLE)
+      |             / 18.0::DOUBLE)
+      |    WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+      |      / sqrt(CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 AS DOUBLE)
+      |             / 18.0::DOUBLE)
+      |    ELSE 0.0::DOUBLE END AS z
+      |FROM med m, tie t, ss s""".stripMargin
+
+  /** Q311: overdispersion diagnostic per event type — the index of
+    * dispersion D = Var/Mean of the daily counts via the EXACT integer
+    * identity n·Σy² − S² over S (a Poisson stream has D ≈ 1; D ≫ 1 says
+    * negative-binomial/bursty, the model-choice gate under q107's
+    * anomaly thresholds and q194's interarrival fit). The flag uses the
+    * integer cross-multiplication 2·num ≥ 3·S·(n−1) (D/(n−1) ≥ 1.5) —
+    * exact, no distributional tail needed.
+    *
+    * Scale shape: one (type, day) aggregate, then a ≤|types| bounded
+    * table. */
+  def qOverdispersion(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01"))
+          .cast("long").as("day_x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("q"))
+      .withColumn("num", col("n_days") * col("q") - col("s") * col("s"))
+      .withColumn("dispersion",
+        col("num").cast("double") /
+          (col("s") * (col("n_days") - lit(1L))).cast("double"))
+      .withColumn("overdispersed",
+        lit(2L) * col("num") >= lit(3L) * col("s") * (col("n_days") - lit(1L)))
+      .select(col("event_type"), col("n_days"), col("s"), col("q"),
+        col("num"), col("dispersion"), col("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q311 oracle: same integer identity and cross-multiplied flag. */
+  val qOverdispersionSql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01',
+      |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_x,
+      |    COUNT(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, COUNT(*)::BIGINT AS n_days,
+      |    CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(y * y) AS BIGINT) AS q
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, n_days, s, q,
+      |  CAST(n_days * q - s * s AS BIGINT) AS num,
+      |  CAST(n_days * q - s * s AS DOUBLE)
+      |    / CAST(s * (n_days - 1) AS DOUBLE) AS dispersion,
+      |  2 * (n_days * q - s * s) >= 3 * s * (n_days - 1) AS overdispersed
+      |FROM g ORDER BY event_type""".stripMargin
 }

@@ -7803,4 +7803,160 @@ object TextAnalysis {
       |  UNION ALL SELECT 3, sel3, rel3, sc3, 2 FROM s3)
       |ORDER BY step""".stripMargin
   }
+
+  /** Q308: pairwise 1-Wasserstein (earth-mover) distance matrix between
+    * the sources' token-count distributions — the transport-metric third
+    * axis beside q264's JSD (bin-wise, support-blind) and q210's KS
+    * (max-gap only): W₁ also weighs HOW FAR mass must move, the drift
+    * measure of choice when a mixture shift moves documents between
+    * adjacent length bins. In 1-D, W₁ = ∫|F_A − F_B| dv, which over
+    * integer supports is EXACT: Σᵢ |cumA(vᵢ)·n_B − cumB(vᵢ)·n_A| ·
+    * (vᵢ₊₁ − vᵢ) is a pure BIGINT sum, and W₁ = that / (n_A·n_B) — one
+    * division of exact integers, no rounding anywhere.
+    *
+    * Scale shape: one corpus aggregate to (source, value) counts; the
+    * cum/pair work runs on the ≤|support|·|sources| bounded grid
+    * (windows + one equi self-join on value). */
+  def qWassersteinMatrix(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.fanout(t.documents)
+      .select(col("source"), size(text.tokenize(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val support = counts.select(col("v")).distinct()
+    val srcs = counts.select(col("source")).distinct()
+    val grid = support.crossJoin(broadcast(srcs)) // bounded: |support|·|sources|
+      .join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wsrc = Window.partitionBy(col("source"))
+    val wgap = Window.partitionBy(col("source")).orderBy(col("v"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wsrc))
+      .withColumn("gap", lead(col("v"), 1).over(wgap) - col("v"))
+      .filter(col("gap").isNotNull) // last support point carries no mass gap
+    val a = cums.select(col("source").as("sa"), col("v"),
+      col("cum").as("cum_a"), col("n").as("n_a"), col("gap"))
+    val b = cums.select(col("source").as("sb"), col("v"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("v")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")) *
+          col("gap")).as("w1_num"))
+      .withColumn("w1",
+        col("w1_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("w1_num"), col("w1"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  /** q308 oracle: same global support grid, integer cross-multiplied CDF
+    * gaps. */
+  val qWassersteinMatrixSql: String =
+    """WITH cnt AS (
+      |  SELECT source, CAST(len(list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS v, COUNT(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, u.v, CAST(COALESCE(k.c, 0) AS BIGINT) AS c
+      |  FROM (SELECT DISTINCT v FROM cnt) u
+      |  CROSS JOIN (SELECT DISTINCT source FROM cnt) s
+      |  LEFT JOIN cnt k ON k.source = s.source AND k.v = u.v),
+      |cums AS (
+      |  SELECT source, v,
+      |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+      |    LEAD(v, 1) OVER (PARTITION BY source ORDER BY v) - v AS gap
+      |  FROM grid),
+      |cg AS (SELECT * FROM cums WHERE gap IS NOT NULL)
+      |SELECT a.source AS sa, b.source AS sb,
+      |  CAST(MAX(a.n) AS BIGINT) AS n_a, CAST(MAX(b.n) AS BIGINT) AS n_b,
+      |  CAST(SUM(abs(a.cum * b.n - b.cum * a.n) * a.gap) AS BIGINT) AS w1_num,
+      |  CAST(SUM(abs(a.cum * b.n - b.cum * a.n) * a.gap) AS DOUBLE)
+      |    / CAST(MAX(a.n) * MAX(b.n) AS DOUBLE) AS w1
+      |FROM cg a JOIN cg b ON b.v = a.v AND a.source < b.source
+      |GROUP BY a.source, b.source ORDER BY sa, sb""".stripMargin
+
+  /** Q312: Good–Turing frequency smoothing (Good 1953) over the BIGRAM
+    * census — the adjusted counts r* = (r+1)·n_{r+1}/n_r for the low
+    * frequencies and the unseen-mass estimate P₀ = n₁/N, the smoothing
+    * that underlies Katz backoff and complements q261's Kneser–Ney
+    * bigram LM (which discounts; GT says by HOW MUCH the data itself
+    * wants to discount). Bigrams, not unigrams: the template corpus'
+    * unigram vocabulary saturates (every word frequent — the q203
+    * data-shape note), while the bigram census has the genuine n₁/n₂
+    * singleton tail GT exists for. Frequencies-of-frequencies are exact
+    * integers; every emitted estimate is a single division of exact
+    * integers — raw doubles, no rounding.
+    *
+    * Scale shape: the bigram census is one transform/explode +
+    * aggregate; n_r is one more aggregate over the type-bounded census;
+    * the r ladder rides a bounded self-join. */
+  def qGoodTuring(t: Tables, maxR: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val freq = t.fanout(t.documents)
+      .select(text.tokenize(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i]))")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("r"))
+    val nr = freq.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .withColumn("n_total", sum(col("r") * col("n_r")).over(w))
+      .withColumn("n1", sum(when(col("r") === 1L, col("n_r"))).over(w))
+      .localCheckpoint() // bounded freq-of-freq table, feeds the ladder join
+    // adaptive ladder: the maxR SMALLEST observed frequencies — a
+    // saturated census (no rare types at large SFs, the q203 data-shape
+    // note) still yields a populated ladder
+    val ladder = nr
+      .withColumn("rrk", row_number().over(w.orderBy(col("r"))))
+      .filter(col("rrk") <= maxR).drop("rrk")
+    val next = nr.select((col("r") - lit(1L)).as("r"), col("n_r").as("n_next"))
+    ladder.join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"), coalesce(col("n_next"), lit(0L)).as("n_next"),
+        col("n_total"), coalesce(col("n1"), lit(0L)).as("n1"))
+      .withColumn("r_star",
+        ((col("r") + lit(1L)) * col("n_next")).cast("double") /
+          col("n_r").cast("double"))
+      .withColumn("p0",
+        col("n1").cast("double") / col("n_total").cast("double"))
+      .orderBy(col("r"))
+  }
+
+  /** q312 oracle: same census, frequencies-of-frequencies, single
+    * divisions. */
+  def qGoodTuringSql(maxR: Int = 10): String =
+    s"""WITH tl AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |         x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |ix AS (
+      |  SELECT toks, CAST(unnest(range(1, len(toks))) AS BIGINT) AS i
+      |  FROM tl WHERE len(toks) >= 2),
+      |bg AS (
+      |  SELECT toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS term
+      |  FROM ix),
+      |freq AS (
+      |  SELECT term, CAST(COUNT(*) AS BIGINT) AS r FROM bg GROUP BY term),
+      |nr AS MATERIALIZED (
+      |  SELECT r, COUNT(*)::BIGINT AS n_r,
+      |    CAST(SUM(r * COUNT(*)) OVER () AS BIGINT) AS n_total,
+      |    CAST(SUM(CASE WHEN r = 1 THEN COUNT(*) END) OVER () AS BIGINT) AS n1
+      |  FROM freq GROUP BY r),
+      |lad AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (ORDER BY r) AS rrk FROM nr)
+      |  WHERE rrk <= $maxR)
+      |SELECT l.r, l.n_r,
+      |  CAST(COALESCE(x.n_r, 0) AS BIGINT) AS n_next,
+      |  l.n_total, CAST(COALESCE(l.n1, 0) AS BIGINT) AS n1,
+      |  CAST((l.r + 1) * COALESCE(x.n_r, 0) AS DOUBLE) / CAST(l.n_r AS DOUBLE)
+      |    AS r_star,
+      |  CAST(COALESCE(l.n1, 0) AS DOUBLE) / CAST(l.n_total AS DOUBLE) AS p0
+      |FROM lad l LEFT JOIN nr x ON x.r = l.r + 1
+      |ORDER BY l.r""".stripMargin
 }

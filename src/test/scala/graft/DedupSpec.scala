@@ -1055,4 +1055,48 @@ class DedupSpec extends SparkSpec {
       assert(r.getBoolean(5)) // fixpoint reached within the unrolled rounds
     }
   }
+
+  test("q310 Bradley-Terry: matches an in-memory MM recompute") {
+    val t = sf001
+    def roundMicro(x: Double): Double = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)) / 1000000.0
+    }
+    val meta = t.documents.select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val wmap = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect().foreach { r =>
+      val (sa, ca) = meta(r.getLong(0)); val (sb, cb) = meta(r.getLong(1))
+      if (sa != sb && ca != cb) {
+        val k = if (ca > cb) (sa, sb) else (sb, sa)
+        wmap(k) += 1L
+      }
+    }
+    val srcs = wmap.keySet.flatMap(k => Seq(k._1, k._2)).toSeq.sorted
+    def g(i: String, j: String) = wmap((i, j)) + wmap((j, i))
+    val wins = srcs.map(i => i -> srcs.filter(_ != i).map(j => wmap((i, j))).sum).toMap
+    var pi = srcs.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      pi = srcs.map { i =>
+        val d = srcs.filter(j => j != i && g(i, j) > 0L).map { j =>
+          math.floor(g(i, j).toDouble / (pi(i) + pi(j)) * 1000000.0 + 0.5).toLong
+        }.sum
+        i -> (if (d == 0L) pi(i)
+              else roundMicro((wins(i) * 1000000L).toDouble / d.toDouble))
+      }.toMap
+    }
+    val got = Dedup.qBradleyTerry(t).collect()
+    assert(got.map(_.getString(0)).toSeq == srcs)
+    val rankOf = srcs.map(i => (i, pi(i))).sortBy { case (i, p) => (-p, i) }
+      .zipWithIndex.map { case ((i, _), k) => i -> (k + 1L) }.toMap
+    got.foreach { r =>
+      val i = r.getString(0)
+      assert(r.getLong(1) == wins(i))
+      assert(r.getLong(2) == srcs.filter(_ != i).map(j => g(i, j)).sum)
+      assert(math.abs(r.getDouble(3) - pi(i)) < 1e-12)
+      assert(r.getLong(4) == rankOf(i))
+    }
+    // strengths align with win rates: the top-ranked source is not winless
+    assert(wins(rankOf.minBy(_._2)._1) > 0L)
+  }
 }

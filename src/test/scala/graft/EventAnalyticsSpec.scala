@@ -907,4 +907,57 @@ class EventAnalyticsSpec extends SparkSpec {
     for (m <- 2L to 4L; j <- m to n.toLong)
       assert(byMj((m, j)) <= byMj((m - 1, j)))
   }
+
+  test("q309 trend test: matches an in-memory Theil-Sen + Mann-Kendall recompute") {
+    val t = sf0001
+    val daily = t.events
+      .selectExpr("datediff(cast(ts as date), date'2024-01-01') as d")
+      .collect().map(_.getInt(0).toLong)
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+      .toSeq.sortBy(_._1)
+    val n = daily.length.toLong
+    val slopes = for {
+      j <- daily.indices; i <- 0 until j
+    } yield ((daily(j)._2 - daily(i)._2).toDouble /
+        (daily(j)._1 - daily(i)._1).toDouble, i + 1, j + 1)
+    val sorted = slopes.sortBy { case (s, i, j) => (s, i, j) }
+    val med = sorted(((sorted.length + 1) / 2 - 1).toInt)._1
+    val sStat = slopes.map { case (s, _, _) => if (s > 0) 1L else if (s < 0) -1L else 0L }.sum
+    // sgn(slope) == sgn(yj - yi) since tj > ti
+    val ties = daily.groupBy(_._2).map { case (_, xs) => xs.length.toLong }
+    val tie18 = ties.map(tc => tc * (tc - 1L) * (2L * tc + 5L)).sum
+    val var18 = n * (n - 1L) * (2L * n + 5L) - tie18
+    val z =
+      if (var18 == 0L) 0.0
+      else if (sStat > 0L) (sStat - 1L).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else if (sStat < 0L) (sStat + 1L).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val r = graft.ops.EventAnalytics.qTrendTest(t).collect()(0)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == slopes.length.toLong)
+    assert(math.abs(r.getDouble(2) - med) < 1e-12)
+    assert(r.getLong(3) == sStat)
+    assert(r.getLong(4) == var18)
+    assert(math.abs(r.getDouble(5) - z) < 1e-12)
+  }
+
+  test("q311 overdispersion: matches an in-memory integer-identity recompute") {
+    val t = sf0001
+    val cells = t.events
+      .selectExpr("event_type", "datediff(cast(ts as date), date'2024-01-01') as d")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(identity).map { case ((ty, d), xs) => (ty, d, xs.length.toLong) }
+    val byType = cells.groupBy(_._1)
+    val got = graft.ops.EventAnalytics.qOverdispersion(t).collect()
+    assert(got.map(_.getString(0)).toSet == byType.keySet)
+    got.foreach { r =>
+      val ys = byType(r.getString(0)).map(_._3).toSeq
+      val nd = ys.length.toLong; val s = ys.sum; val q = ys.map(y => y * y).sum
+      val num = nd * q - s * s
+      assert(r.getLong(1) == nd); assert(r.getLong(2) == s); assert(r.getLong(3) == q)
+      assert(r.getLong(4) == num)
+      assert(math.abs(r.getDouble(5) - num.toDouble / (s * (nd - 1L)).toDouble) < 1e-12)
+      assert(r.getBoolean(6) == (2L * num >= 3L * s * (nd - 1L)))
+    }
+  }
 }

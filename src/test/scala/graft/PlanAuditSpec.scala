@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q272_blocking_recall", // recall audit IS all-pairs by semantics (q36/q121 class)
     "q274_dim_budget",      // prefix-dim scan: corpus × broadcast probes (q38 contract)
     "q277_cluster_labels",  // composes the q119 Lloyd assignment stage
-    "q282_mmr_rerank")      // candidate generation: corpus × broadcast probes (q38 contract)
+    "q282_mmr_rerank",      // candidate generation: corpus × broadcast probes (q38 contract)
+    "q308_wasserstein")     // CDF grid: token-count support × broadcast sources, both census-bounded
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

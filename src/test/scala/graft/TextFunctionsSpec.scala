@@ -293,4 +293,58 @@ class TextFunctionsSpec extends SparkSpec {
         ((assoc > 0 && pooled < 0) || (assoc < 0 && pooled > 0)))
     }
   }
+
+  test("q308 Wasserstein: matches an in-memory exact CDF-transport recompute") {
+    val t = sf0001
+    val vals = t.documents.select("source", "text").collect().map { r =>
+      (r.getString(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty).toLong)
+    }
+    val bySrc = vals.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val support = vals.map(_._2).distinct.sorted
+    def w1(sa: String, sb: String): (Long, Long, Long) = {
+      val (va, vb) = (bySrc(sa), bySrc(sb))
+      val (na, nb) = (va.length.toLong, vb.length.toLong)
+      var num = 0L
+      for (k <- 0 until support.length - 1) {
+        val v = support(k)
+        val cumA = va.count(_ <= v).toLong; val cumB = vb.count(_ <= v).toLong
+        num += math.abs(cumA * nb - cumB * na) * (support(k + 1) - v)
+      }
+      (na, nb, num)
+    }
+    val got = graft.ops.TextAnalysis.qWassersteinMatrix(t).collect()
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(got.length == srcs.length * (srcs.length - 1) / 2)
+    got.foreach { r =>
+      val (na, nb, num) = w1(r.getString(0), r.getString(1))
+      assert(r.getLong(2) == na); assert(r.getLong(3) == nb)
+      assert(r.getLong(4) == num)
+      assert(math.abs(r.getDouble(5) - num.toDouble / (na * nb).toDouble) < 1e-12)
+    }
+  }
+
+  test("q312 Good-Turing: matches an in-memory bigram freq-of-freq recompute") {
+    val t = sf0001
+    val bigrams = t.documents.select("text").collect().map(_.getString(0))
+      .map(_.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty))
+      .filter(_.length >= 2)
+      .flatMap(ts => ts.sliding(2).map(p => p(0) + " " + p(1)))
+    val freq = bigrams.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val nr = freq.groupBy(identity).map { case (r, xs) => r -> xs.size.toLong }
+    val nTotal = nr.map { case (r, n) => r * n }.sum
+    val n1 = nr.getOrElse(1L, 0L)
+    val ladder = nr.keys.toSeq.sorted.take(10)
+    val got = graft.ops.TextAnalysis.qGoodTuring(t).collect()
+    assert(got.map(_.getLong(0)).toSeq == ladder)
+    got.foreach { r =>
+      val rv = r.getLong(0)
+      assert(r.getLong(1) == nr(rv))
+      assert(r.getLong(2) == nr.getOrElse(rv + 1L, 0L))
+      assert(r.getLong(3) == nTotal); assert(r.getLong(4) == n1)
+      assert(math.abs(r.getDouble(5) -
+        ((rv + 1L) * nr.getOrElse(rv + 1L, 0L)).toDouble / nr(rv).toDouble) < 1e-12)
+      assert(math.abs(r.getDouble(6) - n1.toDouble / nTotal.toDouble) < 1e-12)
+    }
+  }
 }
