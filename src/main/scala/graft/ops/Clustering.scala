@@ -1360,4 +1360,96 @@ object Clustering {
        |  CAST(SUM(smk) AS DOUBLE)
        |    / (1000000.0::DOUBLE * CAST(COUNT(*) AS DOUBLE)) AS mean_sim
        |FROM rk GROUP BY cid ORDER BY cluster""".stripMargin
+
+  /** Q313: DBSCAN over the embedding space (Ester et al. 1996) — the
+    * density-based counterpart to q43's k-means and q179's AP: no k, no
+    * exemplars; points with ≥ minPts eps-neighbors are CORES, cores
+    * connected through the eps-graph form clusters, non-core points
+    * adjacent to a core are BORDER, the rest NOISE. eps reuses q39's
+    * proven 0.4-cosine pair graph (the cross-engine threshold-parity
+    * regime already on the record), so the whole decomposition is
+    * exact: degrees and roles are integers, cluster ids are the min doc
+    * id per core component (star contraction), border points take the
+    * MIN cluster label among their core neighbors.
+    *
+    * Scale shape: pairs come from the blocked exact kernel (never
+    * all-pairs in one task); components are the collect-free star
+    * contraction; everything else is equi joins + aggregates. */
+  def qDbscan(t: Tables, eps: Double = 0.4, minPts: Int = 3): DataFrame = {
+    val pairs = Similarity.cosinePairs(t.embeddings, eps, exactOnly = true)
+      .select(col("id_a"), col("id_b")).localCheckpoint() // feeds degree + core graph + border join
+    val ids = t.embeddings.select(col("vec_id").as("id"))
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val withDeg = ids.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      .withColumn("is_core", col("degree") >= minPts.toLong)
+      .localCheckpoint() // role table feeds core edges + border assignment
+    val cores = withDeg.filter(col("is_core")).select(col("id"))
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(cores.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    val coreLab = Dedup.componentLabels(coreEdges, cores)
+      .select(col("id"), col("label"))
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val borderLab = withDeg.filter(!col("is_core"))
+      .select(col("id"))
+      .join(sym, Seq("id"))
+      .join(coreLab.select(col("id").as("nb_id"), col("label")),
+        col("nb") === col("nb_id"), "inner")
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    val labeled = coreLab.unionAll(borderLab)
+    withDeg.join(labeled, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("degree"),
+        when(col("is_core"), "core")
+          .when(col("label").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        col("label").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q313 oracle: q39's pair predicate, recursive closure over the
+    * core-core subgraph (dreach/drep — renamed off the q37 closure CTEs,
+    * the q228 rule), min-core-label border assignment. */
+  def qDbscanSql(eps: Double = 0.4, minPts: Int = 3): String =
+    s"""WITH RECURSIVE cp AS MATERIALIZED (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |          CAST(b.embedding AS DOUBLE[])) > $eps),
+      |dg AS (
+      |  SELECT e.vec_id AS id, CAST(COALESCE(d.d, 0) AS BIGINT) AS degree
+      |  FROM embeddings e LEFT JOIN (
+      |    SELECT v, COUNT(*)::BIGINT AS d FROM (
+      |      SELECT ia AS v FROM cp UNION ALL SELECT ib FROM cp) GROUP BY v) d
+      |    ON d.v = e.vec_id),
+      |cor AS MATERIALIZED (SELECT id FROM dg WHERE degree >= $minPts),
+      |ce AS MATERIALIZED (
+      |  SELECT ia, ib FROM cp
+      |  WHERE ia IN (SELECT id FROM cor) AND ib IN (SELECT id FROM cor)),
+      |de AS (SELECT ia AS a, ib AS b FROM ce UNION SELECT ib, ia FROM ce),
+      |dreach AS (
+      |  SELECT a AS x, b AS y FROM de
+      |  UNION
+      |  SELECT dreach.x, de.b FROM dreach JOIN de ON dreach.y = de.a),
+      |drep AS MATERIALIZED (
+      |  SELECT c.id, LEAST(c.id, COALESCE(MIN(dreach.y), c.id)) AS label
+      |  FROM cor c LEFT JOIN dreach ON dreach.x = c.id
+      |  GROUP BY c.id),
+      |sym AS (SELECT ia AS id, ib AS nb FROM cp UNION ALL SELECT ib, ia FROM cp),
+      |bord AS (
+      |  SELECT s.id, CAST(MIN(r.label) AS BIGINT) AS label
+      |  FROM sym s JOIN drep r ON r.id = s.nb
+      |  WHERE s.id NOT IN (SELECT id FROM cor)
+      |  GROUP BY s.id),
+      |lab AS (SELECT id, label FROM drep UNION ALL SELECT id, label FROM bord)
+      |SELECT g.id AS vec_id, g.degree,
+      |  CASE WHEN g.degree >= $minPts THEN 'core'
+      |       WHEN l.label IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  l.label AS cluster
+      |FROM dg g LEFT JOIN lab l ON l.id = g.id
+      |ORDER BY vec_id""".stripMargin
 }

@@ -3456,4 +3456,101 @@ object Dedup {
        |FROM wt w JOIN bp$rounds p ON p.source = w.source
        |ORDER BY w.source""".stripMargin
   }
+
+  /** Q317: semi-supervised label propagation with clamping (Zhu &
+    * Ghahramani 2002, hard-label form) on the near-dup graph — a 25%
+    * md5-seeded subset keeps its TRUE source label; each synchronous
+    * round, every still-unlabeled node adopts the MAJORITY label among
+    * its labeled neighbors (ties → lexicographically smallest label),
+    * and labels never change once assigned. The SSL primitive for
+    * propagating scarce annotations (license, provenance, quality
+    * grades) through duplication structure, with per-node accuracy
+    * against the held-out truth on the record.
+    *
+    * Determinism: votes are integer counts; the argmax is
+    * (count DESC, label ASC) — exact; seeding is the q63 md5 draw;
+    * rounds are fixed and oracle-unrolled (converged flag = no node
+    * labeled in the final round, the q295 contract).
+    *
+    * Scale shape: each round is one edge-label equi join + one vote
+    * aggregate over the bounded graph, localCheckpointed. */
+  def qLabelPropagation(t: Tables, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = fuzzyPairsCached(t)
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+      .join(t.documents.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      .withColumn("seeded",
+        conv(substring(md5(col("id").cast("string")), 1, 4), 16, 10)
+          .cast("long") < lit(16384L))
+      .localCheckpoint() // bounded node table feeds every round
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .localCheckpoint()
+    var labeled = nodes.filter(col("seeded"))
+      .select(col("id"), col("source").as("label"), lit(0L).as("round_labeled"))
+      .localCheckpoint()
+    var r = 1
+    while (r <= rounds) {
+      val votes = sym
+        .join(labeled.select(col("id").as("nb"), col("label")), Seq("nb"))
+        .join(labeled.select(col("id"), lit(1).as("_is_lab")), Seq("id"), "left_anti")
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy(col("id"))
+        .orderBy(col("votes").desc, col("label"))
+      val newly = votes.withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("label"), lit(r.toLong).as("round_labeled"))
+      labeled = labeled.unionAll(newly).localCheckpoint()
+      r += 1
+    }
+    val w0 = Window.partitionBy(lit(0))
+    nodes.join(labeled.select(col("id"), col("label"), col("round_labeled")),
+        Seq("id"), "left")
+      .withColumn("correct",
+        when(col("label").isNotNull, col("label") === col("source")))
+      .withColumn("converged",
+        coalesce(max(col("round_labeled")).over(w0), lit(0L)) < lit(rounds.toLong))
+      .select(col("id").as("doc_id"), col("source"), col("seeded"),
+        col("label"), col("round_labeled"), col("correct"), col("converged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q317 oracle: rounds unrolled as chained MATERIALIZED CTEs over the
+    * shared pair graph (lb0..lbR; votes argmax via ROW_NUMBER). */
+  def qLabelPropagationSql(rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""vt$r AS (
+         |  SELECT s.id, l.label, COUNT(*)::BIGINT AS votes
+         |  FROM lsym s JOIN lb${r - 1} l ON l.id = s.nb
+         |  WHERE s.id NOT IN (SELECT id FROM lb${r - 1})
+         |  GROUP BY s.id, l.label),
+         |nw$r AS (
+         |  SELECT id, label, CAST($r AS BIGINT) AS round_labeled FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY votes DESC, label) AS rk FROM vt$r)
+         |  WHERE rk = 1),
+         |lb$r AS MATERIALIZED (
+         |  SELECT * FROM lb${r - 1} UNION ALL SELECT * FROM nw$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $componentsRepCtes,
+       |lnodes AS MATERIALIZED (
+       |  SELECT n.id, d.source,
+       |    CAST('0x' || substr(md5(CAST(n.id AS VARCHAR)), 1, 4) AS BIGINT)
+       |      < 16384 AS seeded
+       |  FROM (SELECT DISTINCT v AS id FROM (
+       |          SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)) n
+       |  JOIN documents d ON d.doc_id = n.id),
+       |lsym AS MATERIALIZED (
+       |  SELECT a AS id, b AS nb FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |lb0 AS MATERIALIZED (
+       |  SELECT id, source AS label, CAST(0 AS BIGINT) AS round_labeled
+       |  FROM lnodes WHERE seeded),
+       |$steps
+       |SELECT n.id AS doc_id, n.source, n.seeded, l.label, l.round_labeled,
+       |  CASE WHEN l.label IS NOT NULL THEN l.label = n.source END AS correct,
+       |  COALESCE(MAX(l.round_labeled) OVER (), 0) < $rounds AS converged
+       |FROM lnodes n LEFT JOIN lb$rounds l ON l.id = n.id
+       |ORDER BY doc_id""".stripMargin
+  }
 }

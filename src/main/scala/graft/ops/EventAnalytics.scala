@@ -2847,4 +2847,106 @@ object EventAnalytics {
       |    / CAST(s * (n_days - 1) AS DOUBLE) AS dispersion,
       |  2 * (n_days * q - s * s) >= 3 * s * (n_days - 1) AS overdispersed
       |FROM g ORDER BY event_type""".stripMargin
+
+  /** Q314: Nelson–Aalen cumulative hazard + Aalen variance (Nelson 1972,
+    * Aalen 1978) over the q221 signup→purchase latency frame — the
+    * hazard-space sibling of q221's product-limit survival: H(t) = Σ d/n
+    * accumulates risk directly (Fleming–Harrington S = e^{−H} is the
+    * small-sample-robust survival face), and σ²(t) = Σ d/n² gives the
+    * pointwise uncertainty q221 lacks.
+    *
+    * Exactness: per-step hazard terms round(1e6·d/n) are micro BIGINTs;
+    * variance terms round(1e12·d/n²) are pico BIGINTs; both accumulate
+    * as integer prefix sums; S enters exp once and lands back on the
+    * micro grid (the q221 discipline); se is sqrt-of-exact (IEEE sqrt,
+    * raw).
+    *
+    * Scale shape: identical to q221 — one per-user aggregate, then the
+    * |latency-grid| bounded table. */
+  def qNelsonAalen(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t.events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("first_us"),
+      min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+        .as("purch_us"),
+      max(unix_micros(col("ts"))).as("last_us"))
+    val lat = per.select(
+      when(col("purch_us").isNotNull,
+        expr("(purch_us - first_us) div 60000000L"))
+        .otherwise(expr("(last_us - first_us) div 60000000L")).as("t_min"),
+      when(col("purch_us").isNotNull, 1L).otherwise(0L).as("death"))
+    val byT = lat.groupBy(col("t_min")).agg(
+      sum(col("death")).as("d"),
+      sum(lit(1L) - col("death")).as("c"))
+    val wExc = Window.orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInc = Window.orderBy(col("t_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    byT
+      .withColumn("removed", coalesce(sum(col("d") + col("c")).over(wExc), lit(0L)))
+      .withColumn("n_risk", sum(col("d") + col("c")).over(all) - col("removed"))
+      .withColumn("h_term_micro",
+        round(col("d").cast("double") / col("n_risk").cast("double") *
+          lit(1000000.0), 0).cast("long"))
+      .withColumn("v_term_pico",
+        round(col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")) *
+          lit(1.0e12), 0).cast("long"))
+      .withColumn("h_micro", sum(col("h_term_micro")).over(wInc))
+      .withColumn("v_pico", sum(col("v_term_pico")).over(wInc))
+      .filter(col("d") > 0)
+      .select(col("t_min"), col("d"), col("c"), col("n_risk"),
+        col("h_micro"), col("v_pico"),
+        round(exp(-col("h_micro").cast("double") / lit(1000000.0)), 6).as("s_fh"),
+        sqrt(col("v_pico").cast("double") / lit(1.0e12)).as("se_h"))
+      .orderBy(col("t_min"))
+  }
+
+  /** q314 oracle: the q221 latency/risk CTEs with hazard-space micro/pico
+    * prefix terms. */
+  val qNelsonAalenSql: String =
+    """WITH per AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS purch_us,
+      |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+      |  FROM events GROUP BY user_id),
+      |lat AS (
+      |  SELECT CASE WHEN purch_us IS NOT NULL
+      |              THEN (purch_us - first_us) // 60000000
+      |              ELSE (last_us - first_us) // 60000000 END AS t_min,
+      |    CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS death
+      |  FROM per),
+      |byt AS (
+      |  SELECT t_min, CAST(SUM(death) AS BIGINT) AS d,
+      |    CAST(SUM(1 - death) AS BIGINT) AS c
+      |  FROM lat GROUP BY t_min),
+      |risk AS (
+      |  SELECT *,
+      |    COALESCE(CAST(SUM(d + c) OVER (ORDER BY t_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS removed,
+      |    CAST(SUM(d + c) OVER () AS BIGINT) AS n_total
+      |  FROM byt),
+      |terms AS (
+      |  SELECT *, n_total - removed AS n_risk,
+      |    CAST(round(CAST(d AS DOUBLE) / CAST(n_total - removed AS DOUBLE)
+      |               * 1000000.0::DOUBLE) AS BIGINT) AS h_term_micro,
+      |    CAST(round(CAST(d AS DOUBLE)
+      |               / (CAST(n_total - removed AS DOUBLE)
+      |                  * CAST(n_total - removed AS DOUBLE))
+      |               * 1000000000000.0::DOUBLE) AS BIGINT) AS v_term_pico
+      |  FROM risk),
+      |cums AS (
+      |  SELECT *,
+      |    CAST(SUM(h_term_micro) OVER wi AS BIGINT) AS h_micro,
+      |    CAST(SUM(v_term_pico) OVER wi AS BIGINT) AS v_pico
+      |  FROM terms
+      |  WINDOW wi AS (ORDER BY t_min
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT t_min, d, c, n_risk, h_micro, v_pico,
+      |  round(exp(-(CAST(h_micro AS DOUBLE) / 1000000.0::DOUBLE)), 6) AS s_fh,
+      |  sqrt(CAST(v_pico AS DOUBLE) / 1000000000000.0::DOUBLE) AS se_h
+      |FROM cums WHERE d > 0 ORDER BY t_min""".stripMargin
 }

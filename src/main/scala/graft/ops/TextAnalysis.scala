@@ -7959,4 +7959,235 @@ object TextAnalysis {
       |  CAST(COALESCE(l.n1, 0) AS DOUBLE) / CAST(l.n_total AS DOUBLE) AS p0
       |FROM lad l LEFT JOIN nr x ON x.r = l.r + 1
       |ORDER BY l.r""".stripMargin
+
+  /** Q315: two-sample Cramér–von Mises test per source pair (Anderson
+    * 1962) on the token-count distributions — the INTEGRATED-squared-gap
+    * test completing the drift triptych: q210's KS sees only the max
+    * CDF gap, q308's W₁ the transported mass; CvM weighs EVERY gap
+    * squared, the most sensitive of the three to mid-distribution
+    * shape changes. T = nm/(n+m)² · Σ_obs (F_A − F_B)².
+    *
+    * Exactness: on the shared integer support grid, each gap numerator
+    * cumA·n_B − cumB·n_A is an exact BIGINT; per-support-value terms
+    * c_v·(gap/(n_A·n_B))² are fixed IEEE sequences of exact integers,
+    * pico-rounded and BIGINT-summed (the per-entity grid rule); T is a
+    * final single-division chain of exact integers.
+    *
+    * Scale shape: the q308 grid verbatim (one census, bounded
+    * support×sources work). */
+  def qCramerVonMises(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.fanout(t.documents)
+      .select(col("source"), size(text.tokenize(col("text"))).cast("long").as("v"))
+      .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+    val support = counts.select(col("v")).distinct()
+    val srcs = counts.select(col("source")).distinct()
+    val grid = support.crossJoin(broadcast(srcs))
+      .join(counts, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wsrc = Window.partitionBy(col("source"))
+    val cums = grid
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wsrc))
+    val a = cums.select(col("source").as("sa"), col("v"), col("c").as("ca"),
+      col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cums.select(col("source").as("sb"), col("v"), col("c").as("cb"),
+      col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("v")).filter(col("sa") < col("sb"))
+      .withColumn("gap", col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))
+      .withColumn("term_pico",
+        round((col("ca") + col("cb")).cast("double") *
+          (col("gap").cast("double") / (col("n_a") * col("n_b")).cast("double")) *
+          (col("gap").cast("double") / (col("n_a") * col("n_b")).cast("double")) *
+          lit(1.0e12), 0).cast("long"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("term_pico")).as("sum_pico"))
+      .withColumn("t_cvm",
+        (col("n_a") * col("n_b")).cast("double") /
+          ((col("n_a") + col("n_b")) * (col("n_a") + col("n_b"))).cast("double") *
+          (col("sum_pico").cast("double") / lit(1.0e12)))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("sum_pico"),
+        col("t_cvm"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  /** q315 oracle: the q308 grid + pico-rounded squared-gap terms. */
+  val qCramerVonMisesSql: String =
+    """WITH cnt AS (
+      |  SELECT source, CAST(len(list_filter(
+      |      string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |      x -> len(x) > 0)) AS BIGINT) AS v, COUNT(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, u.v, CAST(COALESCE(k.c, 0) AS BIGINT) AS c
+      |  FROM (SELECT DISTINCT v FROM cnt) u
+      |  CROSS JOIN (SELECT DISTINCT source FROM cnt) s
+      |  LEFT JOIN cnt k ON k.source = s.source AND k.v = u.v),
+      |cums AS (
+      |  SELECT source, v, c,
+      |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM grid),
+      |pr AS (
+      |  SELECT a.source AS sa, b.source AS sb, a.c AS ca, b.c AS cb,
+      |    a.n AS n_a, b.n AS n_b,
+      |    CAST(a.cum * b.n - b.cum * a.n AS BIGINT) AS gap
+      |  FROM cums a JOIN cums b ON b.v = a.v AND a.source < b.source),
+      |terms AS (
+      |  SELECT sa, sb, n_a, n_b,
+      |    CAST(round(CAST(ca + cb AS DOUBLE)
+      |      * (CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+      |      * (CAST(gap AS DOUBLE) / CAST(n_a * n_b AS DOUBLE))
+      |      * 1000000000000.0::DOUBLE) AS BIGINT) AS term_pico
+      |  FROM pr)
+      |SELECT sa, sb, CAST(MAX(n_a) AS BIGINT) AS n_a,
+      |  CAST(MAX(n_b) AS BIGINT) AS n_b,
+      |  CAST(SUM(term_pico) AS BIGINT) AS sum_pico,
+      |  CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)
+      |    / CAST((MAX(n_a) + MAX(n_b)) * (MAX(n_a) + MAX(n_b)) AS DOUBLE)
+      |    * (CAST(SUM(term_pico) AS DOUBLE) / 1000000000000.0::DOUBLE) AS t_cvm
+      |FROM terms GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
+
+  /** Q316: NB learning curve over md5-nested training fractions — the
+    * data-scaling audit (how much accuracy does each doubling of
+    * training data buy?) run with the one classifier that retrains in a
+    * single counting pass (q293's closed-form NB). Fractions are NESTED
+    * md5 slices (the q63 draw: conv(md5₄) < ⌊65536·f⌋), so each larger
+    * fraction strictly contains the smaller — the textbook learning-
+    * curve design. Each fraction's model scores the HELD-OUT complement
+    * (the 100% row scores the training set itself — resubstitution,
+    * documented).
+    *
+    * Exactness: q293's discipline throughout — integer counts, micro ln
+    * grid terms, integer argmax; the md5 slice is exact integer hex
+    * math. */
+  def qLearningCurve(t: Tables,
+      fracs: Seq[Int] = Seq(6554, 16384, 32768, 65536)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val lab = logitFeatures(t).select(col("doc_id"), col("y").cast("long").as("y"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long"))
+      .localCheckpoint() // labels + draw feed every fraction
+    val toks = t.fanout(t.documents)
+      .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    val dt = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // term counts feed every fraction
+    val out = fracs.map { thr =>
+      val train = lab.filter(col("h") < thr)
+      val evalSet = if (thr >= 65536) lab else lab.filter(col("h") >= thr)
+      val perTerm = dt.join(train, Seq("doc_id"))
+        .groupBy(col("term")).agg(
+          coalesce(sum(when(col("y") === 0L, col("c"))), lit(0L)).as("c0"),
+          coalesce(sum(when(col("y") === 1L, col("c"))), lit(0L)).as("c1"))
+      val ll = perTerm
+        .withColumn("tok0", sum(col("c0")).over(w))
+        .withColumn("tok1", sum(col("c1")).over(w))
+        .withColumn("v_size", count(lit(1)).over(w))
+        .select(col("term"),
+          round(log((col("c0") + lit(1L)).cast("double") /
+            (col("tok0") + col("v_size")).cast("double")) * lit(1000000.0), 0)
+            .cast("long").as("ll0"),
+          round(log((col("c1") + lit(1L)).cast("double") /
+            (col("tok1") + col("v_size")).cast("double")) * lit(1000000.0), 0)
+            .cast("long").as("ll1"))
+      val pr = train.agg(coalesce(sum(col("y")), lit(0L)), count(lit(1))).collect()(0)
+      val n1 = pr.getLong(0); val n = pr.getLong(1)
+      val lp0 = microAway(math.log((n - n1 + 1).toDouble / (n + 2).toDouble))
+      val lp1 = microAway(math.log((n1 + 1).toDouble / (n + 2).toDouble))
+      // eval docs may hold terms unseen in training: inner join drops
+      // them (their class contribution is the shared Laplace floor on
+      // BOTH sides only for seen terms — unseen terms are skipped,
+      // the standard NB ignore-OOV convention, mirrored in the oracle)
+      val docSums = dt.join(evalSet.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(ll, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("ll0")).as("s0"), sum(col("c") * col("ll1")).as("s1"))
+      evalSet.join(docSums, Seq("doc_id"), "left")
+        .withColumn("yhat",
+          when(lit(lp1) + coalesce(col("s1"), lit(0L)) >
+            lit(lp0) + coalesce(col("s0"), lit(0L)), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("y") === col("yhat"), 1L).otherwise(0L)).as("n_correct"))
+        .select(lit(thr.toLong).as("thr"), lit(n).as("n_train"),
+          col("n_eval"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_eval").cast("double")).as("acc"))
+    }.reduce(_ unionAll _)
+    out.orderBy(col("thr"))
+  }
+
+  /** q316 oracle: per-fraction NB counting chains (q293's CTE shapes
+    * parameterized by the md5 slice). */
+  def qLearningCurveSql(fracs: Seq[Int] = Seq(6554, 16384, 32768, 65536)): String = {
+    val blocks = fracs.map { thr =>
+      val evalPred = if (thr >= 65536) "TRUE" else s"h >= $thr"
+      s"""SELECT $thr AS thr, *
+         |FROM (
+         |  WITH tr AS (SELECT doc_id, y FROM labh WHERE h < $thr),
+         |  ev AS (SELECT doc_id, y FROM labh WHERE $evalPred),
+         |  pt AS (
+         |    SELECT t.term,
+         |      CAST(COALESCE(SUM(CASE WHEN l.y = 0 THEN t.c END), 0) AS BIGINT) AS c0,
+         |      CAST(COALESCE(SUM(CASE WHEN l.y = 1 THEN t.c END), 0) AS BIGINT) AS c1
+         |    FROM tk t JOIN tr l USING (doc_id) GROUP BY t.term),
+         |  llg AS (
+         |    SELECT term,
+         |      CAST(round(ln(CAST(c0 + 1 AS DOUBLE)
+         |        / CAST(SUM(c0) OVER () + COUNT(*) OVER () AS DOUBLE))
+         |        * 1000000.0::DOUBLE) AS BIGINT) AS ll0,
+         |      CAST(round(ln(CAST(c1 + 1 AS DOUBLE)
+         |        / CAST(SUM(c1) OVER () + COUNT(*) OVER () AS DOUBLE))
+         |        * 1000000.0::DOUBLE) AS BIGINT) AS ll1
+         |    FROM pt),
+         |  pri AS (
+         |    SELECT CAST(COALESCE(SUM(y), 0) AS BIGINT) AS n1,
+         |      CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+         |  dsc AS (
+         |    SELECT t.doc_id, CAST(SUM(t.c * g.ll0) AS BIGINT) AS s0,
+         |      CAST(SUM(t.c * g.ll1) AS BIGINT) AS s1
+         |    FROM tk t JOIN llg g ON g.term = t.term
+         |    WHERE t.doc_id IN (SELECT doc_id FROM ev)
+         |    GROUP BY t.doc_id),
+         |  scr AS (
+         |    SELECT e.y,
+         |      CASE WHEN CAST(round(ln(CAST(p.n1 + 1 AS DOUBLE)
+         |            / CAST(p.n + 2 AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+         |          + COALESCE(d.s1, 0)
+         |        > CAST(round(ln(CAST(p.n - p.n1 + 1 AS DOUBLE)
+         |            / CAST(p.n + 2 AS DOUBLE)) * 1000000.0::DOUBLE) AS BIGINT)
+         |          + COALESCE(d.s0, 0)
+         |        THEN 1 ELSE 0 END AS yhat
+         |    FROM ev e CROSS JOIN pri p LEFT JOIN dsc d ON d.doc_id = e.doc_id)
+         |  SELECT (SELECT n FROM pri) AS n_train,
+         |    COUNT(*)::BIGINT AS n_eval,
+         |    CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |    CAST(SUM(CASE WHEN y = yhat THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) AS acc
+         |  FROM scr)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${logitFeatureCtes},
+      |labh AS MATERIALIZED (
+      |  SELECT doc_id, CAST(y AS BIGINT) AS y,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS h
+      |  FROM f),
+      |tk AS MATERIALIZED (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+      |                         x -> len(x) > 0)) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term)
+      |SELECT CAST(thr AS BIGINT) AS thr, n_train, n_eval, n_correct, acc FROM (
+      |$blocks)
+      |ORDER BY thr""".stripMargin
+  }
 }

@@ -554,4 +554,50 @@ class ClusteringSpec extends SparkSpec {
         r.getLong(3).toDouble / (1000000.0 * r.getLong(1).toDouble))
     }
   }
+
+  test("q313 DBSCAN: matches an in-memory density recompute") {
+    val t = sf0001
+    import graft.functions.fasthash
+    val emb = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val ids = emb.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids; j <- ids if i < j
+      if fasthash.cosine(emb(i), emb(j)) > 0.4
+    } yield (i, j)
+    val deg = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    pairs.foreach { case (a, b) => deg(a) += 1L; deg(b) += 1L }
+    val cores = ids.filter(deg(_) >= 3L).toSet
+    // components over the core-core subgraph
+    val parent = collection.mutable.Map[Long, Long]() ++ cores.map(c => c -> c)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.filter(p => cores(p._1) && cores(p._2)).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val coreLab = cores.map(c => c -> find(c)).toMap
+    val adj = collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    val got = Clustering.qDbscan(t).collect()
+    assert(got.length == ids.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == deg(id))
+      if (cores(id)) {
+        assert(r.getString(2) == "core"); assert(r.getLong(3) == coreLab(id))
+      } else {
+        val nbCores = adj(id).filter(cores.contains)
+        if (nbCores.nonEmpty) {
+          assert(r.getString(2) == "border")
+          assert(r.getLong(3) == nbCores.map(coreLab).min)
+        } else {
+          assert(r.getString(2) == "noise"); assert(r.isNullAt(3))
+        }
+      }
+    }
+    // every cluster label is itself a core member of that cluster
+    val labels = got.filter(!_.isNullAt(3)).map(_.getLong(3)).distinct
+    labels.foreach(l => assert(cores(l) && coreLab(l) == l))
+  }
 }

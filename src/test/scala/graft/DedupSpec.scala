@@ -1099,4 +1099,44 @@ class DedupSpec extends SparkSpec {
     // strengths align with win rates: the top-ranked source is not winless
     assert(wins(rankOf.minBy(_._2)._1) > 0L)
   }
+
+  test("q317 label propagation: matches an in-memory synchronous recompute") {
+    val t = sf001
+    def md5h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4), 16)
+    val pairs = Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val src = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val adj = collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    val labelOf = collection.mutable.Map[Long, (String, Long)]()
+    nodes.filter(md5h(_) < 16384L).foreach(n => labelOf(n) = (src(n), 0L))
+    for (r <- 1 to 8) {
+      val newly = nodes.filterNot(labelOf.contains).flatMap { n =>
+        val votes = adj(n).filter(labelOf.contains)
+          .groupBy(nb => labelOf(nb)._1).map { case (l, xs) => (l, xs.length) }
+        if (votes.isEmpty) None
+        else Some(n -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1)
+      }
+      newly.foreach { case (n, l) => labelOf(n) = (l, r.toLong) }
+    }
+    val got = Dedup.qLabelPropagation(t).collect()
+    assert(got.length == nodes.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == src(id))
+      assert(r.getBoolean(2) == (md5h(id) < 16384L))
+      labelOf.get(id) match {
+        case Some((l, rd)) =>
+          assert(r.getString(3) == l); assert(r.getLong(4) == rd)
+          assert(r.getBoolean(5) == (l == src(id)))
+        case None =>
+          assert(r.isNullAt(3)); assert(r.isNullAt(4)); assert(r.isNullAt(5))
+      }
+    }
+  }
 }

@@ -960,4 +960,45 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getBoolean(6) == (2L * num >= 3L * s * (nd - 1L)))
     }
   }
+
+  test("q314 Nelson-Aalen: matches an in-memory hazard recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val per = t.events
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).map { case (_, xs) =>
+        val first = xs.map(_._2).min; val last = xs.map(_._2).max
+        val purch = xs.filter(_._3 == "purchase").map(_._2).minOption
+        purch match {
+          case Some(p) => ((p - first) / 60000000L, 1L)
+          case None    => ((last - first) / 60000000L, 0L)
+        }
+      }.toSeq
+    val byT = per.groupBy(_._1).map { case (tm, xs) =>
+      (tm, xs.map(_._2).sum, xs.count(_._2 == 0L).toLong) }.toSeq.sortBy(_._1)
+    val nTot = per.length.toLong
+    var removed = 0L; var h = 0L; var v = 0L
+    val expect2 = byT.flatMap { case (tm, d, c) =>
+      val nRisk = nTot - removed
+      h += microAway(d.toDouble / nRisk.toDouble)
+      v += {
+        val m = d.toDouble / (nRisk.toDouble * nRisk.toDouble) * 1.0e12
+        math.floor(m + 0.5).toLong
+      }
+      removed += d + c
+      if (d > 0) Some((tm, d, c, nRisk, h, v)) else None
+    }
+    val got = graft.ops.EventAnalytics.qNelsonAalen(t).collect()
+    assert(got.length == expect2.length)
+    got.zip(expect2).foreach { case (r, (tm, d, c, nRisk, hm, vp)) =>
+      assert(r.getLong(0) == tm); assert(r.getLong(1) == d)
+      assert(r.getLong(2) == c); assert(r.getLong(3) == nRisk)
+      assert(r.getLong(4) == hm); assert(r.getLong(5) == vp)
+      assert(math.abs(r.getDouble(7) - math.sqrt(vp.toDouble / 1.0e12)) < 1e-15)
+    }
+  }
 }

@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "q274_dim_budget",      // prefix-dim scan: corpus × broadcast probes (q38 contract)
     "q277_cluster_labels",  // composes the q119 Lloyd assignment stage
     "q282_mmr_rerank",      // candidate generation: corpus × broadcast probes (q38 contract)
-    "q308_wasserstein")     // CDF grid: token-count support × broadcast sources, both census-bounded
+    "q308_wasserstein",     // CDF grid: token-count support × broadcast sources, both census-bounded
+    "q315_cramer_von_mises") // same CDF grid as q308
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -2443,4 +2443,65 @@ class QualityPipelineSpec extends SparkSpec {
     assert(got(2).getLong(2) == rel(c3._1))
     assert(got.map(_.getLong(4)).toSeq == Seq(1L, 1L, 2L))
   }
+
+  test("q316 learning curve: matches an in-memory per-fraction NB recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    def md5h(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4), 16)
+    def tokens(s: String): Array[String] =
+      s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+    def labelOf(s: String): Long = {
+      val toks = tokens(s)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(graft.functions.text.stopwords.contains).toLong
+      val nd = toks.distinct.length.toLong
+      if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+    }
+    val docs = t.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lab = docs.map { case (id, s) => id -> labelOf(s) }.toMap
+    val dt = docs.flatMap { case (id, s) =>
+      tokens(s).groupBy(identity).map { case (tk, xs) => (id, tk, xs.length.toLong) } }
+    val got = graft.ops.TextAnalysis.qLearningCurve(t).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(6554L, 16384L, 32768L, 65536L))
+    got.foreach { r =>
+      val thr = r.getLong(0)
+      val trainIds = docs.map(_._1).filter(md5h(_) < thr).toSet
+      val evalIds = if (thr >= 65536L) docs.map(_._1).toSet
+                    else docs.map(_._1).filterNot(trainIds).toSet
+      val c0 = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val c1 = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      dt.filter(d => trainIds(d._1)).foreach { case (id, tk, c) =>
+        if (lab(id) == 1L) c1(tk) += c else c0(tk) += c }
+      val vocab = dt.filter(d => trainIds(d._1)).map(_._2).distinct
+      val v = vocab.length.toLong
+      val tok0 = c0.values.sum; val tok1 = c1.values.sum
+      val ll = vocab.map(tk => tk -> (
+        microAway(math.log((c0(tk) + 1).toDouble / (tok0 + v).toDouble)),
+        microAway(math.log((c1(tk) + 1).toDouble / (tok1 + v).toDouble)))).toMap
+      val n = trainIds.size.toLong; val n1 = trainIds.toSeq.map(lab).sum
+      val lp0 = microAway(math.log((n - n1 + 1).toDouble / (n + 2).toDouble))
+      val lp1 = microAway(math.log((n1 + 1).toDouble / (n + 2).toDouble))
+      val sums = dt.filter(d => evalIds(d._1) && ll.contains(d._2))
+        .groupBy(_._1).map { case (id, xs) =>
+          id -> (xs.map(x => x._3 * ll(x._2)._1).sum,
+            xs.map(x => x._3 * ll(x._2)._2).sum) }
+      val correct = evalIds.toSeq.map { id =>
+        val (s0, s1) = sums.getOrElse(id, (0L, 0L))
+        if ((if (lp1 + s1 > lp0 + s0) 1L else 0L) == lab(id)) 1L else 0L
+      }.sum
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == evalIds.size.toLong)
+      assert(r.getLong(3) == correct)
+      assert(math.abs(r.getDouble(4) - correct.toDouble / evalIds.size.toDouble) < 1e-12)
+    }
+  }
 }

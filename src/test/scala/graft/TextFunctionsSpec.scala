@@ -347,4 +347,35 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) - n1.toDouble / nTotal.toDouble) < 1e-12)
     }
   }
+
+  test("q315 Cramer-von Mises: matches an in-memory squared-gap recompute") {
+    val t = sf0001
+    def picoAway(x: Double): Long = {
+      val m = x * 1.0e12
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val vals = t.documents.select("source", "text").collect().map { r =>
+      (r.getString(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9']+").count(_.nonEmpty).toLong)
+    }
+    val bySrc = vals.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+    val support = vals.map(_._2).distinct.sorted
+    val got = graft.ops.TextAnalysis.qCramerVonMises(t).collect()
+    got.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val (va, vb) = (bySrc(sa), bySrc(sb))
+      val (na, nb) = (va.length.toLong, vb.length.toLong)
+      val sum = support.map { v =>
+        val ca = va.count(_ == v).toLong; val cb = vb.count(_ == v).toLong
+        val gap = va.count(_ <= v).toLong * nb - vb.count(_ <= v).toLong * na
+        picoAway((ca + cb).toDouble *
+          (gap.toDouble / (na * nb).toDouble) * (gap.toDouble / (na * nb).toDouble))
+      }.sum
+      assert(r.getLong(2) == na); assert(r.getLong(3) == nb)
+      assert(r.getLong(4) == sum)
+      val tExp = (na * nb).toDouble / ((na + nb) * (na + nb)).toDouble *
+        (sum.toDouble / 1.0e12)
+      assert(math.abs(r.getDouble(5) - tExp) < 1e-12)
+    }
+  }
 }
