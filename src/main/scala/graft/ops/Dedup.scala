@@ -3553,4 +3553,122 @@ object Dedup {
        |FROM lnodes n LEFT JOIN lb$rounds l ON l.id = n.id
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Q320: HITS hubs and authorities (Kleinberg 1999) on the directed
+    * source contest graph (q310's winner→loser edges, weighted by win
+    * counts) — the OTHER classic link-analysis decomposition beside
+    * q120's PageRank family: a good AUTHORITY is a source that beats
+    * many good hubs (its copies get kept); a good HUB loses to many
+    * good authorities (it syndicates from the canonical feeds). Both
+    * eigenvector families on one graph make the canonical-vs-mirror
+    * structure directly readable.
+    *
+    * Determinism (the q190/q310 bounded-driver class): per-round
+    * a ← Σ w·h and h ← Σ w·a terms are micro-rounded BIGINT sums,
+    * sum-normalized and re-entered through Affinity.roundMicro; the
+    * oracle unrolls the rounds as chained MATERIALIZED CTEs. */
+  def qHits(t: Tables, rounds: Int = 8): DataFrame = {
+    val meta = t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val contests = fuzzyPairsCached(t)
+      .join(meta.select(col("doc_id").as("id_a"), col("source").as("sa"),
+        col("n_chars").as("ca")), Seq("id_a"))
+      .join(meta.select(col("doc_id").as("id_b"), col("source").as("sb"),
+        col("n_chars").as("cb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb") && col("ca") =!= col("cb"))
+      .select(when(col("ca") > col("cb"), col("sa")).otherwise(col("sb"))
+        .as("winner"),
+        when(col("ca") > col("cb"), col("sb")).otherwise(col("sa")).as("loser"))
+      .groupBy(col("winner"), col("loser")).agg(count(lit(1)).as("w"))
+      .collect() // bounded |sources|² contest matrix (q190 contract)
+    require(contests.length <= 1000,
+      s"HITS edge matrix unexpectedly large: ${contests.length}")
+    val edges = contests.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val srcs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = srcs.map(_ -> 1.0).toMap
+    var auth = srcs.map(_ -> 1.0).toMap
+    def microTerm(w: Long, x: Double): Long = {
+      val m = w.toDouble * x * 1000000.0
+      math.floor(m + 0.5).toLong // non-negative: std::round parity
+    }
+    var r = 1
+    while (r <= rounds) {
+      // authorities from hubs pointing at them (winner → loser: the
+      // LOSER endorses the winner's copy as canonical)
+      val aMicro = srcs.map(i =>
+        i -> edges.filter(_._1 == i).map(e => microTerm(e._3, hub(e._2))).sum).toMap
+      val aTot = aMicro.values.sum
+      auth = srcs.map(i => i ->
+        (if (aTot == 0L) auth(i)
+         else Affinity.roundMicro(aMicro(i).toDouble / aTot.toDouble))).toMap
+      val hMicro = srcs.map(i =>
+        i -> edges.filter(_._2 == i).map(e => microTerm(e._3, auth(e._1))).sum).toMap
+      val hTot = hMicro.values.sum
+      hub = srcs.map(i => i ->
+        (if (hTot == 0L) hub(i)
+         else Affinity.roundMicro(hMicro(i).toDouble / hTot.toDouble))).toMap
+      r += 1
+    }
+    val spark = t.spark
+    import spark.implicits._
+    val authRank = srcs.map(i => (i, auth(i))).sortBy { case (i, a) => (-a, i) }
+      .zipWithIndex.map { case ((i, _), k) => i -> (k + 1L) }.toMap
+    srcs.map(i => (i, auth(i), hub(i), authRank(i))).toSeq
+      .toDF("source", "authority", "hub", "auth_rank")
+      .orderBy(col("source"))
+  }
+
+  /** q320 oracle: the q310 contest CTEs + unrolled a/h rounds (micro
+    * terms, sum normalization, round(x,6) re-entry). */
+  def qHitsSql(rounds: Int = 8): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""am$r AS (
+         |  SELECT s.source,
+         |    CAST(COALESCE(SUM(CAST(round(CAST(wm.w AS DOUBLE) * hp.h
+         |      * 1000000.0::DOUBLE) AS BIGINT)), 0) AS BIGINT) AS a_micro
+         |  FROM hs s
+         |  LEFT JOIN wm ON wm.winner = s.source
+         |  LEFT JOIN ha${r - 1} hp ON hp.source = wm.loser
+         |  GROUP BY s.source),
+         |aa$r AS MATERIALIZED (
+         |  SELECT m.source,
+         |    CASE WHEN SUM(m.a_micro) OVER () = 0 THEN p.a
+         |         ELSE round(CAST(m.a_micro AS DOUBLE)
+         |                    / CAST(SUM(m.a_micro) OVER () AS DOUBLE), 6) END AS a
+         |  FROM am$r m JOIN ha${r - 1} p ON p.source = m.source),
+         |hm$r AS (
+         |  SELECT s.source,
+         |    CAST(COALESCE(SUM(CAST(round(CAST(wm.w AS DOUBLE) * ap.a
+         |      * 1000000.0::DOUBLE) AS BIGINT)), 0) AS BIGINT) AS h_micro
+         |  FROM hs s
+         |  LEFT JOIN wm ON wm.loser = s.source
+         |  LEFT JOIN aa$r ap ON ap.source = wm.winner
+         |  GROUP BY s.source),
+         |ha$r AS MATERIALIZED (
+         |  SELECT m.source, a.a,
+         |    CASE WHEN SUM(m.h_micro) OVER () = 0 THEN p.h
+         |         ELSE round(CAST(m.h_micro AS DOUBLE)
+         |                    / CAST(SUM(m.h_micro) OVER () AS DOUBLE), 6) END AS h
+         |  FROM hm$r m JOIN ha${r - 1} p ON p.source = m.source
+         |  JOIN aa$r a ON a.source = m.source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $componentsRepCtes,
+       |ct AS (
+       |  SELECT CASE WHEN da.n_chars > db.n_chars THEN da.source ELSE db.source END AS winner,
+       |    CASE WHEN da.n_chars > db.n_chars THEN db.source ELSE da.source END AS loser
+       |  FROM pairs p JOIN documents da ON da.doc_id = p.a
+       |               JOIN documents db ON db.doc_id = p.b
+       |  WHERE da.source != db.source AND da.n_chars != db.n_chars),
+       |wm AS MATERIALIZED (
+       |  SELECT winner, loser, COUNT(*)::BIGINT AS w FROM ct GROUP BY 1, 2),
+       |hs AS MATERIALIZED (
+       |  SELECT DISTINCT source FROM (
+       |    SELECT winner AS source FROM wm UNION ALL SELECT loser FROM wm)),
+       |ha0 AS MATERIALIZED (
+       |  SELECT source, 1.0::DOUBLE AS a, 1.0::DOUBLE AS h FROM hs),
+       |$steps
+       |SELECT f.source, f.a AS authority, f.h AS hub,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY f.a DESC, f.source) AS BIGINT)
+       |    AS auth_rank
+       |FROM ha$rounds f ORDER BY f.source""".stripMargin
+  }
 }

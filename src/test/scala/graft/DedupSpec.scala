@@ -1139,4 +1139,51 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("q320 HITS: matches an in-memory mutual-reinforcement recompute") {
+    val t = sf001
+    def roundMicro(x: Double): Double = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)) / 1000000.0
+    }
+    val meta = t.documents.select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val wmap = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    Dedup.qFuzzyPairs(t).select("id_a", "id_b").collect().foreach { r =>
+      val (sa, ca) = meta(r.getLong(0)); val (sb, cb) = meta(r.getLong(1))
+      if (sa != sb && ca != cb) {
+        val k = if (ca > cb) (sa, sb) else (sb, sa)
+        wmap(k) += 1L
+      }
+    }
+    val edges = wmap.toSeq.map { case ((wn, ls), w) => (wn, ls, w) }
+    val srcs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = srcs.map(_ -> 1.0).toMap
+    var auth = srcs.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      val aM = srcs.map(i => i -> edges.filter(_._1 == i)
+        .map(e => math.floor(e._3.toDouble * hub(e._2) * 1e6 + 0.5).toLong).sum).toMap
+      val aT = aM.values.sum
+      auth = srcs.map(i => i ->
+        (if (aT == 0L) auth(i) else roundMicro(aM(i).toDouble / aT.toDouble))).toMap
+      val hM = srcs.map(i => i -> edges.filter(_._2 == i)
+        .map(e => math.floor(e._3.toDouble * auth(e._1) * 1e6 + 0.5).toLong).sum).toMap
+      val hT = hM.values.sum
+      hub = srcs.map(i => i ->
+        (if (hT == 0L) hub(i) else roundMicro(hM(i).toDouble / hT.toDouble))).toMap
+    }
+    val got = Dedup.qHits(t).collect()
+    assert(got.map(_.getString(0)).toSeq == srcs)
+    val rankOf = srcs.map(i => (i, auth(i))).sortBy { case (i, a) => (-a, i) }
+      .zipWithIndex.map { case ((i, _), k) => i -> (k + 1L) }.toMap
+    got.foreach { r =>
+      val i = r.getString(0)
+      assert(math.abs(r.getDouble(1) - auth(i)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - hub(i)) < 1e-12)
+      assert(r.getLong(3) == rankOf(i))
+    }
+    // normalization: scores sum to ~1 on each axis
+    assert(math.abs(got.map(_.getDouble(1)).sum - 1.0) < 1e-3)
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+  }
 }

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "q277_cluster_labels",  // composes the q119 Lloyd assignment stage
     "q282_mmr_rerank",      // candidate generation: corpus × broadcast probes (q38 contract)
     "q308_wasserstein",     // CDF grid: token-count support × broadcast sources, both census-bounded
-    "q315_cramer_von_mises") // same CDF grid as q308
+    "q315_cramer_von_mises", // same CDF grid as q308
+    "q319_burrows_delta")   // stopword × broadcast sources grid, both bounded
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -2504,4 +2504,49 @@ class QualityPipelineSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - correct.toDouble / evalIds.size.toDouble) < 1e-12)
     }
   }
+
+  test("q318 temperature fit: matches an in-memory NLL-grid recompute") {
+    val t = sf0001
+    def microAway(x: Double): Long = {
+      val m = x * 1000000.0
+      (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
+    }
+    val wRow = TextAnalysis.qLogitClassifier(t).collect().last
+    val w = (1 to 6).map(i => wRow.getDouble(i)).toArray
+    val stop = graft.functions.text.stopwords
+    val zs = t.documents.select("text").collect().map(_.getString(0)).map { s =>
+      val toks = s.toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)
+      val nt = toks.length.toLong
+      val nc = s.toLowerCase.replaceAll("[^a-z0-9']", "").length.toLong
+      val ns = toks.count(stop.contains).toLong
+      val nd = toks.distinct.length.toLong
+      val y = if (nt >= 20 && nt <= 80 && nc >= nt * 4 && nc <= nt * 5 &&
+        ns * 20 >= nt && nd * 2 >= nt) 1L else 0L
+      val den = math.max(nt, 1L).toDouble
+      val f1 = 1.0 - math.abs(nt.toDouble - 50.0) / 30.0
+      val f2 = 1.0 - math.abs(nc.toDouble / den - 4.5) * 2.0
+      val f3 = ns.toDouble * 20.0 / den - 1.0
+      val f4 = nd.toDouble * 2.0 / den - 1.0
+      (y, w(0) + w(1) * f1 + w(2) * f2 + w(3) * f3 + w(4) * f4 +
+        w(5) * Seq(f1, f2, f3, f4).min)
+    }
+    val grid = (2 to 12).map(_ * 0.25)
+    val nll = grid.map { temp =>
+      temp -> zs.map { case (y, z) =>
+        microAway(math.log(1.0 + math.exp(z / temp)) - y * z / temp)
+      }.sum
+    }
+    val bestEnc = nll.map { case (temp, s) =>
+      s * 16L + math.round(temp * 4.0) }.min
+    val got = TextAnalysis.qTemperatureFit(t).collect()
+    assert(got.length == grid.length)
+    got.zip(nll).foreach { case (r, (temp, s)) =>
+      assert(math.abs(r.getDouble(0) - temp) < 1e-12)
+      assert(r.getLong(1) == zs.length.toLong)
+      assert(r.getLong(2) == s)
+      assert(math.abs(r.getDouble(3) - s.toDouble / (zs.length * 1e6)) < 1e-12)
+      assert(r.getBoolean(4) == (s * 16L + math.round(temp * 4.0) == bestEnc))
+    }
+    assert(got.count(_.getBoolean(4)) == 1)
+  }
 }

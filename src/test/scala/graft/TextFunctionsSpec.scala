@@ -378,4 +378,42 @@ class TextFunctionsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - tExp) < 1e-12)
     }
   }
+
+  test("q319 Burrows delta: matches an in-memory z-score recompute") {
+    val t = sf0001
+    val stop = graft.functions.text.stopwords
+    val docs = t.documents.select("source", "text").collect()
+      .map(r => (r.getString(0),
+        r.getString(1).toLowerCase.split("[^a-z0-9']+").filter(_.nonEmpty)))
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) => s -> xs.flatMap(_._2) }
+    val srcs = bySrc.keys.toSeq.sorted
+    val words = bySrc.values.flatten.filter(stop.contains).toSeq.distinct
+    val fm = (for (w <- words; s <- srcs) yield {
+      val tot = bySrc(s).length.toLong
+      val cnt = bySrc(s).count(_ == w).toLong
+      (w, s) -> math.round(cnt.toDouble / tot.toDouble * 1e6)
+    }).toMap
+    val zOf = words.flatMap { w =>
+      val vals = srcs.map(s => fm((w, s)))
+      val g = vals.length.toLong
+      val sf = vals.sum; val sf2 = vals.map(v => v * v).sum
+      val varnum = g * sf2 - sf * sf
+      if (varnum <= 0L) Nil
+      else srcs.map(s => (w, s) ->
+        ((fm((w, s)).toDouble * g.toDouble - sf.toDouble) /
+          math.sqrt(varnum.toDouble * g.toDouble)))
+    }.toMap
+    val activeWords = zOf.keys.map(_._1).toSeq.distinct
+    val got = graft.ops.TextAnalysis.qBurrowsDelta(t).collect()
+    got.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val terms = activeWords.map(w =>
+        math.round(math.abs(zOf((w, sa)) - zOf((w, sb))) * 1e6))
+      assert(r.getLong(2) == activeWords.length.toLong)
+      assert(r.getLong(3) == terms.sum)
+      assert(math.abs(r.getDouble(4) -
+        terms.sum.toDouble / (terms.length * 1e6)) < 1e-12)
+    }
+    assert(got.length == srcs.length * (srcs.length - 1) / 2)
+  }
 }
