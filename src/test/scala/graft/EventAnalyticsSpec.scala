@@ -970,7 +970,9 @@ class EventAnalyticsSpec extends SparkSpec {
     val per = t.events
       .selectExpr("user_id", "unix_micros(ts) as us", "event_type")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
-      .groupBy(_._1).map { case (_, xs) =>
+      // .toSeq BEFORE mapping to (t, death) tuples: Map.map dedupes by
+      // key, collapsing users with equal latency (the round-5 Set.map rule)
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
         val first = xs.map(_._2).min; val last = xs.map(_._2).max
         val purch = xs.filter(_._3 == "purchase").map(_._2).minOption
         purch match {
