@@ -25,11 +25,25 @@ object BenchOne {
     // caches hot and UNDERSTATES cache-heavy queries (q50/q115) vs BENCH_r*.
     val clearCache = sys.env.get("SPARK_GRAFT_CLEARCACHE").contains("1")
     val wanted = args.toSet
-    SparkEntry.queries
+    // Bench's timed pass prewarms the shared session structures after its
+    // one clearCache() (VERDICT r12 item 1) — mirror that here so rep
+    // figures stay comparable to BENCH_r*: clear, then re-materialize the
+    // shared logitFeatures cache entry (+ no-op hits on the driver-side
+    // caches) before timing.
+    def prewarm(): Unit = try {
+      val t = Tables(spark, sfDir)
+      graft.ops.Dedup.prewarmShared(t)
+      graft.ops.TextAnalysis.prewarmShared(t)
+      graft.ops.Similarity.prewarmShared(t)
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[benchone] prewarm FAILED: ${e.getMessage}")
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.exists(name.startsWith) }
       .foreach { case (name, fn) =>
         (1 to reps).foreach { rep =>
-          if (clearCache) spark.catalog.clearCache()
+          if (clearCache) { spark.catalog.clearCache(); prewarm() }
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           println(f"[benchone] $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")

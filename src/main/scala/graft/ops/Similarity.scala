@@ -493,6 +493,22 @@ object Similarity {
   private def annIndexKey(t: Tables): String =
     s"${Layout.sessionTag(t.spark)}#${t.sfDir}"
 
+  /** Bench warm-structure hook (VERDICT r12 item 1): forces the fitted
+    * ANN index structures (IVF quantizer, PQ codebooks) for the standard
+    * probe queries. The fits run at DataFrame-CONSTRUCTION time inside
+    * ivfTopK/pqTopK (driver-side getOrElseUpdate), so constructing the
+    * query frames — without executing them — is enough; on a warm session
+    * both are TrieMap hits and this is free. indexCache survives
+    * clearCache(); this exists for fresh-session order-independence. */
+  private[graft] def prewarmShared(t: Tables): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f; name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("ivf_index") { qKnnIvf(t); () },
+      timed("pq_index") { qKnnPq(t); () })
+  }
+
   // ------------------------------------------------- SQ8 quantized path
 
   /** Scalar 8-bit quantization parameters: per-dimension (min, span) from
@@ -1716,4 +1732,193 @@ object Similarity {
       |            / CAST($projDims * d2.orig_d2 AS DOUBLE) END AS ratio
       |FROM d2 JOIN p2 ON p2.id_a = d2.id_a AND p2.delta = d2.delta
       |ORDER BY d2.delta, d2.id_a""".stripMargin
+
+  // ------------------------------------------- NN-descent graph rung (r13)
+
+  /** Fixed-round NN-descent k-NN-graph construction (Dong et al. 2011,
+    * WWW — "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures"), the graph-refinement 6th rung of the ANN
+    * ladder (VERDICT r12 item 3: modern 100 TB similarity search is
+    * graph-based). Each round runs the LOCAL JOIN relationally: und =
+    * g ∪ gᵀ; two nodes sharing any endpoint become candidates to each
+    * other; candidates ∪ current edges are scored exactly and each node
+    * keeps its top-k. Deterministic by construction: the full local join
+    * (no ρ-sampling), raw-sim ranking with id tie-break — the q38
+    * contract (CosineSim's sequential-double arithmetic is bit-identical
+    * to DuckDB's list_cosine_similarity), so a seeded instance replays
+    * as chained CTEs (the q119/q132 fixed-round recipe).
+    *
+    * Scale shape: the graph is n·k rows; each round's local join is an
+    * equi self-join producing ≤ 4·n·k² candidates (never a cross join),
+    * scored via two equi-joins against the embedding table and pruned by
+    * a per-node window. localCheckpoint per round bounds lineage and the
+    * optimizer tree (the q132 rule). At 100 TB: candidates shuffle on
+    * node id, k bounds state per node, and convergence is fixed-round —
+    * exactly the published distributed NN-descent layout. */
+  def nnDescentGraph(emb: DataFrame, seeds: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val e1 = emb.select(col("vec_id").as("v"), col("embedding").as("emb_v"))
+    val e2 = emb.select(col("vec_id").as("w"), col("embedding").as("emb_w"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(e1, "v").join(e2, "w")
+        .withColumn("s", graft.plans.CosineSim.cosine(col("emb_v"), col("emb_w")))
+        .select(col("v"), col("w"), col("s"))
+    val wnd = Window.partitionBy(col("v")).orderBy(col("s").desc, col("w"))
+    def topK(scored: DataFrame): DataFrame =
+      scored.withColumn("rank", row_number().over(wnd))
+        .filter(col("rank") <= k)
+    var g = topK(score(seeds.distinct())).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val und = g.select(col("v"), col("w"))
+        .union(g.select(col("w").as("v"), col("v").as("w")))
+      val a = und.select(col("v").as("x"), col("w").as("v"))
+      val b = und.select(col("v").as("x"), col("w").as("w"))
+      val cand = a.join(b, "x").filter(col("v") =!= col("w"))
+        .select(col("v"), col("w"))
+        .union(g.select(col("v"), col("w")))
+        .distinct()
+      g = topK(score(cand)).localCheckpoint()
+    }
+    g.select(col("v"), col("rank"), col("w"), col("s"))
+  }
+
+  /** Q322: the HASH-GATED fixed-round NN-descent face. Seeds are the
+    * within-bucket all-pairs of TWO CROSS-CUTTING bucketings — vec_id % B
+    * and an md5-hash bucket (B = max(1, n/(k+1)) ⇒ ~k+1 vectors per
+    * bucket, ~2k seed partners per node): the paper's random-graph init
+    * made replayable (no RNG, no rank index, valid for non-contiguous id
+    * spaces like the sf1.0 ScaleUp ids). ONE partition is NOT enough —
+    * a single id-mod bucketing is CLOSED under neighbor-of-neighbor
+    * expansion (every edge stays inside its bucket forever, recall 0.0;
+    * measured), so the second, hash-derived axis is what makes the seed
+    * graph an expander the local joins can mix through. n comes from one
+    * count() (the exact-ladder rung-fetch precedent). Emits the FULL
+    * final graph plus an oracled recall_at_k column for the 10 smallest
+    * ids (non-vacuous at every SF; the q121-style recall surface, here
+    * itself under the hash gate). */
+  def qNnDescentGate(t: Tables, k: Int = 5, rounds: Int = 3): DataFrame = {
+    val emb = t.embeddings
+    val n = emb.count()
+    val buckets = math.max(1L, n / (k + 1L))
+    // axis A: id-mod; axis B: md5 bucket (conv/CAST-hex replay, q125 rule)
+    def bucketed(vName: String): DataFrame = {
+      val hashBk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+      emb.select(col("vec_id").as(vName),
+          (col("vec_id") % buckets).as("bka"), hashBk.as("bkb"))
+    }
+    val ba = bucketed("v"); val bb = bucketed("w")
+    val seeds = ba.join(bb, Seq("bka")).filter(col("v") =!= col("w"))
+      .select(col("v"), col("w"))
+      .union(ba.select(col("v"), col("bkb"))
+        .join(bb.select(col("w"), col("bkb")), Seq("bkb"))
+        .filter(col("v") =!= col("w")).select(col("v"), col("w")))
+    val graph = nnDescentGraph(emb, seeds, k, rounds)
+    val probeIds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(10)
+    val probes = emb.join(probeIds, Seq("vec_id"))
+    val exact = bruteForceTopK(emb, probes, k)
+      .select(col("probe_id").as("v"), col("neighbor_id").as("w"), lit(1).as("hit"))
+    val wv = Window.partitionBy(col("v"))
+    graph
+      .join(probeIds.select(col("vec_id").as("v"), lit(1).as("is_probe")), Seq("v"), "left")
+      .join(exact, Seq("v", "w"), "left")
+      .withColumn("recall_at_k",
+        when(col("is_probe") === 1,
+          round(sum(coalesce(col("hit"), lit(0))).over(wv) / k.toDouble, 2))
+          .otherwise(lit(null).cast("double")))
+      .select(col("v"), col("rank"), col("w"), round(col("s"), 6).as("sim"),
+        col("recall_at_k"))
+      .orderBy(col("v"), col("rank"))
+  }
+
+  /** q322 oracle: the 3 rounds unrolled as chained MATERIALIZED CTEs
+    * (the q119/q139 recipe — materialization is mandatory or DuckDB's
+    * CTE inlining expands the chain exponentially). */
+  def qNnDescentGateSql(k: Int = 5, rounds: Int = 3): String = {
+    def roundCte(i: Int): String = {
+      val prev = s"g${i - 1}"
+      s"""u$i AS MATERIALIZED (
+         |  SELECT v, w FROM $prev UNION SELECT w AS v, v AS w FROM $prev),
+         |c$i AS MATERIALIZED (
+         |  SELECT a.w AS v, b.w AS w FROM u$i a JOIN u$i b ON a.v = b.v
+         |  WHERE a.w != b.w
+         |  UNION SELECT v, w FROM $prev),
+         |s$i AS MATERIALIZED (
+         |  SELECT c.v, c.w,
+         |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) AS s
+         |  FROM c$i c JOIN embeddings e1 ON e1.vec_id = c.v
+         |             JOIN embeddings e2 ON e2.vec_id = c.w),
+         |g$i AS MATERIALIZED (
+         |  SELECT v, w, s FROM (
+         |    SELECT v, w, s, ROW_NUMBER() OVER (PARTITION BY v ORDER BY s DESC, w) AS rn
+         |    FROM s$i) WHERE rn <= $k),""".stripMargin
+    }
+    s"""WITH nb AS (SELECT GREATEST(1, COUNT(*) // ${k + 1}) AS b FROM embeddings),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    vec_id % (SELECT b FROM nb) AS bka,
+       |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % (SELECT b FROM nb) AS bkb
+       |  FROM embeddings),
+       |seeds AS MATERIALIZED (
+       |  SELECT a.vec_id AS v, b.vec_id AS w
+       |  FROM bkt a JOIN bkt b ON a.bka = b.bka AND a.vec_id != b.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS v, b.vec_id AS w
+       |  FROM bkt a JOIN bkt b ON a.bkb = b.bkb AND a.vec_id != b.vec_id),
+       |s0 AS MATERIALIZED (
+       |  SELECT c.v, c.w,
+       |    list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), CAST(e2.embedding AS DOUBLE[])) AS s
+       |  FROM (SELECT DISTINCT v, w FROM seeds) c
+       |  JOIN embeddings e1 ON e1.vec_id = c.v
+       |  JOIN embeddings e2 ON e2.vec_id = c.w),
+       |g0 AS MATERIALIZED (
+       |  SELECT v, w, s FROM (
+       |    SELECT v, w, s, ROW_NUMBER() OVER (PARTITION BY v ORDER BY s DESC, w) AS rn
+       |    FROM s0) WHERE rn <= $k),
+       |${(1 to rounds).map(roundCte).mkString("\n")}
+       |gf AS MATERIALIZED (
+       |  SELECT v, w, s, ROW_NUMBER() OVER (PARTITION BY v ORDER BY s DESC, w) AS rank
+       |  FROM g$rounds),
+       |probes AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10),
+       |ex0 AS MATERIALIZED (
+       |  SELECT p.vec_id AS v, e.vec_id AS w,
+       |    list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS s
+       |  FROM embeddings p JOIN embeddings e ON p.vec_id != e.vec_id
+       |  WHERE p.vec_id IN (SELECT vec_id FROM probes)),
+       |exact AS MATERIALIZED (
+       |  SELECT v, w FROM (
+       |    SELECT v, w, ROW_NUMBER() OVER (PARTITION BY v ORDER BY s DESC, w) AS rn
+       |    FROM ex0) WHERE rn <= $k)
+       |SELECT g.v AS v, CAST(g.rank AS INT) AS rank, g.w AS w, round(g.s, 6) AS sim,
+       |  CASE WHEN g.v IN (SELECT vec_id FROM probes)
+       |    THEN round(CAST(SUM(CASE WHEN e.w IS NOT NULL THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY g.v) AS DOUBLE) / $k, 2)
+       |    ELSE NULL END AS recall_at_k
+       |FROM gf g LEFT JOIN exact e ON g.v = e.v AND g.w = e.w
+       |ORDER BY g.v, rank""".stripMargin
+  }
+
+  /** Q323: the PRODUCTION NN-descent face — LSH-seeded (the verdict-r12
+    * recipe: SRP buckets bound the seed population the way the q185/q243
+    * band audits price, then the descent's local joins refine toward the
+    * true graph). Rows-only + in-plan recall (the q40 contract): the
+    * seeded spark-side bucketing is engine-specific, so the gate lives on
+    * q322's replayable face; this one reports its own recall_at_k vs the
+    * exact baseline for the standard probes. */
+  def qKnnGraph(t: Tables, k: Int = 10, rounds: Int = 2): DataFrame = {
+    val emb = t.embeddings
+    val bud = srpBucketsUdf(6, 2)
+    val bkt = emb.select(col("vec_id"), explode(bud(col("embedding"))).as("tb"))
+    val seeds = bkt.select(col("vec_id").as("v"), col("tb"))
+      .join(bkt.select(col("vec_id").as("w"), col("tb")), "tb")
+      .filter(col("v") =!= col("w")).select(col("v"), col("w"))
+    val graph = nnDescentGraph(emb, seeds, k, rounds)
+    val probes = emb.filter(col("vec_id") < 10)
+    val ann = graph.filter(col("v") < 10)
+      .select(col("v").as("probe_id"), col("rank"), col("w").as("neighbor_id"),
+        round(col("s"), 6).as("sim"))
+    withRecallAtK(ann, emb, probes, k)
+      .orderBy(col("probe_id"), col("rank"))
+  }
 }

@@ -3949,6 +3949,29 @@ object TextAnalysis {
     weightsCache.getOrElseUpdate(logitKey(t, rounds, lr),
       logitTrain(feats, rounds, lr))
 
+  /** Bench warm-structure hook (VERDICT r12 item 1). Forces, in a FIXED
+    * order, every shared structure this module's timed queries ride:
+    * the logitFeatures CacheManager entry (the one structure Bench's
+    * clearCache() actually drops — ~15 consumers re-cache the identical
+    * canonicalized plan, so whichever timed query ran first used to pay
+    * the rebuild), plus the driver-side weights/BPE/Dawid–Skene caches
+    * (those survive clearCache; forcing them here only makes a fresh
+    * session order-independent). All params are the query defaults —
+    * (16, 8.0) logit, 8 BPE rounds, 5 DS rounds — so the cache keys
+    * match every consumer. Returns (structure, seconds) for the bench
+    * stderr record. */
+  private[graft] def prewarmShared(t: Tables): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f; name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    val feats = logitFeatures(t).cache()
+    Seq(
+      timed("logit_features")(feats.count()),
+      timed("logit_weights")(logitTrainCached(t, feats, 16, 8.0)),
+      timed("bpe_merges")(bpeMerges(t, 8)),
+      timed("dawid_skene")(dawidSkeneCached(t, 5)))
+  }
+
   /** The trained-weight vector after `rounds` full-batch GD updates over
     * `feats` — the q139 gradient sequence verbatim (round(6) aggregates,
     * exact power-of-two lr updates). Returns None on an empty corpus. */
