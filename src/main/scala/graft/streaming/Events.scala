@@ -26,10 +26,10 @@ object Events {
     * with the symlink/checkpoint. Instead each (session, sfDir) keeps one
     * live output dir: the next call deletes the previous run's dir (bench
     * reps don't accumulate), and a JVM shutdown hook sweeps the last one. */
-  private val liveStreamOuts =
+  private[streaming] val liveStreamOuts =
     scala.collection.concurrent.TrieMap[String, java.nio.file.Path]()
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[streaming] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(p)
@@ -43,6 +43,32 @@ object Events {
       liveStreamOuts.values.foreach { p =>
         try deleteRecursively(p) catch { case _: Throwable => () }
       }))
+  }
+
+  /** Symlink a parquet table — single file OR a graft.MultiFile directory
+    * layout — into `dir` for a file-source stream. The file source lists
+    * the given directory without recursing into symlinked subdirectories,
+    * so a directory-layout table must have its PART FILES linked
+    * individually. Returns the created links for cleanup. */
+  private[graft] def linkParquetInto(dir: java.nio.file.Path,
+      src: String): Seq[java.nio.file.Path] = {
+    val s = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.isDirectory(s)) {
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.list(s)
+      try files.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.map { case (f, i) =>
+          val l = dir.resolve(f"part-$i%05d.parquet")
+          java.nio.file.Files.createSymbolicLink(l, f)
+          l
+        }.toSeq
+      finally files.close()
+    } else {
+      val l = dir.resolve(s.getFileName)
+      java.nio.file.Files.createSymbolicLink(l, s)
+      Seq(l)
+    }
   }
 
   /** Tumbling 10-minute windows per event type. */
@@ -177,8 +203,7 @@ object Events {
     val spark = t.spark
     val path = s"${t.sfDir}/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val links = Events.linkParquetInto(dir, path)
     try {
       // batch-footer schema + shared ts dispatch (the VERDICT r7 contract)
       val schema = spark.read.parquet(path).schema
@@ -205,7 +230,7 @@ object Events {
           countDistinct(col("minute_b")).as("n_minutes"))
         .orderBy(col("event_type"))
     } finally {
-      java.nio.file.Files.deleteIfExists(link)
+      links.foreach(java.nio.file.Files.deleteIfExists(_))
       deleteRecursively(dir.resolve("ckpt"))
     }
   }
@@ -264,8 +289,7 @@ object Events {
     // into a temp dir (same move as StreamingSpec), and borrow the batch
     // footer for the mandatory explicit schema
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-state")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val links = Events.linkParquetInto(dir, path)
     val out =
       try {
         val schema = spark.read.parquet(path).schema
@@ -282,7 +306,7 @@ object Events {
         collected
       } finally {
         // bench warmup + reps call this repeatedly — don't leak a dir per run
-        java.nio.file.Files.deleteIfExists(link)
+        links.foreach(java.nio.file.Files.deleteIfExists(_))
         java.nio.file.Files.deleteIfExists(dir)
       }
     // append mode emits one update per user per micro-batch; the final
@@ -311,8 +335,7 @@ object Events {
     val spark = t.spark
     val path = s"${t.sfDir}/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-join")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val links = Events.linkParquetInto(dir, path)
     try {
       // stream schema comes from the batch footer — NEVER hand-rolled: a
       // hard-coded LongType ts double-divided after the Spark 4.1.2 type
@@ -357,7 +380,7 @@ object Events {
       spark.read.schema(joined.schema).parquet(outDir.toString)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     } finally {
-      java.nio.file.Files.deleteIfExists(link)
+      links.foreach(java.nio.file.Files.deleteIfExists(_))
       deleteRecursively(dir.resolve("ckpt"))
     }
   }
@@ -392,8 +415,7 @@ object Events {
       .agg(count(lit(1)).as("h_n"), cents.as("h_cents"))
     val path = s"${t.sfDir}/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-lambda")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(path))
+    val links = Events.linkParquetInto(dir, path)
     val tail =
       try {
         // batch-footer schema + shared ts dispatch (same contract as
@@ -413,7 +435,7 @@ object Events {
         spark.catalog.dropTempView(qname)
         collected
       } finally {
-        java.nio.file.Files.deleteIfExists(link)
+        links.foreach(java.nio.file.Files.deleteIfExists(_))
         deleteRecursively(dir)
       }
     hist.join(tail, Seq("event_type"), "full_outer")

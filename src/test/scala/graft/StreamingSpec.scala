@@ -12,10 +12,10 @@ class StreamingSpec extends SparkSpec {
     * Tables.events uses. readStream needs a directory, so the single
     * parquet file is symlinked into a temp dir. */
   private def streamEvents(sfDir: String) = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Files
     val dir = Files.createTempDirectory("events-stream")
     val file = s"$sfDir/events.parquet"
-    Files.createSymbolicLink(dir.resolve("events.parquet"), Paths.get(file))
+    Events.linkParquetInto(dir, file)
     val schema = spark.read.parquet(file).schema
     Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(dir.toString))
@@ -216,5 +216,43 @@ class StreamingSpec extends SparkSpec {
     val events = t.events.count()
     assert(got.map(_._2).sum <= events)
     assert(got.nonEmpty)
+  }
+
+  test("q321 streaming train gate equals the batch chain (quality→dedup→pack)") {
+    import org.apache.spark.sql.expressions.Window
+    val t = sf0001
+    val got = graft.streaming.TrainGate.qStreamTrainGate(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // independent batch recompute of the identical chain (no decontamination)
+    val toksCol = graft.functions.text.tokenize(col("text"))
+    val quality = t.documents.select(col("doc_id"), col("text"),
+        size(toksCol).cast("long").as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9']", ""))
+          .cast("long").as("n_tok_chars"),
+        size(filter(toksCol, tk =>
+          tk.isInCollection(graft.functions.text.stopwords)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toksCol)).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 80 &&
+        col("n_tok_chars") >= col("n_tokens") * 4 &&
+        col("n_tok_chars") <= col("n_tokens") * 5 &&
+        col("n_stop") * 20 >= col("n_tokens") &&
+        col("n_distinct") * 2 >= col("n_tokens"))
+    val deduped = quality
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val want = deduped
+      .withColumn("shard", expr("doc_id div 1000"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))) - col("n_tokens"))
+      .withColumn("seq_id", expr("start_tok div 256"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("seq_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"stream ${got.take(5)}… vs batch ${want.take(5)}…")
+    // non-vacuous: the gate dropped something and packed something
+    assert(got.nonEmpty && got.map(_._3).sum < t.documents.count())
   }
 }
