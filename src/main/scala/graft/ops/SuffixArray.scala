@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed generalized suffix array over the document token streams,
+  * built by prefix doubling (Manber–Myers 1990; the distributed form is
+  * O(log L) rounds of rank/re-rank — VERDICT r12 item 4), and the
+  * ExactSubstr duplicated-span machinery of Lee et al. 2022 ("Deduplicating
+  * Training Data Makes Language Models Better") built on it — the real
+  * suffix-array counterpart of q143's gram-fingerprint detector.
+  *
+  * Construction. Positions are (doc_id, off) over text.tokenize streams —
+  * a GENERALIZED suffix array: suffixes never cross document boundaries,
+  * and end-of-doc behaves as a shared $ padding ranked 0 (below every real
+  * token). rank_0 = dense rank of the single token; round i re-ranks by
+  * the pair (rank_{i-1}[p], rank_{i-1}[p + 2^{i-1}] | 0), so after round i
+  * two positions share a rank IFF their padded 2^i-token prefixes are
+  * equal — the invariant every downstream claim rides on.
+  *
+  * Distribution: the shifted rank is a per-doc `lead` window (partitions
+  * bounded by doc length); re-ranking is dense rank of the pair, done
+  * WITHOUT a global sort: the pair is order-embedded into one long
+  * (enc = ra·(maxR+2) + rb, strictly monotone in (ra, rb) lex order), the
+  * DISTINCT encs are ranked by the bucketRank two-phase prefix (101
+  * value-monotone buckets, offsets ride the driver — the q144/q205
+  * primitive) and joined back. Each round localCheckpoints (the q132
+  * lineage rule) and fetches one 1-row max (the exact-ladder rung
+  * precedent). rank_0's vocabulary window is census-bounded on this corpus
+  * (the ~31-token template pool, q203); an unbounded-vocab corpus routes
+  * the same step through a term-hash bucketRank.
+  *
+  * Scale shape at 100 TB: L = total tokens; each round is one bounded
+  * per-doc window + one distinct + one bounded-bucket rank + one equi
+  * join — all shuffles on position/enc keys, never a global sort, never a
+  * cross join; log₂(span cap) rounds total. This is exactly how published
+  * distributed suffix-array builds (e.g. pDC3 / Flick & Aluru 2015) shape
+  * the problem: O(log L) rounds of sort/rank expressed relationally.
+  *
+  * Reference mapping: pipeline.py:24-33 dedups whole articles; this is the
+  * sub-document exact-substring extension (SURVEY north-star dedup block).
+  */
+object SuffixArray {
+
+  /** Rank tables rank_0..rank_R as one DataFrame (doc_id, off, doc_len,
+    * rank_r for r = 0..rounds). Deterministic; every rank is a dense
+    * 1-based integer shared across engines. */
+  private[graft] def rankTables(t: Tables, rounds: Int): DataFrame = {
+    val toks = text.tokenize(col("text"))
+    val pos = t.fanout(t.documents)
+      .select(col("doc_id"), posexplode(toks).as(Seq("off", "term")))
+      .select(col("doc_id"), col("off").cast("long").as("off"), col("term"))
+    // census-bounded vocabulary rank (see scaladoc)
+    val vocab = pos.select(col("term")).distinct()
+      .withColumn("r", row_number().over(Window.orderBy(col("term"))).cast("long"))
+    var ranked = pos.join(vocab, Seq("term"))
+      .select(col("doc_id"), col("off"), col("r").as("rank_0"))
+      .localCheckpoint()
+    (1 to rounds).foreach { i =>
+      val prev = s"rank_${i - 1}"
+      val step = 1L << (i - 1)
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+      // one bounded rung fetch per round: the current rank cardinality
+      // (off the checkpointed table, before the window is stacked on)
+      val maxR = ranked.agg(max(col(prev))).head().getLong(0)
+      val paired = ranked.withColumn("rb",
+        coalesce(lead(col(prev), step.toInt).over(wd), lit(0L)))
+      val enc = paired.withColumn("enc", col(prev) * (maxR + 2L) + col("rb"))
+      val distincts = enc.select(col("enc")).distinct()
+      val rankedEnc = TextAnalysis.bucketRank(distincts, "enc",
+        maxR * (maxR + 2L) + maxR + 1L, Seq(col("enc")), s"rank_$i")
+      ranked = enc.join(rankedEnc, Seq("enc"))
+        .drop("enc", "rb")
+        .localCheckpoint()
+    }
+    // doc_len for the complete-window filters downstream
+    val lens = ranked.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    ranked.join(lens, Seq("doc_id"))
+  }
+
+  /** Q324: the suffix-array BUILD gate — the per-level duplication
+    * spectrum: for each doubling level r, the class count (= rank
+    * cardinality), how many positions sit in non-singleton classes (start
+    * a duplicated ≥2^r-token padded prefix), the largest class, and an
+    * order-independent modular fingerprint of the ENTIRE rank assignment
+    * (Σ (rank·h(pos)) mod 1e9+7 with h(pos) = (doc_id·131 + off) mod
+    * 1000003 + 1 — exact integer math both engines, the q131/q125 rule),
+    * so the oracle hash-verifies every round's full rank structure, not
+    * just its summary counts. */
+  def qSuffixArrayGate(t: Tables, rounds: Int = 6): DataFrame = {
+    val ranked = rankTables(t, rounds)
+    val hpos = ((col("doc_id") * 131L + col("off")) % 1000003L + 1L)
+    val levels = (0 to rounds).map { r =>
+      val rk = col(s"rank_$r")
+      val wc = Window.partitionBy(rk)
+      ranked
+        .withColumn("cls", count(lit(1)).over(wc))
+        .agg(
+          count(lit(1)).as("n_positions"),
+          max(rk).as("n_classes"),
+          sum(when(col("cls") >= 2, 1L).otherwise(0L)).as("n_dup_positions"),
+          max(col("cls")).as("max_class"),
+          sum((rk * hpos) % 1000000007L).as("fp"))
+        .select(lit(r.toLong).as("level"), lit(1L << r).as("prefix_len"),
+          col("n_positions"), col("n_classes"), col("n_dup_positions"),
+          col("max_class"), col("fp"))
+    }
+    levels.reduce(_.unionAll(_)).orderBy(col("level"))
+  }
+
+  /** Shared oracle CTE chain: positions, rank_0, and `rounds` doubling
+    * rounds — every per-round CTE MATERIALIZED (the q139 rule). */
+  private def rankCtes(rounds: Int): String = {
+    val roundSql = (1 to rounds).map { i =>
+      val step = 1L << (i - 1)
+      s"""e$i AS MATERIALIZED (
+         |  SELECT doc_id, off,
+         |    r${i - 1} AS ra,
+         |    COALESCE(LEAD(r${i - 1}, $step) OVER (PARTITION BY doc_id ORDER BY off), 0) AS rb
+         |  FROM r${i - 1}),
+         |r$i AS MATERIALIZED (
+         |  SELECT doc_id, off, CAST(DENSE_RANK() OVER (ORDER BY ra, rb) AS BIGINT) AS r$i
+         |  FROM e$i),""".stripMargin
+    }.mkString("\n")
+    s"""tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, CAST(UNNEST(range(len(toks))) AS BIGINT) AS off, toks
+       |  FROM tok),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, off, toks[CAST(off AS INT) + 1] AS term FROM p),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, off, CAST(DENSE_RANK() OVER (ORDER BY term) AS BIGINT) AS r0
+       |  FROM pos),
+       |$roundSql
+       |lens AS MATERIALIZED (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len FROM pos GROUP BY doc_id),""".stripMargin
+  }
+
+  def qSuffixArrayGateSql(rounds: Int = 6): String = {
+    val levelSql = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS level, CAST(${1L << r} AS BIGINT) AS prefix_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_positions,
+         |  CAST(MAX(r$r) AS BIGINT) AS n_classes,
+         |  CAST(SUM(CASE WHEN cls >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+         |  CAST(MAX(cls) AS BIGINT) AS max_class,
+         |  CAST(SUM((r$r * ((doc_id * 131 + off) % 1000003 + 1)) % 1000000007) AS BIGINT) AS fp
+         |FROM (SELECT doc_id, off, r$r,
+         |        COUNT(*) OVER (PARTITION BY r$r) AS cls FROM r$r)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${rankCtes(rounds)}
+       |dummy AS (SELECT 1)
+       |$levelSql
+       |ORDER BY level""".stripMargin
+  }
+
+  /** Q325: ExactSubstr maximal duplicated spans — the Lee et al. 2022
+    * span EXTRACTION done on the suffix array instead of q143's gram
+    * fingerprints: a position starts a duplicated W-token window IFF its
+    * level-log₂W rank class has ≥2 members and a full window fits before
+    * the doc end (the padded-rank invariant makes this exact: any second
+    * class member of a full-window position necessarily shares the exact
+    * W tokens). Consecutive duplicated window starts within a doc merge
+    * into MAXIMAL spans (gaps-and-islands on off − within-doc index —
+    * per-doc windows, bounded partitions), each covering
+    * n_windows + W − 1 tokens. Cross-checked against the q143 detector in
+    * SuffixArraySpec: every span's every W-gram is one q143 would count
+    * at width W. */
+  def qDupSpansSa(t: Tables, w: Int = 16): DataFrame = {
+    val level = (math.log(w) / math.log(2)).round.toInt
+    require((1 << level) == w, "w must be a power of two")
+    val ranked = rankTables(t, level)
+    val rk = col(s"rank_$level")
+    val wc = Window.partitionBy(rk)
+    val dup = ranked
+      .withColumn("cls", count(lit(1)).over(wc))
+      .filter(col("cls") >= 2 && col("off") + w <= col("doc_len"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("off"))
+    dup
+      .withColumn("isl", col("off") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("off")).as("start_off"),
+        count(lit(1)).as("n_windows"),
+        min(col("cls")).as("min_class"))
+      .select(col("doc_id"), col("start_off"), col("n_windows"),
+        (col("n_windows") + (w - 1)).as("span_len"), col("min_class"))
+      .orderBy(col("doc_id"), col("start_off"))
+  }
+
+  def qDupSpansSaSql(w: Int = 16): String = {
+    val level = (math.log(w) / math.log(2)).round.toInt
+    s"""WITH ${rankCtes(level)}
+       |cls AS MATERIALIZED (
+       |  SELECT r.doc_id, r.off,
+       |    COUNT(*) OVER (PARTITION BY r$level) AS cls, l.doc_len
+       |  FROM r$level r JOIN lens l ON l.doc_id = r.doc_id),
+       |dup AS MATERIALIZED (
+       |  SELECT doc_id, off, cls FROM cls
+       |  WHERE cls >= 2 AND off + $w <= doc_len),
+       |isl AS (
+       |  SELECT doc_id, off, cls,
+       |    off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS isl
+       |  FROM dup)
+       |SELECT doc_id, CAST(MIN(off) AS BIGINT) AS start_off,
+       |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(COUNT(*) + ${w - 1} AS BIGINT) AS span_len,
+       |  CAST(MIN(cls) AS BIGINT) AS min_class
+       |FROM isl GROUP BY doc_id, isl
+       |ORDER BY doc_id, start_off""".stripMargin
+  }
+}

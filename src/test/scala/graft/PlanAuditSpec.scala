@@ -36,7 +36,9 @@ class PlanAuditSpec extends SparkSpec {
     "q282_mmr_rerank",      // candidate generation: corpus × broadcast probes (q38 contract)
     "q308_wasserstein",     // CDF grid: token-count support × broadcast sources, both census-bounded
     "q315_cramer_von_mises", // same CDF grid as q308
-    "q319_burrows_delta")   // stopword × broadcast sources grid, both bounded
+    "q319_burrows_delta",   // stopword × broadcast sources grid, both bounded
+    "q322_nn_descent_gate", // embeds the q38 exact baseline for its oracled recall column
+    "q323_knn_graph")       // embeds the q38 baseline for recall_at_k (q40 contract)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -442,4 +442,68 @@ class SimilaritySpec extends SparkSpec {
       ids.filter(i => ids.contains(i + d)).map(i => (i, d))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet == expected)
   }
+
+  test("q322 NN-descent: local joins strictly improve on the seed graph's recall") {
+    import org.apache.spark.sql.functions._
+    val t = sf0001
+    val k = 5
+    // the claim that makes NN-descent worth a ladder rung: the fixed-round
+    // refinement finds neighbors the seed graph alone cannot
+    def meanRecall(graph: org.apache.spark.sql.DataFrame): Double = {
+      val probes = t.embeddings.filter(col("vec_id") < 10)
+      val exact = graft.ops.Similarity.bruteForceTopK(t.embeddings, probes, k)
+        .select(col("probe_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = graph.filter(col("v") < 10)
+        .select(col("v"), col("w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val n = t.embeddings.count()
+    val buckets = math.max(1L, n / (k + 1L))
+    def bucketed(vName: String) = {
+      val hashBk = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % buckets
+      t.embeddings.select(col("vec_id").as(vName),
+        (col("vec_id") % buckets).as("bka"), hashBk.as("bkb"))
+    }
+    val ba = bucketed("v"); val bb = bucketed("w")
+    val seeds = ba.join(bb, Seq("bka")).filter(col("v") =!= col("w"))
+      .select(col("v"), col("w"))
+      .union(ba.select(col("v"), col("bkb"))
+        .join(bb.select(col("w"), col("bkb")), Seq("bkb"))
+        .filter(col("v") =!= col("w")).select(col("v"), col("w")))
+    val seedGraph = graft.ops.Similarity.nnDescentGraph(t.embeddings, seeds, k, 0)
+    val descended = graft.ops.Similarity.nnDescentGraph(t.embeddings, seeds, k, 3)
+    val r0 = meanRecall(seedGraph)
+    val r3 = meanRecall(descended)
+    assert(r3 > r0, s"descent recall $r3 not above seed recall $r0")
+    assert(r3 >= 0.15, s"descent recall $r3 implausibly low")
+    // graph shape: exactly ≤k rows per node, self-free, ranks contiguous
+    val perNode = descended.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), max(col("rank")).as("mx"))
+      .filter(col("c") =!= col("mx") || col("c") > k).count()
+    assert(perNode == 0)
+    assert(descended.filter(col("v") === col("w")).count() == 0)
+  }
+
+  test("q322 gate face: emitted recall column agrees with an independent recompute") {
+    import org.apache.spark.sql.functions._
+    val t = sf0001
+    val out = graft.ops.Similarity.qNnDescentGate(t).collect()
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    val exact = graft.ops.Similarity.bruteForceTopK(t.embeddings, probes, 5)
+      .select(col("probe_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probeRows = out.filter(r => !r.isNullAt(4))
+    assert(probeRows.nonEmpty)
+    probeRows.groupBy(_.getLong(0)).toSeq.foreach { case (v, rows) =>
+      val hits = rows.count(r => exact.contains((v, r.getLong(2))))
+      val want = math.rint(hits / 5.0 * 100) / 100
+      rows.foreach(r => assert(math.abs(r.getDouble(4) - want) < 1e-9,
+        s"v=$v emitted ${r.getDouble(4)} vs recomputed $want"))
+    }
+    // non-probe rows carry null recall; every node emits ≤5 ranked rows
+    assert(out.filter(r => r.isNullAt(4)).nonEmpty)
+  }
 }

@@ -7,7 +7,7 @@ sorts columns by name (as the driver does), and hash-compares values.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, hashlib
+import sys, os, json, glob, hashlib
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -38,8 +38,11 @@ def canon(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        # graft.MultiFile layout: the table is a DIRECTORY of part files
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -88,7 +91,6 @@ def main(sf_dir, out_dir):
             print(f"PASS     {name} ({len(got)} rows)")
             n_pass += 1
     # queries with no oracle: rows-only
-    import os
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d)
         if os.path.isdir(p) and d not in oracle:
