@@ -78,7 +78,8 @@ object Bench {
     try {
       val prewarmed = graft.ops.Dedup.prewarmShared(warm) ++
         graft.ops.TextAnalysis.prewarmShared(warm) ++
-        graft.ops.Similarity.prewarmShared(warm)
+        graft.ops.Similarity.prewarmShared(warm) ++
+        graft.ops.SuffixArray.prewarmShared(warm)
       prewarmed.foreach { case (n, s) =>
         System.err.println(f"[bench] prewarm $n%-16s ${s}%.3f s") }
     } catch { case e: Throwable =>

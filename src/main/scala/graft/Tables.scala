@@ -36,19 +36,35 @@ final case class Tables(spark: SparkSession, sfDir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** True when this sfDir uses a realistic multi-file parquet layout
-    * (≥ defaultParallelism part files — see graft.MultiFile): scans then
-    * parallelize natively and [[fanout]] is a no-op. A LAYOUT property
-    * decided once per Tables instance from the documents table (every
-    * table in a dir shares the generator's layout style) — not from
-    * df.rdd.getNumPartitions, which would force an extra physical
-    * planning pass per call. */
+  /** True when this sfDir's layout gives scans native parallelism ≥ the
+    * core count, making [[fanout]] a no-op. Decided once per Tables
+    * instance from the documents table's files (every table in a dir
+    * shares the generator's layout style) by estimating Spark's actual
+    * SPLIT count — file COUNT alone is wrong: FilePartition PACKING
+    * coalesces small files (maxPartitionBytes 128 MB, openCost 4 MB per
+    * file), so 32 tiny part files become ~2 scan tasks and per-row-heavy
+    * work runs underparallelized again (measured: q236's PNG codec 3.5×
+    * slower under a naive file-count heuristic). Splits ≈
+    * min(nFiles, ceil(Σ(bytes + openCost) / maxPartitionBytes)) — the
+    * bin-packing bound Spark's FilePartition.getFilePartitions obeys. */
   private lazy val multiFileLayout: Boolean = {
     val p = new java.io.File(s"$sfDir/documents.parquet")
-    p.isDirectory &&
-      p.listFiles != null &&
-      p.listFiles.count(f => f.getName.endsWith(".parquet")) >=
-        spark.sparkContext.defaultParallelism
+    val files = Option(p.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    if (!p.isDirectory || files.isEmpty) false
+    else {
+      def bytesConf(key: String, dflt: Long): Long =
+        try {
+          val v = spark.conf.get(key, dflt.toString)
+          if (v.forall(_.isDigit)) v.toLong else dflt
+        } catch { case _: Throwable => dflt }
+      val maxPB = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20)
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", 4L << 20)
+      val total = files.map(_.length + openCost).sum
+      val splits = math.min(files.length.toLong,
+        (total + maxPB - 1) / maxPB)
+      splits >= spark.sparkContext.defaultParallelism
+    }
   }
 
   /** Fan a scan out across all cores before per-row-expensive work (JSON

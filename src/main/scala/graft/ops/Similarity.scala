@@ -770,13 +770,18 @@ object Similarity {
     * (q40/q56/q81/q137) — this row set is the gate; AnnAuditSpec still
     * pins the floors in-process. */
   def qAnnRecallAudit(t: Tables, k: Int = 10): DataFrame = {
+    // pass_floor is vacuously TRUE when the probe set is empty: sf dirs
+    // with shifted id spaces (the sf1.0 ScaleUp ids) have no vec_id < 10
+    // rows, mean_recall is then NULL and a bare `NULL >= floor` would
+    // diverge from the oracle's literal-TRUE contract (r13 sf1.0 sweep)
     def audit(name: String, ann: DataFrame, floor: Double): DataFrame =
       ann.select(col("probe_id"), col("recall_at_k")).distinct()
         .agg(count(lit(1)).as("n_probes"),
           round(avg(col("recall_at_k")), 4).as("mean_recall"))
         .select(lit(name).as("method"), lit(k).as("k"), col("n_probes"),
           lit(floor).as("floor"),
-          (col("mean_recall") >= floor).as("pass_floor"))
+          coalesce(col("mean_recall") >= floor, col("n_probes") === 0)
+            .as("pass_floor"))
     // localCheckpoint the 3-row per-method table so deriving the "all"
     // summary row doesn't re-run the three ANN pipelines (each one runs
     // brute-force ground truth by construction)
@@ -1192,17 +1197,21 @@ object Similarity {
           .cast("long").as("em"))
     val sums = normed.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("em")).as("s_micro"))
-    val wSeq = Window.orderBy(col("dim"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
     val nd = col("n").cast("double")
     val den = nd * (nd - lit(1.0))
+    // ss accumulates as an EXACT BIGINT (order-independent integer sum):
+    // the double form diverged at sf1.0, where s_micro² sums past 2^53 and
+    // DuckDB's windowed SUM associates differently than a sequential run
+    // (r13 sweep finding — the q176 mantissa class). One int64→double cast
+    // of the total is uniquely defined cross-engine. Bound: Σ s_micro² ≤
+    // 64·(n·10⁶)² worst-case; realistic s_micro ~ √n·10⁶/8 keeps BIGINT
+    // exact to n ≈ 10⁷ rows — past that the audit runs per-stratum or on a
+    // hash sample (the q205 note).
     sums
-      .withColumn("ss_cum",
-        sum(col("s_micro").cast("double") * col("s_micro").cast("double")).over(wSeq))
-      .withColumn("ss", max(col("ss_cum")).over(all))
+      .withColumn("ss", sum(col("s_micro") * col("s_micro")).over(all))
       .withColumn("mean_cos",
-        (col("ss") / lit(1.0e12) - nd) /
+        (col("ss").cast("double") / lit(1.0e12) - nd) /
           when(den === 0.0, lit(null)).otherwise(den))
       .select(col("dim"), col("n"), col("s_micro"), col("mean_cos"))
       .orderBy(col("dim"))
@@ -1228,13 +1237,8 @@ object Similarity {
       |sums AS (
       |  SELECT dim, COUNT(*)::BIGINT AS n, CAST(SUM(em) AS BIGINT) AS s_micro
       |  FROM normed GROUP BY dim),
-      |seq AS (
-      |  SELECT *,
-      |    SUM(CAST(s_micro AS DOUBLE) * CAST(s_micro AS DOUBLE))
-      |      OVER (ORDER BY dim ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ss_cum
-      |  FROM sums),
       |fin AS (
-      |  SELECT *, MAX(ss_cum) OVER () AS ss FROM seq)
+      |  SELECT *, CAST(SUM(s_micro * s_micro) OVER () AS BIGINT) AS ss FROM sums)
       |SELECT dim, n, s_micro,
       |  (ss / 1000000000000.0::DOUBLE - CAST(n AS DOUBLE))
       |    / nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0::DOUBLE), 0.0) AS mean_cos
