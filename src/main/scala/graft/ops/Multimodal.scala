@@ -48,6 +48,15 @@ object Multimodal {
     * stub (video). Synthesis is deterministic per (id, params) so every
     * run of the pipeline sees identical payloads. */
   object Codecs {
+    // ImageIO's default ImageInputStream cache is DISK-backed: every
+    // ImageIO.read/write over a byte-array stream creates (and deletes) a
+    // temp file. The codec pipelines here run per ROW, so that is 3 temp
+    // files per image row and a filesystem round-trip the hash never needs.
+    // The memory cache is semantically identical (same bytes, same codec
+    // path) and measured 2.4x faster per row at 32 threads (r13 probe:
+    // 0.073 -> 0.031 ms/row-core).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Synthesize a real PNG: deterministic RGB raster, encoded through
       * javax.imageio. Decoding it recovers exactly (w, h). */
     def synthesizePng(id: Long, w: Int, h: Int): Array[Byte] = {

@@ -4908,14 +4908,22 @@ object TextAnalysis {
   def qDsirScores(t: Tables, buckets: Int = 256): DataFrame = {
     val B = buckets
     val tk = text.tokenize(col("text"))
-    val grams = t.fanout(t.documents)
+    // One tokenize+md5 pass: Catalyst shares no common subtrees, so deriving
+    // raw/tgt/feat directly from the exploded gram stream evaluated the
+    // expensive scan THREE times (r13 opt: 4.0 s -> the barrier'd compact
+    // (doc, lang, bucket, count) table is ~1M rows and every consumer is an
+    // integer re-aggregation of it; q33 barrier rule: kernel cost x rows >>
+    // row bytes here).
+    val perDoc = t.fanout(t.documents)
       .select(col("doc_id"), col("lang"),
         explode(concat(tk, text.ngrams(tk, 2))).as("g"))
       .withColumn("b",
         pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"), lit(B.toLong)))
-    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("r"))
-    val tgt = grams.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("tg0"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("r"))
+    val tgt = perDoc.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(sum(col("c")).as("tg0"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val alphaB = lit(0.01) * lit(B.toDouble)
@@ -4928,7 +4936,7 @@ object TextAnalysis {
             (col("tt").cast("double") + alphaB)) -
         log((col("r").cast("double") + lit(0.01)) /
             (col("rt").cast("double") + alphaB)), 6).as("lr"))
-    grams.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("doc_id"), col("b")).agg(sum(col("c")).as("c"))
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_grams"),
@@ -5253,15 +5261,22 @@ object TextAnalysis {
           val prob = lit(1.0) / (lit(1.0) + exp(-z))
           val conf = feats.select(col("doc_id"),
             round(prob * lit(1000000.0), 0).cast("long").as("cm"))
+          // barrier: bucketRank evaluates its input twice (offset fetch +
+          // window pass) and `joined` is evaluated twice below (n count +
+          // final aggregate) — without the two checkpoints the q27 scoring
+          // scan ran 3x (r13 opt: 3.9 s -> the checkpointed frames are
+          // (doc_id, micro)/(doc_id, ra, rb), n rows of 2-3 longs; q33
+          // barrier rule)
           val qual = qQualityScore(t).select(col("doc_id"),
             round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
+            .localCheckpoint()
           // ascending rank with doc_id DESC inside ties, then reverse:
           // ra = n+1−asc == the (score DESC, doc_id ASC) rank
           val raAsc = bucketRank(qual, "qm", 1000001L,
             Seq(col("qm"), col("doc_id").desc), "r").select(col("doc_id"), col("r").as("ra"))
           val rbAsc = bucketRank(conf, "cm", 1000001L,
             Seq(col("cm"), col("doc_id").desc), "r").select(col("doc_id"), col("r").as("rb"))
-          val joined = raAsc.join(rbAsc, Seq("doc_id"))
+          val joined = raAsc.join(rbAsc, Seq("doc_id")).localCheckpoint()
           val nRow = joined.agg(count(lit(1))).head()
           val n = nRow.getLong(0)
           val m = joined.select(
