@@ -2826,10 +2826,15 @@ object Dedup {
     * family (q34/q40/q56); this row is the gate. */
   def qDedupQuality(t: Tables, sliceN: Long = 500,
       threshold: Double = 0.5, recallFloor: Double = 0.8): DataFrame = {
-    val truePairs = auditTruePairs(t, sliceN, threshold)
+    // barriers: both pair lists are referenced twice (their union arm +
+    // the semi join) and each reference re-ran the full shingle/minhash
+    // kernels — 6 corpus scans total (r13 opt). Checkpointed frames are
+    // slice-incident id pairs (2 longs/row).
+    val truePairs = auditTruePairs(t, sliceN, threshold).localCheckpoint()
     val lshPairs = minhashVerifiedPairs(t, t.documents)
       .filter(col("id_a") < sliceN)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val hits = truePairs.join(lshPairs, Seq("id_a", "id_b"), "left_semi")
     truePairs.select(lit("true").as("k"))
       .unionAll(lshPairs.select(lit("lsh").as("k")))

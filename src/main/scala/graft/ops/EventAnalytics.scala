@@ -1441,8 +1441,13 @@ object EventAnalytics {
       .filter(col("step") === coalesce(col("conv_step"), col("last_step"))
         && col("state") =!= "conv")
       .select(col("state").as("from"), lit("null").as("to"))
+    // barrier: trans is referenced twice (itself + the tot join) and its
+    // two union arms each re-evaluate the 3-window sessionize chain —
+    // 4 events-chain evaluations per consumer before (r13 opt). The
+    // checkpointed frame is ≤|states|² count rows.
     val trans = steps.unionByName(ends)
       .groupBy(col("from"), col("to")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val tot = trans.groupBy(col("from")).agg(sum(col("cnt")).as("tot"))
     trans.join(tot, Seq("from"))
   }

@@ -369,7 +369,10 @@ object TextAnalysis {
   }
 
   def qWinnowing(t: Tables, w: Int = 8): DataFrame = {
-    val selected = winnowedFps(t, w)
+    // barrier: the selected-fingerprint frame is referenced three times
+    // (per-doc counts + both posting-join sides) and each re-ran the
+    // tokenize + rolling-hash window kernel (r13 opt). (doc_id, fp) rows.
+    val selected = winnowedFps(t, w).localCheckpoint()
     val perDoc = selected.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val l = selected.select(col("fp"), col("doc_id").as("id_a"))
     val r = selected.select(col("fp"), col("doc_id").as("id_b"))
@@ -1810,7 +1813,11 @@ object TextAnalysis {
     val q = qQualityScore(t).select(col("doc_id"),
       round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // barrier: cells is referenced three times (source fetch, grid, dense
+    // join) and each re-ran the q27 scoring scan (r13 opt). ≤|sources|·
+    // |distinct qm| rows.
     val cells = q.groupBy(col("source"), col("qm")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // bounded source list (the k-means-centroid fetch contract)
     val sources = cells.select(col("source")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -2009,13 +2016,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.fanout(t.documents)
       .select(col("source"), col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    // barriers: `top` is referenced four times (w, both pair sides, words)
+    // and `docTerm` three times (df, both cooc sides) — each reference
+    // re-evaluated the tokenize scan, 9 corpus scans total (r13 opt). The
+    // checkpointed frames are |sources|·k and ≤|docs|·|top words| rows.
     val top = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))))
       .filter(col("rk") <= k)
+      .localCheckpoint()
     val w = top.select(col("term")).distinct()
     val docTerm = toks.select(col("doc_id"), col("term")).distinct()
       .join(broadcast(w), Seq("term"))
+      .localCheckpoint()
     val df = docTerm.groupBy(col("term")).agg(count(lit(1)).as("d"))
     // unordered co-occurrence counts within the top-word set
     val cooc = docTerm.select(col("doc_id"), col("term").as("t1"))
@@ -2403,10 +2416,14 @@ object TextAnalysis {
     * join. */
   def qQuantileNorm(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // barrier: q feeds ranked AND bucketRank (which itself evaluates its
+    // input twice) — 3-4 q27 scoring scans before (r13 opt). n rows of 4
+    // narrow fields.
     val q = qQualityScore(t)
       .select(col("doc_id"), col("quality_score"),
         round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint()
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("quality_score"), col("doc_id"))
     val wS = Window.partitionBy(col("source"))
@@ -5089,7 +5106,11 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
         .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    // barrier: bf is referenced four times (scalar fetch, ctx, cont, the
+    // scoring join) and each reference re-ran the tokenize+explode scan
+    // (r13 opt: 4 corpus scans -> 2). Distinct-bigram rows only.
     val bf = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // corpus scalars (bounded 3-long fetch): distinct-bigram total + the
     // singleton/doubleton counts behind the Good-Turing discount estimate
     val gRow = bf.agg(count(lit(1)),
@@ -6264,7 +6285,12 @@ object TextAnalysis {
         Window.partitionBy(col("a")).orderBy(col("c").desc, col("b"))))
       .filter(col("rn") === 1).select(col("a"), col("b"), col("c"))
       .localCheckpoint()
+    // barrier: every unioned walk arm re-references `seeds`, and Spark
+    // re-evaluates the full unigram aggregate (tokenize scan included)
+    // per reference — 11 corpus scans for a 10-step walk (r13 opt). The
+    // checkpointed frame is nSeeds rows.
     val seeds = uf.orderBy(col("f").desc, col("w")).limit(nSeeds)
+      .localCheckpoint()
     var cur = seeds.select(col("w").as("seed"), lit(0L).as("step"),
       col("w").as("token"), col("f").as("c"))
     var out = cur
