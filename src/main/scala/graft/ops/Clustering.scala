@@ -1137,31 +1137,37 @@ object Clustering {
     if (poolRows.isEmpty)
       return Tables.emptyFrame(spark, "rank" -> LongType, "cid" -> LongType,
         "gain_micro" -> LongType, "coverage_micro" -> LongType)
-    val poolDf = poolRows.toSeq.toDF("cid", "c")
-    val m = emb.crossJoin(broadcast(poolDf))
-      .select(col("vec_id"), col("cid"),
-        round(graft.plans.CosineSim.cosineD(col("e"), col("c")) * lit(1000000.0), 0)
-          .cast("long").as("sm"))
+    // r13 opt (the q303 bounded-greedy rule): the previous shape paid 8
+    // rounds x (cov join + aggregate + cov-update checkpoint) = ~16 jobs
+    // of scheduling floor plus 8 cov barriers. The pool is bounded, so
+    // each corpus row can carry its FULL pool-sim vector once
+    // (checkpointed), coverage is derivable in-expression as the max over
+    // the picked indices of that vector, and every round collapses to ONE
+    // map-side-combinable aggregate producing all |pool| gains (exact
+    // BIGINT sums, identical values; the argmax tie-break (gain DESC, cid)
+    // moves to the driver over the bounded gain row).
+    val nP = poolRows.length
+    val simCols = poolRows.map { case (_, c) =>
+      round(graft.plans.CosineSim.cosineD(col("e"), typedLit(c)) *
+        lit(1000000.0), 0).cast("long")
+    }
+    val mx = t.fanout(emb).select(array(simCols.toIndexedSeq: _*).as("v"))
       .localCheckpoint()
-    var cov = m.select(col("vec_id")).distinct()
-      .withColumn("cov", lit(0L)).localCheckpoint()
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var coverage = 0L
+    var covExpr: org.apache.spark.sql.Column = lit(0L)
     for (r <- 1L to k.toLong) {
-      val picked = chosen.map(_._2)
-      val best = m.join(cov, Seq("vec_id"))
-        .filter(if (picked.isEmpty) lit(true) else !col("cid").isin(picked.toSeq: _*))
-        .groupBy(col("cid"))
-        .agg(sum(greatest(col("sm") - col("cov"), lit(0L))).as("gain"))
-        .orderBy(col("gain").desc, col("cid")).limit(1)
-        .collect().head
-      val (cid, gain) = (best.getLong(0), best.getLong(1))
+      val gainCols = (0 until nP).map(i =>
+        sum(greatest(col("v")(i) - covExpr, lit(0L))).as(s"g$i"))
+      val row = mx.agg(gainCols.head, gainCols.tail: _*).collect().head
+      val pickedSet = chosen.map(_._2).toSet
+      val (gain, cid, idx) = (0 until nP)
+        .filter(i => !pickedSet.contains(poolRows(i)._1))
+        .map(i => (if (row.isNullAt(i)) 0L else row.getLong(i), poolRows(i)._1, i))
+        .minBy { case (g, c, _) => (-g, c) }
       coverage += gain
       chosen += ((r, cid, gain, coverage))
-      cov = cov.join(m.filter(col("cid") === cid).select(col("vec_id"), col("sm")),
-          Seq("vec_id"))
-        .select(col("vec_id"), greatest(col("cov"), col("sm")).as("cov"))
-        .localCheckpoint()
+      covExpr = greatest(covExpr, col("v")(idx))
     }
     chosen.toSeq.toDF("rank", "cid", "gain_micro", "coverage_micro")
       .orderBy(col("rank"))

@@ -1248,12 +1248,16 @@ object Relational {
     * All DECIMAL/BIGINT exact. */
   def q175WeightedMedian(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // barrier (r13 opt): grouped fed both the bucket-sum pass and the
+    // final in-bucket window join — 2 lineitem scans + decimal aggregates
+    // before; the checkpointed frame is the distinct (flag, price) groups.
     val grouped = t.lineitem
       .groupBy(col("l_returnflag"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("v"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))
       // value-monotone bucket key: ties in v share a bucket by construction
       .withColumn("bucket", floor(col("v") / lit(1000)).cast("int"))
+      .localCheckpoint()
     val bsums = grouped.groupBy(col("l_returnflag"), col("bucket"))
       .agg(sum(col("w")).as("bw"))
     val prevBuckets = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))

@@ -2773,15 +2773,21 @@ object TextAnalysis {
   def qPmiCollocations(t: Tables, minCount: Long = 5): DataFrame = {
     val toks = t.fanout(t.documents)
       .select(text.tokenize(col("text")).as("toks"))
+    // barriers (r13 opt): uf fed both broadcast sides (2 tokenize scans)
+    // and nb re-ran the pair explode a third time — derive nb as the
+    // exact Σc over the checkpointed bigram counts instead. 4 corpus
+    // scans -> 2.
     val uni = toks.select(explode(col("toks")).as("w"))
     val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
     val pairs = toks.filter(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val bf = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-    val nb = pairs.count()
+      .localCheckpoint()
+    val nb = bf.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     bf.filter(col("c") >= minCount)
       .join(broadcast(uf.withColumnRenamed("w", "a").withColumnRenamed("f", "fa")), "a")
       .join(broadcast(uf.withColumnRenamed("w", "b").withColumnRenamed("f", "fb")), "b")
@@ -3611,15 +3617,21 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    // barriers (r13 opt): spans (tokenize + ngram + md5) fed both nd and
+    // the rank join, and removable fed both dupWindows and removedPos —
+    // 5 corpus scans -> 2 (spans rows are (long, int, 16-char hash);
+    // removable is dup positions only).
     val spans = toks
       .select(col("doc_id"), posexplode(text.ngrams(col("toks"), w)).as(Seq("idx", "span")))
       .select(col("doc_id"), col("idx"), substring(md5(col("span")), 1, 16).as("h"))
+      .localCheckpoint()
     val nd = spans.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
     val wnd = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
     val removable = spans.withColumn("rn", row_number().over(wnd))
       .join(nd, Seq("h"))
       .filter(col("nd") >= 2 && col("rn") > 1)
       .select(col("doc_id"), col("idx"))
+      .localCheckpoint()
     val dupWindows = removable.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"))
     val removedPos = removable
@@ -5027,8 +5039,13 @@ object TextAnalysis {
         "keep" -> BooleanType)
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
+    // barriers (r13 opt): uf was evaluated twice (the v count + the
+    // broadcast) and bf's build re-ran the tokenize scan next to the
+    // scoring join's own pass — 4 corpus scans -> 3 (uf and bf are
+    // vocab/distinct-bigram bounded; bi stays streamed, the q261 call).
     val uf = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .localCheckpoint()
     val v = uf.count()
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -5036,6 +5053,7 @@ object TextAnalysis {
         .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
     val bf = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     bi.join(bf, Seq("a", "b"))
       .join(broadcast(uf.withColumnRenamed("w", "a").withColumnRenamed("f", "fa")), Seq("a"))
       .withColumn("nll", round(-log((col("c").cast("double") + lit(1.0)) /
@@ -7728,12 +7746,18 @@ object TextAnalysis {
             col("n_tok_chars") <= col("n_tokens") * 5) &&
           (col("n_stop") * 20 >= col("n_tokens")) &&
           (col("n_distinct") * 2 >= col("n_tokens")), 1L).otherwise(0L).as("yy"))
-    val tall = base.select(col("doc_id"), expr(
-      "stack(6, 'fa', fa, 'fb', fb, 'fc', fc, 'fd', fd, 'fe', fe, 'yy', yy)")
-      .as(Seq("nm", "vl")))
-    val t1 = tall.select(col("doc_id"), col("nm").as("u"), col("vl").as("vu"))
-    val t2 = tall.select(col("doc_id"), col("nm").as("v"), col("vl").as("vv"))
-    val cells = t1.join(t2, Seq("doc_id")).filter(col("u") < col("v"))
+    // all 15 u<v pairs emitted per row directly: the previous tall
+    // self-join evaluated the tokenize-heavy `base` twice and paid a
+    // doc_id shuffle join for cells one projection can produce (r13 opt:
+    // same exact cell counts, 2 scans + join -> 1 scan)
+    val featNames = Seq("fa", "fb", "fc", "fd", "fe", "yy")
+    val pairCols = for {
+      i <- featNames.indices; j <- (i + 1) until featNames.length
+    } yield struct(lit(featNames(i)).as("u"), lit(featNames(j)).as("v"),
+      col(featNames(i)).as("vu"), col(featNames(j)).as("vv"))
+    val cells = base.select(explode(array(pairCols: _*)).as("s"))
+      .select(col("s.u").as("u"), col("s.v").as("v"),
+        col("s.vu").as("vu"), col("s.vv").as("vv"))
       .groupBy(col("u"), col("v"), col("vu"), col("vv"))
       .agg(count(lit(1)).as("nuv"))
     val wu = Window.partitionBy(col("u"), col("v"), col("vu"))
