@@ -8361,13 +8361,32 @@ object TextAnalysis {
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
     val dt = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // term counts feed every fraction
-    val out = fracs.map { thr =>
-      val train = lab.filter(col("h") < thr)
+    // r13 opt: the fractions are NESTED md5 slices, so the four per-
+    // fraction (dt x train) corpus joins collapse into ONE bucketed
+    // aggregate — fb = first fraction containing h — and each fraction's
+    // per-term counts are a cheap re-aggregation of the ≤|vocab|·|fracs|
+    // checkpointed cell table (identical exact integer counts).
+    val fbExpr = fracs.zipWithIndex.tail.foldLeft(
+        when(col("h") < fracs.head, 0)) { case (e, (thr, i)) =>
+      e.when(col("h") < thr, i)
+    }.otherwise(fracs.length)
+    val dtl = dt.join(lab, Seq("doc_id"))
+      .withColumn("fb", fbExpr)
+      .groupBy(col("term"), col("fb")).agg(
+        coalesce(sum(when(col("y") === 0L, col("c"))), lit(0L)).as("b0"),
+        coalesce(sum(when(col("y") === 1L, col("c"))), lit(0L)).as("b1"))
+      .localCheckpoint()
+    // one bucketed label fetch replaces the 4 sequential per-fraction
+    // collects (nested slices => prefix sums over the ≤|fracs|+1 buckets)
+    val labBuckets = lab.withColumn("fb", fbExpr)
+      .groupBy(col("fb")).agg(
+        coalesce(sum(col("y")), lit(0L)).as("n1"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val out = fracs.zipWithIndex.map { case (thr, fi) =>
       val evalSet = if (thr >= 65536) lab else lab.filter(col("h") >= thr)
-      val perTerm = dt.join(train, Seq("doc_id"))
+      val perTerm = dtl.filter(col("fb") <= fi)
         .groupBy(col("term")).agg(
-          coalesce(sum(when(col("y") === 0L, col("c"))), lit(0L)).as("c0"),
-          coalesce(sum(when(col("y") === 1L, col("c"))), lit(0L)).as("c1"))
+          sum(col("b0")).as("c0"), sum(col("b1")).as("c1"))
       val ll = perTerm
         .withColumn("tok0", sum(col("c0")).over(w))
         .withColumn("tok1", sum(col("c1")).over(w))
@@ -8379,8 +8398,8 @@ object TextAnalysis {
           round(log((col("c1") + lit(1L)).cast("double") /
             (col("tok1") + col("v_size")).cast("double")) * lit(1000000.0), 0)
             .cast("long").as("ll1"))
-      val pr = train.agg(coalesce(sum(col("y")), lit(0L)), count(lit(1))).collect()(0)
-      val n1 = pr.getLong(0); val n = pr.getLong(1)
+      val inTrain = labBuckets.filter(_._1 <= fi)
+      val n1 = inTrain.map(_._2).sum; val n = inTrain.map(_._3).sum
       val lp0 = microAway(math.log((n - n1 + 1).toDouble / (n + 2).toDouble))
       val lp1 = microAway(math.log((n1 + 1).toDouble / (n + 2).toDouble))
       // eval docs may hold terms unseen in training: inner join drops
