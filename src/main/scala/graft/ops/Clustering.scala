@@ -71,9 +71,13 @@ object Clustering {
     * are round(6) (order-dependent float sums), n_terms exact. */
   def qTfidfExact(t: Tables): DataFrame = {
     val n = t.documents.count()
+    // barrier: tf feeds the doc-frequency aggregate AND the weight join —
+    // un-barriered the tokenize+explode+shuffle ran twice over the corpus.
+    // (doc_id, term, c) rows, post-aggregate (already shuffled once).
     val tf = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "term")
       .withColumn("w", col("c").cast("double") *

@@ -237,7 +237,9 @@ object Dedup {
     * (md5/conv/min/lead/concat) — no kernel, so the DuckDB replay is
     * line-for-line the same relational program. */
   def qLshCandidatesGate(t: Tables, shingleLen: Int = 8): DataFrame = {
-    val bands = lshGateBands(t, shingleLen)
+    // barrier: both sides of the band self-join — un-barriered the
+    // shingle+minhash window kernel ran twice. docs × nBands rows.
+    val bands = lshGateBands(t, shingleLen).localCheckpoint()
     bands.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
         Seq("band", "bkey"))
@@ -1970,9 +1972,12 @@ object Dedup {
     * per-source component counts are a |sources|-row broadcast. */
   def qCrossSourceDupMatrix(t: Tables): DataFrame = {
     val rep = fuzzyLabelsCached(t)
+    // barrier: referenced 3x (per-source totals + both sides of the
+    // sharing self-join). Distinct (component, source) rows only.
     val srcComp = rep
       .join(t.documents.select(col("doc_id").as("id"), col("source")), Seq("id"))
       .select(col("label").as("keep_id"), col("source")).distinct()
+      .localCheckpoint()
     val perSource = srcComp.groupBy(col("source"))
       .agg(count(lit(1)).as("n_comps"))
     val a = srcComp.select(col("keep_id"), col("source").as("source_a"))
@@ -2140,11 +2145,17 @@ object Dedup {
     def removedFrom(labels: DataFrame, name: String): DataFrame =
       labels.filter(col("id") =!= col("label"))
         .select(col("id").as("doc_id"), lit(name).as("method"))
+    // barrier: referenced 3x below (per-method totals + both sides of the
+    // agreement self-join) — without it the md5 window, the ids join and
+    // the simhash verify kernel re-run per reference (10 in-plan documents
+    // scans measured). ≤3 rows/doc of (long, string): the r13 barrier rule
+    // (kernel-cost × rows >> row-bytes × rows).
     val removed = exactRemoved
       .union(removedFrom(fuzzyLabelsCached(t), "fuzzy"))
       .union(removedFrom(componentLabels(
         qSimhashGate(t).select(col("id_a"), col("id_b")),
         t.documents.select(col("doc_id").as("id"))), "simhash"))
+      .localCheckpoint()
     val perMethod = removed.groupBy(col("method"))
       .agg(count(lit(1)).as("n_removed"))
     val l = removed.select(col("doc_id"), col("method").as("method_a"))

@@ -897,9 +897,13 @@ object EventAnalytics {
     * Scale shape: one distinct, one bounded self-join on the basket key,
     * two tiny broadcast joins for the marginals. */
   def qCoOccurrence(t: Tables, minSupport: Long = 2L): DataFrame = {
+    // barrier: items feeds the basket count, the margins AND both sides of
+    // the pair self-join — un-barriered the events distinct shuffle ran 4x.
+    // Bounded (user, day, type) rows; the count() below materializes it.
     val items = t.events
       .select(col("user_id"), col("ts").cast("date").as("day"), col("event_type"))
       .distinct()
+      .localCheckpoint()
     val nBaskets = items.select(col("user_id"), col("day")).distinct().count()
     if (nBaskets == 0L) {
       import org.apache.spark.sql.types._
@@ -1053,7 +1057,12 @@ object EventAnalytics {
   def qAudienceOverlap(t: Tables, rsd: Double = 0.02): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.events.sparkSession
+    // barrier: tu feeds the type list, the tagged HLL pass, the per-type
+    // exacts AND both sides of the intersection self-join — un-barriered
+    // the events distinct shuffle ran 5x. Bounded (type, user) rows; the
+    // collect below materializes it.
     val tu = t.events.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
     // scalar-first: the distinct type list is tiny and bounded — drive the
     // pair map from it (a literal in the plan, not a join)
     val types = tu.select(col("event_type")).distinct()

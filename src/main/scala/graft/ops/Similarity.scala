@@ -858,6 +858,10 @@ object Similarity {
           .as("lo"),
         expr("sum(case when d >= 32 and cast(v as double) > m then shiftleft(1L, d - 32) else 0L end)")
           .as("hi"))
+      // barrier: probes and candidates both read codes — un-barriered the
+      // dim-explode + median join + pack ran twice (and q165 composes this
+      // whole pipeline again). n rows × 3 longs.
+      .localCheckpoint()
     val p = codes.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("lo").as("plo"), col("hi").as("phi"))
     val w = Window.partitionBy(col("probe_id"))

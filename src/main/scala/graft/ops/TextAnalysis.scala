@@ -448,9 +448,13 @@ object TextAnalysis {
     * |sources|-bounded posting lists (≤|S| rows per fingerprint), not
     * doc-level postings — cost Σ_fp |sources ∋ fp|² ≤ |S|²·|fps|. */
   def qReuseMatrix(t: Tables, w: Int = 8): DataFrame = {
+    // barrier: referenced 3x (per-source totals + both sides of the
+    // sharing self-join) — without it the winnowing fingerprint kernel
+    // re-runs per reference. Distinct (source, fp) rows only.
     val srcFp = winnowedFps(t, w)
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("fp")).distinct()
+      .localCheckpoint()
     val perSrc = srcFp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
     val l = srcFp.select(col("fp"), col("source").as("src_a"))
     val r = srcFp.select(col("fp"), col("source").as("src_b"))
@@ -1147,9 +1151,10 @@ object TextAnalysis {
     import org.apache.spark.sql.types._
     val spark = t.spark
     import spark.implicits._
-    val docs = t.fanout(t.documents).select(col("doc_id"),
-      size(text.tokenize(col("text"))).cast("long").as("ntok"))
-    val rng = docs.agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
+    // id range/count never needed the tokenize — read it off the bare
+    // table (was: one full tokenize pass just for min/max/count)
+    val rng = t.documents
+      .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1))).head()
     val empty = Tables.emptyFrame(spark, "rank" -> LongType,
       "cum_tokens" -> LongType, "vocab" -> LongType,
       "ln_t_micro" -> LongType, "ln_v_micro" -> LongType,
@@ -1159,11 +1164,23 @@ object TextAnalysis {
     val span = maxId - minId + 1
     val terms = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
+    // ntok from the SAME exploded pass as the first-occurrence counts
+    // (size(tokenize) == count of exploded terms; empty-token docs come
+    // back via the left join below), instead of a second tokenize pass
+    val ntok = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
     val nv = terms.groupBy(col("term")).agg(min(col("doc_id")).as("fo"))
       .groupBy(col("fo").as("doc_id")).agg(count(lit(1)).as("nv"))
-    val base = docs.join(nv, Seq("doc_id"), "left")
+    // barrier: base feeds BOTH the per-bucket mass collect and the ranked
+    // window — un-checkpointed, each evaluation re-ran the two tokenize
+    // aggregates (5 corpus tokenize passes per run in total; now 2, in
+    // base's single materialization). n rows × 4 longs.
+    val base = t.documents.select(col("doc_id"))
+      .join(ntok, Seq("doc_id"), "left")
+      .withColumn("ntok", coalesce(col("ntok"), lit(0L)))
+      .join(nv, Seq("doc_id"), "left")
       .withColumn("nv", coalesce(col("nv"), lit(0L)))
       .withColumn("bucket", expr(s"((doc_id - ${minId}L) * 101L) div ${span}L"))
+      .localCheckpoint()
     // per-bucket masses ride the driver (≤101 rows — bounded fetch)
     val sums = base.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bn"), sum(col("ntok")).as("bt"), sum(col("nv")).as("bv"))
@@ -1925,7 +1942,12 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.fanout(t.documents)
       .select(col("source"), explode(text.tokenize(col("text"))).as("term"))
+    // barrier: tf feeds the vocab count, the per-source masses AND both
+    // sides of the model/data join — un-barriered each reference re-ran
+    // the corpus tokenize (5 in-plan passes measured; now 1; the count()
+    // below doubles as the materialization action). vocab × sources rows.
     val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val all = Window.partitionBy()
     // V = global distinct terms; N_j = per-source token mass (bounded |S| rows)
     val vCount = tf.select(col("term")).distinct().count()
@@ -2606,6 +2628,13 @@ object TextAnalysis {
         col("n_stop") * 20 >= col("n_tokens") &&
         col("n_distinct") * 2 >= col("n_tokens"))
       .select(col("doc_id"), col("text"), col("n_tokens"))
+      // barrier: the stage-1 readout AND the dedup window both consume
+      // quality — un-barriered, the 4-expression tokenize filter chain
+      // re-ran once per downstream stage (4 corpus tokenize passes
+      // measured in-plan; now 1)
+      .localCheckpoint()
+    // (no barrier here: the md5 window re-runs off checkpointed quality —
+    // cheap; a second full-text materialization A/B'd WORSE)
     val deduped = quality
       .withColumn("rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
@@ -2616,7 +2645,10 @@ object TextAnalysis {
     val trainCand = deduped.filter(col("doc_id") % 97 =!= 0)
     val contaminated = trainCand.select(col("doc_id"), explode(grams).as("gram"))
       .join(evalGrams, "gram").select(col("doc_id")).distinct()
+    // narrow barrier (doc_id, n_tokens — text dropped): the stage-3 readout
+    // and the packing window otherwise re-run the 8-gram explode + join
     val clean = trainCand.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens")).localCheckpoint()
     val packed = clean
       .withColumn("shard", expr("doc_id div 1000"))
       .withColumn("start_tok", sum(col("n_tokens")).over(
@@ -2913,10 +2945,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    // ONE tokenize+explode pass: per-doc length AND the per-query-term
+    // counts come out of a single aggregate (the query list is a bounded
+    // literal), checkpointed at n rows × (2+|query|) longs. The previous
+    // shape ran the explode twice (lens pass + tf pass) — 2 corpus scans
+    // in-plan — and lens.cache() still re-ran it for the collect.
+    val tfCols = query.zipWithIndex.map { case (q, i) =>
+      sum(when(col("term") === q, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("len"), tfCols: _*).localCheckpoint()
+    val lens = perDoc.select(col("doc_id"), col("len"))
     // coalesce the sum: on an empty documents table sum(len) is NULL and a
     // bare cast throws; the empty result set itself is correct either way
-    val Array(nDocs, sumLen) = lens
+    val Array(nDocs, sumLen) = perDoc
       .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
     // guard the empty corpus: a lit(0)/lit(0) column division CONSTANT-
@@ -2924,8 +2965,13 @@ object TextAnalysis {
     // (zero) rows run. The Scala division is the identical IEEE op on the
     // same operands, so oracle parity is unchanged on non-empty input.
     val avgdl = lit(if (nDocs == 0L) 0.0 else sumLen.toDouble / nDocs.toDouble)
-    val tf = toks.filter(col("term").isin(query: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // unpivot back to the (doc_id, term, tf) rows the previous tf groupBy
+    // produced — identical rows/values, zero extra corpus passes
+    val tfStructs = array(query.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("term"), col(s"tf_$i").as("tf")) }: _*)
+    val tf = perDoc.select(col("doc_id"), explode(tfStructs).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+      .filter(col("tf") > 0L)
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf", log(lit(1.0) +
         ((lit(nDocs) - col("df")).cast("double") + lit(0.5))
@@ -3796,6 +3842,10 @@ object TextAnalysis {
     * q140's job). */
   def qNgramNovelty(t: Tables, w: Int = 8): DataFrame = {
     val toks = text.tokenize(col("text"))
+    // NOTE r13: spans is referenced twice (per-hash aggregate + join back)
+    // and a localCheckpoint barrier was A/B'd here — it LOSES (1.5 s -> 1.6
+    // to 2.1 s warm at sf0.1): ~1M narrow rows whose tokenize+md5 kernel is
+    // cheaper to recompute than to materialize (the r9 q34 class).
     val spans = t.fanout(t.documents).select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), explode(text.ngrams(col("toks"), w)).as("span"))
       .select(col("doc_id"), substring(md5(col("span")), 1, 16).as("h"))
@@ -5806,11 +5856,15 @@ object TextAnalysis {
       .withColumn("chunk",
         coalesce(sum(col("cut")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // barrier: chunks feeds the sharing aggregate AND the join back —
+    // un-barriered, the rolling-hash window chain + collect_list md5 ran
+    // twice over the corpus. ~tokens/mod narrow rows.
     val chunks = cuts.groupBy(col("doc_id"), col("chunk"))
       .agg(count(lit(1)).as("chunk_len"),
         md5(array_join(
           expr("transform(sort_array(collect_list(struct(pos, term))), x -> x.term)"),
           " ")).as("chash"))
+      .localCheckpoint()
     val sharing = chunks.groupBy(col("chash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(sharing, Seq("chash"))
@@ -7155,9 +7209,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
-    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len")).cache()
+    // ONE tokenize pass (the q123 shape): per-doc length + per-query-term
+    // counts in a single checkpointed aggregate; cf/tf/lens all derive from
+    // it (was 3 corpus explodes: lens + cf + tf).
+    val tfCols = query.zipWithIndex.map { case (q, i) =>
+      sum(when(col("term") === q, 1L).otherwise(0L)).as(s"tf_$i") }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("len"), tfCols: _*).localCheckpoint()
+    val lens = perDoc.select(col("doc_id"), col("len"))
     try {
-      val Array(nDocs, totTok) = lens
+      val Array(nDocs, totTok) = perDoc
         .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).collect()(0)
         .toSeq.map(_.asInstanceOf[Long]).toArray
       if (nDocs == 0L || totTok == 0L)
@@ -7167,10 +7228,14 @@ object TextAnalysis {
           "score_micro" -> org.apache.spark.sql.types.LongType,
           "n_terms_hit" -> org.apache.spark.sql.types.LongType,
           "score" -> org.apache.spark.sql.types.DoubleType)
-      val cf = toks.filter(col("term").isin(query: _*))
-        .groupBy(col("term")).agg(count(lit(1)).as("cf"))
-      val tf = toks.filter(col("term").isin(query: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // unpivot back to the (doc_id, term, tf) rows the per-term groupBys
+      // produced — identical rows/values, zero extra corpus passes
+      val tfStructs = array(query.zipWithIndex.map { case (q, i) =>
+        struct(lit(q).as("term"), col(s"tf_$i").as("tf")) }: _*)
+      val tf = perDoc.select(col("doc_id"), explode(tfStructs).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+        .filter(col("tf") > 0L)
+      val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
       val matched = tf.join(broadcast(cf), Seq("term"))
         .withColumn("mup",
           lit(mu) * col("cf").cast("double") / lit(totTok.toDouble))
@@ -7907,9 +7972,13 @@ object TextAnalysis {
     * (windows + one equi self-join on value). */
   def qWassersteinMatrix(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // barrier: counts feeds support, sources AND the grid join, and the
+    // cum self-join doubles every reference — un-barriered the corpus
+    // tokenize ran 4x in-plan. Bounded (source, length) histogram rows.
     val counts = t.fanout(t.documents)
       .select(col("source"), size(text.tokenize(col("text"))).cast("long").as("v"))
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val support = counts.select(col("v")).distinct()
     val srcs = counts.select(col("source")).distinct()
     val grid = support.crossJoin(broadcast(srcs)) // bounded: |support|·|sources|
@@ -8065,9 +8134,13 @@ object TextAnalysis {
     * support×sources work). */
   def qCramerVonMises(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // barrier: counts feeds support, sources AND the grid join, and the
+    // cum self-join doubles every reference — un-barriered the corpus
+    // tokenize ran 4x in-plan. Bounded (source, length) histogram rows.
     val counts = t.fanout(t.documents)
       .select(col("source"), size(text.tokenize(col("text"))).cast("long").as("v"))
       .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val support = counts.select(col("v")).distinct()
     val srcs = counts.select(col("source")).distinct()
     val grid = support.crossJoin(broadcast(srcs))
@@ -8249,9 +8322,16 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = t.fanout(t.documents)
       .select(col("source"), explode(text.tokenize(col("text"))).as("w"))
-    val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("tot"))
-    val sw = toks.filter(col("w").isInCollection(text.stopwords))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    // ONE tokenize pass: the full (source, word) count table is checkpointed
+    // (vocab × sources, corpus-bounded) and both the per-source totals and
+    // the stopword counts derive from it. Un-barriered, tot and sw each
+    // re-ran the explode, and the zs self-join doubled that again (4 corpus
+    // tokenize passes measured in-plan).
+    val all = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val tot = all.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val sw = all.filter(col("w").isInCollection(text.stopwords))
+      .select(col("source"), col("w"), col("cnt"))
     val srcs = tot.select(col("source"))
     val words = sw.select(col("w")).distinct()
     val gridW = words.crossJoin(broadcast(srcs)) // bounded: |stopwords|·|sources|
