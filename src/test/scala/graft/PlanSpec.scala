@@ -130,7 +130,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn brute force broadcasts the probe side") {
-    val p = plan(Similarity.qKnnBruteForce(sf0001))
+    // assert on the PRE-BARRIER generator: qKnnBruteForce now reads the
+    // session-cached exactTopK localCheckpoint (a LogicalRDD scan — the
+    // r11 plan-assert rule), so the broadcast lives in the builder plan
+    val p = plan(Similarity.bruteForceTopK(sf0001.embeddings,
+      sf0001.embeddings.filter(col("vec_id") < 10), 10))
     assert(p.contains("Broadcast"), "probes not broadcast")
   }
 
