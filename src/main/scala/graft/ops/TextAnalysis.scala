@@ -1394,8 +1394,8 @@ object TextAnalysis {
   def qSpearman(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "n" -> LongType, "sum_d2" -> LongType,
@@ -1423,7 +1423,7 @@ object TextAnalysis {
               (lit(1.0) - lit(6.0) * col("sum_d2").cast("double") /
                 when(den === 0.0, lit(null)).otherwise(den)).as("rho"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q205 oracle: the shared weight chain + global ROW_NUMBERs (the
@@ -1476,8 +1476,8 @@ object TextAnalysis {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
     import spark.implicits._
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "n_pos" -> LongType, "n_neg" -> LongType,
@@ -1535,7 +1535,7 @@ object TextAnalysis {
             .withColumn("best_thresh",
               col("best_conf_micro").cast("double") / lit(1000000.0))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q206 oracle: the weight chain + plain descending windows; the argmax
@@ -2147,8 +2147,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "fold" -> LongType, "n" -> LongType,
@@ -2184,7 +2184,7 @@ object TextAnalysis {
               col("acc"), col("acc_micro"), col("mean_acc"), col("spread_micro"))
             .orderBy(col("fold"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q214 oracle: the weight chain + the same md5 folds and k-row
@@ -4006,6 +4006,27 @@ object TextAnalysis {
       .withColumn("f5", least(col("f1"), col("f2"), col("f3"), col("f4")))
   }
 
+  /** Session-cached MATERIALIZATION of [[logitFeatures]] (the
+    * Similarity.exactTopKCached sibling; warm-structure contract). ~16
+    * consumers (q139/q188/q198/q200/q205/q206/q231/q241/q263/q286/q293/
+    * q299/q301/q316/q318 + qCvFolds/qCohensKappa) previously each did
+    * `.cache()` … `finally unpersist()` on the identical canonicalized
+    * plan — and the unpersist DROPPED the shared CacheManager entry, so
+    * every rider after the first re-ran the full corpus tokenize pass
+    * (~15 redundant scans per bench; the r13 prewarm built an entry the
+    * first timed rider then destroyed). One eager localCheckpoint per
+    * (session, sfDir) now serves all of them; hits are bit-identical
+    * (the frame is a deterministic projection), so every downstream
+    * oracle is unaffected. Survives Bench's clearCache() — prewarm's
+    * rebuild is a no-op hit. */
+  private val featsCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private def logitFeaturesShared(t: Tables): DataFrame =
+    featsCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#logitfeats",
+      logitFeatures(t).localCheckpoint())
+
   /** Session+SF-scoped cache of trained logistic weights, the
     * `Similarity.indexCache` precedent applied to `logitTrain`: the GD
     * sequence is deterministic (round(6) gradient averages, exact
@@ -4030,23 +4051,23 @@ object TextAnalysis {
 
   /** Bench warm-structure hook (VERDICT r12 item 1). Forces, in a FIXED
     * order, every shared structure this module's timed queries ride:
-    * the logitFeatures CacheManager entry (the one structure Bench's
-    * clearCache() actually drops — ~15 consumers re-cache the identical
-    * canonicalized plan, so whichever timed query ran first used to pay
-    * the rebuild), plus the driver-side weights/BPE/Dawid–Skene caches
-    * (those survive clearCache; forcing them here only makes a fresh
-    * session order-independent). All params are the query defaults —
-    * (16, 8.0) logit, 8 BPE rounds, 5 DS rounds — so the cache keys
-    * match every consumer. Returns (structure, seconds) for the bench
-    * stderr record. */
+    * the [[logitFeaturesShared]] session checkpoint plus the driver-side
+    * weights/BPE/Dawid–Skene caches (all survive clearCache; forcing
+    * them here makes a fresh session order-independent). All params are
+    * the query defaults — (16, 8.0) logit, 8 BPE rounds, 5 DS rounds —
+    * so the cache keys match every consumer. Returns
+    * (structure, seconds) for the bench stderr record. */
   private[graft] def prewarmShared(t: Tables): Seq[(String, Double)] = {
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime(); f; name -> ((System.nanoTime() - t0) / 1e9)
     }
-    val feats = logitFeatures(t).cache()
     Seq(
-      timed("logit_features")(feats.count()),
-      timed("logit_weights")(logitTrainCached(t, feats, 16, 8.0)),
+      // logitFeaturesShared is an EAGER localCheckpoint: the call itself
+      // materializes the session structure (a no-op hit when warm —
+      // unlike the pre-r14 CacheManager entry, it survives clearCache()
+      // AND the riders no longer unpersist it out from under each other)
+      timed("logit_features")(logitFeaturesShared(t)),
+      timed("logit_weights")(logitTrainCached(t, logitFeaturesShared(t), 16, 8.0)),
       timed("bpe_merges")(bpeMerges(t, 8)),
       timed("dawid_skene")(dawidSkeneCached(t, 5)))
   }
@@ -4076,7 +4097,7 @@ object TextAnalysis {
   def qLogitClassifier(t: Tables, rounds: Int = 16, lr: Double = 8.0): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
+    val feats = logitFeaturesShared(t)
     val dims = 6 // bias + f1..f5
     var w = Array.fill(dims)(0.0)
     val out = scala.collection.mutable.ArrayBuffer
@@ -4104,7 +4125,6 @@ object TextAnalysis {
         r += 1
       }
     }
-    feats.unpersist()
     // Seed the shared weight cache: after the trace loop w is exactly
     // logitTrain's result (updates are applied only for r < rounds), so
     // a q139 run warms q188/q198/q200 regardless of execution order.
@@ -4235,8 +4255,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "bin" -> LongType, "n" -> LongType,
@@ -4272,7 +4292,7 @@ object TextAnalysis {
                 / sum(col("n")).over(all).cast("double") / lit(1000000.0))
             .orderBy(col("bin"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q188 oracle: the q139 weight chain (gradient-only pass CTEs) to the
@@ -4452,8 +4472,8 @@ object TextAnalysis {
       k: Int = 25): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "rank" -> LongType, "doc_id" -> LongType,
@@ -4473,7 +4493,7 @@ object TextAnalysis {
             .select(col("rank"), col("doc_id"), col("y"), col("conf"), col("margin"))
             .orderBy(col("rank"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q198 oracle: the q188 weight chain + the same rounded-margin top-k. */
@@ -4516,8 +4536,8 @@ object TextAnalysis {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
     import spark.implicits._
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "n_pos" -> LongType, "n_neg" -> LongType,
@@ -4558,7 +4578,7 @@ object TextAnalysis {
                   / (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
             .withColumn("gini", col("auc") * 2.0 - 1.0)
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q200 oracle: the weight chain + plain score-group windows (DuckDB
@@ -5337,8 +5357,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "n" -> LongType, "k" -> LongType,
@@ -5392,7 +5412,7 @@ object TextAnalysis {
               ((lit(1.0) - lit(p)) * col("sum_term_micro").cast("double") /
                 lit(1000000.0)).as("rbo"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q231 oracle: the logit chain + the q27 CTEs (renamed `f`, the q228
@@ -5682,8 +5702,8 @@ object TextAnalysis {
       alpha: Double = 0.1): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "n_cal" -> LongType, "n_eval" -> LongType,
@@ -5724,7 +5744,7 @@ object TextAnalysis {
                 nullif(col("n_eval").cast("double"), lit(0.0))).as("coverage"),
               lit(alpha).as("alpha"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q241 oracle: the logit chain + the same split, order statistic and
@@ -5788,8 +5808,8 @@ object TextAnalysis {
       thresh: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "n" -> LongType, "n11" -> LongType,
@@ -5818,7 +5838,7 @@ object TextAnalysis {
             po.as("po"), pe.as("pe"),
             ((po - pe) / nullif(lit(1.0) - pe, lit(0.0))).as("kappa"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** Q250: content-defined chunking over the token stream — the
@@ -6280,8 +6300,8 @@ object TextAnalysis {
       keepPct: Int = 70): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "source" -> StringType,
@@ -6313,7 +6333,7 @@ object TextAnalysis {
                 .as("retention"))
             .orderBy(col("source"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** Q265: greedy bigram decode walk — deterministic Markov-chain text
@@ -6568,8 +6588,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "y" -> LongType, "yhat" -> LongType,
@@ -6606,7 +6626,7 @@ object TextAnalysis {
               col("off_diag"), col("noise_rate"))
             .orderBy(col("y"), col("yhat"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q286 oracle: the weight chain + the same micro thresholds via a
@@ -7022,7 +7042,7 @@ object TextAnalysis {
   def qNaiveBayes(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(lit(0))
-    val lab = logitFeatures(t).select(col("doc_id"), col("y").cast("long").as("y"))
+    val lab = logitFeaturesShared(t).select(col("doc_id"), col("y").cast("long").as("y"))
       .localCheckpoint() // labels feed training counts AND scoring
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
@@ -7316,7 +7336,7 @@ object TextAnalysis {
     * None on an empty corpus. */
   private def calibrationBins(t: Tables, rounds: Int, lr: Double,
       bins: Int): Option[DataFrame] = {
-    val feats = logitFeatures(t).cache()
+    val feats = logitFeaturesShared(t)
     val out = logitTrainCached(t, feats, rounds, lr).map { w =>
       val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
         lit(w(3)) * col("f3") + lit(w(4)) * col("f4") + lit(w(5)) * col("f5")
@@ -7334,7 +7354,6 @@ object TextAnalysis {
             (col("cm") - col("y") * lit(1000000L))).as("bp_pico"))
         .localCheckpoint() // bounded ≤bins-row table feeds window fans
     }
-    feats.unpersist()
     out
   }
 
@@ -8235,8 +8254,8 @@ object TextAnalysis {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
     val grid = (2 to 12).map(_ * 0.25) // 0.50, 0.75, …, 3.00 (binary-exact)
-    val feats = logitFeatures(t).cache()
-    try {
+    val feats = logitFeaturesShared(t)
+    locally {
       logitTrainCached(t, feats, rounds, lr) match {
         case None =>
           Tables.emptyFrame(spark, "temp" -> DoubleType, "n" -> LongType,
@@ -8268,7 +8287,7 @@ object TextAnalysis {
               col("is_best"))
             .orderBy(col("temp"))
       }
-    } finally { feats.unpersist(); () }
+    }
   }
 
   /** q318 oracle: the logit weight chain + the same grid fan and
@@ -8432,7 +8451,7 @@ object TextAnalysis {
       val m = x * 1000000.0
       (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
     }
-    val lab = logitFeatures(t).select(col("doc_id"), col("y").cast("long").as("y"))
+    val lab = logitFeaturesShared(t).select(col("doc_id"), col("y").cast("long").as("y"))
       .withColumn("h",
         conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("long"))
