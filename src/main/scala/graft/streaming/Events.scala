@@ -45,6 +45,44 @@ object Events {
       }))
   }
 
+  /** Run `body` (a streaming job definition + start + awaitTermination)
+    * with `spark.sql.shuffle.partitions` sized for the stream's INPUT,
+    * restoring the session value after. Stateful streaming operators keep
+    * one state store PER shuffle partition PER micro-batch (a
+    * stream-stream join keeps four per side-pair), each paying provider
+    * setup + a checkpoint commit every batch — with the session default
+    * (= core count) a MB-scale input pays 32 state-store commits per
+    * stateful operator per batch for zero parallelism gain (measured:
+    * q101 8.1 s at 32 cores vs 2.9 s at 8 in the r13 driver sittings —
+    * INVERSE core scaling). The count derives from input size (the
+    * Tables.fanout split-estimate idiom), NOT from the core count:
+    * ceil(inputBytes / 16 MB) clamped to [1, defaultParallelism] — the
+    * 16 MB divisor leaves ~8× decompression headroom under the 128 MB
+    * advisory partition size for zstd parquet. At 100 TB the clamp
+    * saturates every core; at any scale the partition count never
+    * changes stream RESULTS (keys hash to partitions; per-key stateful
+    * semantics are partition-count-independent), so every oracle is
+    * unaffected. The conf is captured by the query AT START and pinned
+    * in its checkpoint, which is why the set/restore brackets the start
+    * call; the post-stream batch read-back executes after restore, at
+    * the session's normal width. */
+  private[graft] def withStreamShufflePartitions[A](
+      spark: org.apache.spark.sql.SparkSession, src: String)(body: => A): A = {
+    val f = new java.io.File(src)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      else f.length
+    val perPart = 16L << 20
+    val n = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + perPart - 1) / perPart))
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Symlink a parquet table — single file OR a graft.MultiFile directory
     * layout — into `dir` for a file-source stream. The file source lists
     * the given directory without recursing into symlinked subdirectories,
@@ -216,11 +254,13 @@ object Events {
         .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_b")
         .select(col("user_id"), col("event_type"), col("minute_b"))
       val outDir = dir.resolve("out")
-      val sq = survivors.writeStream.format("parquet")
-        .option("path", outDir.toString)
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      sq.awaitTermination()
+      withStreamShufflePartitions(spark, path) {
+        val sq = survivors.writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
       val liveKey = s"stream_dedup#${graft.ops.Layout.sessionTag(spark)}#${t.sfDir}"
       liveStreamOuts.put(liveKey, dir).foreach(deleteRecursively)
       spark.read.schema(survivors.schema).parquet(outDir.toString)
@@ -295,11 +335,13 @@ object Events {
         val schema = spark.read.parquet(path).schema
         val stream = spark.readStream.schema(schema).parquet(dir.toString)
         val qname = "graft_stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val sq = runningUserTotals(stream.select(col("user_id"), col("value")))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append").trigger(Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
+        withStreamShufflePartitions(spark, path) {
+          val sq = runningUserTotals(stream.select(col("user_id"), col("value")))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
         val result = spark.table(qname)
         val collected = spark.createDataFrame(result.collectAsList(), result.schema)
         spark.catalog.dropTempView(qname)
@@ -364,11 +406,13 @@ object Events {
       // through the driver — a ceiling the batch q59 path doesn't have.
       // The executors write the result; the driver only plans the re-read.
       val outDir = dir.resolve("out")
-      val sq = joined.writeStream.format("parquet")
-        .option("path", outDir.toString)
-        .option("checkpointLocation", dir.resolve("ckpt").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      sq.awaitTermination()
+      withStreamShufflePartitions(spark, path) {
+        val sq = joined.writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+      }
       // key by (session, sfDir) — the Layout sessionTag pattern: two
       // concurrent sessions on one sfDir must not delete each other's live
       // output. The returned DataFrame stays valid only until the NEXT
@@ -427,9 +471,11 @@ object Events {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("t_n"), cents.as("t_cents"))
         val qname = "graft_lambda_" + java.util.UUID.randomUUID().toString.replace("-", "")
-        val sq = agg.writeStream.format("memory").queryName(qname)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
+        withStreamShufflePartitions(spark, path) {
+          val sq = agg.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
         val result = spark.table(qname)
         val collected = spark.createDataFrame(result.collectAsList(), result.schema)
         spark.catalog.dropTempView(qname)

@@ -123,11 +123,16 @@ object TrainGate {
           })
         .toDF("h", "keep_id", "n_tokens")
       val stageADir = dir.resolve("dedup")
-      val sqA = deduped.writeStream.format("parquet")
-        .option("path", stageADir.toString)
-        .option("checkpointLocation", dir.resolve("ckptA").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      sqA.awaitTermination()
+      // state partitions sized from the input, not the core count (the
+      // Events.withStreamShufflePartitions contract — per-key stateful
+      // semantics are partition-count-independent, results unchanged)
+      Events.withStreamShufflePartitions(spark, path) {
+        val sqA = deduped.writeStream.format("parquet")
+          .option("path", stageADir.toString)
+          .option("checkpointLocation", dir.resolve("ckptA").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sqA.awaitTermination()
+      }
 
       // ---- job B: stream the handoff → per-shard sequence packing ----
       // schema is OURS (job A just wrote it) — explicit is fine here; a
@@ -157,11 +162,13 @@ object TrainGate {
           })
         .toDF("shard", "seq_id", "n_docs", "n_tokens")
       val outDir = dir.resolve("out")
-      val sqB = packed.writeStream.format("parquet")
-        .option("path", outDir.toString)
-        .option("checkpointLocation", dir.resolve("ckptB").toString)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      sqB.awaitTermination()
+      Events.withStreamShufflePartitions(spark, stageADir.toString) {
+        val sqB = packed.writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", dir.resolve("ckptB").toString)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        sqB.awaitTermination()
+      }
 
       val liveKey = s"train_gate#${graft.ops.Layout.sessionTag(spark)}#${t.sfDir}"
       Events.liveStreamOuts.put(liveKey, dir).foreach(Events.deleteRecursively)
