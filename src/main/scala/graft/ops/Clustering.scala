@@ -1386,8 +1386,12 @@ object Clustering {
     * all-pairs in one task); components are the collect-free star
     * contraction; everything else is equi joins + aggregates. */
   def qDbscan(t: Tables, eps: Double = 0.4, minPts: Int = 3): DataFrame = {
-    val pairs = Similarity.cosinePairs(t.embeddings, eps, exactOnly = true)
-      .select(col("id_a"), col("id_b")).localCheckpoint() // feeds degree + core graph + border join
+    // the default eps rides the shared session pair graph (one kernel
+    // pass serves q39/q64/q313); a non-default eps mines its own
+    val pairs = (if (eps == 0.4) Similarity.cosinePairs04Cached(t)
+      else Similarity.cosinePairs(t.embeddings, eps, exactOnly = true)
+        .localCheckpoint())
+      .select(col("id_a"), col("id_b")) // feeds degree + core graph + border join
     val ids = t.embeddings.select(col("vec_id").as("id"))
     val deg = pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))

@@ -1309,14 +1309,20 @@ object Dedup {
 
   /** One large-star round: every node points its strictly-larger neighbors
     * at the minimum of its closed neighborhood. Input/output edges are
-    * canonical (u > v). */
+    * canonical (u > v).
+    *
+    * r14: the per-u minimum rides a WINDOW over the one partitionBy(u)
+    * exchange instead of the old groupBy + self-join (which shuffled nbrs
+    * twice and mins once). Output rows are identical (one per nbrs row
+    * with v > u, m = min of u's closed neighborhood), so the round
+    * trajectory, checksums and fixpoint are unchanged; exchanges per
+    * round drop ~6 → 3 (see plans/r14), which cuts the per-round stage
+    * floor every contraction consumer pays (q37/q64/q270/q313/q317…). */
   private def largeStar(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val nbrs = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbrs.groupBy(col("u"))
-      .agg(min(col("v")).as("mv"))
-      .select(col("u"), least(col("u"), col("mv")).as("m"))
-    nbrs.join(mins, Seq("u"))
+    nbrs.withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
     // no distinct here: smallStar's output distinct bounds the per-round
@@ -1325,12 +1331,15 @@ object Dedup {
   }
 
   /** One small-star round: every node points its smaller neighbors (and
-    * itself) at the minimum of those neighbors. Canonical in/out. */
+    * itself) at the minimum of those neighbors. Canonical in/out.
+    * Same r14 window shape as [[largeStar]]; the self-pointer arm emits
+    * one (u, m) row per EDGE rather than per u — a multiset difference
+    * the closing distinct() collapses, so the output SET is unchanged. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m")) // m < u
-    e.join(mins, Seq("u"))
-      .select(col("v").as("x"), col("m"))
-      .union(mins.select(col("u").as("x"), col("m")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val withM = e.withColumn("m", min(col("v")).over(w)) // m < u
+    withM.select(col("v").as("x"), col("m"))
+      .union(withM.select(col("u").as("x"), col("m")))
       .filter(col("x") =!= col("m"))
       .select(col("x").as("u"), col("m").as("v")) // x > m ⇒ canonical
       .distinct()
@@ -2607,7 +2616,7 @@ object Dedup {
     * the same closure as a recursive CTE in DuckDB. */
   def qDedupEmbedding(t: Tables): DataFrame =
     componentsMinId(
-      Similarity.cosinePairs(t.embeddings, 0.4, exactOnly = true)
+      Similarity.cosinePairs04Cached(t)
         .select(col("id_a"), col("id_b")),
       t.embeddings.select(col("vec_id").as("id")))
       .select(col("keep_id"),
