@@ -79,6 +79,7 @@ object Bench {
       val prewarmed = graft.ops.Dedup.prewarmShared(warm) ++
         graft.ops.TextAnalysis.prewarmShared(warm) ++
         graft.ops.Similarity.prewarmShared(warm) ++
+        graft.ops.Clustering.prewarmShared(warm) ++
         graft.ops.SuffixArray.prewarmShared(warm)
       prewarmed.foreach { case (n, s) =>
         System.err.println(f"[bench] prewarm $n%-16s ${s}%.3f s") }

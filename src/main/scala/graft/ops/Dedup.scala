@@ -2667,7 +2667,7 @@ object Dedup {
     * Lloyd rounds twice. */
   def qDedupSemantic(t: Tables, k: Int = 8, updates: Int = 2,
       tau: Double = 0.25): DataFrame = {
-    val asg = Clustering.kmeansAssignments(t, k, updates)
+    val asg = Clustering.kmeansAssignmentsCached(t, k, updates)
       .select(col("vec_id"), col("e"), col("cid"))
       .localCheckpoint()
     val a = asg.select(col("cid"), col("vec_id").as("ida"), col("e").as("ea"))
