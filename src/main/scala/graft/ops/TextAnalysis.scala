@@ -8446,7 +8446,6 @@ object TextAnalysis {
   def qLearningCurve(t: Tables,
       fracs: Seq[Int] = Seq(6554, 16384, 32768, 65536)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(lit(0))
     def microAway(x: Double): Long = {
       val m = x * 1000000.0
       (if (m >= 0) math.floor(m + 0.5) else math.ceil(m - 0.5)).toLong
@@ -8481,44 +8480,68 @@ object TextAnalysis {
       .groupBy(col("fb")).agg(
         coalesce(sum(col("y")), lit(0L)).as("n1"), count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val out = fracs.zipWithIndex.map { case (thr, fi) =>
-      val evalSet = if (thr >= 65536) lab else lab.filter(col("h") >= thr)
-      val perTerm = dtl.filter(col("fb") <= fi)
-        .groupBy(col("term")).agg(
-          sum(col("b0")).as("c0"), sum(col("b1")).as("c1"))
-      val ll = perTerm
-        .withColumn("tok0", sum(col("c0")).over(w))
-        .withColumn("tok1", sum(col("c1")).over(w))
-        .withColumn("v_size", count(lit(1)).over(w))
-        .select(col("term"),
-          round(log((col("c0") + lit(1L)).cast("double") /
-            (col("tok0") + col("v_size")).cast("double")) * lit(1000000.0), 0)
-            .cast("long").as("ll0"),
-          round(log((col("c1") + lit(1L)).cast("double") /
-            (col("tok1") + col("v_size")).cast("double")) * lit(1000000.0), 0)
-            .cast("long").as("ll1"))
+    // r14 one-pass evaluation (guide §2: scan once, shuffle fewer bytes):
+    // the four per-fraction branches each re-scanned dt (semi-join +
+    // model join + aggregate ≈ 3.15·|dt| rows across four subtrees).
+    // Fractions are NESTED, so one (term, fi) model table (each cell
+    // contributes to every fi ≥ its bucket) and one (doc, fi)
+    // eval-membership fan replace all four branches; every per-(term,fi)
+    // and per-(doc,fi) value is the identical exact integer the old
+    // branch computed, so the four output rows are unchanged.
+    val spark2 = t.documents.sparkSession
+    import spark2.implicits._
+    val priors = fracs.zipWithIndex.map { case (thr, fi) =>
       val inTrain = labBuckets.filter(_._1 <= fi)
       val n1 = inTrain.map(_._2).sum; val n = inTrain.map(_._3).sum
       val lp0 = microAway(math.log((n - n1 + 1).toDouble / (n + 2).toDouble))
       val lp1 = microAway(math.log((n1 + 1).toDouble / (n + 2).toDouble))
-      // eval docs may hold terms unseen in training: inner join drops
-      // them (their class contribution is the shared Laplace floor on
-      // BOTH sides only for seen terms — unseen terms are skipped,
-      // the standard NB ignore-OOV convention, mirrored in the oracle)
-      val docSums = dt.join(evalSet.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .join(ll, Seq("term"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c") * col("ll0")).as("s0"), sum(col("c") * col("ll1")).as("s1"))
-      evalSet.join(docSums, Seq("doc_id"), "left")
-        .withColumn("yhat",
-          when(lit(lp1) + coalesce(col("s1"), lit(0L)) >
-            lit(lp0) + coalesce(col("s0"), lit(0L)), 1L).otherwise(0L))
-        .agg(count(lit(1)).as("n_eval"),
-          sum(when(col("y") === col("yhat"), 1L).otherwise(0L)).as("n_correct"))
-        .select(lit(thr.toLong).as("thr"), lit(n).as("n_train"),
-          col("n_eval"), col("n_correct"),
-          (col("n_correct").cast("double") / col("n_eval").cast("double")).as("acc"))
-    }.reduce(_ unionAll _)
+      (fi, thr.toLong, n, lp0, lp1)
+    }
+    val fracDf = broadcast(priors.toDF("fi", "thr", "n_train", "lp0", "lp1"))
+    val wf = Window.partitionBy(col("fi"))
+    // per-(term, fraction) NB log-likelihood model: cell (term, fb)
+    // feeds every fraction fi >= fb (nested slices)
+    val ll = dtl
+      // fb = fracs.length (doc in no fraction) must not fan out — and
+      // sequence(n, n-1) is DESCENDING in Spark (the q309 guard rule)
+      .filter(col("fb") < fracs.length)
+      .select(col("term"), explode(expr(s"sequence(fb, ${fracs.length - 1})")).as("fi"),
+        col("b0"), col("b1"))
+      .groupBy(col("term"), col("fi"))
+      .agg(sum(col("b0")).as("c0"), sum(col("b1")).as("c1"))
+      .withColumn("tok0", sum(col("c0")).over(wf))
+      .withColumn("tok1", sum(col("c1")).over(wf))
+      .withColumn("v_size", count(lit(1)).over(wf))
+      .select(col("term"), col("fi"),
+        round(log((col("c0") + lit(1L)).cast("double") /
+          (col("tok0") + col("v_size")).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("ll0"),
+        round(log((col("c1") + lit(1L)).cast("double") /
+          (col("tok1") + col("v_size")).cast("double")) * lit(1000000.0), 0)
+          .cast("long").as("ll1"))
+    // (doc, fraction) eval membership: fi = last fraction (resubstitution)
+    // takes every doc, earlier fractions take the held-out complement
+    val evalAll = lab.crossJoin(fracDf.select(col("fi"), col("thr")))
+      .filter(col("fi") === (fracs.length - 1) || col("h") >= col("thr"))
+      .select(col("doc_id"), col("y"), col("fi"))
+    // eval docs may hold terms unseen in training: the inner model join
+    // drops them (standard NB ignore-OOV convention, mirrored in the
+    // oracle); docs with NO seen term keep s0/s1 = 0 via the left join
+    val docSums = dt
+      .join(evalAll.select(col("doc_id"), col("fi")), Seq("doc_id"))
+      .join(ll, Seq("term", "fi"))
+      .groupBy(col("doc_id"), col("fi"))
+      .agg(sum(col("c") * col("ll0")).as("s0"), sum(col("c") * col("ll1")).as("s1"))
+    val out = evalAll.join(docSums, Seq("doc_id", "fi"), "left")
+      .join(fracDf, Seq("fi"))
+      .withColumn("yhat",
+        when(col("lp1") + coalesce(col("s1"), lit(0L)) >
+          col("lp0") + coalesce(col("s0"), lit(0L)), 1L).otherwise(0L))
+      .groupBy(col("fi"), col("thr"), col("n_train"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("y") === col("yhat"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("thr"), col("n_train"), col("n_eval"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_eval").cast("double")).as("acc"))
     out.orderBy(col("thr"))
   }
 
