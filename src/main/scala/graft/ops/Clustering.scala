@@ -6,7 +6,7 @@ import org.apache.spark.ml.clustering.{KMeans, LDA}
 import org.apache.spark.ml.feature.{CountVectorizer, IDF, Normalizer}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.{SparseVector, Vector}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Clustering stack (SURVEY.md §2.9 M1/M2/M5, §2.4 A2/A3/A4).
@@ -448,51 +448,88 @@ object Clustering {
       .select(col("doc_id"), col("tid"), col("c").cast("double").as("c"))
       .localCheckpoint()
     val docs = v.select(col("doc_id")).distinct()
-    val topics = spark.range(k).select(col("id").as("i"))
     val firstk = docs
       .withColumn("i", (row_number().over(Window.orderBy(col("doc_id"))) - 1).cast("long"))
       .filter(col("i") < k)
     val tids = v.select(col("tid")).distinct()
     val eps = lit(1e-9)
-    var w = docs.crossJoin(topics)
-      .select(col("doc_id"), col("i"), lit(1.0).as("w")).localCheckpoint()
+    val is = 0 until k
+    // r14: W and H ride WIDE (one row per doc / per tid, k value columns)
+    // instead of long (doc, i) / (i, tid) rows. k is a bounded literal, so
+    // WᵀW and HHᵀ become k²-column single-pass aggregates fetched to the
+    // driver (the q190/q303 bounded-solve class: k² = 16 rounded doubles)
+    // instead of corpus-scale self-joins, and the WᵀW·H / W·HHᵀ products
+    // become per-row literal expressions instead of join + re-aggregate —
+    // each round drops from ~8 shuffles to 2 (one join + one aggregate per
+    // factor side). Every aggregate keeps the round(6)-of-identical-addend
+    // discipline, so values are unchanged and the oracle's chained-CTE
+    // replay is unaffected (re-verified at all three SFs). A topic column
+    // is NULL exactly where the long form had no row (absent inner-join
+    // partner); the closing wide→long conversion drops NULLs, restoring
+    // the old row set.
+    // A/B'd: lazy checkpoints and un-checkpointed inits both measured
+    // SLOWER (4.0 vs 3.6 s — AQE's toRdd stage resolution pays more
+    // driver round-trips than the eager jobs save); eager stands
+    var w = docs.select(col("doc_id") +: is.map(i => lit(1.0).as(s"w$i")): _*)
+      .localCheckpoint()
     var h = firstk.crossJoin(tids)
       .join(v, Seq("doc_id", "tid"), "left")
       .select(col("i"), col("tid"),
         round(coalesce(col("c"), lit(0.0)) + lit(1.0), 6).as("h"))
+      .groupBy(col("tid"))
+      .pivot("i", is.map(i => i.toLong: Any))
+      .agg(first(col("h")))
+      .select(col("tid") +: is.map(i => col(s"$i").as(s"h$i")): _*)
       .localCheckpoint()
+    // Σ of present terms, NULL iff all terms absent — the wide image of
+    // the long form's inner-join row absence
+    def optSum(terms: Seq[Column]): Column =
+      if (terms.isEmpty) lit(null).cast("double")
+      else terms.reduce((a, b) => coalesce(a + b, a, b))
+    // k² bounded driver fetch of a gram matrix round(Σ x_i·x_j, 6);
+    // None where the long form produced no (i, j) row
+    def gram(df: DataFrame, prefix: String): Array[Array[Option[Double]]] = {
+      val exprs = for (i <- is; j <- is)
+        yield round(sum(col(s"$prefix$i") * col(s"$prefix$j")), 6)
+      val row = df.agg(exprs.head, exprs.tail: _*).head()
+      Array.tabulate(k, k)((i, j) =>
+        if (row.isNullAt(i * k + j)) None else Some(row.getDouble(i * k + j)))
+    }
     for (_ <- 1 to rounds) {
-      val wtv = w.join(v, "doc_id").groupBy(col("i"), col("tid"))
-        .agg(round(sum(col("w") * col("c")), 6).as("wtv"))
-      val wtw = w.select(col("doc_id"), col("i"), col("w").as("wa"))
-        .join(w.select(col("doc_id"), col("i").as("j"), col("w").as("wb")), "doc_id")
-        .groupBy(col("i"), col("j"))
-        .agg(round(sum(col("wa") * col("wb")), 6).as("wtw"))
-      val wtwh = wtw.join(h.select(col("i").as("j"), col("tid"), col("h")), "j")
-        .groupBy(col("i"), col("tid"))
-        .agg(round(sum(col("wtw") * col("h")), 6).as("wtwh"))
-      h = h.join(wtv, Seq("i", "tid")).join(wtwh, Seq("i", "tid"))
-        .select(col("i"), col("tid"),
-          round(col("h") * col("wtv") / (col("wtwh") + eps), 6).as("h"))
+      // wtv_i(tid) = Σ_d w_i·c — ONE join + ONE aggregate for all topics
+      val wtv = v.join(w, "doc_id").groupBy(col("tid"))
+        .agg(round(sum(col(s"w0") * col("c")), 6).as("wtv0"),
+          is.tail.map(i => round(sum(col(s"w$i") * col("c")), 6).as(s"wtv$i")): _*)
+      val wtw = gram(w, "w")
+      // wtwh_i(tid) = round(Σ_j wtw(i,j)·h_j, 6) as a literal expression
+      def wtwh(i: Int): Column = round(optSum(
+        is.flatMap(j => wtw(i)(j).map(x => lit(x) * col(s"h$j")))), 6)
+      h = h.join(wtv, Seq("tid"))
+        .select(col("tid") +: is.map(i =>
+          round(col(s"h$i") * col(s"wtv$i") / (wtwh(i) + eps), 6).as(s"h$i")): _*)
         .localCheckpoint()
-      val vht = v.join(h, "tid").groupBy(col("doc_id"), col("i"))
-        .agg(round(sum(col("c") * col("h")), 6).as("vht"))
-      val hht = h.select(col("tid"), col("i"), col("h").as("ha"))
-        .join(h.select(col("tid"), col("i").as("j"), col("h").as("hb")), "tid")
-        .groupBy(col("i"), col("j"))
-        .agg(round(sum(col("ha") * col("hb")), 6).as("hht"))
-      // WHHᵀ(d, i) = Σ_j W(d, j)·HHᵀ(j, i): join W's topic with hht.i,
-      // emit hht.j (HHᵀ is symmetric; mirrored exactly in the oracle)
-      val whht = w.join(hht, "i")
-        .groupBy(col("doc_id"), col("j"))
-        .agg(round(sum(col("w") * col("hht")), 6).as("whht"))
-        .select(col("doc_id"), col("j").as("i"), col("whht"))
-      w = w.join(vht, Seq("doc_id", "i")).join(whht, Seq("doc_id", "i"))
-        .select(col("doc_id"), col("i"),
-          round(col("w") * col("vht") / (col("whht") + eps), 6).as("w"))
+      val vht = v.join(h, "tid").groupBy(col("doc_id"))
+        .agg(round(sum(col("c") * col(s"h0")), 6).as("vht0"),
+          is.tail.map(i => round(sum(col("c") * col(s"h$i")), 6).as(s"vht$i")): _*)
+      val hht = gram(h, "h")
+      // whht_i(d) = round(Σ_j w_j·hht(j,i), 6) (HHᵀ symmetric, as before)
+      def whht(i: Int): Column = round(optSum(
+        is.flatMap(j => hht(j)(i).map(x => lit(x) * col(s"w$j")))), 6)
+      w = w.join(vht, Seq("doc_id"))
+        .select(col("doc_id") +: is.map(i =>
+          round(col(s"w$i") * col(s"vht$i") / (whht(i) + eps), 6).as(s"w$i")): _*)
         .localCheckpoint()
     }
-    (v, w, h)
+    // wide → long, dropping NULL topics (the absent rows of the old form)
+    val wLong = w.select(col("doc_id"),
+        posexplode(array(is.map(i => col(s"w$i")): _*)).as(Seq("pos", "w")))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("i"), col("w"))
+    val hLong = h.select(col("tid"),
+        posexplode(array(is.map(i => col(s"h$i")): _*)).as(Seq("pos", "h")))
+      .filter(col("h").isNotNull)
+      .select(col("pos").cast("long").as("i"), col("tid"), col("h"))
+    (v, wLong, hLong)
   }
 
   /** q132 oracle: the same rounds unrolled as chained CTEs (the q119

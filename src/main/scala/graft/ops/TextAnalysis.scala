@@ -2940,9 +2940,14 @@ object TextAnalysis {
     * both engines; the ≤|query|-term per-doc sum is aggregation-ordered →
     * round(6). b = 0.75 is exactly binary; k1 literals are written in
     * both engines' parsers identically. */
-  def qBm25(t: Tables, query: Seq[String] = Seq("spark", "window", "join"),
+  def qBm25(t: Tables, queryTerms: Seq[String] = Seq("spark", "window", "join"),
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the one-pass unpivot assumes distinct query terms (a duplicate
+    // would double-count df/cf where the old groupBy shape deduped) —
+    // normalize instead of documenting the precondition (ADVICE r13);
+    // identity for the shipped default
+    val query = queryTerms.distinct
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
     // ONE tokenize+explode pass: per-doc length AND the per-query-term
@@ -7224,9 +7229,12 @@ object TextAnalysis {
     * Scale shape: the match side filters to |q| terms BEFORE any join;
     * the per-doc penalty is one projection over the cached length table;
     * top-k is a bounded take. */
-  def qQlmRetrieval(t: Tables, query: Seq[String] = Seq("spark", "window", "join"),
+  def qQlmRetrieval(t: Tables, queryTerms: Seq[String] = Seq("spark", "window", "join"),
       mu: Double = 2000.0, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // distinct-terms normalization for the one-pass unpivot (ADVICE r13;
+    // identity for the shipped default — see qBm25)
+    val query = queryTerms.distinct
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), explode(text.tokenize(col("text"))).as("term"))
     // ONE tokenize pass (the q123 shape): per-doc length + per-query-term
