@@ -2500,7 +2500,7 @@ object Dedup {
     * hash-safe where ordering by an aggregated float would not be. */
   def qDedupBestRep(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val quality = TextAnalysis.qQualityScore(t)
+    val quality = TextAnalysis.qualityScoreShared(t)
       .select(col("doc_id").as("id"), col("quality_score"))
     val labeled = fuzzyLabelsCached(t).join(quality, Seq("id"))
     val byLabel = Window.partitionBy(col("label"))

@@ -94,9 +94,11 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Full quality score with float ratios + a composite 0-1 score
-    * (rows-only: float ratios are not hash-stable cross-engine). */
-  def qQualityScore(t: Tables): DataFrame = {
+  /** The q27 score frame WITHOUT the presentation sort — the builder
+    * behind [[qQualityScore]] (q27's own bench entry, uncached by the
+    * q32 rule) and [[qualityScoreShared]] (what the nine composing
+    * consumers ride). */
+  private def qualityScoreFrame(t: Tables): DataFrame = {
     val feats = text.qualityFeatures(col("text"))
     val base = t.fanout(t.documents).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
     // UNROUNDED on purpose: every term is the same IEEE op sequence on
@@ -109,8 +111,27 @@ object TextAnalysis {
             (lit(1.0) - least(col("stopword_ratio") * 2.0, lit(1.0))) * 0.2 +
             col("alpha_ratio") * 0.3 +
             least(col("mean_token_len") / 8.0, lit(1.0)) * 0.2))
-      .orderBy(col("doc_id"))
   }
+
+  /** Full quality score with float ratios + a composite 0-1 score
+    * (rows-only: float ratios are not hash-stable cross-engine). */
+  def qQualityScore(t: Tables): DataFrame =
+    qualityScoreFrame(t).orderBy(col("doc_id"))
+
+  /** Session-cached materialization of the q27 score frame (the
+    * logitFeaturesShared sibling): NINE queries compose the identical
+    * tokenize+score projection (q144/q169/q204/q210/q224/q249/q304/q306
+    * + the bootstrap CI) and each previously re-ran the corpus scan.
+    * Per-row raw doubles are bit-identical on a cache hit (deterministic
+    * projection), so every downstream oracle is unaffected. q27's own
+    * entry keeps the uncached builder. */
+  private val qualityCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[graft] def qualityScoreShared(t: Tables): DataFrame =
+    qualityCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#quality",
+      qualityScoreFrame(t).localCheckpoint())
 
   /** The q27 feature+score CTE chain ending in
     * `scored(doc_id, n_tokens, …, quality_score)`, shared verbatim between
@@ -1291,7 +1312,7 @@ object TextAnalysis {
     * |sources|·bins cell table (post-aggregate tiny-frame precedent). */
   def qMutualInfo(t: Tables, bins: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = qQualityScore(t).select(col("doc_id"), col("quality_score"))
+    val q = qualityScoreShared(t).select(col("doc_id"), col("quality_score"))
     val cells = q
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"),
@@ -1827,7 +1848,7 @@ object TextAnalysis {
   def qKsQuality(t: Tables, cAlpha: Double = 1.358): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = t.documents.sparkSession
-    val q = qQualityScore(t).select(col("doc_id"),
+    val q = qualityScoreShared(t).select(col("doc_id"),
       round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
     // barrier: cells is referenced three times (source fetch, grid, dense
@@ -2441,7 +2462,7 @@ object TextAnalysis {
     // barrier: q feeds ranked AND bucketRank (which itself evaluates its
     // input twice) — 3-4 q27 scoring scans before (r13 opt). n rows of 4
     // narrow fields.
-    val q = qQualityScore(t)
+    val q = qualityScoreShared(t)
       .select(col("doc_id"), col("quality_score"),
         round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -3406,7 +3427,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val q = qQualityScore(t)
+    val q = qualityScoreShared(t)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .withColumn("bucket",
         least(floor(col("quality_score") * lit(100.0)), lit(100.0)).cast("int"))
@@ -3464,7 +3485,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val q = qQualityScore(t)
+    val q = qualityScoreShared(t)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
       .withColumn("bucket",
         least(floor(col("quality_score") * lit(100.0)), lit(100.0)).cast("int"))
@@ -4073,6 +4094,7 @@ object TextAnalysis {
       // AND the riders no longer unpersist it out from under each other)
       timed("logit_features")(logitFeaturesShared(t)),
       timed("logit_weights")(logitTrainCached(t, logitFeaturesShared(t), 16, 8.0)),
+      timed("quality_score")(qualityScoreShared(t)),
       timed("bpe_merges")(bpeMerges(t, 8)),
       timed("dawid_skene")(dawidSkeneCached(t, 5)))
   }
@@ -5381,7 +5403,7 @@ object TextAnalysis {
           // scan ran 3x (r13 opt: 3.9 s -> the checkpointed frames are
           // (doc_id, micro)/(doc_id, ra, rb), n rows of 2-3 longs; q33
           // barrier rule)
-          val qual = qQualityScore(t).select(col("doc_id"),
+          val qual = qualityScoreShared(t).select(col("doc_id"),
             round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
             .localCheckpoint()
           // ascending rank with doc_id DESC inside ties, then reverse:
@@ -5498,7 +5520,7 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // Poisson(1) inverse-CDF thresholds on the 2^52 grid, shared with SQL
     val thr = poissonThresholds52
-    val qual = qQualityScore(t).select(col("doc_id"),
+    val qual = qualityScoreShared(t).select(col("doc_id"),
       round(col("quality_score") * lit(1000000.0), 0).cast("long").as("qm"))
     val exploded = qual.select(col("doc_id"), col("qm"),
       explode(sequence(lit(0), lit(b - 1))).as("rep"))
@@ -5826,7 +5848,7 @@ object TextAnalysis {
           val p = lit(1.0) / (lit(1.0) + exp(-z))
           val ra = feats.select(col("doc_id"),
             (round(p * lit(1000000.0), 0).cast("long") > 500000L).as("a"))
-          val rb = qQualityScore(t).select(col("doc_id"),
+          val rb = qualityScoreShared(t).select(col("doc_id"),
             (col("quality_score") >= lit(thresh)).as("b"))
           val m = ra.join(rb, Seq("doc_id")).agg(
             count(lit(1)).as("n"),
@@ -8528,10 +8550,16 @@ object TextAnalysis {
           (col("tok1") + col("v_size")).cast("double")) * lit(1000000.0), 0)
           .cast("long").as("ll1"))
     // (doc, fraction) eval membership: fi = last fraction (resubstitution)
-    // takes every doc, earlier fractions take the held-out complement
-    val evalAll = lab.crossJoin(fracDf.select(col("fi"), col("thr")))
-      .filter(col("fi") === (fracs.length - 1) || col("h") >= col("thr"))
-      .select(col("doc_id"), col("y"), col("fi"))
+    // takes every doc, earlier fractions take the held-out complement.
+    // Literal-array explode, NOT a crossJoin against the 4-row frame — a
+    // map-side fan keeps PlanAuditSpec's no-NLJ gate clean and is the
+    // better scale shape anyway (no broadcast relation at all)
+    val fracArr = array(priors.map { case (fi, thr, _, _, _) =>
+      struct(lit(fi).as("fi"), lit(thr).as("thr")) }: _*)
+    val evalAll = lab.select(col("doc_id"), col("y"), col("h"),
+        explode(fracArr).as("fx"))
+      .filter(col("fx.fi") === (fracs.length - 1) || col("h") >= col("fx.thr"))
+      .select(col("doc_id"), col("y"), col("fx.fi").as("fi"))
     // eval docs may hold terms unseen in training: the inner model join
     // drops them (standard NB ignore-OOV convention, mirrored in the
     // oracle); docs with NO seen term keep s0/s1 = 0 via the left join
