@@ -133,6 +133,37 @@ object TextAnalysis {
       s"${Layout.sessionTag(t.spark)}#${t.sfDir}#quality",
       qualityScoreFrame(t).localCheckpoint())
 
+  /** Session-cached corpus UNIGRAM counts (w, f) and BIGRAM counts
+    * (a, b, c) — q111 PMI, q152 bigram LM, q261 Kneser–Ney and q265
+    * greedy decode each built the identical vocab-bounded tables from
+    * their own tokenize passes (uf ×3, bf ×4 per bench run). Exact
+    * integer counts; a hit is bit-identical; per-doc bigram STREAMS
+    * (q152/q261 scoring) stay per-query — only the bounded aggregates
+    * are shared. */
+  private val ngramCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  private[graft] def unigramCountsShared(t: Tables): DataFrame =
+    ngramCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#unigrams",
+      t.fanout(t.documents)
+        .select(explode(text.tokenize(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .localCheckpoint())
+
+  private[graft] def bigramCountsShared(t: Tables): DataFrame =
+    ngramCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#bigrams",
+      t.fanout(t.documents)
+        .select(text.tokenize(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+
   /** The q27 feature+score CTE chain ending in
     * `scored(doc_id, n_tokens, …, quality_score)`, shared verbatim between
     * the q27 oracle and the q144 budget-selection oracle. */
@@ -2824,22 +2855,10 @@ object TextAnalysis {
     * ROUNDED pmi (identical on both engines) with a (a,b) tie-break, so
     * the top-20 cut is deterministic cross-engine. */
   def qPmiCollocations(t: Tables, minCount: Long = 5): DataFrame = {
-    val toks = t.fanout(t.documents)
-      .select(text.tokenize(col("text")).as("toks"))
-    // barriers (r13 opt): uf fed both broadcast sides (2 tokenize scans)
-    // and nb re-ran the pair explode a third time — derive nb as the
-    // exact Σc over the checkpointed bigram counts instead. 4 corpus
-    // scans -> 2.
-    val uni = toks.select(explode(col("toks")).as("w"))
-    val uf = uni.groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .localCheckpoint()
-    val pairs = toks.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-    val bf = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // r14: uf/bf ride the shared session n-gram counts (identical exact
+    // integers; nb stays the Σc over the bigram table — r13 opt)
+    val uf = unigramCountsShared(t)
+    val bf = bigramCountsShared(t)
     val nb = bf.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     bf.filter(col("c") >= minCount)
       .join(broadcast(uf.withColumnRenamed("w", "a").withColumnRenamed("f", "fa")), "a")
@@ -4095,6 +4114,8 @@ object TextAnalysis {
       timed("logit_features")(logitFeaturesShared(t)),
       timed("logit_weights")(logitTrainCached(t, logitFeaturesShared(t), 16, 8.0)),
       timed("quality_score")(qualityScoreShared(t)),
+      timed("unigram_counts")(unigramCountsShared(t)),
+      timed("bigram_counts")(bigramCountsShared(t)),
       timed("bpe_merges")(bpeMerges(t, 8)),
       timed("dawid_skene")(dawidSkeneCached(t, 5)))
   }
@@ -5136,21 +5157,16 @@ object TextAnalysis {
         "keep" -> BooleanType)
     val toks = t.fanout(t.documents)
       .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
-    // barriers (r13 opt): uf was evaluated twice (the v count + the
-    // broadcast) and bf's build re-ran the tokenize scan next to the
-    // scoring join's own pass — 4 corpus scans -> 3 (uf and bf are
-    // vocab/distinct-bigram bounded; bi stays streamed, the q261 call).
-    val uf = toks.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .localCheckpoint()
+    // r14: uf/bf ride the shared session n-gram counts; the per-doc
+    // bigram STREAM bi stays per-query (corpus-scale, the q112 rule)
+    val uf = unigramCountsShared(t)
     val v = uf.count()
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
         .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val bf = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val bf = bigramCountsShared(t)
     bi.join(bf, Seq("a", "b"))
       .join(broadcast(uf.withColumnRenamed("w", "a").withColumnRenamed("f", "fa")), Seq("a"))
       .withColumn("nll", round(-log((col("c").cast("double") + lit(1.0)) /
@@ -5221,11 +5237,9 @@ object TextAnalysis {
         "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
         .as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    // barrier: bf is referenced four times (scalar fetch, ctx, cont, the
-    // scoring join) and each reference re-ran the tokenize+explode scan
-    // (r13 opt: 4 corpus scans -> 2). Distinct-bigram rows only.
-    val bf = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // r14: bf (referenced four times — scalar fetch, ctx, cont, scoring
+    // join) rides the shared session bigram counts
+    val bf = bigramCountsShared(t)
     // corpus scalars (bounded 3-long fetch): distinct-bigram total + the
     // singleton/doubleton counts behind the Good-Turing discount estimate
     val gRow = bf.agg(count(lit(1)),
@@ -6390,16 +6404,9 @@ object TextAnalysis {
     if (t.documents.isEmpty)
       return Tables.emptyFrame(spark, "seed" -> StringType,
         "step" -> LongType, "token" -> StringType, "c" -> LongType)
-    val toks = t.fanout(t.documents)
-      .select(col("doc_id"), text.tokenize(col("text")).as("toks"))
-    val uf = toks.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-    val bf = toks.filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i - 1] AS a, toks[i] AS b))"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    // r14: uf/bf ride the shared session n-gram counts
+    val uf = unigramCountsShared(t)
+    val bf = bigramCountsShared(t)
     val am = bf.withColumn("rn", row_number().over(
         Window.partitionBy(col("a")).orderBy(col("c").desc, col("b"))))
       .filter(col("rn") === 1).select(col("a"), col("b"), col("c"))
