@@ -151,6 +151,18 @@ object TextAnalysis {
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
         .localCheckpoint())
 
+  /** Session-cached (source, term, c) count table — q211 domain xent,
+    * q264 source JSD and q319 Burrows delta each built the identical
+    * aggregate from their own tokenize pass. Exact integers;
+    * |sources|·|vocab|-bounded. */
+  private[graft] def sourceTermCountsShared(t: Tables): DataFrame =
+    ngramCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#srcterms",
+      t.fanout(t.documents)
+        .select(col("source"), explode(text.tokenize(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+        .localCheckpoint())
+
   private[graft] def bigramCountsShared(t: Tables): DataFrame =
     ngramCache.getOrElseUpdate(
       s"${Layout.sessionTag(t.spark)}#${t.sfDir}#bigrams",
@@ -1992,14 +2004,10 @@ object TextAnalysis {
     * aggregate; the correction is a broadcast-sized |S|-row join. */
   def qDomainXent(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = t.fanout(t.documents)
-      .select(col("source"), explode(text.tokenize(col("text"))).as("term"))
-    // barrier: tf feeds the vocab count, the per-source masses AND both
-    // sides of the model/data join — un-barriered each reference re-ran
-    // the corpus tokenize (5 in-plan passes measured; now 1; the count()
-    // below doubles as the materialization action). vocab × sources rows.
-    val tf = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // r14: tf (feeds the vocab count, per-source masses AND both sides
+    // of the model/data join) rides the shared session (source, term)
+    // counts — identical exact integers
+    val tf = sourceTermCountsShared(t)
     val all = Window.partitionBy()
     // V = global distinct terms; N_j = per-source token mass (bounded |S| rows)
     val vCount = tf.select(col("term")).distinct().count()
@@ -4116,6 +4124,7 @@ object TextAnalysis {
       timed("quality_score")(qualityScoreShared(t)),
       timed("unigram_counts")(unigramCountsShared(t)),
       timed("bigram_counts")(bigramCountsShared(t)),
+      timed("srcterm_counts")(sourceTermCountsShared(t)),
       timed("bpe_merges")(bpeMerges(t, 8)),
       timed("dawid_skene")(dawidSkeneCached(t, 5)))
   }
@@ -6483,10 +6492,7 @@ object TextAnalysis {
   def qSourceJsd(t: Tables): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = t.documents.sparkSession
-    val st = t.fanout(t.documents)
-      .select(col("source"), explode(text.tokenize(col("text"))).as("term"))
-      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val st = sourceTermCountsShared(t)
     val ntRows = st.groupBy(col("source")).agg(sum(col("c")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     if (ntRows.isEmpty)
@@ -8376,15 +8382,11 @@ object TextAnalysis {
     * the ≤|stopwords|·|sources| bounded grid. */
   def qBurrowsDelta(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = t.fanout(t.documents)
-      .select(col("source"), explode(text.tokenize(col("text"))).as("w"))
-    // ONE tokenize pass: the full (source, word) count table is checkpointed
-    // (vocab × sources, corpus-bounded) and both the per-source totals and
-    // the stopword counts derive from it. Un-barriered, tot and sw each
-    // re-ran the explode, and the zs self-join doubled that again (4 corpus
-    // tokenize passes measured in-plan).
-    val all = toks.groupBy(col("source"), col("w"))
-      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // r14: the full (source, word) count table rides the shared session
+    // (source, term) counts (the r13 one-pass shape, now shared — the
+    // per-source totals and stopword counts still derive from it)
+    val all = sourceTermCountsShared(t)
+      .select(col("source"), col("term").as("w"), col("c").as("cnt"))
     val tot = all.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     val sw = all.filter(col("w").isInCollection(text.stopwords))
       .select(col("source"), col("w"), col("cnt"))
