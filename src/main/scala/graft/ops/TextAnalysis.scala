@@ -2102,7 +2102,8 @@ object TextAnalysis {
     // and `docTerm` three times (df, both cooc sides) — each reference
     // re-evaluated the tokenize scan, 9 corpus scans total (r13 opt). The
     // checkpointed frames are |sources|·k and ≤|docs|·|top words| rows.
-    val top = toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    // r14: the (source, term) counts ride the shared session table.
+    val top = sourceTermCountsShared(t)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(col("c").desc, col("term"))))
       .filter(col("rk") <= k)
