@@ -432,11 +432,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("mn").as("fp")).distinct()
   }
 
+  /** Session-cached winnowing fingerprints — q196 AND q218 both run the
+    * tokenize + md5 + rolling-hash window kernel on the identical
+    * corpus; one checkpoint serves both (exact integers, bit-identical
+    * hits). */
+  private[graft] def winnowedFpsShared(t: Tables, w: Int = 8): DataFrame =
+    ngramCache.getOrElseUpdate(
+      s"${Layout.sessionTag(t.spark)}#${t.sfDir}#winnow#$w",
+      winnowedFps(t, w).localCheckpoint())
+
   def qWinnowing(t: Tables, w: Int = 8): DataFrame = {
     // barrier: the selected-fingerprint frame is referenced three times
     // (per-doc counts + both posting-join sides) and each re-ran the
-    // tokenize + rolling-hash window kernel (r13 opt). (doc_id, fp) rows.
-    val selected = winnowedFps(t, w).localCheckpoint()
+    // tokenize + rolling-hash window kernel (r13 opt); r14: shared with
+    // q218's source-level matrix. (doc_id, fp) rows.
+    val selected = winnowedFpsShared(t, w)
     val perDoc = selected.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val l = selected.select(col("fp"), col("doc_id").as("id_a"))
     val r = selected.select(col("fp"), col("doc_id").as("id_b"))
@@ -514,8 +524,9 @@ object TextAnalysis {
   def qReuseMatrix(t: Tables, w: Int = 8): DataFrame = {
     // barrier: referenced 3x (per-source totals + both sides of the
     // sharing self-join) — without it the winnowing fingerprint kernel
-    // re-runs per reference. Distinct (source, fp) rows only.
-    val srcFp = winnowedFps(t, w)
+    // re-runs per reference; r14: the kernel itself rides the shared
+    // session checkpoint (q196's sibling). Distinct (source, fp) rows.
+    val srcFp = winnowedFpsShared(t, w)
       .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("fp")).distinct()
       .localCheckpoint()
